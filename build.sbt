@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs must write straight to stdout (no "[info]" log prefix):
+// the driver parses Bench's single JSON line from raw stdout.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,19 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.PolyHashExpr
+
+/** Registers graft's native Catalyst expressions as SQL functions so they are
+  * usable from both the Column API (`call_function`) and `spark.sql`.
+  * Idempotent per session.
+  */
+object Functions {
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_poly_hash",
+      exprs => PolyHashExpr(exprs.head),
+      "built-in"
+    )
+  }
+}

@@ -1,0 +1,44 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Tuned for correctness-reproducibility (UTC, ANSI off so casts behave like
+  * the reference's permissive float parses) and for scale-minded defaults:
+  * AQE with skew-join handling on, nested-schema pruning on so queries that
+  * touch only scene metadata never deserialize the 343-px tensor arrays
+  * (reference analog: data_processor.py:48-51 reads only metadata groups).
+  */
+object Session {
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.ansi.enabled", "false")
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Functions.registerAll(spark)
+    spark
+  }
+
+  /** Apply graft conf + function registry to an externally-created session
+    * (the driver's Verify/Bench sessions). Idempotent.
+    */
+  def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    Functions.registerAll(spark)
+    spark
+  }
+}

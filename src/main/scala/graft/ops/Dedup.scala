@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.Hashing
+
+/** Deduplication operators for LLM-scale corpora over `documents`:
+  * exact (hash-group), MinHash+LSH near-dup (shingle → K minhashes → banded
+  * buckets → bucket-join — never all-pairs), SimHash, and exact n-gram
+  * Jaccard verification of LSH candidates.
+  *
+  * Scale design: every stage is a groupBy/join on bounded keys. The LSH
+  * bucket join replaces the O(N²) pair enumeration with joins on
+  * (band, bandKey); skewed buckets (boilerplate shingles) are bounded by
+  * AQE skew-join handling; signatures are K=16 longs per doc.
+  */
+object Dedup {
+
+  val K = 16 // minhash permutations
+  val Bands = 4
+  val Rows = K / Bands
+  val ShingleN = 3
+
+  /** Exact dedup: canonical keeper (min doc_id) per identical text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** (doc_id, shingle-hash h) — distinct word-ShingleN-grams, polyhashed. */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), ShingleN)).as("shingle"))
+      .distinct()
+      .select(col("doc_id"), Hashing.polyHash(col("shingle")).as("h"))
+
+  /** K-column minhash signature per doc: one groupBy with K min-aggregates
+    * (map-side partial aggregation keeps shuffle width at K longs per doc).
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(min(Hashing.minhashPerm(col("h"), 0)).as("s0"),
+        (1 until K).map(k => min(Hashing.minhashPerm(col("h"), k)).as(s"s$k")): _*)
+
+  /** Band key: polynomial combine of the band's Rows signature values. */
+  private def bandKey(b: Int): Column =
+    (0 until Rows).map(r => col(s"s${b * Rows + r}"))
+      .foldLeft(lit(0L): Column)((acc, s) => pmod(acc * Hashing.PolyBase + s, lit(Hashing.PolyMod)))
+
+  /** (doc_id, band, band_key): LSH bucket assignment, Bands rows per doc. */
+  def lshBuckets(sig: DataFrame): DataFrame = {
+    val perBand = (0 until Bands).map(b =>
+      sig.select(col("doc_id"), lit(b).as("band"), bandKey(b).as("band_key")))
+    perBand.reduce(_ union _)
+  }
+
+  /** Candidate pairs (doc_a < doc_b) sharing ≥1 LSH bucket, with the count
+    * of shared bands. Join is on (band, band_key) — never a cross product.
+    */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct(col("band")).as("n_bands"))
+  }
+
+  /** Estimated Jaccard from signature agreement for candidate pairs. */
+  def estimatedJaccard(pairs: DataFrame, sig: DataFrame): DataFrame = {
+    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val matches = (0 until K).map(k =>
+      when(col(s"a_s$k") === col(s"b_s$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jaccard", round(matches.cast("double") / K, 6))
+      .select("doc_a", "doc_b", "n_bands", "est_jaccard")
+  }
+
+  /** MinHash-LSH near-dup pipeline end-to-end. */
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(shingleHashes(docs))
+    estimatedJaccard(candidatePairs(lshBuckets(sig)), sig)
+  }
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash over (multiplicity-weighted) word hashes. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), Hashing.polyHash(col("w")).as("h"))
+    val bitExprs = (0 until SimhashBits).map(i =>
+      sum(when(shiftright(col("h"), i) % 2 === 1, 1).otherwise(-1)).as(s"b$i"))
+    val bitSums = words.groupBy("doc_id").agg(bitExprs.head, bitExprs.tail: _*)
+    bitSums.select(col("doc_id"),
+      (0 until SimhashBits).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: block on the top-16-bit prefix, verify with
+    * hamming ≤ maxHamming via bit_count(xor). Blocking keeps the join keyed.
+    */
+  def simhashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val a = sh.select(shiftright(col("simhash"), 16).as("pfx"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = sh.select(shiftright(col("simhash"), 16).as("pfx"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, "pfx").filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard for LSH candidate pairs (the verify stage of
+    * near-dup dedup): |A∩B| via a shingle join, never a cross product.
+    */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), ShingleN)).as("shingle"))
+      .distinct()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val cand = candidatePairs(lshBuckets(minhashSignatures(
+      sh.select(col("doc_id"), Hashing.polyHash(col("shingle")).as("h")))))
+      .select("doc_a", "doc_b")
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Text-analysis operators for LLM-pipeline data curation over the
+  * `documents` table: tokenization, quality scoring, language-ID heuristic,
+  * and document fingerprinting. All pure Catalyst expressions (codegen'd);
+  * the string hash is the native PolyHashExpr.
+  */
+object TextOps {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Language marker words for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "des", "et"))
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** BPE-ish subword segment count: alnum runs. */
+  def subwordCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+[0-9]*"))
+
+  def countIn(ws: Column, words: Seq[String]): Column =
+    size(filter(ws, w => array_contains(array(words.map(lit): _*), w)))
+
+  /** Stopword fraction of tokens. */
+  def stopwordRatio(ws: Column): Column =
+    countIn(ws, Stopwords).cast("double") / size(ws)
+
+  /** Mean token length. */
+  def avgWordLen(ws: Column): Column =
+    aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws)
+
+  /** Composite quality score ∈ [0,1]-ish: stopword mass + length saturation
+    * + word-shape. Deterministic, cross-engine arithmetic.
+    */
+  def qualityScore(ws: Column): Column =
+    lit(0.5) * stopwordRatio(ws) +
+      lit(0.3) * least(lit(1.0), size(ws).cast("double") / 100.0) +
+      lit(0.2) * (avgWordLen(ws) / 10.0)
+
+  /** Marker-word hit count for one language. */
+  def langHits(ws: Column, lang: String): Column = countIn(ws, LangMarkers(lang))
+
+  /** Deterministic argmax over the four marker scores (ties: en>de>es>fr). */
+  def predictedLang(ws: Column): Column = {
+    val en = langHits(ws, "en"); val de = langHits(ws, "de")
+    val es = langHits(ws, "es"); val fr = langHits(ws, "fr")
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Whitespace-normalized lowercase form used for fingerprinting. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whole-document fingerprint: polynomial rolling hash of the normalized
+    * text (reference analog: none — LLM-pipeline extension per the brief).
+    */
+  def fingerprint(text: Column): Column = Hashing.polyHash(normalized(text))
+
+  /** Word n-gram shingles (space-joined), empty when fewer than n tokens.
+    * 1-based element_at; guarded so Spark's sequence() never runs backwards.
+    */
+  def shingles(ws: Column, n: Int): Column =
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+}

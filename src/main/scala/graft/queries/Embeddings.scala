@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Similarity
+import Tables.t
+
+/** Similarity-search query surface over `embeddings` (Array[Float] vectors):
+  * brute-force cosine top-k baseline, sign-LSH bucketed ANN, and per-label
+  * centroids (IVF building block).
+  */
+object Embeddings {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val NQueries = 20
+  val NnBits = 8
+
+  val queries: Map[String, Q] = Map(
+    "v1_cosine_topk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") < NQueries), vecs, k = 3)
+    }),
+
+    "v2_ann_bucketed" -> ((s, dir) =>
+      Similarity.annBucketed(t(s, dir, "embeddings"), NnBits)),
+
+    "v3_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroidNorms(t(s, dir, "embeddings")))
+  )
+
+  private val vSrc =
+    """v AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      |  FROM embeddings)""".stripMargin
+
+  private val cosSql =
+    "round(list_dot_product(qv, cv) / " +
+      "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+
+  private val bucketSql = (0 until NnBits).map(j =>
+    s"CASE WHEN dv[${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "v1_cosine_topk" ->
+      s"""WITH $vSrc,
+         |q AS (SELECT vec_id AS q_id, dv AS qv FROM v WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT q_id, vec_id AS c_id, $cosSql AS cos
+         |  FROM q CROSS JOIN (SELECT vec_id, dv AS cv FROM v) c
+         |  WHERE c.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, CAST(rk AS INT) AS rk, c_id, cos FROM ranked WHERE rk <= 3""".stripMargin,
+    "v2_ann_bucketed" ->
+      s"""WITH $vSrc,
+         |b AS (SELECT vec_id, dv, $bucketSql AS bucket FROM v),
+         |scored AS (
+         |  SELECT a.vec_id AS q_id, a.bucket, b.vec_id AS c_id,
+         |    round(list_dot_product(a.dv, b.dv) /
+         |      (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 6) AS cos
+         |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT q_id, bucket, c_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, bucket, c_id AS nn_id, cos FROM ranked WHERE rk = 1""".stripMargin,
+    "v3_label_centroids" ->
+      s"""WITH $vSrc,
+         |exploded AS (
+         |  SELECT label, unnest(range(1, len(dv) + 1)) AS pos, unnest(dv) AS x FROM v),
+         |mdims AS (
+         |  SELECT label, pos, avg(x) AS m, count(*) AS n
+         |  FROM exploded GROUP BY label, pos)
+         |SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm,
+         |  max(n) AS n_vecs
+         |FROM mdims GROUP BY label""".stripMargin
+  )
+}

@@ -1,0 +1,589 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.engine.Session
+import graft.functions.Hashing
+import graft.io.Sources
+import graft.ops.{Augment, Calibration, Features, Split}
+import Tables.{t, FixturesDir}
+
+/** The reference pipeline's operator surface (SURVEY.md §2) as declared,
+  * oracle-checked queries over the committed fixtures (which mirror the
+  * reference's source formats) and the testdata tables.
+  */
+object Landsat {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared Spark-side builders ----------------------------------------
+
+  private def fx(spark: SparkSession): SparkSession = Session.prepare(spark)
+
+  private def scenesDf(s: SparkSession) =
+    Sources.scenes(s, s"$FixturesDir/scenes/scenes.jsonl")
+  private def stationListsDf(s: SparkSession) =
+    Sources.stationLists(s, s"$FixturesDir/stations")
+  private def metadataDf(s: SparkSession) =
+    Sources.metadata(s, s"$FixturesDir/metadatas")
+  private def gtDf(s: SparkSession) =
+    Sources.groundTruths(s, s"$FixturesDir/ground_truths.csv")
+  private def catalogDf(s: SparkSession) =
+    Sources.stationCatalog(s, s"$FixturesDir/stations_catalog.csv")
+
+  private val meta = "LANDSAT_METADATA_FILE"
+  private def resc = col(s"$meta.LEVEL1_RADIOMETRIC_RESCALING")
+  private def thermal = col(s"$meta.LEVEL1_THERMAL_CONSTANTS")
+  private def k1Col =
+    coalesce(thermal.getField("K1_CONSTANT_BAND_6"),
+      thermal.getField("K1_CONSTANT_BAND_10")).cast("double")
+  private def k2Col =
+    coalesce(thermal.getField("K2_CONSTANT_BAND_6"),
+      thermal.getField("K2_CONSTANT_BAND_10")).cast("double")
+
+  /** scenes ⋈ metadata → calibrated, BT-substituted, 7-band-gathered tensor
+    * (M1→M4 with P4/P5 filters). Columns: scene_id, is_l5, bands7, mult,
+    * add, k1, k2.
+    */
+  private def calibrated(s: SparkSession): DataFrame = {
+    val joined = scenesDf(s).join(metadataDf(s), Seq("scene_id"), "inner")
+    val base = Features.requireMetadata(joined, meta)
+      .filter(Calibration.validBandCount(col("bands")))
+      .withColumn("is_l5", Calibration.isLandsat5(col("bands")))
+      .withColumn("mult",
+        slice(Calibration.coeffArray(resc, "RADIANCE_MULT", 11), lit(1), size(col("bands"))))
+      .withColumn("add",
+        slice(Calibration.coeffArray(resc, "RADIANCE_ADD", 11), lit(1), size(col("bands"))))
+      .withColumn("k1", k1Col).withColumn("k2", k2Col)
+    base
+      .withColumn("rad", Calibration.radiance(col("bands"), col("mult"), col("add")))
+      .withColumn("bt", Calibration.withBrightnessTemperature(
+        col("rad"), col("is_l5"), col("k1"), col("k2")))
+      .withColumn("bands7", Calibration.gatherBands(col("bt"), col("is_l5")))
+  }
+
+  /** scenes ⋈ station lists → per-(scene, station) samples with parsed scene
+    * date + GT left join + −9999 fill (G1/J3 + P2 + J1).
+    */
+  private def gtJoined(s: SparkSession): DataFrame = {
+    val scenes = scenesDf(s).join(stationListsDf(s), Seq("scene_id"), "inner")
+    val samples = Features.explodeSamples(Features.withSceneDate(scenes))
+      .drop("bands")
+    val gtd = Features.firstMatchGroundTruths(gtDf(s))
+    Features.joinGroundTruth(samples, gtd)
+  }
+
+  /** Sum of array elements (left-to-right double fold). */
+  private def arrSum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  /** Σ a[i]·(i+1) — order-sensitive checksum of an array. */
+  private def arrDot(a: Column): Column =
+    aggregate(zip_with(a, sequence(lit(1), size(a)), (x, i) => x * i.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  // ---- queries -----------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+
+    // S1+P1: ground-truth CSV scan + derived date columns.
+    "s1_csv_scan" -> ((s, _) => gtDf(fx(s))),
+
+    // S2+S4: glob scan of station-list text files + bracket/split/cast parse,
+    // exploded positionally (also G1's posexplode shape).
+    "s4_text_scan" -> ((s, _) =>
+      Features.explodeSamples(stationListsDf(fx(s)))
+        .select(col("scene_id"), col("station_pos").cast("int").as("station_pos"),
+          col("station_id"))),
+
+    // S3+F3+F8: nested multiline JSON metadata scan; sci-notation string →
+    // double casts; nested struct field access.
+    "s3_json_metadata" -> ((s, _) =>
+      metadataDf(fx(s)).select(
+        col("scene_id"),
+        col(s"$meta.IMAGE_ATTRIBUTES.SPACECRAFT_ID").as("craft"),
+        resc.getField("RADIANCE_MULT_BAND_1").cast("double").as("mult1"),
+        resc.getField("RADIANCE_ADD_BAND_1").cast("double").as("add1"),
+        k1Col.as("k1"), k2Col.as("k2"))),
+
+    // S6: 3-way inner-join alignment; missing metadata drops the scene.
+    "s6_align_join" -> ((s, _) =>
+      Sources.alignScenes(scenesDf(fx(s)), stationListsDf(s), metadataDf(s))
+        .select(col("scene_id"), size(col("bands")).as("nbands"),
+          size(col("stations")).as("n_stations"),
+          col(s"$meta.IMAGE_ATTRIBUTES.SPACECRAFT_ID").as("craft"))),
+
+    // S5: binary blob scan (ingest edge for tensors / multimodal).
+    "s5_binary_scan" -> ((s, _) =>
+      Sources.binaryBlobs(fx(s), s"$FixturesDir/binary")
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+          col("length"))),
+
+    // S7: sink + re-scan roundtrip (parquet).
+    "s7_sink_roundtrip" -> ((s, dir) => {
+      val out = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      Sources.writeParquet(out, tmp)
+      s.read.parquet(tmp)
+    }),
+
+    // P2+F1: scene-id split/substring/cast date parse.
+    "p2_scene_date" -> ((s, _) => {
+      Features.withSceneDate(scenesDf(fx(s)).select("scene_id"))
+    }),
+
+    // J1 (+P6 conjunctive keys, A4 first-match, G1 explode): GT left join
+    // with first-match dedup and −9999 fill.
+    "j1_gt_join" -> ((s, _) =>
+      gtJoined(fx(s)).select("scene_id", "station_id", "air_temp")),
+
+    // P3+A2: sentinel filter then per-scene stats.
+    "p3_sentinel_filter" -> ((s, _) =>
+      Features.dropSentinel(gtJoined(fx(s)))
+        .groupBy("scene_id")
+        .agg(count(lit(1)).as("n"), round(avg("air_temp"), 4).as("mean_temp"))),
+
+    // P4+M6: band-count validation + type tag.
+    "p4_band_filter" -> ((s, _) =>
+      scenesDf(fx(s))
+        .filter(Calibration.validBandCount(col("bands")))
+        .select(col("scene_id"), size(col("bands")).as("nbands"),
+          Calibration.isLandsat5(col("bands")).as("is_l5"))),
+
+    // M1 (scalar form): affine radiance calibration.
+    "m1_radiance" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity") * lit(0.7658) + lit(-3.1), 6).as("radiance"))),
+
+    // M2 (scalar form): Landsat-5 brightness temperature (log formula).
+    "m2_bt_l5" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        round(Calibration.btL5(col("l_quantity") * lit(0.7658) + lit(3.2),
+          lit(607.76), lit(1260.56)), 6).as("bt"))),
+
+    // M3 (scalar form): Landsat-8/9 formula exactly as the reference code
+    // computes it (no log; +1 inside the denominator).
+    "m3_bt_l8" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        round(Calibration.btL8(col("l_quantity") * lit(0.7658) + lit(3.2),
+          lit(774.8853), lit(1321.0789)), 6).as("bt"))),
+
+    // M1–M4 nested: full per-scene calibration over the band tensor.
+    "m4_calibrated" -> ((s, _) =>
+      calibrated(fx(s)).select(
+        col("scene_id"), col("is_l5"),
+        size(col("bands7")).as("nbands7"),
+        round(arrSum(flatten(col("bands7"))), 4).as("px_sum"),
+        round(arrSum(element_at(col("bands7"), 6)), 4).as("thermal_sum"))),
+
+    // M5: 365-wide feature assembly (pixels ++ coeffs ++ [K2,K1] ++ flag ++
+    // geo/temporal) over the full sample pipeline (G1+J1+J2+P2+P3).
+    "m5_assembly" -> ((s, _) => {
+      val cal = calibrated(fx(s))
+        .withColumn("mult7", Calibration.gatherCoeffs(col("mult"), col("is_l5")))
+        .withColumn("add7", Calibration.gatherCoeffs(col("add"), col("is_l5")))
+        .select("scene_id", "bands7", "mult7", "add7", "k1", "k2", "is_l5")
+      val samples = Features.dropSentinel(gtJoined(s))
+      val withCat = Features.joinStationCatalog(samples, catalogDf(s))
+      val full = withCat.join(cal, Seq("scene_id"), "inner")
+      full.withColumn("features", Calibration.assembleFeatures(
+          col("bands7"), col("mult7"), col("add7"), col("k1"), col("k2"),
+          col("is_l5"), col("longitude"), col("latitude"),
+          col("year"), col("month"), col("day")))
+        .select(col("scene_id"), col("station_id"),
+          size(col("features")).as("width"),
+          round(arrDot(col("features")), 3).as("f_dot"),
+          col("air_temp"))
+    }),
+
+    // G3: rot90 as a pure index-permutation expression, k ∈ 0..3 over the
+    // first band; order-sensitive checksum proves the permutation.
+    "g3_rot90" -> ((s, _) => {
+      val base = scenesDf(fx(s))
+        .select(col("scene_id"), element_at(col("bands"), 1).as("img"))
+        .select(col("*"), explode(array((0 to 3).map(lit(_)): _*)).as("k"))
+      base.withColumn("rimg",
+          when(col("k") === 0, col("img"))
+            .when(col("k") === 1, Augment.rot90(col("img"), 1))
+            .when(col("k") === 2, Augment.rot90(col("img"), 2))
+            .otherwise(Augment.rot90(col("img"), 3)))
+        .select(col("scene_id"), col("k"),
+          round(arrDot(col("rimg")), 3).as("checksum"),
+          element_at(col("rimg"), 1).as("first_px"))
+    }),
+
+    // G2+F6+F7: 4× augmentation fan-out with LCG date jitter and geodesic
+    // coordinate shift (closed-form WGS84 meters-per-degree).
+    "g2_augment" -> ((s, _) => {
+      val base = catalogDf(fx(s))
+        .withColumn("year", lit(2006)).withColumn("month", lit(7))
+        .withColumn("day", lit(15))
+      Augment.fanOutGeo(base, "id", seed = 42L)
+        .select(col("id"), col("aug_k"),
+          round(col("longitude"), 6).as("lon2"),
+          round(col("latitude"), 6).as("lat2"),
+          col("day").cast("int").as("day2"),
+          col("month").cast("int").as("month2"))
+    }),
+
+    // O1: exact-count deterministic 80/20 split (scalable global row number).
+    "o1_split_exact" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").select("o_orderkey")
+      Split.exact(orders, "o_orderkey", 0.8, seed = 42L)
+        .select(col("o_orderkey"), col("rn"), col("is_train"))
+    }),
+
+    // F1: string split / slice scalars.
+    "f1_string_split" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        substring(col("p_type"), 1, 6).as("type_prefix"),
+        upper(col("p_brand")).as("brand_u"))),
+
+    // F2: date parse roundtrip.
+    "f2_date_parse" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        to_date(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("parsed"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))),
+
+    // F5: string concat / format.
+    "f5_concat" -> ((s, _) =>
+      scenesDf(fx(s)).select(col("scene_id"),
+        concat(col("scene_id"), lit("_stations.txt")).as("station_file"),
+        format_string("scene=%s|bands=%d", col("scene_id"),
+          size(col("bands")).cast("long")).as("tag"))),
+
+    // Flagship relational core, also the driver's smoke entry: mean air temp
+    // per station over Landsat-5 scenes (scan→align→explode→J1→J2→P3→agg).
+    "flagship_station_mean" -> ((s, _) => flagship(fx(s)))
+  )
+
+  def flagship(s: SparkSession): DataFrame = {
+    val l5Scenes = scenesDf(s).filter(size(col("bands")) === 7).select("scene_id")
+    val samples = gtJoined(s).join(l5Scenes, Seq("scene_id"), "left_semi")
+    val clean = Features.dropSentinel(samples)
+    Features.joinStationCatalog(clean, catalogDf(s))
+      .groupBy("station_id")
+      .agg(count(lit(1)).as("n"), round(avg("air_temp"), 4).as("mean_temp"))
+  }
+
+  // ---- DuckDB oracle -----------------------------------------------------
+
+  private val stationsSrc =
+    """stations_src AS (
+      |  SELECT regexp_extract(filename, '([^/]+)_stations\.txt$', 1) AS scene_id,
+      |         list_transform(string_split(regexp_replace(trim(column0), '[\[\]]', '', 'g'), ', '),
+      |                        x -> CAST(x AS INT)) AS stations
+      |  FROM read_csv('/root/repo/fixtures/stations/*_stations.txt', header=false,
+      |                delim='|', columns={'column0':'VARCHAR'}, filename=true))""".stripMargin
+
+  private val metaSrc =
+    """meta_src AS (
+      |  SELECT regexp_extract(filename, '([^/]+)_MTL_metadata\.json$', 1) AS scene_id,
+      |         LANDSAT_METADATA_FILE AS m
+      |  FROM read_json('/root/repo/fixtures/metadatas/*_MTL_metadata.json',
+      |                 filename=true, union_by_name=true))""".stripMargin
+
+  private val scenesSrc =
+    """scenes_src AS (
+      |  SELECT scene_id,
+      |         list_transform(bands, b -> list_transform(b, x -> CAST(x AS DOUBLE))) AS bands
+      |  FROM read_json('/root/repo/fixtures/scenes/scenes.jsonl', format='newline_delimited'))""".stripMargin
+
+  private val gtSrc =
+    """gt_src AS (
+      |  SELECT utc_date, station_id, air_temp
+      |  FROM read_csv('/root/repo/fixtures/ground_truths.csv', header=true,
+      |                columns={'utc_date':'DATE','station_id':'INTEGER','air_temp':'DOUBLE'}))""".stripMargin
+
+  private val catalogSrc =
+    """catalog_src AS (
+      |  SELECT id, name, longitude, latitude
+      |  FROM read_csv('/root/repo/fixtures/stations_catalog.csv', header=true,
+      |                columns={'id':'INTEGER','name':'VARCHAR','longitude':'DOUBLE','latitude':'DOUBLE'}))""".stripMargin
+
+  private val sceneDateSql =
+    """make_date(CAST(substr(string_split(scene_id, '_')[4], 1, 4) AS INT),
+      |          CAST(substr(string_split(scene_id, '_')[4], 5, 2) AS INT),
+      |          CAST(substr(string_split(scene_id, '_')[4], 7, 2) AS INT))""".stripMargin
+
+  /** samples = scenes ⋈ stations exploded, with scene date; gtd = first-match
+    * deduped GT (min == first occurrence by fixture construction).
+    */
+  private val samplesAndGt =
+    s"""$stationsSrc, $scenesSrc, $gtSrc,
+       |gtd AS (SELECT utc_date, station_id, min(air_temp) AS air_temp
+       |        FROM gt_src GROUP BY utc_date, station_id),
+       |samples AS (
+       |  SELECT st.scene_id, unnest(st.stations) AS station_id, $sceneDateSql AS d
+       |  FROM stations_src st JOIN scenes_src sc USING (scene_id)),
+       |joined AS (
+       |  SELECT s.scene_id, s.station_id,
+       |         coalesce(g.air_temp, -9999.0) AS air_temp
+       |  FROM samples s LEFT JOIN gtd g
+       |    ON g.utc_date = s.d AND g.station_id = s.station_id)""".stripMargin
+
+  private def multList(table: String = "") = {
+    val p = if (table.isEmpty) "m" else s"$table.m"
+    "[" + (1 to 11).map(b =>
+      s"CAST($p.LEVEL1_RADIOMETRIC_RESCALING.RADIANCE_MULT_BAND_$b AS DOUBLE)").mkString(", ") + "]"
+  }
+  private def addList(table: String = "") = {
+    val p = if (table.isEmpty) "m" else s"$table.m"
+    "[" + (1 to 11).map(b =>
+      s"CAST($p.LEVEL1_RADIOMETRIC_RESCALING.RADIANCE_ADD_BAND_$b AS DOUBLE)").mkString(", ") + "]"
+  }
+  private val k1Sql = "CAST(coalesce(m.LEVEL1_THERMAL_CONSTANTS.K1_CONSTANT_BAND_6, m.LEVEL1_THERMAL_CONSTANTS.K1_CONSTANT_BAND_10) AS DOUBLE)"
+  private val k2Sql = "CAST(coalesce(m.LEVEL1_THERMAL_CONSTANTS.K2_CONSTANT_BAND_6, m.LEVEL1_THERMAL_CONSTANTS.K2_CONSTANT_BAND_10) AS DOUBLE)"
+
+  /** Calibrated-scene CTE chain shared by m4/m5 oracles: scenes ⋈ meta →
+    * radiance → BT → 7-band gather. Exposes cal(scene_id, is_l5, bands7,
+    * mult7, add7, k1, k2).
+    */
+  private val calSql =
+    s"""$scenesSrc, $metaSrc,
+       |cal0 AS (
+       |  SELECT s.scene_id, s.bands,
+       |         CASE WHEN len(s.bands) = 7 THEN 1 ELSE 0 END AS is_l5,
+       |         ${multList("t")} AS mult, ${addList("t")} AS addv,
+       |         ${k1Sql.replace("m.", "t.m.")} AS k1, ${k2Sql.replace("m.", "t.m.")} AS k2
+       |  FROM scenes_src s JOIN meta_src t USING (scene_id)
+       |  WHERE len(s.bands) IN (7, 11)
+       |    AND t.m.LEVEL1_RADIOMETRIC_RESCALING IS NOT NULL
+       |    AND t.m.LEVEL1_THERMAL_CONSTANTS IS NOT NULL),
+       |cal1 AS (
+       |  SELECT scene_id, is_l5, k1, k2, mult, addv,
+       |         list_transform(range(1, len(bands) + 1), bi ->
+       |           list_transform(bands[bi], px -> px * mult[bi] + addv[bi])) AS rad
+       |  FROM cal0),
+       |cal2 AS (
+       |  SELECT scene_id, is_l5, k1, k2, mult, addv,
+       |         list_transform(range(1, len(rad) + 1), bi ->
+       |           CASE WHEN bi = (CASE WHEN is_l5 = 1 THEN 6 ELSE 10 END)
+       |             THEN list_transform(rad[bi], px ->
+       |               CASE WHEN is_l5 = 1 THEN k2 / ln(k1 / px + 1)
+       |                    ELSE k2 / (k1 / (px + 1)) END)
+       |             ELSE rad[bi] END) AS bt
+       |  FROM cal1),
+       |cal AS (
+       |  SELECT scene_id, is_l5, k1, k2,
+       |         CASE WHEN is_l5 = 1 THEN bt ELSE list_select(bt, [2,3,4,5,6,10,7]) END AS bands7,
+       |         CASE WHEN is_l5 = 1 THEN mult[1:7] ELSE list_select(mult, [2,3,4,5,6,10,7]) END AS mult7,
+       |         CASE WHEN is_l5 = 1 THEN addv[1:7] ELSE list_select(addv, [2,3,4,5,6,10,7]) END AS add7
+       |  FROM cal2)""".stripMargin
+
+  private val lcg42 = Hashing.lcgSql("o_orderkey", 42, Hashing.LcgM)
+
+  /** g2 oracle: 4× fan-out with the exact LCG jitter + WGS84 series of
+    * [[Augment]] in DuckDB SQL. rk = id*4 + k is the per-variant LCG stream.
+    */
+  private val g2OracleSql: String = {
+    val seed = 42L
+    val rk = "(id * 4 + k)"
+    val dist = s"CAST(${Hashing.lcgSql(rk, seed + 2, 15000)} + 5000 AS DOUBLE)"
+    val dir = Hashing.lcgSql(rk, seed + 3, 4)
+    val dayDelta = s"(${Hashing.lcgSql(rk, seed, 11)} + 5)"
+    val monthBump = s"(CASE WHEN ${Hashing.lcgSql(rk, seed + 1, 10)} < 3 THEN 1 ELSE 0 END)"
+    s"""WITH $catalogSrc,
+       |fanned AS (
+       |  SELECT id, longitude, latitude, 7 AS month, 15 AS day,
+       |         CAST(unnest([0, 1, 2, 3]) AS INT) AS k
+       |  FROM catalog_src),
+       |jittered AS (
+       |  SELECT id, k, longitude, latitude, month, day,
+       |    $dist AS dist, $dir AS dir,
+       |    111132.92 - 559.82 * cos(2 * radians(latitude))
+       |      + 1.175 * cos(4 * radians(latitude))
+       |      - 0.0023 * cos(6 * radians(latitude)) AS mlat,
+       |    111412.84 * cos(radians(latitude)) - 93.5 * cos(3 * radians(latitude))
+       |      + 0.118 * cos(5 * radians(latitude)) AS mlon,
+       |    $dayDelta AS ddelta, $monthBump AS mbump
+       |  FROM fanned)
+       |SELECT id, k AS aug_k,
+       |  round(CASE WHEN k = 0 THEN longitude
+       |    ELSE longitude + (CASE WHEN dir IN (0, 1) THEN 1.0 ELSE -1.0 END) * dist / mlon END, 6) AS lon2,
+       |  round(CASE WHEN k = 0 THEN latitude
+       |    ELSE latitude + (CASE WHEN dir IN (0, 3) THEN 1.0 ELSE -1.0 END) * dist / mlat END, 6) AS lat2,
+       |  CAST(CASE WHEN k = 0 THEN day
+       |    ELSE (CASE WHEN (day + ddelta) % 30 = 0 THEN 1 ELSE (day + ddelta) % 30 END) END AS INT) AS day2,
+       |  CAST(CASE WHEN k = 0 THEN month
+       |    ELSE (CASE WHEN (month + mbump) % 12 = 0 THEN 1 ELSE (month + mbump) % 12 END) END AS INT) AS month2
+       |FROM jittered""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "s1_csv_scan" ->
+      s"""WITH $gtSrc
+         |SELECT utc_date, station_id, air_temp,
+         |  CAST(year(utc_date) AS INT) AS year,
+         |  CAST(month(utc_date) AS INT) AS month,
+         |  CAST(day(utc_date) AS INT) AS day
+         |FROM gt_src""".stripMargin,
+    "s4_text_scan" ->
+      s"""WITH $stationsSrc
+         |SELECT scene_id,
+         |  CAST(unnest(range(len(stations))) AS INT) AS station_pos,
+         |  unnest(stations) AS station_id
+         |FROM stations_src""".stripMargin,
+    "s3_json_metadata" ->
+      s"""WITH $metaSrc
+         |SELECT scene_id,
+         |  m.IMAGE_ATTRIBUTES.SPACECRAFT_ID AS craft,
+         |  CAST(m.LEVEL1_RADIOMETRIC_RESCALING.RADIANCE_MULT_BAND_1 AS DOUBLE) AS mult1,
+         |  CAST(m.LEVEL1_RADIOMETRIC_RESCALING.RADIANCE_ADD_BAND_1 AS DOUBLE) AS add1,
+         |  $k1Sql AS k1, $k2Sql AS k2
+         |FROM meta_src""".stripMargin,
+    "s6_align_join" ->
+      s"""WITH $scenesSrc, $stationsSrc, $metaSrc
+         |SELECT s.scene_id, CAST(len(s.bands) AS INT) AS nbands,
+         |  CAST(len(st.stations) AS INT) AS n_stations,
+         |  t.m.IMAGE_ATTRIBUTES.SPACECRAFT_ID AS craft
+         |FROM scenes_src s
+         |  JOIN stations_src st USING (scene_id)
+         |  JOIN meta_src t USING (scene_id)""".stripMargin,
+    "s5_binary_scan" ->
+      """SELECT regexp_extract(filename, '([^/]+)$', 1) AS name, size AS length
+        |FROM read_blob('/root/repo/fixtures/binary/*.bin')""".stripMargin,
+    "s7_sink_roundtrip" ->
+      "SELECT o_orderkey, o_totalprice FROM orders",
+    "p2_scene_date" ->
+      s"""WITH $scenesSrc
+         |SELECT scene_id,
+         |  CAST(substr(string_split(scene_id, '_')[4], 1, 4) AS INT) AS year,
+         |  CAST(substr(string_split(scene_id, '_')[4], 5, 2) AS INT) AS month,
+         |  CAST(substr(string_split(scene_id, '_')[4], 7, 2) AS INT) AS day
+         |FROM scenes_src""".stripMargin,
+    "j1_gt_join" ->
+      s"""WITH $samplesAndGt
+         |SELECT scene_id, station_id, air_temp FROM joined""".stripMargin,
+    "p3_sentinel_filter" ->
+      s"""WITH $samplesAndGt
+         |SELECT scene_id, count(*) AS n, round(avg(air_temp), 4) AS mean_temp
+         |FROM joined WHERE air_temp <> -9999.0 GROUP BY scene_id""".stripMargin,
+    "p4_band_filter" ->
+      s"""WITH $scenesSrc
+         |SELECT scene_id, CAST(len(bands) AS INT) AS nbands,
+         |  CASE WHEN len(bands) = 7 THEN 1 ELSE 0 END AS is_l5
+         |FROM scenes_src WHERE len(bands) IN (7, 11)""".stripMargin,
+    "m1_radiance" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_quantity * 0.7658 + (-3.1), 6) AS radiance
+        |FROM lineitem""".stripMargin,
+    "m2_bt_l5" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(1260.56 / ln(607.76 / (l_quantity * 0.7658 + 3.2) + 1), 6) AS bt
+        |FROM lineitem""".stripMargin,
+    "m3_bt_l8" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(1321.0789 / (774.8853 / ((l_quantity * 0.7658 + 3.2) + 1)), 6) AS bt
+        |FROM lineitem""".stripMargin,
+    "m4_calibrated" ->
+      s"""WITH $calSql
+         |SELECT scene_id, is_l5, CAST(len(bands7) AS INT) AS nbands7,
+         |  round(list_sum(flatten(bands7)), 4) AS px_sum,
+         |  round(list_sum(bands7[6]), 4) AS thermal_sum
+         |FROM cal""".stripMargin,
+    "m5_assembly" -> m5OracleSql,
+    "g3_rot90" ->
+      s"""WITH $scenesSrc, img_src AS (
+         |  SELECT scene_id, bands[1] AS img FROM scenes_src)
+         |SELECT scene_id, k,
+         |  round(list_sum(list_transform(range(0, 49), i -> rimg[i + 1] * (i + 1))), 3) AS checksum,
+         |  rimg[1] AS first_px
+         |FROM (
+         |  SELECT scene_id, 0 AS k, img AS rimg FROM img_src
+         |  UNION ALL
+         |  SELECT scene_id, 1, list_transform(range(0, 49), i -> img[((i % 7) * 7 + (6 - (i // 7))) + 1]) FROM img_src
+         |  UNION ALL
+         |  SELECT scene_id, 2, list_transform(range(0, 49), i -> img[(48 - i) + 1]) FROM img_src
+         |  UNION ALL
+         |  SELECT scene_id, 3, list_transform(range(0, 49), i -> img[((6 - (i % 7)) * 7 + (i // 7)) + 1]) FROM img_src
+         |)""".stripMargin,
+    "g2_augment" -> g2OracleSql,
+    "o1_split_exact" ->
+      s"""WITH keyed AS (
+         |  SELECT o_orderkey, $lcg42 AS shuf FROM orders),
+         |numbered AS (
+         |  SELECT o_orderkey,
+         |    row_number() OVER (ORDER BY shuf, o_orderkey) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM keyed)
+         |SELECT o_orderkey, rn,
+         |  CAST(CASE WHEN rn <= floor(0.8 * n) THEN 1 ELSE 0 END AS INT) AS is_train
+         |FROM numbered""".stripMargin,
+    "f1_string_split" ->
+      """SELECT p_partkey, string_split(p_name, ' ')[1] AS first_word,
+        | substr(p_type, 1, 6) AS type_prefix, upper(p_brand) AS brand_u
+        |FROM part""".stripMargin,
+    "f2_date_parse" ->
+      """SELECT o_orderkey, CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS parsed,
+        | CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m
+        |FROM orders""".stripMargin,
+    "f5_concat" ->
+      s"""WITH $scenesSrc
+         |SELECT scene_id, scene_id || '_stations.txt' AS station_file,
+         |  printf('scene=%s|bands=%d', scene_id, len(bands)) AS tag
+         |FROM scenes_src""".stripMargin,
+    "flagship_station_mean" ->
+      s"""WITH $samplesAndGt, $catalogSrc,
+         |l5 AS (SELECT scene_id FROM scenes_src WHERE len(bands) = 7)
+         |SELECT j.station_id, count(*) AS n, round(avg(j.air_temp), 4) AS mean_temp
+         |FROM joined j
+         |  JOIN l5 ON j.scene_id = l5.scene_id
+         |  JOIN catalog_src c ON j.station_id = c.id
+         |WHERE j.air_temp <> -9999.0
+         |GROUP BY j.station_id""".stripMargin
+  )
+
+  /** m5 oracle: full pipeline — calibrated scenes ⋈ samples ⋈ catalog →
+    * 365-wide assembly checksum.
+    */
+  private lazy val m5OracleSql: String =
+    s"""WITH $samplesAndGt, $metaSrc, $catalogSrc,
+       |cal0 AS (
+       |  SELECT s.scene_id, s.bands,
+       |         CASE WHEN len(s.bands) = 7 THEN 1 ELSE 0 END AS is_l5,
+       |         ${multList("t")} AS mult, ${addList("t")} AS addv,
+       |         ${k1Sql.replace("m.", "t.m.")} AS k1, ${k2Sql.replace("m.", "t.m.")} AS k2
+       |  FROM scenes_src s JOIN meta_src t USING (scene_id)
+       |  WHERE len(s.bands) IN (7, 11)
+       |    AND t.m.LEVEL1_RADIOMETRIC_RESCALING IS NOT NULL
+       |    AND t.m.LEVEL1_THERMAL_CONSTANTS IS NOT NULL),
+       |cal1 AS (
+       |  SELECT scene_id, is_l5, k1, k2, mult, addv,
+       |         list_transform(range(1, len(bands) + 1), bi ->
+       |           list_transform(bands[bi], px -> px * mult[bi] + addv[bi])) AS rad
+       |  FROM cal0),
+       |cal2 AS (
+       |  SELECT scene_id, is_l5, k1, k2, mult, addv,
+       |         list_transform(range(1, len(rad) + 1), bi ->
+       |           CASE WHEN bi = (CASE WHEN is_l5 = 1 THEN 6 ELSE 10 END)
+       |             THEN list_transform(rad[bi], px ->
+       |               CASE WHEN is_l5 = 1 THEN k2 / ln(k1 / px + 1)
+       |                    ELSE k2 / (k1 / (px + 1)) END)
+       |             ELSE rad[bi] END) AS bt
+       |  FROM cal1),
+       |cal AS (
+       |  SELECT scene_id, is_l5, k1, k2,
+       |         CASE WHEN is_l5 = 1 THEN bt ELSE list_select(bt, [2,3,4,5,6,10,7]) END AS bands7,
+       |         CASE WHEN is_l5 = 1 THEN mult[1:7] ELSE list_select(mult, [2,3,4,5,6,10,7]) END AS mult7,
+       |         CASE WHEN is_l5 = 1 THEN addv[1:7] ELSE list_select(addv, [2,3,4,5,6,10,7]) END AS add7
+       |  FROM cal2),
+       |assembled AS (
+       |  SELECT j.scene_id, j.station_id, j.air_temp,
+       |    flatten(c.bands7) || c.mult7 || c.add7 || [c.k2, c.k1] ||
+       |    [CAST(c.is_l5 AS DOUBLE)] ||
+       |    [cat.longitude, cat.latitude,
+       |     CAST(year(s.d) AS DOUBLE), CAST(month(s.d) AS DOUBLE), CAST(day(s.d) AS DOUBLE)] AS features
+       |  FROM joined j
+       |    JOIN (SELECT DISTINCT scene_id, d FROM samples) s ON j.scene_id = s.scene_id
+       |    JOIN cal c ON j.scene_id = c.scene_id
+       |    JOIN catalog_src cat ON j.station_id = cat.id
+       |  WHERE j.air_temp <> -9999.0)
+       |SELECT scene_id, station_id, CAST(len(features) AS INT) AS width,
+       |  round(list_sum(list_transform(range(1, len(features) + 1), i -> features[i] * i)), 3) AS f_dot,
+       |  air_temp
+       |FROM assembled""".stripMargin
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import Tables.t
+
+/** Relational query surface over the TPC-H-ish testdata tables: aggregates
+  * (A1–A4), sorts/limits/set-ops (§2.6), windows, grouping sets, and the join
+  * matrix (broadcast/semi/anti/multi-join). Each query has a DuckDB oracle.
+  *
+  * Float outputs are explicitly rounded on BOTH sides so hash equality is
+  * immune to summation-order differences between engines.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1/A2: count + sum/avg/stddev_pop per group (main.py:72,111-113 analog;
+    // numpy std is population => stddev_pop, SURVEY §2.7 A2).
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(stddev_pop(col("l_discount")), 6).as("std_disc"),
+          round(max("l_tax"), 2).as("max_tax"))
+    }),
+
+    // A3: count distinct (main.py:109-110 analog).
+    "a3_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
+    // A4: first-match reduce — first lineitem of each order in line order
+    // (data_loader.py:69-70 `iloc[0]` analog, made deterministic via min_by).
+    "a4_first_match" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+          // deterministic first-match even when l_linenumber ties: order by
+          // the composite (linenumber, partkey) key
+          min_by(col("l_partkey"),
+            col("l_linenumber").cast("long") * 1000000000L + col("l_partkey"))
+            .as("first_part"),
+          min("l_linenumber").as("first_line"))
+    }),
+
+    // J2: broadcast dimension join (feature_extractor.py:98-103 analog —
+    // 10-row supplier dim takes the broadcast side).
+    "j2_broadcast_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+    }),
+
+    // O2: min/max over columns (main.py:51-53,72 analog).
+    "o2_minmax" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        min("l_shipdate").as("min_ship"),
+        max("l_shipdate").as("max_ship"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"))
+    }),
+
+    // §2.6 surface: top-k with deterministic tie-break.
+    "o3_topk" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(round(sum("l_extendedprice"), 2).as("rev"))
+        .orderBy(desc("rev"), col("l_partkey"))
+        .limit(10)
+    }),
+
+    // window functions: per-supplier event-order numbering + running sum.
+    "w1_window" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("run_qty",
+          round(sum("l_quantity").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .filter(col("rn") <= 5)
+        .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "run_qty")
+    }),
+
+    // grouping sets via ROLLUP.
+    "a5_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    // set operations: INTERSECT / EXCEPT / UNION (distinct).
+    "o4_setops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k"))
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k"))
+      val mk = (op: String, df: DataFrame) =>
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      mk("intersect", li.intersect(o))
+        .union(mk("except", o.except(li)))
+        .union(mk("union", li.union(o).distinct()))
+    }),
+
+    // semi/anti joins (drop-on-missing semantics family, SURVEY §2.3 note).
+    "j4_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      val semi = c.join(o, Seq("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).select(lit("semi").as("op"), col("n"))
+      val anti = c.join(o, Seq("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).select(lit("anti").as("op"), col("n"))
+      semi.union(anti)
+    }),
+
+    // multi-way join across the star schema (region..lineitem), revenue per
+    // nation — exercises join ordering + AQE broadcast selection.
+    "j5_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"),
+          count(lit(1)).as("n"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(avg(l_extendedprice), 6) AS avg_price,
+        | round(stddev_pop(l_discount), 6) AS std_disc,
+        | round(max(l_tax), 2) AS max_tax
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "a3_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a4_first_match" ->
+      """SELECT l_orderkey,
+        | min_by(l_partkey, CAST(l_linenumber AS BIGINT) * 1000000000 + l_partkey) AS first_part,
+        | min(l_linenumber) AS first_line
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "j2_broadcast_join" ->
+      """SELECT s_name, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
+    "o2_minmax" ->
+      """SELECT min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        | round(min(l_extendedprice), 2) AS min_price,
+        | round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem""".stripMargin,
+    "o3_topk" ->
+      """SELECT l_partkey, round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY rev DESC, l_partkey LIMIT 10""".stripMargin,
+    "w1_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, run_qty FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  row_number() OVER w AS rn,
+        |  round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_qty
+        | FROM lineitem
+        | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |) WHERE rn <= 5""".stripMargin,
+    "a5_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "o4_setops" ->
+      """WITH a AS (SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+        | b AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F')
+        |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM (SELECT k FROM b EXCEPT SELECT k FROM a)
+        |UNION ALL
+        |SELECT 'union' AS op, count(*) AS n FROM (SELECT k FROM a UNION SELECT k FROM b)""".stripMargin,
+    "j4_semi_anti" ->
+      """SELECT 'semi' AS op, count(*) AS n FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'anti' AS op, count(*) AS n FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j5_star_join" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+        | count(*) AS n
+        |FROM lineitem
+        | JOIN orders   ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation   ON s_nationkey = n_nationkey
+        | JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin
+  )
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Hashing
+import graft.ops.{Dedup, TextOps}
+import Tables.t
+
+/** Text-analysis + dedup query surface over `documents`, with generated
+  * DuckDB oracles that replicate the exact hash arithmetic (PolyHash / LCG /
+  * minhash permutations are engine-agnostic integer math — see Hashing).
+  */
+object TextDedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+
+  val queries: Map[String, Q] = Map(
+    // token counting: whitespace tokens + BPE-ish alnum-run segments.
+    "t1_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"),
+        TextOps.subwordCount(col("text")).cast("int").as("n_subwords"),
+        length(col("text")).as("len_chars"))),
+
+    // quality scoring: stopword ratio, word shape, composite score.
+    "t2_quality" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        round(TextOps.stopwordRatio(ws), 6).as("stop_ratio"),
+        round(TextOps.avgWordLen(ws), 6).as("avg_word_len"),
+        round(TextOps.qualityScore(ws), 6).as("quality"))
+    }),
+
+    // language-ID heuristic (marker-word argmax) vs the labeled lang.
+    "t3_langid" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.predictedLang(ws).as("pred"),
+        TextOps.langHits(ws, "en").as("en_hits"))
+    }),
+
+    // document fingerprinting: rolling hash + min-shingle fingerprint.
+    "t4_fingerprint" -> ((s, dir) => {
+      val sh = TextOps.shingles(TextOps.tokens(col("text")), Dedup.ShingleN)
+      docs(s, dir).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        array_min(transform(sh, x => Hashing.polyHash(x))).as("min_shingle"))
+    }),
+
+    // exact dedup: canonical keeper per identical text.
+    "d1_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+
+    // MinHash+LSH near-dup candidates with estimated Jaccard.
+    "d2_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+
+    // SimHash per document.
+    "d3_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+
+    // SimHash near-dup pairs (prefix-blocked hamming join).
+    "d4_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.simhash(docs(s, dir)), maxHamming = 8)),
+
+    // exact n-gram Jaccard verification of LSH candidates.
+    "d5_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir)))
+  )
+
+  // ---- oracle ------------------------------------------------------------
+
+  private val wsSql = """string_split_regex(lower(text), '\s+')"""
+
+  private val toksSrc = s"toks AS (SELECT doc_id, $wsSql AS ws FROM documents)"
+
+  /** Distinct word-3-gram shingles per doc (empty below 3 tokens). */
+  private val shSrc =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS shingle
+      |    FROM toks))""".stripMargin
+
+  private val hashedSrc =
+    s"hashed AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh)"
+
+  private val sigSrc = {
+    val mins = (0 until Dedup.K).map(k =>
+      s"min(${Hashing.minhashPermSql("h", k)}) AS s$k").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id)"
+  }
+
+  private def bandKeySql(b: Int): String =
+    (0 until Dedup.Rows).map(r => s"s${b * Dedup.Rows + r}")
+      .foldLeft("CAST(0 AS BIGINT)")((acc, s) =>
+        s"(($acc * ${Hashing.PolyBase} + $s) % ${Hashing.PolyMod})")
+
+  private val bucketsSrc = {
+    val parts = (0 until Dedup.Bands).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS band_key FROM sig")
+    s"buckets AS (${parts.mkString(" UNION ALL ")})"
+  }
+
+  private val pairsSrc =
+    """pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         count(DISTINCT a.band) AS n_bands
+      |  FROM buckets a JOIN buckets b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val minhashChain =
+    s"$toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $pairsSrc"
+
+  private val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def markerList(l: String) =
+    TextOps.LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
+  private def hitsSql(l: String) =
+    s"CAST(len(list_filter(ws, w -> list_contains(${markerList(l)}, w))) AS INT)"
+
+  val oracle: Map[String, String] = Map(
+    "t1_tokens" ->
+      s"""WITH $toksSrc
+         |SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+[0-9]*')) AS INT) AS n_subwords,
+         |  CAST(len(text) AS INT) AS len_chars
+         |FROM toks JOIN documents USING (doc_id)""".stripMargin,
+    "t2_quality" ->
+      s"""WITH $toksSrc,
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS DOUBLE) / len(ws) AS stop_ratio,
+         |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS awl,
+         |  len(ws) AS n FROM toks)
+         |SELECT doc_id, round(stop_ratio, 6) AS stop_ratio,
+         |  round(awl, 6) AS avg_word_len,
+         |  round(0.5 * stop_ratio + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0)
+         |        + 0.2 * (awl / 10.0), 6) AS quality
+         |FROM m""".stripMargin,
+    "t3_langid" ->
+      s"""WITH $toksSrc,
+         |h AS (SELECT doc_id, ${hitsSql("en")} AS en, ${hitsSql("de")} AS de,
+         |             ${hitsSql("es")} AS es, ${hitsSql("fr")} AS fr FROM toks)
+         |SELECT d.doc_id, d.lang,
+         |  CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |       WHEN de >= es AND de >= fr THEN 'de'
+         |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred,
+         |  en AS en_hits
+         |FROM documents d JOIN h ON d.doc_id = h.doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      s"""WITH $toksSrc, $shSrc,
+         |fps AS (SELECT doc_id,
+         |  ${Hashing.polyHashSql("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS fp
+         |  FROM documents),
+         |mins AS (SELECT doc_id, min(${Hashing.polyHashSql("shingle")}) AS min_shingle
+         |         FROM sh GROUP BY doc_id)
+         |SELECT f.doc_id, f.fp, m.min_shingle
+         |FROM fps f LEFT JOIN mins m ON f.doc_id = m.doc_id""".stripMargin,
+    "d1_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "d2_minhash_lsh" -> {
+      val matches = (0 until Dedup.K).map(k =>
+        s"CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $minhashChain
+         |SELECT p.doc_a, p.doc_b, p.n_bands,
+         |  round(($matches) / ${Dedup.K}.0, 6) AS est_jaccard
+         |FROM pairs p
+         |  JOIN sig sa ON p.doc_a = sa.doc_id
+         |  JOIN sig sb ON p.doc_b = sb.doc_id""".stripMargin
+    },
+    "d3_simhash" -> simhashSql,
+    "d4_simhash_pairs" ->
+      s"""WITH simh AS ($simhashSql)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM simh a JOIN simh b
+         |  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+    "d5_ngram_jaccard" ->
+      s"""WITH $minhashChain,
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |  FROM pairs p
+         |    JOIN sh a ON a.doc_id = p.doc_a
+         |    JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b,
+         |  round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+         |FROM inter i
+         |  JOIN counts ca ON ca.doc_id = i.doc_a
+         |  JOIN counts cb ON cb.doc_id = i.doc_b""".stripMargin
+  )
+
+  private lazy val simhashSql: String = {
+    val bitSums = (0 until Dedup.SimhashBits).map(i =>
+      s"sum(CASE WHEN (h >> $i) % 2 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    val assemble = (0 until Dedup.SimhashBits).map(i =>
+      s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest($wsSql) AS w FROM documents),
+       |whashed AS (SELECT doc_id, ${Hashing.polyHashSql("w")} AS h FROM words),
+       |bits AS (SELECT doc_id, $bitSums FROM whashed GROUP BY doc_id)
+       |SELECT doc_id, $assemble AS simhash FROM bits""".stripMargin
+  }
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: load Verify's parquet
+dumps, run each oracle SQL in DuckDB (tables registered as views over the
+sf dir), compare sorted rows/columns. Usage: check.py <sfDir> <outDir>.
+"""
+import json, math, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            rr.append(v)
+        out.append(tuple(rr))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    passed, failed = [], []
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = got_rel.columns
+            got = canon(got_rel.fetchall(), got_cols)
+        except Exception as e:
+            failed.append((name, f"spark output unreadable: {e}"))
+            continue
+        try:
+            want_rel = con.sql(sql)
+            want_cols = want_rel.columns
+            want = canon(want_rel.fetchall(), want_cols)
+        except Exception as e:
+            failed.append((name, f"oracle error: {str(e).splitlines()[0][:200]}"))
+            continue
+        if sorted(got_cols) != sorted(want_cols):
+            failed.append((name, f"cols differ: spark={sorted(got_cols)} oracle={sorted(want_cols)}"))
+            continue
+        if len(got) != len(want):
+            failed.append((name, f"rowcount {len(got)} vs {len(want)}"))
+            continue
+        bad = None
+        for i, (g, w) in enumerate(zip(got, want)):
+            if g != w:
+                ok = True
+                for x, y in zip(g, w):
+                    if x == y:
+                        continue
+                    if isinstance(x, float) and isinstance(y, float) and \
+                       abs(x - y) <= 1e-9 * max(1.0, abs(x), abs(y)):
+                        continue
+                    ok = False
+                if not ok:
+                    bad = (i, g, w)
+                    break
+        if bad:
+            failed.append((name, f"row {bad[0]}: spark={bad[1]} oracle={bad[2]}"))
+        else:
+            passed.append(name)
+    print(f"PASS {len(passed)}/{len(oracle)}: {' '.join(passed)}")
+    for name, why in failed:
+        print(f"FAIL {name}: {why}")
+    return 1 if failed else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
