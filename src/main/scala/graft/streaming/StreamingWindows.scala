@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Structured Streaming forms of the event-window operators: the same
+  * tumbling/sliding/session aggregations as graft.ops.EventWindows, driven
+  * incrementally with watermarks. At cluster scale these run `readStream`
+  * over arriving parquet/kafka; here the same plans are smoke-driven from
+  * files with a memory sink (spark_guide.md pattern).
+  */
+object StreamingWindows {
+
+  /** File-based stream over a directory of parquet events. */
+  def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling-window counts with a watermark bounding state. */
+  def tumbling(events: DataFrame, width: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window counts with a watermark. */
+  def sliding(events: DataFrame, width: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user via the built-in session_window generator;
+    * state is bounded by the watermark. (For custom state semantics use
+    * KeyValueGroupedDataset.flatMapGroupsWithState.)
+    */
+  def sessions(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 3).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Drive a streaming frame to completion against a named memory sink and
+    * return the materialized result (test/smoke path).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

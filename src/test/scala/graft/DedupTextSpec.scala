@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Hashing, PolyHashExpr}
+import graft.ops.{Dedup, TextOps}
+
+class DedupTextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("PolyHashExpr matches the reference fold and its codegen path") {
+    val s = "hello world spark engine test"
+    var h = 0L
+    s.foreach(c => h = (h * 31 + c) % 1000000007L)
+    assert(PolyHashExpr.hash(s) == h)
+    // through the engine (whole-stage codegen)
+    val got = Seq(Tuple1(s)).toDF("t")
+      .select(Hashing.polyHash($"t").as("h")).head().getLong(0)
+    assert(got == h)
+    assert(got == 301300047L) // cross-checked against the DuckDB list_reduce form
+  }
+
+  test("shingles produces word n-grams, empty below n tokens") {
+    val df = Seq(Tuple1("a b c d"), Tuple1("x y")).toDF("text")
+    val out = df.select(TextOps.shingles(TextOps.tokens($"text"), 3).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    assert(out.head == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+  }
+
+  test("exact dedup keeps min doc_id per text") {
+    val docs = Seq((3L, "same text here"), (1L, "same text here"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("identical docs collide in every LSH band with est_jaccard 1") {
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq((1L, text), (2L, text), (3L, "completely different words make a distinct document entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    assert(p.getAs[Long]("n_bands") == Dedup.Bands)
+    assert(p.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("near-dup docs get high estimated jaccard; ngram jaccard is exact") {
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val b = "one two three four five six seven eight nine ten eleven thirteen"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val nj = Dedup.ngramJaccard(docs).collect()
+    if (nj.nonEmpty) { // pair surfaces only if LSH banding catches it
+      // shingle sets: 10 each, 9 shared -> jaccard 9/11
+      assert(math.abs(nj.head.getAs[Double]("jaccard") - 9.0 / 11.0) < 1e-6)
+    }
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    assert(hamming <= 8) // near-dups are close in simhash space
+  }
+
+  test("simhash of identical texts is identical") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(Dedup.simhashPairs(Dedup.simhash(docs), 0).count() == 1)
+  }
+
+  test("quality metrics on a known string") {
+    val df = Seq(Tuple1("the cat sat on the mat")).toDF("text")
+    val ws = TextOps.tokens($"text")
+    val row = df.select(
+      TextOps.stopwordRatio(ws).as("sr"),
+      TextOps.avgWordLen(ws).as("awl"),
+      TextOps.predictedLang(ws).as("lang")).head()
+    assert(math.abs(row.getAs[Double]("sr") - 3.0 / 6.0) < 1e-12) // the, on, the
+    assert(math.abs(row.getAs[Double]("awl") - 17.0 / 6.0) < 1e-12)
+    assert(row.getAs[String]("lang") == "en")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Features, Split}
+
+class SplitFeaturesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact split is disjoint, exhaustive, and |train| = ⌊0.8N⌋") {
+    val n = 1237
+    val df = (1 to n).map(_.toLong).toDF("k")
+    val out = Split.exact(df, "k", 0.8, seed = 42L).cache()
+    assert(out.count() == n)
+    val train = out.filter($"is_train" === 1).count()
+    assert(train == math.floor(0.8 * n).toLong)
+    // rn is a permutation of 1..N
+    val rns = out.select("rn").as[Long].collect().sorted
+    assert(rns.toSeq == (1L to n.toLong))
+    out.unpersist()
+  }
+
+  test("globalRowNumber is deterministic across repartitionings") {
+    val df = (1 to 500).map(_.toLong).toDF("k")
+    def run(parts: Int) = Split.exact(df.repartition(parts), "k", 0.8, 7L)
+      .select("k", "rn").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(2) == run(13))
+  }
+
+  test("firstMatchGroundTruths keeps the first row per key in input order") {
+    val gt = Seq(
+      (Date.valueOf("2006-01-03"), 5, 20.0),
+      (Date.valueOf("2006-01-03"), 5, 99.0), // duplicate — must lose
+      (Date.valueOf("2006-01-04"), 5, 11.0)
+    ).toDF("utc_date", "station_id", "air_temp")
+    val out = Features.firstMatchGroundTruths(gt)
+      .select("utc_date", "station_id", "air_temp")
+      .as[(Date, Int, Double)].collect().toSet
+    assert(out == Set(
+      (Date.valueOf("2006-01-03"), 5, 20.0),
+      (Date.valueOf("2006-01-04"), 5, 11.0)))
+  }
+
+  test("joinGroundTruth fills misses with -9999 and dropSentinel removes them") {
+    val samples = Seq((2006, 1, 3, 5), (2006, 1, 3, 6)).toDF("year", "month", "day", "station_id")
+    val gt = Seq((2006, 1, 3, 5, 20.0)).toDF("year", "month", "day", "station_id", "air_temp")
+    val joined = Features.joinGroundTruth(samples, gt)
+    val byStation = joined.select("station_id", "air_temp")
+      .as[(Int, Double)].collect().toMap
+    assert(byStation(5) == 20.0 && byStation(6) == -9999.0)
+    assert(Features.dropSentinel(joined).count() == 1)
+  }
+
+  test("explodeSamples keeps positional alignment (J3/G1)") {
+    val df = Seq(("s1", Seq(10, 20, 30))).toDF("scene_id", "stations")
+    val out = Features.explodeSamples(df)
+      .select("station_pos", "station_id").as[(Int, Int)].collect().sorted.toSeq
+    assert(out == Seq((0, 10), (1, 20), (2, 30)))
+  }
+
+  test("sceneDateParts parses the reference scene-id layout (P2)") {
+    val df = Seq(Tuple1("LT05_L1TP_174038_20060715_20200831_02_T1")).toDF("scene_id")
+    val (y, m, d) = Features.sceneDateParts($"scene_id")
+    val row = df.select(y, m, d).head()
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((2006, 7, 15)))
+  }
+}
