@@ -28,13 +28,18 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
-  /** (doc_id, shingle-hash h) — distinct word-ShingleN-grams, polyhashed. */
+  /** (doc_id, shingle-hash h) — distinct word-ShingleN-grams, polyhashed.
+    * Hash-first, then distinct: the shuffle carries (long, long) instead of
+    * shingle strings — at corpus scale that is the difference between
+    * shuffling the corpus ~3× over and shuffling 16 bytes/row. (Min over the
+    * hash multiset equals min over the distinct-string set, so minhash
+    * semantics are unchanged; the DuckDB oracle does the same.)
+    */
   def shingleHashes(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        explode(TextOps.shingles(TextOps.tokens(col("text")), ShingleN)).as("shingle"))
+        explode(graft.functions.PolyShinglesExpr.column(lower(col("text")), ShingleN)).as("h"))
       .distinct()
-      .select(col("doc_id"), Hashing.polyHash(col("shingle")).as("h"))
 
   /** K-column minhash signature per doc: one groupBy with K min-aggregates
     * (map-side partial aggregation keeps shuffle width at K longs per doc).
@@ -49,12 +54,13 @@ object Dedup {
     (0 until Rows).map(r => col(s"s${b * Rows + r}"))
       .foldLeft(lit(0L): Column)((acc, s) => pmod(acc * Hashing.PolyBase + s, lit(Hashing.PolyMod)))
 
-  /** (doc_id, band, band_key): LSH bucket assignment, Bands rows per doc. */
-  def lshBuckets(sig: DataFrame): DataFrame = {
-    val perBand = (0 until Bands).map(b =>
-      sig.select(col("doc_id"), lit(b).as("band"), bandKey(b).as("band_key")))
-    perBand.reduce(_ union _)
-  }
+  /** (doc_id, band, band_key): LSH bucket assignment, Bands rows per doc.
+    * One posexplode pass — a per-band union would rescan (and without a
+    * cache, recompute) the signature frame once per band.
+    */
+  def lshBuckets(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(bandKey): _*)).as(Seq("band", "band_key")))
 
   /** Candidate pairs (doc_a < doc_b) sharing ≥1 LSH bucket, with the count
     * of shared bands. Join is on (band, band_key) — never a cross product.
@@ -80,9 +86,13 @@ object Dedup {
       .select("doc_a", "doc_b", "n_bands", "est_jaccard")
   }
 
-  /** MinHash-LSH near-dup pipeline end-to-end. */
+  /** MinHash-LSH near-dup pipeline end-to-end. The signature frame is
+    * persisted: it feeds the bucket self-join AND both sides of the
+    * estimate join — without it Spark recomputes the shingle pipeline 4×.
+    */
   def minhashLsh(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(shingleHashes(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     estimatedJaccard(candidatePairs(lshBuckets(sig)), sig)
   }
 
@@ -117,19 +127,20 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for LSH candidate pairs (the verify stage of
-    * near-dup dedup): |A∩B| via a shingle join, never a cross product.
+    * near-dup dedup): |A∩B| via a shingle-hash join, never a cross product.
+    * The hash frame is persisted — it feeds the signature pipeline, both
+    * intersection sides, and the per-doc counts.
     */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col("text")), ShingleN)).as("shingle"))
-      .distinct()
+    val sh = shingleHashes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val cand = candidatePairs(lshBuckets(minhashSignatures(
-      sh.select(col("doc_id"), Hashing.polyHash(col("shingle")).as("h")))))
-      .select("doc_a", "doc_b")
+    val sig = minhashSignatures(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatePairs(lshBuckets(sig)).select("doc_a", "doc_b")
     val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")

@@ -43,12 +43,11 @@ object TextDedup {
     }),
 
     // document fingerprinting: rolling hash + min-shingle fingerprint.
-    "t4_fingerprint" -> ((s, dir) => {
-      val sh = TextOps.shingles(TextOps.tokens(col("text")), Dedup.ShingleN)
+    "t4_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"),
-        array_min(transform(sh, x => Hashing.polyHash(x))).as("min_shingle"))
-    }),
+        array_min(graft.functions.PolyShinglesExpr.column(
+          lower(col("text")), Dedup.ShingleN)).as("min_shingle"))),
 
     // exact dedup: canonical keeper per identical text.
     "d1_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -73,17 +72,17 @@ object TextDedup {
 
   private val toksSrc = s"toks AS (SELECT doc_id, $wsSql AS ws FROM documents)"
 
-  /** Distinct word-3-gram shingles per doc (empty below 3 tokens). */
+  /** Word-3-gram shingles per doc (non-distinct; empty below 3 tokens). */
   private val shSrc =
     """sh AS (
-      |  SELECT DISTINCT doc_id, shingle FROM (
-      |    SELECT doc_id,
-      |      unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
-      |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS shingle
-      |    FROM toks))""".stripMargin
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS shingle
+      |  FROM toks)""".stripMargin
 
+  /** Hash-first distinct, mirroring Dedup.shingleHashes. */
   private val hashedSrc =
-    s"hashed AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh)"
+    s"hashed AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh)"
 
   private val sigSrc = {
     val mins = (0 until Dedup.K).map(k =>
@@ -148,12 +147,12 @@ object TextDedup {
          |  en AS en_hits
          |FROM documents d JOIN h ON d.doc_id = h.doc_id""".stripMargin,
     "t4_fingerprint" ->
-      s"""WITH $toksSrc, $shSrc,
+      s"""WITH $toksSrc, $shSrc, $hashedSrc,
          |fps AS (SELECT doc_id,
          |  ${Hashing.polyHashSql("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS fp
          |  FROM documents),
-         |mins AS (SELECT doc_id, min(${Hashing.polyHashSql("shingle")}) AS min_shingle
-         |         FROM sh GROUP BY doc_id)
+         |mins AS (SELECT doc_id, min(h) AS min_shingle
+         |         FROM hashed GROUP BY doc_id)
          |SELECT f.doc_id, f.fp, m.min_shingle
          |FROM fps f LEFT JOIN mins m ON f.doc_id = m.doc_id""".stripMargin,
     "d1_exact_dedup" ->
@@ -179,12 +178,12 @@ object TextDedup {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
     "d5_ngram_jaccard" ->
       s"""WITH $minhashChain,
-         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
          |inter AS (
          |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
          |  FROM pairs p
-         |    JOIN sh a ON a.doc_id = p.doc_a
-         |    JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+         |    JOIN hashed a ON a.doc_id = p.doc_a
+         |    JOIN hashed b ON b.doc_id = p.doc_b AND b.h = a.h
          |  GROUP BY 1, 2)
          |SELECT i.doc_a, i.doc_b,
          |  round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
