@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.engine.Session
 import graft.functions.Hashing
 import graft.io.Sources
-import graft.ops.{Augment, Calibration, Features, Split}
+import graft.ops.{Augment, Calibration, Features, Multimodal, Split}
 import Tables.{t, FixturesDir}
 
 /** The reference pipeline's operator surface (SURVEY.md §2) as declared,
@@ -255,6 +255,31 @@ object Landsat {
         format_string("scene=%s|bands=%d", col("scene_id"),
           size(col("bands")).cast("long")).as("tag"))),
 
+    // Multimodal ingest: binary scan → partitioned decode (stub codec) →
+    // typed feature column; downstream ops see Array[Float] like embeddings.
+    "mm1_multimodal_ingest" -> ((s, _) => {
+      val ingested = Multimodal.ingest(
+        Multimodal.scanBlobs(fx(s), s"$FixturesDir/binary"), partitions = 4)
+      ingested.select(col("name"), col("length"),
+        size(col("features")).as("n_features"),
+        round(aggregate(col("features").cast("array<double>"), lit(0.0),
+          (acc, x) => acc + x), 4).as("f_sum"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+    }),
+
+    // J3: positional zip-join — bands zipped with the 11-wide coefficient
+    // array by position (arrays_zip + posexplode; zip pads to the longer).
+    "j3_zip_join" -> ((s, _) => {
+      val joined = scenesDf(fx(s)).join(metadataDf(s), Seq("scene_id"), "inner")
+        .withColumn("mult11", Calibration.coeffArray(resc, "RADIANCE_MULT", 11))
+      joined
+        .select(col("scene_id"),
+          posexplode(arrays_zip(col("bands"), col("mult11"))).as(Seq("band_pos", "z")))
+        .select(col("scene_id"), col("band_pos").cast("int").as("band_pos"),
+          round(col("z.mult11"), 6).as("mult_i"),
+          round(arrSum(col("z.bands")), 3).as("band_sum"))
+    }),
+
     // Flagship relational core, also the driver's smoke entry: mean air temp
     // per station over Landsat-5 scenes (scan→align→explode→J1→J2→P3→agg).
     "flagship_station_mean" -> ((s, _) => flagship(fx(s)))
@@ -446,6 +471,33 @@ object Landsat {
     "s5_binary_scan" ->
       """SELECT regexp_extract(filename, '([^/]+)$', 1) AS name, size AS length
         |FROM read_blob('/root/repo/fixtures/binary/*.bin')""".stripMargin,
+    "mm1_multimodal_ingest" ->
+      s"""WITH blobs AS (
+         |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS name, size AS length,
+         |         hex(content) AS hx
+         |  FROM read_blob('/root/repo/fixtures/binary/*.bin')),
+         |feat AS (
+         |  SELECT name, length,
+         |    list_transform(range(0, ${Multimodal.FeatureDim}), i ->
+         |      CAST(CAST(concat('0x', substr(hx, i * 2 + 1, 2)) AS INT) AS FLOAT) / CAST(255.0 AS FLOAT)) AS f
+         |  FROM blobs)
+         |SELECT name, length, CAST(len(f) AS INT) AS n_features,
+         |  round(list_sum(list_transform(f, x -> CAST(x AS DOUBLE))), 4) AS f_sum,
+         |  round(CAST(f[1] AS DOUBLE), 6) AS f0
+         |FROM feat""".stripMargin,
+    "j3_zip_join" ->
+      s"""WITH $scenesSrc, $metaSrc,
+         |j AS (
+         |  SELECT s.scene_id, s.bands, ${multList("t")} AS mult11
+         |  FROM scenes_src s JOIN meta_src t USING (scene_id)),
+         |z AS (
+         |  SELECT scene_id,
+         |    CAST(unnest(range(greatest(len(bands), len(mult11)))) AS INT) AS band_pos,
+         |    unnest(bands) AS band, unnest(mult11) AS mult_i
+         |  FROM j)
+         |SELECT scene_id, band_pos, round(mult_i, 6) AS mult_i,
+         |  round(list_sum(band), 3) AS band_sum
+         |FROM z""".stripMargin,
     "s7_sink_roundtrip" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
     "p2_scene_date" ->
