@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/scan paths once so the first timed query doesn't
+    // absorb session startup.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column

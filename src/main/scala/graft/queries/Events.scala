@@ -25,6 +25,27 @@ object Events {
       EventWindows.sessions(eventsT(s, dir), gapMinutes = 30)
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")),
 
+    // Structured Streaming execution of the tumbling window: same result as
+    // e1 (and the same oracle), produced incrementally through a stream +
+    // memory sink. Proves the streaming path inside the driver gate.
+    "e5_streaming_tumbling" -> ((s, dir) => {
+      Tables.events(s, dir) // ensures nanosAsLong conf is set
+      val raw = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
+        .option("pathGlobFilter", "events.parquet") // stream source needs a dir
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = graft.streaming.StreamingWindows.tumbling(raw, "15 minutes", "1 hour")
+      graft.streaming.StreamingWindows.runToMemory(
+        agg, "e5_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    }),
+
     // F8 over semi-structured props: JSON field extraction + aggregate.
     "e4_json_props" -> ((s, dir) =>
       eventsT(s, dir)
@@ -35,7 +56,13 @@ object Events {
           round(avg("k"), 6).as("avg_k")))
   )
 
+  private val tumblingOracle =
+    """SELECT time_bucket(INTERVAL '15 minutes', ts) AS wstart, event_type,
+      | count(*) AS n, round(sum(value), 3) AS sum_value
+      |FROM events GROUP BY wstart, event_type""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "e5_streaming_tumbling" -> tumblingOracle,
     "e1_tumbling" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) AS wstart, event_type,
         | count(*) AS n, round(sum(value), 3) AS sum_value

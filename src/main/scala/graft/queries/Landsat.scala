@@ -255,6 +255,21 @@ object Landsat {
         format_string("scene=%s|bands=%d", col("scene_id"),
           size(col("bands")).cast("long")).as("tag"))),
 
+    // G2 full form: tensor fan-out 1→4 — rot90 on all 7 gathered bands plus
+    // LCG-jittered date/coords, per-variant streams keyed by polyhash(scene).
+    "g4_augment_tensor" -> ((s, _) => {
+      val base = Features.withSceneDate(calibrated(fx(s))
+          .select("scene_id", "bands7"))
+        .withColumn("longitude", lit(34.5)).withColumn("latitude", lit(31.2))
+        .withColumn("key", Hashing.polyHash(col("scene_id")))
+      Augment.fanOut4(base, "key", seed = 42L)
+        .select(col("scene_id"), col("aug_k"),
+          round(arrDot(flatten(col("bands7"))), 3).as("t_dot"),
+          col("day").cast("int").as("day2"),
+          col("month").cast("int").as("month2"),
+          round(col("longitude"), 6).as("lon2"))
+    }),
+
     // Multimodal ingest: binary scan → partitioned decode (stub codec) →
     // typed feature column; downstream ops see Array[Float] like embeddings.
     "mm1_multimodal_ingest" -> ((s, _) => {
@@ -438,6 +453,57 @@ object Landsat {
        |FROM jittered""".stripMargin
   }
 
+  /** g4 oracle: calibrated tensors → 4× fan-out with per-k rot90 of every
+    * band + the same LCG jitter streams as [[Augment.fanOut4]] (seed 42:
+    * day=42, month=43, dist=44, dir=45), rk = polyhash(scene_id)*4 + k.
+    */
+  private val g4OracleSql: String = {
+    val rk = "rk"
+    val dist = s"CAST(${Hashing.lcgSql(rk, 44, 15000)} + 5000 AS DOUBLE)"
+    val dir = Hashing.lcgSql(rk, 45, 4)
+    val ddelta = s"(${Hashing.lcgSql(rk, 42, 11)} + 5)"
+    val mbump = s"(CASE WHEN ${Hashing.lcgSql(rk, 43, 10)} < 3 THEN 1 ELSE 0 END)"
+    def rotAll(src: String) =
+      s"list_transform(bands7, b -> list_transform(range(0, 49), i -> b[($src) + 1]))"
+    s"""WITH $calSql,
+       |based AS (
+       |  SELECT scene_id, bands7,
+       |    CAST(substr(string_split(scene_id, '_')[4], 5, 2) AS INT) AS month,
+       |    CAST(substr(string_split(scene_id, '_')[4], 7, 2) AS INT) AS day,
+       |    34.5 AS longitude, 31.2 AS latitude,
+       |    ${Hashing.polyHashSql("scene_id")} AS key
+       |  FROM cal),
+       |fanned AS (
+       |  SELECT *, CAST(unnest([0, 1, 2, 3]) AS INT) AS aug_k FROM based),
+       |keyed AS (
+       |  SELECT *, (key * 4 + aug_k) AS rk FROM fanned),
+       |rot AS (
+       |  SELECT scene_id, aug_k, day, month, longitude, latitude, rk,
+       |    CASE aug_k
+       |      WHEN 0 THEN bands7
+       |      WHEN 1 THEN ${rotAll("(i % 7) * 7 + (6 - (i // 7))")}
+       |      WHEN 2 THEN ${rotAll("48 - i")}
+       |      ELSE ${rotAll("(6 - (i % 7)) * 7 + (i // 7)")}
+       |    END AS rb
+       |  FROM keyed),
+       |jit AS (
+       |  SELECT scene_id, aug_k, day, month, longitude, latitude,
+       |    flatten(rb) AS f,
+       |    $dist AS dist, $dir AS dir, $ddelta AS ddelta, $mbump AS mbump
+       |  FROM rot)
+       |SELECT scene_id, aug_k,
+       |  round(list_sum(list_transform(range(1, len(f) + 1), i -> f[i] * i)), 3) AS t_dot,
+       |  CAST(CASE WHEN aug_k = 0 THEN day
+       |    ELSE (CASE WHEN (day + ddelta) % 30 = 0 THEN 1 ELSE (day + ddelta) % 30 END) END AS INT) AS day2,
+       |  CAST(CASE WHEN aug_k = 0 THEN month
+       |    ELSE (CASE WHEN (month + mbump) % 12 = 0 THEN 1 ELSE (month + mbump) % 12 END) END AS INT) AS month2,
+       |  round(CASE WHEN aug_k = 0 THEN longitude
+       |    ELSE longitude + (CASE WHEN dir IN (0, 1) THEN 1.0 ELSE -1.0 END) * dist /
+       |      (111412.84 * cos(radians(latitude)) - 93.5 * cos(3 * radians(latitude))
+       |       + 0.118 * cos(5 * radians(latitude))) END, 6) AS lon2
+       |FROM jit""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "s1_csv_scan" ->
       s"""WITH $gtSrc
@@ -554,6 +620,7 @@ object Landsat {
          |  SELECT scene_id, 3, list_transform(range(0, 49), i -> img[((6 - (i % 7)) * 7 + (i // 7)) + 1]) FROM img_src
          |)""".stripMargin,
     "g2_augment" -> g2OracleSql,
+    "g4_augment_tensor" -> g4OracleSql,
     "o1_split_exact" ->
       s"""WITH keyed AS (
          |  SELECT o_orderkey, $lcg42 AS shuf FROM orders),
