@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{PolyHashExpr, PolyShinglesExpr}
+import graft.functions.{DotProductExpr, PolyHashExpr, PolyShinglesExpr}
 
 /** Registers graft's native Catalyst expressions as SQL functions so they are
   * usable from both the Column API (`call_function`) and `spark.sql`.
@@ -13,6 +13,11 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_poly_hash",
       exprs => PolyHashExpr(exprs.head),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => DotProductExpr(exprs(0), exprs(1)),
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

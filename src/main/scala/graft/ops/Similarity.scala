@@ -16,7 +16,7 @@ object Similarity {
   def asDouble(v: Column): Column = v.cast("array<double>")
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProductExpr.column(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -59,6 +59,47 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("q_id"), col("bucket"), col("c_id").as("nn_id"), col("cos"))
+  }
+
+  /** Coarse-quantizer centroids: per-label per-dimension mean, re-assembled
+    * into an ordered array. Components are rounded (9 dp) so the quantizer
+    * is bit-identical across engines. Centroid count = #labels (small) —
+    * always the broadcast side.
+    */
+  def centroids(vecs: DataFrame): DataFrame =
+    vecs.select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(round(avg("x"), 9).as("m"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+      .select(col("label").as("cell"), col("cv"))
+
+  /** IVF: assign every vector to its nearest centroid cell (argmax cosine,
+    * ties → lower cell id), then search top-1 within the cell. The cell id
+    * is the join/partition key — at cluster scale each cell's candidate
+    * list is a separate partition and the centroid table is broadcast.
+    */
+  def ivfTopK(vecs: DataFrame): DataFrame = {
+    val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
+    val cent = centroids(vecs)
+    val scoredCells = v.crossJoin(broadcast(cent))
+      .withColumn("ccos", round(cosine(col("dv"), col("cv")), 6))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cell"))
+    val assigned = scoredCells
+      .withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("cell"))
+    val a = assigned.join(v, "vec_id")
+      .select(col("cell"), col("vec_id").as("q_id"), col("dv").as("qv"))
+    val b = assigned.join(v, "vec_id")
+      .select(col("cell"), col("vec_id").as("c_id"), col("dv").as("cv2"))
+    val scored = a.join(b, "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv2")), 6))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("cell"), col("c_id").as("nn_id"), col("cos"))
   }
 
   /** Per-label centroid norm: posexplode → per-dimension mean → L2 norm.

@@ -28,7 +28,10 @@ object Embeddings {
       Similarity.annBucketed(t(s, dir, "embeddings"), NnBits)),
 
     "v3_label_centroids" -> ((s, dir) =>
-      Similarity.labelCentroidNorms(t(s, dir, "embeddings")))
+      Similarity.labelCentroidNorms(t(s, dir, "embeddings"))),
+
+    "v4_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings")))
   )
 
   private val vSrc =
@@ -70,6 +73,36 @@ object Embeddings {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
          |  FROM scored)
          |SELECT q_id, bucket, c_id AS nn_id, cos FROM ranked WHERE rk = 1""".stripMargin,
+    "v4_ivf_topk" ->
+      s"""WITH $vSrc,
+         |exploded AS (
+         |  SELECT label, unnest(range(1, len(dv) + 1)) AS pos, unnest(dv) AS x FROM v),
+         |mdims AS (
+         |  SELECT label, pos, round(avg(x), 9) AS m
+         |  FROM exploded GROUP BY label, pos),
+         |cent AS (
+         |  SELECT label AS cell, list(m ORDER BY pos) AS cv FROM mdims GROUP BY label),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        round(list_dot_product(v.dv, c.cv) /
+         |          (sqrt(list_dot_product(v.dv, v.dv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+         |        c.cell) AS ark
+         |    FROM v CROSS JOIN cent c)
+         |  WHERE ark = 1),
+         |members AS (
+         |  SELECT a.cell, a.vec_id, v.dv FROM assigned a JOIN v USING (vec_id)),
+         |scored AS (
+         |  SELECT a.vec_id AS q_id, a.cell, b.vec_id AS c_id,
+         |    round(list_dot_product(a.dv, b.dv) /
+         |      (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 6) AS cos
+         |  FROM members a JOIN members b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |SELECT q_id, cell, c_id AS nn_id, cos FROM (
+         |  SELECT q_id, cell, c_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+         |  FROM scored)
+         |WHERE rk = 1""".stripMargin,
     "v3_label_centroids" ->
       s"""WITH $vSrc,
          |exploded AS (

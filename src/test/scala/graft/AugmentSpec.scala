@@ -59,6 +59,23 @@ class AugmentSpec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 12))
   }
 
+  test("fanOut4 rotates the tensor per variant and preserves the original") {
+    val bands7 = (0 until 7).map(b => (0 until 49).map(p => (b * 49 + p).toDouble))
+    val base = Seq((1L, bands7, 34.5, 31.2, 7, 15))
+      .toDF("key", "bands7", "longitude", "latitude", "month", "day")
+    val out = Augment.fanOut4(base, "key", seed = 42L).cache()
+    assert(out.count() == 4)
+    val byK = out.select($"aug_k", $"bands7").collect()
+      .map(r => r.getInt(0) -> r.getSeq[scala.collection.Seq[Double]](1).map(_.toSeq)).toMap
+    assert(byK(0) == bands7)                      // original untouched
+    assert(byK(2).head == bands7.head.reverse)    // rot180 = reversed flatten
+    assert(byK(1) != bands7 && byK(3) != bands7)
+    // rot90 applied per band: k=1 then k=3 on the same band is identity
+    val k1b0 = byK(1).head
+    assert(rot(k1b0, 3) == bands7.head)
+    out.unpersist()
+  }
+
   test("meters-per-degree series matches direct evaluation") {
     val lat = 31.5
     val phi = math.toRadians(lat)
