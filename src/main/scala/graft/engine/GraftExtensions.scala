@@ -1,0 +1,34 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProductExpr, PolyHashExpr, PolyShinglesExpr}
+
+/** Spark-native deployment hook: register graft's Catalyst expressions via
+  * `spark.sql.extensions=graft.engine.GraftExtensions` so any session —
+  * including spark-submit / Thrift / connect sessions the library never
+  * touches programmatically — gets the functions. `Functions.registerAll`
+  * remains for sessions created by other drivers (e.g. the verify harness).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[PolyHashExpr].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_poly_hash"),
+      info("graft_poly_hash", "polynomial rolling hash of a string -> bigint"),
+      (exprs: Seq[Expression]) => PolyHashExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "sequential dot product of two array<double>"),
+      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "polyhash of every word-n-gram shingle"),
+      (exprs: Seq[Expression]) => PolyShinglesExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
+  }
+}
