@@ -127,6 +127,43 @@ object Relational {
       semi.union(anti)
     }),
 
+    // selective range-predicate aggregation (TPC-H q6 shape) — the filters
+    // must reach the parquet scan (PushedFilters), columns pruned to 4.
+    "q6_selective" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // join + filter + top-k (TPC-H q3 shape).
+    "q3_shipping" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      val li = t(s, dir, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          min("o_orderdate").as("odate"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(20)
+    }),
+
+    // CUBE grouping sets.
+    "a6_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(avg("l_discount"), 6).as("avg_disc"))),
+
+    // sketch aggregates (HLL / quantile) — approximate by design, so no
+    // cross-engine oracle; the driver records the weaker rows-only check.
+    "a7_approx_sketches" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"))),
+
     // multi-way join across the star schema (region..lineitem), revenue per
     // nation — exercises join ordering + AQE broadcast selection.
     "j5_star_join" -> ((s, dir) => {
@@ -205,6 +242,25 @@ object Relational {
         |UNION ALL
         |SELECT 'anti' AS op, count(*) AS n FROM customer
         | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q6_selective" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | min(o_orderdate) AS odate
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority <> '1-URGENT'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+    "a6_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "j5_star_join" ->
       """SELECT r_name, n_name,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
