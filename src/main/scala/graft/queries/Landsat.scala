@@ -120,6 +120,19 @@ object Landsat {
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
           col("length"))),
 
+    // S5 full form: real torch-format .pt ingest (zip + pickle + int32
+    // storage, pure JVM) with the reference's permute(1,0,2,3); checksums
+    // verified against the generator's sidecar expectations.
+    "s5b_pt_ingest" -> ((s, _) => {
+      val df = graft.io.TorchTensors.ingest(fx(s), s"$FixturesDir/tensors")
+      val flat = flatten(flatten(col("tensor")))
+      df.select(col("scene_id"),
+        size(element_at(col("tensor"), 1)).as("nbands"),
+        size(col("tensor")).as("n_stations"),
+        arrSum(flat).cast("long").as("t_sum"),
+        arrDot(flat).cast("long").as("t_dot"))
+    }),
+
     // S7: sink + re-scan roundtrip (parquet).
     "s7_sink_roundtrip" -> ((s, dir) => {
       val out = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
@@ -566,6 +579,11 @@ object Landsat {
          |FROM z""".stripMargin,
     "s7_sink_roundtrip" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
+    "s5b_pt_ingest" ->
+      """SELECT scene_id, nbands, n_stations, t_sum, t_dot
+        |FROM read_csv('/root/repo/fixtures/tensors/expected.csv', header=true,
+        |  columns={'scene_id':'VARCHAR','nbands':'INTEGER','n_stations':'INTEGER',
+        |           't_sum':'BIGINT','t_dot':'BIGINT'})""".stripMargin,
     "p2_scene_date" ->
       s"""WITH $scenesSrc
          |SELECT scene_id,
