@@ -308,6 +308,17 @@ object Landsat {
           round(arrSum(col("z.bands")), 3).as("band_sum"))
     }),
 
+    // The reference's whole main() as one lazy plan: sources → calibration →
+    // 365-wide features → exact split → train-only 4× augmentation.
+    // Oracle checks the pipeline invariants: |train| = ⌊0.8N⌋ fanned ×4,
+    // |test| = N − ⌊0.8N⌋ unfanned, and feature width 365 throughout.
+    "pipeline_e2e" -> ((s, _) =>
+      graft.Pipeline.trainTest(fx(s), graft.Pipeline.Config(fixturesDir = FixturesDir))
+        .groupBy(col("is_train"), col("aug_k").cast("int").as("aug_k"))
+        .agg(count(lit(1)).as("n"),
+          max(size(col("features"))).as("width"),
+          min(size(col("features"))).as("min_width"))),
+
     // Flagship relational core, also the driver's smoke entry: mean air temp
     // per station over Landsat-5 scenes (scan→align→explode→J1→J2→P3→agg).
     "flagship_station_mean" -> ((s, _) => flagship(fx(s)))
@@ -663,6 +674,28 @@ object Landsat {
          |SELECT scene_id, scene_id || '_stations.txt' AS station_file,
          |  printf('scene=%s|bands=%d', scene_id, len(bands)) AS tag
          |FROM scenes_src""".stripMargin,
+    "pipeline_e2e" ->
+      s"""WITH $samplesAndGt, $catalogSrc, $metaSrc,
+         |cal_scenes AS (
+         |  SELECT s.scene_id
+         |  FROM scenes_src s JOIN meta_src t USING (scene_id)
+         |  WHERE len(s.bands) IN (7, 11)
+         |    AND t.m.LEVEL1_RADIOMETRIC_RESCALING IS NOT NULL
+         |    AND t.m.LEVEL1_THERMAL_CONSTANTS IS NOT NULL),
+         |base AS (
+         |  SELECT j.scene_id, j.station_id FROM joined j
+         |    JOIN catalog_src c ON j.station_id = c.id
+         |    JOIN cal_scenes cs ON j.scene_id = cs.scene_id
+         |  WHERE j.air_temp <> -9999.0),
+         |t AS (SELECT CAST(floor(0.8 * count(*)) AS BIGINT) AS ntrain,
+         |             count(*) AS total FROM base)
+         |SELECT 1 AS is_train, CAST(k AS INT) AS aug_k, ntrain AS n,
+         |  CAST(365 AS INT) AS width, CAST(365 AS INT) AS min_width
+         |FROM t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) u
+         |UNION ALL
+         |SELECT 0 AS is_train, 0 AS aug_k, total - ntrain AS n,
+         |  CAST(365 AS INT) AS width, CAST(365 AS INT) AS min_width
+         |FROM t""".stripMargin,
     "flagship_station_mean" ->
       s"""WITH $samplesAndGt, $catalogSrc,
          |l5 AS (SELECT scene_id FROM scenes_src WHERE len(bands) = 7)
