@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{DotProductExpr, PolyHashExpr, PolyShinglesExpr}
+import graft.functions.{DotProductExpr, PolyHashExpr, PolyShinglesExpr, VectorMinAgg, VectorSumAgg}
 
 /** Registers graft's native Catalyst expressions as SQL functions so they are
   * usable from both the Column API (`call_function`) and `spark.sql`.
@@ -26,5 +26,11 @@ object Functions {
         exprs(1).eval(null).asInstanceOf[Int]),
       "built-in"
     )
+    // Aggregates: the analyzer wraps AggregateFunctions into
+    // AggregateExpressions during resolution.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_sum", exprs => VectorSumAgg(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_min", exprs => VectorMinAgg(exprs.head), "built-in")
   }
 }

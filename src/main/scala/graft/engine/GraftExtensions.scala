@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, PolyHashExpr, PolyShinglesExpr}
+import graft.functions.{DotProductExpr, PolyHashExpr, PolyShinglesExpr, VectorMinAgg, VectorSumAgg}
+import graft.plans.{AsOfJoinStrategy, PushFilterThroughAsOfJoin}
 
 /** Spark-native deployment hook: register graft's Catalyst expressions via
   * `spark.sql.extensions=graft.engine.GraftExtensions` so any session —
@@ -30,5 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_shingle_hashes", "polyhash of every word-n-gram shingle"),
       (exprs: Seq[Expression]) => PolyShinglesExpr(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_sum"),
+      info("graft_vec_sum", "element-wise sum aggregate of array<double>"),
+      (exprs: Seq[Expression]) => VectorSumAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_min"),
+      info("graft_vec_min", "element-wise min aggregate of array<long>"),
+      (exprs: Seq[Expression]) => VectorMinAgg(exprs.head)))
+    // Whole-operator extension: as-of join planner strategy + pushdown rule.
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
   }
 }

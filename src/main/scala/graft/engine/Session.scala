@@ -28,6 +28,7 @@ object Session {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.registerAll(spark)
+    graft.ops.AsOf.install(spark)
     spark
   }
 
@@ -39,6 +40,7 @@ object Session {
     spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     Functions.registerAll(spark)
+    graft.ops.AsOf.install(spark)
     spark
   }
 }

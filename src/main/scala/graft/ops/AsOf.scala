@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+import graft.plans.{AsOfJoin, AsOfJoinStrategy, PushFilterThroughAsOfJoin}
+
+/** User-facing as-of join (pandas `merge_asof` semantics, backward
+  * direction): every left row gains the right row with equal `on` keys and
+  * the greatest right time <= left time, or nulls when none exists.
+  *
+  * Right-side columns come back suffixed (default `_r`) — the projection
+  * also mints fresh attribute ids, so self-joins (events-to-events) are
+  * safe.
+  *
+  * Scale: executes as [[graft.plans.AsOfJoinExec]] — hash-partition both
+  * sides on `on`, sort by (keys, time), one-pass merge per partition. See
+  * that node's docs for why this is the 100 TB-safe plan.
+  */
+object AsOf {
+
+  /** Install the as-of planner strategy + optimizer rule into a session.
+    * Idempotent; `Session.prepare`/`Session.local` call it, as does
+    * `GraftExtensions` via `spark.sql.extensions`.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftBridge.install(spark, AsOfJoinStrategy, Seq(PushFilterThroughAsOfJoin))
+
+  def joinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      tiebreak: Seq[String] = Nil,
+      toleranceMicros: Option[Long] = None,
+      rightSuffix: String = "_r"): DataFrame = {
+    require(on.nonEmpty, "as-of join needs at least one equi-key")
+    val spark = left.sparkSession
+    install(spark)
+
+    // Fresh exprIds + disjoint names for the right side (self-join safety).
+    val renamed = right.select(
+      right.columns.toIndexedSeq.map(c => col(c).as(c + rightSuffix)): _*)
+
+    val lp = GraftBridge.analyzed(left)
+    val rp = GraftBridge.analyzed(renamed)
+    val plan = AsOfJoin(
+      lp, rp,
+      on.map(attr(lp, _)), on.map(k => attr(rp, k + rightSuffix)),
+      asTime(attr(lp, leftTimeCol)), asTime(attr(rp, rightTimeCol + rightSuffix)),
+      tiebreak.map(c => attr(rp, c + rightSuffix)),
+      toleranceMicros)
+    GraftBridge.ofRows(spark, plan)
+  }
+
+  private def attr(plan: LogicalPlan, name: String): Attribute =
+    plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+      s"as-of join column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
+
+  /** The merge compares times as Long; timestamps already are micros
+    * internally, anything else is cast.
+    */
+  private def asTime(a: Attribute): Expression = a.dataType match {
+    case TimestampType | LongType => a
+    case _                        => Cast(a, LongType)
+  }
+}

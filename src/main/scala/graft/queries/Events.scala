@@ -46,6 +46,41 @@ object Events {
         agg, "e5_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     }),
 
+    // Custom whole-operator extension (AsOfJoin LogicalPlan + Strategy +
+    // Exec): for every purchase, the user's most recent click at-or-before
+    // it. Ties on click ts break by max event_id (deterministic).
+    "aj1_asof_join" -> ((s, dir) => {
+      val ev = eventsT(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      graft.ops.AsOf.joinBackward(purchases, clicks,
+          on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+          tiebreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 3).as("purchase_value"),
+          col("ts_r").as("click_ts"),
+          round(col("value_r"), 3).as("click_value"))
+    }),
+
+    // Same operator with a 30-minute tolerance; aggregated match stats.
+    "aj2_asof_tolerance" -> ((s, dir) => {
+      val ev = eventsT(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOf.joinBackward(purchases, clicks,
+          on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+          tiebreak = Seq("event_id"),
+          toleranceMicros = Some(30L * 60 * 1000000))
+        .agg(count(lit(1)).as("n_total"),
+          count(col("ts_r")).as("n_matched"),
+          round(avg(unix_micros(col("ts")) - unix_micros(col("ts_r"))), 6)
+            .as("avg_gap_us"))
+    }),
+
     // F8 over semi-structured props: JSON field extraction + aggregate.
     "e4_json_props" -> ((s, dir) =>
       eventsT(s, dir)
@@ -62,6 +97,34 @@ object Events {
       |FROM events GROUP BY wstart, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "aj1_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |          WHERE event_type = 'purchase'),
+        |     r AS (SELECT event_id, user_id, ts, value FROM events
+        |          WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT l.event_id, l.user_id, l.ts, l.value AS lvalue,
+        |         r.ts AS rts, r.value AS rvalue,
+        |         row_number() OVER (PARTITION BY l.event_id
+        |                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+        |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
+        |SELECT event_id, user_id, ts, round(lvalue, 3) AS purchase_value,
+        |       rts AS click_ts, round(rvalue, 3) AS click_value
+        |FROM cand WHERE rn = 1""".stripMargin,
+    "aj2_asof_tolerance" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |          WHERE event_type = 'purchase'),
+        |     r AS (SELECT event_id, user_id, ts FROM events
+        |          WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT l.event_id, l.ts, r.ts AS rts,
+        |         row_number() OVER (PARTITION BY l.event_id
+        |                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+        |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |                    AND r.ts >= l.ts - INTERVAL 30 MINUTE)
+        |SELECT count(*) AS n_total, count(rts) AS n_matched,
+        |       round(avg(epoch_us(ts) - epoch_us(rts)), 6) AS avg_gap_us
+        |FROM cand WHERE rn = 1""".stripMargin,
     "e5_streaming_tumbling" -> tumblingOracle,
     "e1_tumbling" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) AS wstart, event_type,
