@@ -74,6 +74,31 @@ object Similarity {
           s => s.getField("m")).as("cv"))
       .select(col("label").as("cell"), col("cv"))
 
+  /** Same contract as [[centroids]], via the single-buffer `graft_vec_sum`
+    * aggregate: one row per vector through the shuffle instead of `dim`
+    * (pos, x) rows, and no second groupBy to reassemble the array. At
+    * 100 TB this cuts the quantizer-build shuffle by the embedding
+    * dimension (64-1536×). The per-element `transform` lambda here touches
+    * only #labels rows — off the hot path.
+    */
+  def centroidsAgg(vecs: DataFrame): DataFrame =
+    vecs.groupBy("label")
+      .agg(graft.functions.VectorSumAgg.column(asDouble(col("embedding"))).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("label").as("cell"),
+        transform(col("sv"), x => round(x / col("n"), 9)).as("cv"))
+
+  /** [[labelCentroidNorms]] computed via `graft_vec_sum` (same output). */
+  def labelCentroidNormsAgg(vecs: DataFrame): DataFrame =
+    vecs.groupBy("label")
+      .agg(graft.functions.VectorSumAgg.column(asDouble(col("embedding"))).as("sv"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"),
+        round(sqrt(aggregate(transform(col("sv"), x => {
+          val m = x / col("n_vecs"); m * m
+        }), lit(0.0), (acc, y) => acc + y)), 6).as("centroid_norm"),
+        col("n_vecs"))
+
   /** IVF: assign every vector to its nearest centroid cell (argmax cosine,
     * ties → lower cell id), then search top-1 within the cell. The cell id
     * is the join/partition key — at cluster scale each cell's candidate
@@ -81,7 +106,7 @@ object Similarity {
     */
   def ivfTopK(vecs: DataFrame): DataFrame = {
     val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
-    val cent = centroids(vecs)
+    val cent = centroidsAgg(vecs)
     val scoredCells = v.crossJoin(broadcast(cent))
       .withColumn("ccos", round(cosine(col("dv"), col("cv")), 6))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cell"))

@@ -31,7 +31,12 @@ object Embeddings {
       Similarity.labelCentroidNorms(t(s, dir, "embeddings"))),
 
     "v4_ivf_topk" -> ((s, dir) =>
-      Similarity.ivfTopK(t(s, dir, "embeddings")))
+      Similarity.ivfTopK(t(s, dir, "embeddings"))),
+
+    // Same result as v3, but through the single-buffer graft_vec_sum
+    // aggregate (no posexplode — one shuffled row per vector, not per dim).
+    "v5_centroids_agg" -> ((s, dir) =>
+      Similarity.labelCentroidNormsAgg(t(s, dir, "embeddings")))
   )
 
   private val vSrc =
@@ -104,6 +109,16 @@ object Embeddings {
          |  FROM scored)
          |WHERE rk = 1""".stripMargin,
     "v3_label_centroids" ->
+      s"""WITH $vSrc,
+         |exploded AS (
+         |  SELECT label, unnest(range(1, len(dv) + 1)) AS pos, unnest(dv) AS x FROM v),
+         |mdims AS (
+         |  SELECT label, pos, avg(x) AS m, count(*) AS n
+         |  FROM exploded GROUP BY label, pos)
+         |SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm,
+         |  max(n) AS n_vecs
+         |FROM mdims GROUP BY label""".stripMargin,
+    "v5_centroids_agg" ->
       s"""WITH $vSrc,
          |exploded AS (
          |  SELECT label, unnest(range(1, len(dv) + 1)) AS pos, unnest(dv) AS x FROM v),

@@ -81,6 +81,17 @@ object Events {
             .as("avg_gap_us"))
     }),
 
+    // Binned range self-join: same-user event pairs within 10 minutes,
+    // as an equi-join on (user, time-bucket) — never a nested-loop.
+    "rj1_range_pairs" -> ((s, dir) =>
+      graft.ops.RangeJoin.pairsWithin(eventsT(s, dir),
+          keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+          windowMicros = 10L * 60 * 1000000)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("gap_us")), 6).as("avg_gap_us"))
+        .select(col("k").as("user_id"), col("n_pairs"), col("avg_gap_us"))),
+
     // F8 over semi-structured props: JSON field extraction + aggregate.
     "e4_json_props" -> ((s, dir) =>
       eventsT(s, dir)
@@ -125,6 +136,13 @@ object Events {
         |SELECT count(*) AS n_total, count(rts) AS n_matched,
         |       round(avg(epoch_us(ts) - epoch_us(rts)), 6) AS avg_gap_us
         |FROM cand WHERE rn = 1""".stripMargin,
+    "rj1_range_pairs" ->
+      """SELECT a.user_id, count(*) AS n_pairs,
+        |  round(avg(epoch_us(b.ts) - epoch_us(a.ts)), 6) AS avg_gap_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND epoch_us(b.ts) > epoch_us(a.ts)
+        |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+        |GROUP BY a.user_id""".stripMargin,
     "e5_streaming_tumbling" -> tumblingOracle,
     "e1_tumbling" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) AS wstart, event_type,

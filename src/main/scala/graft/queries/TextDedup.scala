@@ -63,7 +63,21 @@ object TextDedup {
       Dedup.simhashPairs(Dedup.simhash(docs(s, dir)), maxHamming = 8)),
 
     // exact n-gram Jaccard verification of LSH candidates.
-    "d5_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir)))
+    "d5_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
+
+    // MinHash signature union per source cluster via the single-buffer
+    // graft_vec_min aggregate: sig(A ∪ B) = element-wise min(sig(A), sig(B)),
+    // so corpus slices can be near-dup-compared without re-shingling text.
+    "d6_sig_union" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sig = Dedup.minhashSignatures(Dedup.shingleHashes(d))
+      sig.select(col("doc_id"),
+          array((0 until Dedup.K).map(k => col(s"s$k")): _*).as("sig"))
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(graft.functions.VectorMinAgg.column(col("sig")).as("sig_union"),
+          count(lit(1)).as("n_docs"))
+    })
   )
 
   // ---- oracle ------------------------------------------------------------
@@ -176,6 +190,13 @@ object TextDedup {
          |FROM simh a JOIN simh b
          |  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+    "d6_sig_union" -> {
+      val mins = (0 until Dedup.K).map(k => s"min(s$k)").mkString("[", ", ", "]")
+      s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc
+         |SELECT d.source, $mins AS sig_union, count(*) AS n_docs
+         |FROM sig JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin
+    },
     "d5_ngram_jaccard" ->
       s"""WITH $minhashChain,
          |counts AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
