@@ -70,15 +70,27 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] {
   }
 }
 
-/** Planner strategy: one physical choice, the partitioned merge
-  * ([[AsOfJoinExec]]). Catalyst still owns the exchanges/sorts it requires.
+/** Planner strategy with the same cost rule Spark's own join selection
+  * uses: a right side whose plan stats fit under
+  * `spark.sql.autoBroadcastJoinThreshold` goes to
+  * [[BroadcastAsOfJoinExec]] (no shuffle/sort of the big left side at all);
+  * otherwise the partitioned merge [[AsOfJoinExec]]. Catalyst owns the
+  * exchanges/sorts either choice requires.
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case aj: AsOfJoin =>
-      AsOfJoinExec(aj.leftKeys, aj.rightKeys, aj.leftTime, aj.rightTime,
-        aj.rightTiebreak, aj.toleranceMicros,
-        planLater(aj.left), planLater(aj.right)) :: Nil
+      val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (threshold > 0 && aj.right.stats.sizeInBytes <= threshold)
+          BroadcastAsOfJoinExec(aj.leftKeys, aj.rightKeys, aj.leftTime,
+            aj.rightTime, aj.rightTiebreak, aj.toleranceMicros,
+            planLater(aj.left), planLater(aj.right))
+        else
+          AsOfJoinExec(aj.leftKeys, aj.rightKeys, aj.leftTime, aj.rightTime,
+            aj.rightTiebreak, aj.toleranceMicros,
+            planLater(aj.left), planLater(aj.right))
+      exec :: Nil
     case _ => Nil
   }
 }

@@ -81,6 +81,29 @@ object Events {
             .as("avg_gap_us"))
     }),
 
+    // Custom-state streaming: flatMapGroupsWithState sessionization with
+    // event-time timeouts; emits each session exactly once when the
+    // watermark proves it closed. Oracle = batch sessions restricted to
+    // ones closed at the final (ms-truncated) watermark.
+    "e6_stateful_sessions" -> ((s, dir) => {
+      Tables.events(s, dir) // ensures nanosAsLong conf is set
+      val raw = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val sess = graft.streaming.StatefulSessions.sessions(raw, gapMinutes = 30)
+      graft.streaming.StreamingWindows.runToMemory(
+        sess, "e6_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
     // Binned range self-join: same-user event pairs within 10 minutes,
     // as an equi-join on (user, time-bucket) — never a nested-loop.
     "rj1_range_pairs" -> ((s, dir) =>
@@ -136,6 +159,26 @@ object Events {
         |SELECT count(*) AS n_total, count(rts) AS n_matched,
         |       round(avg(epoch_us(ts) - epoch_us(rts)), 6) AS avg_gap_us
         |FROM cand WHERE rn = 1""".stripMargin,
+    "e6_stateful_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, sum(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |    count(*) AS n_events, round(sum(value), 3) AS sum_value
+        |  FROM numbered GROUP BY user_id, session_no)
+        |SELECT * FROM sess
+        |WHERE epoch_us(session_end) + 1800000000 <
+        |  (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""".stripMargin,
     "rj1_range_pairs" ->
       """SELECT a.user_id, count(*) AS n_pairs,
         |  round(avg(epoch_us(b.ts) - epoch_us(a.ts)), 6) AS avg_gap_us
