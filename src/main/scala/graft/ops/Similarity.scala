@@ -61,6 +61,25 @@ object Similarity {
       .select(col("q_id"), col("bucket"), col("c_id").as("nn_id"), col("cos"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: the vector-space member of the
+    * dedup family (exact / MinHash / SimHash / Jaccard live in Dedup).
+    * Candidates meet only inside their sign-LSH bucket — a keyed self-join,
+    * never all-pairs — then the exact cosine filter keeps pairs at or above
+    * `minCos`. At 100 TB the bucket is the shuffle key and recall is tuned
+    * by nBits (fewer bits → bigger buckets → higher recall, more compute).
+    */
+  def cosineNearDupPairs(vecs: DataFrame, nBits: Int, minCos: Double): DataFrame = {
+    val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
+      .withColumn("bucket", signBucket(col("dv"), nBits))
+    val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("dv").as("va"))
+    val b = v.select(col("bucket"), col("vec_id").as("id_b"), col("dv").as("vb"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Coarse-quantizer centroids: per-label per-dimension mean, re-assembled
     * into an ordered array. Components are rounded (9 dp) so the quantizer
     * is bit-identical across engines. Centroid count = #labels (small) —

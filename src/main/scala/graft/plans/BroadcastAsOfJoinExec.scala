@@ -59,16 +59,19 @@ case class BroadcastAsOfJoinExec(
     val tiebreak = rightTiebreak
     val tol = toleranceMicros
 
+    val broadcastId = broadcastRows.id
+
     left.execute().mapPartitions { lIter =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
       val lTimeBound = BindReferences.bindReference(lTimeExpr, leftOut)
-      val rTimeBound = BindReferences.bindReference(rTimeExpr, rightOut)
-      // Sort right rows per key by (time, tiebreak...): the last index with
+      // Built once per executor (memoized on the broadcast id): sort right
+      // rows per key by (time, tiebreak...); the last index with
       // time <= t is then the deterministic backward match.
-      val sortOrd = RowOrdering.create(
-        (rTimeExpr +: tiebreak).map(SortOrder(_, Ascending)), rightOut)
-      val index: Map[UnsafeRow, (Array[Long], Array[InternalRow])] =
+      val index = BroadcastAsOfJoinExec.indexFor(broadcastId, () => {
+        val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
+        val rTimeBound = BindReferences.bindReference(rTimeExpr, rightOut)
+        val sortOrd = RowOrdering.create(
+          (rTimeExpr +: tiebreak).map(SortOrder(_, Ascending)), rightOut)
         broadcastRows.value.iterator
           .map(r => (rKeyProj(r).copy(), r))
           .filter { case (k, r) => !k.anyNull && rTimeBound.eval(r) != null }
@@ -78,6 +81,7 @@ case class BroadcastAsOfJoinExec(
             val sorted = rows.map(_._2).sortWith((a, b) => sortOrd.compare(a, b) < 0).toArray
             (k, (sorted.map(r => rTimeBound.eval(r).asInstanceOf[Long]), sorted))
           }
+      })
 
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.size)
@@ -106,5 +110,19 @@ case class BroadcastAsOfJoinExec(
         }
       }
     }
+  }
+}
+
+object BroadcastAsOfJoinExec {
+  private type Index = Map[UnsafeRow, (Array[Long], Array[InternalRow])]
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, Index]()
+
+  /** Per-executor memo of the broadcast-side index. Entries are bounded by
+    * the broadcast threshold; the map is cleared wholesale if a long
+    * session accumulates many distinct broadcasts.
+    */
+  private[plans] def indexFor(id: Long, build: () => Index): Index = {
+    if (cache.size > 128) cache.clear()
+    cache.computeIfAbsent(id, _ => build())
   }
 }

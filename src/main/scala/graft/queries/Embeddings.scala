@@ -33,6 +33,10 @@ object Embeddings {
     "v4_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"))),
 
+    // Embedding-cosine near-dup: LSH-bucketed candidate pairs at cos>=0.25.
+    "d7_embedding_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), NnBits, minCos = 0.25)),
+
     // Same result as v3, but through the single-buffer graft_vec_sum
     // aggregate (no posexplode — one shuffled row per vector, not per dim).
     "v5_centroids_agg" -> ((s, dir) =>
@@ -78,6 +82,15 @@ object Embeddings {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
          |  FROM scored)
          |SELECT q_id, bucket, c_id AS nn_id, cos FROM ranked WHERE rk = 1""".stripMargin,
+    "d7_embedding_neardup" ->
+      s"""WITH $vSrc,
+         |b AS (SELECT vec_id, dv, $bucketSql AS bucket FROM v)
+         |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  round(list_dot_product(a.dv, c.dv) /
+         |    (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(c.dv, c.dv))), 6) AS cos
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE round(list_dot_product(a.dv, c.dv) /
+         |    (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(c.dv, c.dv))), 6) >= 0.25""".stripMargin,
     "v4_ivf_topk" ->
       s"""WITH $vSrc,
          |exploded AS (
