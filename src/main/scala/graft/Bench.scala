@@ -11,9 +11,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/scan paths once so the first timed query doesn't
-    // absorb session startup.
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => () }
+    // absorb session startup: list+read every table family once and run the
+    // flagship (fixtures chain + join/agg codegen). Without this the first
+    // query measured pays ~3s of one-time cost that belongs to no query.
+    try {
+      Seq("lineitem", "orders", "customer", "documents", "embeddings")
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+      graft.queries.Tables.events(spark, sfDir).count()
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column

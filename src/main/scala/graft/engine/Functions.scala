@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{DotProductExpr, PolyHashExpr, PolyShinglesExpr, VectorMinAgg, VectorSumAgg}
+import graft.functions.{DotProductExpr, FreqItemsAgg, PolyHashExpr, PolyShinglesExpr, VectorMinAgg, VectorSumAgg}
 
 /** Registers graft's native Catalyst expressions as SQL functions so they are
   * usable from both the Column API (`call_function`) and `spark.sql`.
@@ -32,5 +32,10 @@ object Functions {
       "graft_vec_sum", exprs => VectorSumAgg(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vec_min", exprs => VectorMinAgg(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_freq_items",
+      exprs => FreqItemsAgg(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]),
+      "built-in")
   }
 }

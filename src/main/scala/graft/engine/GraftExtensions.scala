@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, PolyHashExpr, PolyShinglesExpr, VectorMinAgg, VectorSumAgg}
+import graft.functions.{DotProductExpr, FreqItemsAgg, PolyHashExpr, PolyShinglesExpr, VectorMinAgg, VectorSumAgg}
 import graft.plans.{AsOfJoinStrategy, PushFilterThroughAsOfJoin}
 
 /** Spark-native deployment hook: register graft's Catalyst expressions via
@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_vec_min"),
       info("graft_vec_min", "element-wise min aggregate of array<long>"),
       (exprs: Seq[Expression]) => VectorMinAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_items"),
+      info("graft_freq_items", "bounded-memory top-k frequent items sketch"),
+      (exprs: Seq[Expression]) => FreqItemsAgg(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
     // Whole-operator extension: as-of join planner strategy + pushdown rule.
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)

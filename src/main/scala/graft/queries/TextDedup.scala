@@ -49,6 +49,17 @@ object TextDedup {
         array_min(graft.functions.PolyShinglesExpr.column(
           lower(col("text")), Dedup.ShingleN)).as("min_shingle"))),
 
+    // bounded-memory frequent-tokens sketch (SpaceSaving family). No SQL
+    // oracle — estimates depend on merge order at the margin — so the
+    // driver records the rows-only check, like the HLL/quantile sketches.
+    "t5_freq_tokens" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .agg(graft.functions.FreqItemsAgg.column(col("w"), 20).as("top"))
+        .select(posexplode(col("top")).as(Seq("rank", "t")))
+        .select(col("rank").cast("int").as("rank"),
+          col("t.item").as("item"), col("t.est").as("est"), col("t.err").as("err"))),
+
     // exact dedup: canonical keeper per identical text.
     "d1_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 

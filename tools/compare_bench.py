@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Per-query Spark-vs-DuckDB comparison: times every oracleSql query in
+DuckDB (same parquet inputs, same machine) and joins against a Bench JSON
+line. Usage: compare_bench.py <sfDir> <oracle_sql.json> <bench.json>
+[--md PERF.md].
+
+DuckDB here is the single-node speed-of-light reference (vectorized,
+in-process, no scheduler); the Spark numbers carry per-query job/stage
+scheduling overhead that amortizes away at cluster scale. The comparison
+is still the honest throughput yardstick the baseline asks for.
+"""
+import json, statistics, sys, time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, oracle_path, bench_path, md_path=None):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(oracle_path))
+    bench = json.load(open(bench_path))
+    spark_times = bench.get("queries", {})
+    rows = []
+    for name, sql in sorted(oracle.items()):
+        times = []
+        try:
+            for _ in range(3):
+                t0 = time.time()
+                con.sql(sql).fetchall()
+                times.append(time.time() - t0)
+            duck = statistics.median(times)
+        except Exception as e:
+            duck = None
+        spark = spark_times.get(name)
+        ratio = (spark / duck) if spark and duck and duck > 0 else None
+        rows.append((name, spark, duck, ratio))
+        d = f"{duck:.3f}" if duck is not None else "n/a"
+        s = f"{spark:.3f}" if spark is not None else "n/a"
+        r = f"{ratio:.2f}x" if ratio is not None else "-"
+        print(f"{name:28s} spark {s:>8s}  duckdb {d:>8s}  ratio {r}")
+    ok = [r for r in rows if r[3] is not None]
+    tot_s = sum(r[1] for r in ok)
+    tot_d = sum(r[2] for r in ok)
+    print(f"{'TOTAL(comparable)':28s} spark {tot_s:8.3f}  duckdb {tot_d:8.3f}  "
+          f"ratio {tot_s / tot_d:.2f}x  (n={len(ok)})")
+    if md_path:
+        with open(md_path, "w") as f:
+            f.write("# PERF — Spark (local[32]) vs DuckDB, same parquet, "
+                    f"same machine\n\nsf dir: `{sf_dir}`; DuckDB median of 3 "
+                    "runs; Spark per-query time from Bench (includes job "
+                    "scheduling + noop-sink materialization).\n\n")
+            f.write("| query | spark s | duckdb s | ratio |\n|---|---|---|---|\n")
+            for name, spark, duck, ratio in sorted(
+                    rows, key=lambda r: -(r[3] or 0)):
+                s = f"{spark:.3f}" if spark is not None else "n/a"
+                d = f"{duck:.3f}" if duck is not None else "n/a"
+                r = f"{ratio:.2f}x" if ratio is not None else "-"
+                f.write(f"| {name} | {s} | {d} | {r} |\n")
+            f.write(f"| **total ({len(ok)} comparable)** | **{tot_s:.1f}** "
+                    f"| **{tot_d:.1f}** | **{tot_s / tot_d:.2f}x** |\n")
+
+
+if __name__ == "__main__":
+    md = None
+    args = [a for a in sys.argv[1:]]
+    if "--md" in args:
+        i = args.index("--md")
+        md = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    main(args[0], args[1], args[2], md)
