@@ -64,6 +64,10 @@ object Dedup {
 
   /** Candidate pairs (doc_a < doc_b) sharing ≥1 LSH bucket, with the count
     * of shared bands. Join is on (band, band_key) — never a cross product.
+    * Each doc emits exactly one bucket row per band, so a pair can meet at
+    * most once per band and plain count == count distinct — sparing the
+    * distinct's extra aggregation pass. (Oracle keeps COUNT(DISTINCT); the
+    * values are identical.)
     */
   def candidatePairs(buckets: DataFrame): DataFrame = {
     val a = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
@@ -71,7 +75,7 @@ object Dedup {
     a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(countDistinct(col("band")).as("n_bands"))
+      .agg(count(col("band")).as("n_bands"))
   }
 
   /** Estimated Jaccard from signature agreement for candidate pairs. */

@@ -129,14 +129,15 @@ object Similarity {
     val scoredCells = v.crossJoin(broadcast(cent))
       .withColumn("ccos", round(cosine(col("dv"), col("cv")), 6))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cell"))
-    val assigned = scoredCells
+    // Persisted: both sides of the within-cell self-join reuse the
+    // assignment — without it the centroid scoring cross-join runs twice.
+    val members = scoredCells
       .withColumn("ark", row_number().over(wAssign))
       .filter(col("ark") === 1)
-      .select(col("vec_id"), col("cell"))
-    val a = assigned.join(v, "vec_id")
-      .select(col("cell"), col("vec_id").as("q_id"), col("dv").as("qv"))
-    val b = assigned.join(v, "vec_id")
-      .select(col("cell"), col("vec_id").as("c_id"), col("dv").as("cv2"))
+      .select(col("vec_id"), col("cell"), col("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = members.select(col("cell"), col("vec_id").as("q_id"), col("dv").as("qv"))
+    val b = members.select(col("cell"), col("vec_id").as("c_id"), col("dv").as("cv2"))
     val scored = a.join(b, "cell")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv2")), 6))
