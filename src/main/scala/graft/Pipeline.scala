@@ -86,9 +86,12 @@ object Pipeline {
     val split = Split.exact(f, "sample_key", cfg.trainFraction, cfg.seed)
     if (!cfg.augment) split.withColumn("aug_k", lit(0))
     else {
+      // Persisted: the train and test branches both read the split, and the
+      // split's global row-number sort should run once, not per branch.
+      val s = split.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val train = Augment.fanOut4(
-        split.filter(col("is_train") === 1), "sample_key", cfg.seed)
-      val test = split.filter(col("is_train") === 0).withColumn("aug_k", lit(0))
+        s.filter(col("is_train") === 1), "sample_key", cfg.seed)
+      val test = s.filter(col("is_train") === 0).withColumn("aug_k", lit(0))
       train.select(test.columns.map(col): _*).unionByName(test)
     }
   }

@@ -1,0 +1,153 @@
+package graft.io
+
+import java.util
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for directories of torch `.pt` tensor files:
+  * `spark.read.format("graft-pt").load(dir)` → (scene_id, length, tensor)
+  * with the reference's permute(1,0,2,3) layout applied
+  * (stations × bands × 49 px, see [[TorchTensors]]).
+  *
+  * The V2 surface is what makes this a real source rather than a UDF over
+  * binaryFile (the s5b form):
+  * - column pruning pushes into the reader — `select(scene_id, length)`
+  *   never opens the zip or copies tensor storage (the scan's
+  *   `readSchema` proves it in explain output);
+  * - files pack into input partitions up to
+  *   `spark.sql.files.maxPartitionBytes`-style budgets, so a million
+  *   small tensors do not make a million tasks;
+  * - decode happens inside `PartitionReader` on executors — a narrow
+  *   scan, nothing shuffles, no driver-side listing beyond the split.
+  */
+class PtDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-pt"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PtDataSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PtTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object PtDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("scene_id", StringType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("tensor", ArrayType(ArrayType(ArrayType(DoubleType))))))
+
+  val DefaultPartitionBytes: Long = 128L * 1024 * 1024
+}
+
+class PtTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graft-pt requires a load path")
+  override def name(): String = s"graft-pt `$path`"
+  override def schema(): StructType = PtDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PtScanBuilder(path)
+}
+
+class PtScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = PtDataSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new PtScan(path, required)
+}
+
+final case class PtFileSlice(path: String, length: Long)
+final case class PtInputPartition(files: Seq[PtFileSlice]) extends InputPartition
+
+class PtScan(path: String, requiredSchema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-pt $path readSchema=[${requiredSchema.fieldNames.mkString(",")}]"
+
+  /** Greedy size packing: many small tensors share a task; a huge file
+    * stands alone. Listing happens once, on the driver, like FileScan.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val files = fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".pt"))
+      .sortBy(_.getPath.toString)
+      .map(s => PtFileSlice(s.getPath.toString, s.getLen))
+    val parts = mutable.ArrayBuffer.empty[PtInputPartition]
+    var cur = mutable.ArrayBuffer.empty[PtFileSlice]
+    var curBytes = 0L
+    for (f <- files) {
+      if (cur.nonEmpty && curBytes + f.length > PtDataSource.DefaultPartitionBytes) {
+        parts += PtInputPartition(cur.toSeq); cur = mutable.ArrayBuffer.empty; curBytes = 0L
+      }
+      cur += f; curBytes += f.length
+    }
+    if (cur.nonEmpty) parts += PtInputPartition(cur.toSeq)
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PtReaderFactory(requiredSchema)
+}
+
+class PtReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PtPartitionReader(partition.asInstanceOf[PtInputPartition], schema)
+}
+
+class PtPartitionReader(part: PtInputPartition, schema: StructType)
+    extends PartitionReader[InternalRow] {
+  private val needTensor = schema.fieldNames.contains("tensor")
+  private var i = -1
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= part.files.size) return false
+    current = readOne(part.files(i))
+    true
+  }
+
+  private def readOne(f: PtFileSlice): InternalRow = {
+    val name = f.path.substring(f.path.lastIndexOf('/') + 1)
+    val sceneId = name.stripSuffix(".pt")
+    val values = schema.fieldNames.toSeq.map {
+      case "scene_id" => UTF8String.fromString(sceneId)
+      case "length"   => f.length
+      case "tensor"   => decode(f)
+    }
+    InternalRow.fromSeq(values)
+  }
+
+  /** Only reached when `tensor` survives pruning: open + unzip + unpickle
+    * happens per requested file, never for metadata-only queries.
+    */
+  private def decode(f: PtFileSlice): GenericArrayData = {
+    val p = new Path(f.path)
+    val fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val stationBands = TorchTensors.toStationBands(TorchTensors.parsePt(bytes))
+    new GenericArrayData(stationBands.map(station =>
+      new GenericArrayData(station.map(band =>
+        new GenericArrayData(band.toArray)))).toArray)
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -133,6 +133,19 @@ object Landsat {
         arrDot(flat).cast("long").as("t_dot"))
     }),
 
+    // S5 as a real DataSource V2: spark.read.format("graft-pt") — same
+    // decode as s5b but with V2 column pruning into the reader and
+    // size-packed input partitions. Same oracle (the sidecar expectations).
+    "s5c_pt_datasource" -> ((s, _) => {
+      val df = fx(s).read.format("graft-pt").load(s"$FixturesDir/tensors")
+      val flat = flatten(flatten(col("tensor")))
+      df.select(col("scene_id"),
+        size(element_at(col("tensor"), 1)).as("nbands"),
+        size(col("tensor")).as("n_stations"),
+        arrSum(flat).cast("long").as("t_sum"),
+        arrDot(flat).cast("long").as("t_dot"))
+    }),
+
     // S7: sink + re-scan roundtrip (parquet).
     "s7_sink_roundtrip" -> ((s, dir) => {
       val out = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
@@ -591,6 +604,11 @@ object Landsat {
     "s7_sink_roundtrip" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
     "s5b_pt_ingest" ->
+      """SELECT scene_id, nbands, n_stations, t_sum, t_dot
+        |FROM read_csv('/root/repo/fixtures/tensors/expected.csv', header=true,
+        |  columns={'scene_id':'VARCHAR','nbands':'INTEGER','n_stations':'INTEGER',
+        |           't_sum':'BIGINT','t_dot':'BIGINT'})""".stripMargin,
+    "s5c_pt_datasource" ->
       """SELECT scene_id, nbands, n_stations, t_sum, t_dot
         |FROM read_csv('/root/repo/fixtures/tensors/expected.csv', header=true,
         |  columns={'scene_id':'VARCHAR','nbands':'INTEGER','n_stations':'INTEGER',
