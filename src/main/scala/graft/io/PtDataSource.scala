@@ -8,9 +8,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -51,14 +52,19 @@ object PtDataSource {
   val DefaultPartitionBytes: Long = 128L * 1024 * 1024
 }
 
-class PtTable(path: String) extends Table with SupportsRead {
+class PtTable(path: String) extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graft-pt requires a load path")
-  override def name(): String = s"graft-pt `$path`"
+  // Plain identifier: this surfaces in SQL error messages / plans, where
+  // slashes and backticks break identifier quoting.
+  override def name(): String = "graft_pt"
   override def schema(): StructType = PtDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PtScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new PtWriteBuilder(path, info.schema())
 }
 
 class PtScanBuilder(path: String) extends ScanBuilder
@@ -149,5 +155,87 @@ class PtPartitionReader(part: PtInputPartition, schema: StructType)
   }
 
   override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Write side: each row (scene_id, tensor) becomes one torch-format
+  * `<scene_id>.pt` file ([[TorchTensors.encodePt]]). Tasks write
+  * `.<uuid>.tmp` files and the driver-side commit renames them into place,
+  * so a failed job leaves no half-written `.pt` visible to readers;
+  * truncate (overwrite mode) clears existing `.pt` files first.
+  */
+class PtWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  // The analyzer has already resolved the input against the table schema
+  // (scene_id, length, tensor); `length` is derived on read and ignored
+  // here — the storage length is whatever encodePt produces.
+  override def build(): Write = new PtWrite(path, schema, doTruncate)
+}
+
+final case class PtCommit(tmpNames: Seq[String]) extends WriterCommitMessage
+
+class PtWrite(path: String, schema: StructType, doTruncate: Boolean)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new PtWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    if (doTruncate) {
+      Option(fs.globStatus(new Path(dir, "*.pt"))).toSeq.flatten
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    for (m <- messages; tmp <- m.asInstanceOf[PtCommit].tmpNames) {
+      val finalName = tmp.substring(tmp.indexOf('!') + 1)
+      fs.rename(new Path(dir, tmp.substring(0, tmp.indexOf('!'))),
+        new Path(dir, finalName))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    for (m <- messages if m != null; tmp <- m.asInstanceOf[PtCommit].tmpNames)
+      fs.delete(new Path(dir, tmp.substring(0, tmp.indexOf('!'))), false)
+  }
+}
+
+class PtWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PtDataWriter(path, schema, s"$partitionId-$taskId")
+}
+
+class PtDataWriter(path: String, schema: StructType, taskTag: String)
+    extends DataWriter[InternalRow] {
+  private val sceneIdx = schema.fieldIndex("scene_id")
+  private val tensorIdx = schema.fieldIndex("tensor")
+  private val dir = new Path(path)
+  private val fs = dir.getFileSystem(new Configuration())
+  private val written = mutable.ArrayBuffer.empty[String]
+
+  override def write(row: InternalRow): Unit = {
+    val sceneId = row.getUTF8String(sceneIdx).toString
+    val t = row.getArray(tensorIdx)
+    val tensor = (0 until t.numElements()).map { s =>
+      val station = t.getArray(s)
+      (0 until station.numElements()).map { b =>
+        station.getArray(b).toDoubleArray().toSeq
+      }
+    }
+    val bytes = TorchTensors.encodePt(sceneId, tensor)
+    val tmpName = s".${sceneId}.${taskTag}.tmp"
+    val out = fs.create(new Path(dir, tmpName), true)
+    try out.write(bytes) finally out.close()
+    written += s"$tmpName!$sceneId.pt"
+  }
+
+  override def commit(): WriterCommitMessage = PtCommit(written.toSeq)
+  override def abort(): Unit =
+    written.foreach(t => fs.delete(new Path(dir, t.substring(0, t.indexOf('!'))), false))
   override def close(): Unit = ()
 }

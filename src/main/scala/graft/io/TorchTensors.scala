@@ -101,13 +101,100 @@ object TorchTensors {
       .select(
         regexp_extract(col("path"), "([^/]+)\\.pt$", 1).as("scene_id"),
         decode(col("content")).as("tensor"))
+
+  /** Inverse of [[parsePt]]+[[toStationBands]]: a (stations × bands × px)
+    * tensor back to a torch-format .pt archive (zip + pickle + int32
+    * storage, contiguous layout, shape (bands, stations, 1, px)). Values
+    * must be integral — the reference's tensors are IntStorage.
+    */
+  def encodePt(sceneId: String, tensor: Seq[Seq[Seq[Double]]]): Array[Byte] = {
+    val ns = tensor.size
+    require(ns > 0, "empty tensor")
+    val nb = tensor.head.size
+    val px = tensor.head.head.size
+    val data = new Array[Int](nb * ns * px)
+    for (s <- 0 until ns; b <- 0 until nb) {
+      val band = tensor(s)(b)
+      require(band.size == px, s"ragged tensor at station $s band $b")
+      var x = 0
+      while (x < px) {
+        val v = band(x)
+        require(v == math.rint(v) && math.abs(v) <= Int.MaxValue,
+          s"non-int32 value $v at ($s,$b,$x)")
+        data(b * ns * px + s * px + x) = v.toInt
+        x += 1
+      }
+    }
+    val storage = ByteBuffer.allocate(data.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    data.foreach(storage.putInt)
+    val pkl = PtPickle.write("IntStorage", "0",
+      shape = Seq(nb, ns, 1, px), stride = Seq(ns * px, px, px, 1),
+      numel = data.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, bytes: Array[Byte]): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(bytes); zip.closeEntry()
+    }
+    entry(s"$sceneId/version", "3\n".getBytes("UTF-8"))
+    entry(s"$sceneId/data.pkl", pkl)
+    entry(s"$sceneId/data/0", storage.array())
+    zip.close()
+    bos.toByteArray
+  }
 }
 
 /** Minimal protocol-2 pickle stack machine for torch single-tensor saves.
   * Supported opcodes: exactly the set torch emits for
   * `_rebuild_tensor_v2(storage_pid, offset, shape, stride, grad, hooks)`.
+  * [[PtPickle.write]] emits the same structure (the writer half of the
+  * graft-pt DataSource V2), byte-compatible with [[PtPickle.parse]].
   */
 object PtPickle {
+
+  /** Emit the torch single-tensor pickle: REDUCE of _rebuild_tensor_v2
+    * over (persistent storage id, offset 0, shape, stride, grad=false,
+    * OrderedDict()). Protocol 2, little-endian, same opcode set the parser
+    * accepts.
+    */
+  def write(storageType: String, storageKey: String,
+      shape: Seq[Int], stride: Seq[Int], numel: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def op(c: Int): Unit = bos.write(c)
+    def int(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def unicode(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); op('X'); int(b.length); bos.write(b)
+    }
+    def global(module: String, name: String): Unit = {
+      op('c'); bos.write(s"$module\n$name\n".getBytes("UTF-8"))
+    }
+    def intTuple(xs: Seq[Int]): Unit = {
+      op('('); xs.foreach { x => op('J'); int(x) }; op('t')
+    }
+    op(0x80); op(2)                                  // PROTO 2
+    global("torch._utils", "_rebuild_tensor_v2")
+    op('(')                                          // args tuple
+    op('(')                                          //   persistent id tuple
+    unicode("storage")
+    global("torch", storageType)
+    unicode(storageKey)
+    unicode("cpu")
+    op('J'); int(numel)
+    op('t')
+    op('Q')                                          //   BINPERSID
+    op('K'); op(0)                                   //   storage offset
+    intTuple(shape)
+    intTuple(stride)
+    op(0x89)                                         //   requires_grad=False
+    global("collections", "OrderedDict"); op(')'); op('R') // empty hooks
+    op('t')
+    op('R')                                          // REDUCE
+    op('.')                                          // STOP
+    bos.toByteArray
+  }
   final case class Parsed(storageType: String, storageKey: String,
       shape: Seq[Int], stride: Seq[Int], offset: Int)
 
