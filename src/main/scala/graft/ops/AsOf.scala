@@ -44,6 +44,9 @@ object AsOf {
     install(spark)
 
     // Fresh exprIds + disjoint names for the right side (self-join safety).
+    val clash = right.columns.map(_ + rightSuffix).toSet intersect left.columns.toSet
+    require(clash.isEmpty,
+      s"left columns collide with suffixed right columns: ${clash.mkString(", ")}")
     val renamed = right.select(
       right.columns.toIndexedSeq.map(c => col(c).as(c + rightSuffix)): _*)
 

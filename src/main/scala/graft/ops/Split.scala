@@ -38,8 +38,12 @@ object Split {
     */
   def globalRowNumber(df: DataFrame, shufKey: String, tieBreak: String,
                       numParts: Int = 32): DataFrame = {
+    // Persisted: the numbered frame feeds three consumers (the split
+    // count, the per-partition offsets subquery, and the main path) —
+    // without it the input chain and range shuffle run three times.
     val ranged = df.repartitionByRange(numParts, col(shufKey), col(tieBreak))
       .withColumn("_part", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy("_part").orderBy(col(shufKey), col(tieBreak))
     val numbered = ranged.withColumn("_prn", row_number().over(w))
     val offsets = numbered.groupBy("_part").agg(count(lit(1)).as("_pcnt"))
