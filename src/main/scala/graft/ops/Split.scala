@@ -66,4 +66,36 @@ object Split {
     val cut = math.floor(trainFraction * n).toLong
     numbered.withColumn("is_train", (col("rn") <= cut).cast("int")).drop("_shuf")
   }
+
+  /** Stratified exact split: ⌊f·N_g⌋ train rows within EVERY stratum
+    * (label/language/source), so minority classes keep their ratio — the
+    * class-balance property a plain global split loses. No global sort:
+    * the row number is a per-stratum window (parallel across strata) and
+    * the per-stratum counts join back on the stratum key.
+    */
+  def stratifiedExact(df: DataFrame, stratumCol: String, keyCol: String,
+      trainFraction: Double, seed: Long): DataFrame = {
+    val keyed = df.withColumn("_shuf", shuffleKey(col(keyCol), seed))
+    val w = Window.partitionBy(stratumCol).orderBy(col("_shuf"), col(keyCol))
+    val numbered = keyed.withColumn("_grn", row_number().over(w))
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("_gn"))
+    numbered.join(broadcast(counts), stratumCol)
+      .withColumn("is_train",
+        (col("_grn") <= floor(lit(trainFraction) * col("_gn"))).cast("int"))
+      .drop("_shuf", "_grn", "_gn")
+  }
+
+  /** Deterministic uniform sample of (up to) k rows per key: rank by the
+    * seeded per-row LCG inside each key and keep the first k. The scalable
+    * form of "give me k examples per class" — one shuffle on the key, no
+    * driver-side sampling state, reproducible across runs and engines.
+    */
+  def samplePerKey(df: DataFrame, partitionCol: String, keyCol: String,
+      k: Int, seed: Long): DataFrame = {
+    val w = Window.partitionBy(partitionCol)
+      .orderBy(shuffleKey(col(keyCol), seed), col(keyCol))
+    df.withColumn("_srn", row_number().over(w))
+      .filter(col("_srn") <= k)
+      .drop("_srn")
+  }
 }

@@ -60,6 +60,24 @@ object TextDedup {
         .select(col("rank").cast("int").as("rank"),
           col("t.item").as("item"), col("t.est").as("est"), col("t.err").as("err"))),
 
+    // stratified exact split: per-language ⌊0.8·N_lang⌋ train rows —
+    // minority languages keep their ratio. Output: per-lang counts.
+    "o5_stratified_split" -> ((s, dir) =>
+      graft.ops.Split.stratifiedExact(
+          docs(s, dir).select("doc_id", "lang"), "lang", "doc_id", 0.8, seed = 7L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_train")).as("n_train"))),
+
+    // deterministic k-per-key sample: 5 docs per (lang, source) cell by
+    // seeded LCG rank — reproducible "few examples per class".
+    "o6_sample_per_key" -> ((s, dir) =>
+      graft.ops.Split.samplePerKey(
+          docs(s, dir).select(col("doc_id"),
+            concat_ws("|", col("lang"), col("source")).as("cell")),
+          "cell", "doc_id", k = 5, seed = 11L)
+        .select("cell", "doc_id")),
+
     // exact dedup: canonical keeper per identical text.
     "d1_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
@@ -183,6 +201,28 @@ object TextDedup {
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "o5_stratified_split" -> {
+      val shuf = Hashing.lcgSql("doc_id", 7L, Hashing.LcgM)
+      s"""WITH numbered AS (
+         |  SELECT lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY $shuf, doc_id) AS grn
+         |  FROM documents),
+         |counts AS (SELECT lang, count(*) AS gn FROM documents GROUP BY lang)
+         |SELECT n.lang, count(*) AS n,
+         |  CAST(sum(CASE WHEN grn <= floor(0.8 * gn) THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+         |FROM numbered n JOIN counts c ON n.lang = c.lang
+         |GROUP BY n.lang""".stripMargin
+    },
+    "o6_sample_per_key" -> {
+      val shuf = Hashing.lcgSql("doc_id", 11L, Hashing.LcgM)
+      s"""WITH cells AS (
+         |  SELECT doc_id, lang || '|' || source AS cell FROM documents),
+         |ranked AS (
+         |  SELECT cell, doc_id,
+         |    row_number() OVER (PARTITION BY cell ORDER BY $shuf, doc_id) AS rn
+         |  FROM cells)
+         |SELECT cell, doc_id FROM ranked WHERE rn <= 5""".stripMargin
+    },
     "d2_minhash_lsh" -> {
       val matches = (0 until Dedup.K).map(k =>
         s"CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END").mkString(" + ")

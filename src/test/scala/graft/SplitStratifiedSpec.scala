@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Split
+
+/** Stratified split and per-key sampling invariants. */
+class SplitStratifiedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Uneven strata: 100 "a", 10 "b", 3 "c".
+  private def df = spark.range(113).select(
+    col("id").as("k"),
+    when(col("id") < 100, "a").when(col("id") < 110, "b").otherwise("c").as("g"))
+
+  test("stratifiedExact keeps the ratio inside every stratum") {
+    val split = Split.stratifiedExact(df, "g", "k", 0.8, seed = 3L)
+    val got = split.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("is_train").as("tr"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map("a" -> (100L, 80L), "b" -> (10L, 8L), "c" -> (3L, 2L)))
+    // Partition of the input: every row present exactly once.
+    assert(split.count() === 113)
+    assert(split.select("k").distinct().count() === 113)
+  }
+
+  test("samplePerKey: at most k per key, deterministic, subset of input") {
+    val s1 = Split.samplePerKey(df, "g", "k", k = 5, seed = 9L)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val s2 = Split.samplePerKey(df, "g", "k", k = 5, seed = 9L)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(s1 === s2)
+    val perKey = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perKey === Map("a" -> 5, "b" -> 5, "c" -> 3))
+    // Different seed -> different (deterministic) choice within big strata.
+    val s3 = Split.samplePerKey(df, "g", "k", k = 5, seed = 10L)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(s3 !== s1)
+  }
+}
