@@ -100,6 +100,46 @@ object Dedup {
     estimatedJaccard(candidatePairs(lshBuckets(sig)), sig)
   }
 
+  /** Duplicate-cluster resolution: connected components over the LSH
+    * candidate graph, so every near-dup group gets one canonical keeper
+    * (the min doc_id in the component) — the step that turns candidate
+    * pairs into an actionable drop list.
+    *
+    * Min-label propagation: each round, every vertex takes the min label
+    * among itself and its neighbors — one hash join + min-aggregate per
+    * round, converging in O(component diameter) rounds. LSH dup clusters
+    * are near-cliques (diameter ≤ ~3), so the loop exits after 2-4 cheap
+    * rounds; labels are monotonically non-increasing, so the fixpoint
+    * check is an exact count of changed rows. No GraphX, no driver-side
+    * adjacency — at 100 TB every round is a keyed shuffle.
+    */
+  def dupClusters(docs: DataFrame): DataFrame = {
+    val pairs = candidatePairs(lshBuckets(minhashSignatures(shingleHashes(docs))))
+      .select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("doc_b"), col("label").as("nl")), "doc_b")
+        .groupBy(col("doc_a").as("id")).agg(min("nl").as("nl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("keep_id"))
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash over (multiplicity-weighted) word hashes. */

@@ -78,6 +78,22 @@ object TextDedup {
           "cell", "doc_id", k = 5, seed = 11L)
         .select("cell", "doc_id")),
 
+    // corpus-level unigram negative log-likelihood per doc — the LM-score
+    // quality filter shape: build the corpus frequency table (one groupBy),
+    // join it back to tokens, average -ln p(w). Rare-token-heavy docs
+    // (gibberish, OCR noise) score high.
+    "t6_unigram_logprob" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val freq = toks.groupBy("w").agg(count(lit(1)).as("wn"))
+      val total = toks.count()
+      toks.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("wn").cast("double") / total)), 6).as("avg_neg_logp"),
+          count(lit(1)).as("n_tokens"))
+    }),
+
     // exact dedup: canonical keeper per identical text.
     "d1_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
@@ -93,6 +109,10 @@ object TextDedup {
 
     // exact n-gram Jaccard verification of LSH candidates.
     "d5_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
+
+    // connected components over the LSH candidate graph: every near-dup
+    // doc mapped to its cluster keeper (min doc_id in the component).
+    "d8_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
 
     // MinHash signature union per source cluster via the single-buffer
     // graft_vec_min aggregate: sig(A ∪ B) = element-wise min(sig(A), sig(B)),
@@ -201,6 +221,16 @@ object TextDedup {
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "t6_unigram_logprob" ->
+      s"""WITH $toksSrc,
+         |toks2 AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+         |freq AS (SELECT w, count(*) AS wn FROM toks2 GROUP BY w),
+         |tot AS (SELECT count(*) AS n FROM toks2)
+         |SELECT doc_id,
+         |  round(avg(-ln(CAST(wn AS DOUBLE) / n)), 6) AS avg_neg_logp,
+         |  count(*) AS n_tokens
+         |FROM toks2 JOIN freq USING (w) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
     "o5_stratified_split" -> {
       val shuf = Hashing.lcgSql("doc_id", 7L, Hashing.LcgM)
       s"""WITH numbered AS (
@@ -233,6 +263,17 @@ object TextDedup {
          |  JOIN sig sa ON p.doc_a = sa.doc_id
          |  JOIN sig sb ON p.doc_b = sb.doc_id""".stripMargin
     },
+    "d8_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashChain,
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT doc_a AS id, doc_a AS label FROM edges
+         |  UNION
+         |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON e.doc_b = r.id)
+         |SELECT id AS doc_id, min(label) AS keep_id
+         |FROM reach GROUP BY id""".stripMargin,
     "d3_simhash" -> simhashSql,
     "d4_simhash_pairs" ->
       s"""WITH simh AS ($simhashSql)

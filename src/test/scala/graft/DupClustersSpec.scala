@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Connected-components keeper assignment over the LSH candidate graph. */
+class DupClustersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("identical docs form one cluster with the min doc_id as keeper") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "an entirely different document about spark catalyst planning rules"
+    val docs = Seq(
+      (10L, a), (11L, a), (12L, a),   // clique -> keeper 10
+      (20L, b), (21L, b),             // clique -> keeper 20
+      (30L, "totally unrelated text mentioning neither animals nor engines once"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupClusters(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(!got.contains(30L)) // no candidate pair -> not in the graph
+  }
+
+  test("propagation crosses chains: a~b and b~c puts a,c in one component") {
+    // Force a chain via near-identical texts sharing most shingles.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                       // 1~2 identical
+      (3L, base + " nu"),               // shares shingles with 1/2
+      (4L, base + " nu"))               // identical to 3
+      .toDF("doc_id", "text")
+    val got = Dedup.dupClusters(docs).as[(Long, Long)].collect().toMap
+    // However LSH banded the chain, every doc in the same component maps to
+    // the same keeper, and keepers are component minima.
+    val comps = got.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    for ((keeper, members) <- comps) assert(keeper === members.min)
+    assert(got(2L) === got(1L))
+    if (got.contains(3L) && got.contains(4L)) assert(got(4L) === got(3L))
+  }
+}
