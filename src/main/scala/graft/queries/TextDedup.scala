@@ -114,6 +114,26 @@ object TextDedup {
     // doc mapped to its cluster keeper (min doc_id in the component).
     "d8_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
 
+    // The capstone corpus-cleaning pipeline, composed from the operator
+    // library: drop near-dup non-keepers (anti-join against d8's cluster
+    // map), keep docs whose quality clears the bar and whose predicted
+    // language agrees with the label. Per-row quality/langid arithmetic is
+    // bit-identical across engines (no aggregation inside the predicate).
+    "c1_clean_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nonKeepers = Dedup.dupClusters(d)
+        .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+      val ws = TextOps.tokens(col("text"))
+      d.withColumn("quality", TextOps.qualityScore(ws))
+        .withColumn("pred", TextOps.predictedLang(ws))
+        .join(nonKeepers, Seq("doc_id"), "left_anti")
+        .filter(col("quality") >= 0.3 && col("pred") === col("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("quality"), 6).as("avg_quality"),
+          sum("n_chars").as("sum_chars"))
+    }),
+
     // MinHash signature union per source cluster via the single-buffer
     // graft_vec_min aggregate: sig(A ∪ B) = element-wise min(sig(A), sig(B)),
     // so corpus slices can be near-dup-compared without re-shingling text.
@@ -263,6 +283,38 @@ object TextDedup {
          |  JOIN sig sa ON p.doc_a = sa.doc_id
          |  JOIN sig sb ON p.doc_b = sb.doc_id""".stripMargin
     },
+    "c1_clean_corpus" ->
+      s"""WITH RECURSIVE $minhashChain,
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT doc_a AS id, doc_a AS label FROM edges
+         |  UNION
+         |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON e.doc_b = r.id),
+         |nonkeepers AS (
+         |  SELECT id AS doc_id FROM reach GROUP BY id
+         |  HAVING id <> min(label)),
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS DOUBLE) / len(ws) AS stop_ratio,
+         |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS awl,
+         |  len(ws) AS n FROM toks),
+         |q AS (SELECT doc_id,
+         |  0.5 * stop_ratio + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0)
+         |    + 0.2 * (awl / 10.0) AS quality FROM m),
+         |h AS (SELECT doc_id, ${hitsSql("en")} AS en, ${hitsSql("de")} AS de,
+         |             ${hitsSql("es")} AS es, ${hitsSql("fr")} AS fr FROM toks),
+         |pr AS (SELECT doc_id,
+         |  CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |       WHEN de >= es AND de >= fr THEN 'de'
+         |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred FROM h)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  round(avg(quality), 6) AS avg_quality,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents d JOIN q USING (doc_id) JOIN pr USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM nonkeepers)
+         |  AND quality >= 0.3 AND pred = d.lang
+         |GROUP BY d.lang""".stripMargin,
     "d8_dup_clusters" ->
       s"""WITH RECURSIVE $minhashChain,
          |edges AS (
