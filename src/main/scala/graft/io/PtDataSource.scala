@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -60,7 +61,7 @@ class PtTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def schema(): StructType = PtDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PtScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -109,6 +110,60 @@ class PtScan(path: String, requiredSchema: StructType) extends Scan with Batch {
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PtReaderFactory(requiredSchema)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PtMicroBatchStream(path, requiredSchema)
+}
+
+/** Offset = the sorted set of files seen at that point; a batch is the set
+  * difference. This is the file-source model in its simplest form — the
+  * production variant keeps a compaction log instead of inlining the list
+  * into every offset (fine here: offsets are per-checkpoint metadata and
+  * tensor drops arrive in the thousands, not billions).
+  */
+final case class PtStreamOffset(entries: Seq[PtFileSlice]) extends Offset {
+  override def json(): String =
+    entries.map(e => s"${e.length}\t${e.path}").mkString("\n")
+}
+
+object PtStreamOffset {
+  def parse(json: String): PtStreamOffset =
+    if (json.isEmpty) PtStreamOffset(Nil)
+    else PtStreamOffset(json.split("\n").toSeq.map { line =>
+      val i = line.indexOf('\t')
+      PtFileSlice(line.substring(i + 1), line.substring(0, i).toLong)
+    })
+}
+
+/** Incremental tensor ingest: each micro-batch decodes exactly the .pt
+  * files that appeared since the previous offset.
+  */
+class PtMicroBatchStream(path: String, schema: StructType) extends MicroBatchStream {
+
+  private def listing(): Seq[PtFileSlice] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".pt"))
+      .map(s => PtFileSlice(s.getPath.toString, s.getLen))
+      .sortBy(_.path)
+  }
+
+  override def initialOffset(): Offset = PtStreamOffset(Nil)
+  override def latestOffset(): Offset = PtStreamOffset(listing())
+  override def deserializeOffset(json: String): Offset = PtStreamOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[PtStreamOffset].entries.map(_.path).toSet
+    val fresh = end.asInstanceOf[PtStreamOffset].entries.filterNot(e => seen(e.path))
+    if (fresh.isEmpty) Array.empty
+    else fresh.grouped(8).map(g => PtInputPartition(g): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PtReaderFactory(schema)
 }
 
 class PtReaderFactory(schema: StructType) extends PartitionReaderFactory {

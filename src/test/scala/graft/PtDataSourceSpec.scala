@@ -42,6 +42,31 @@ class PtDataSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions === 1)
   }
 
+  test("micro-batch stream ingests new tensor files incrementally") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pt_stream").toString
+    def drop(id: String): Unit = {
+      val tensor = Seq(Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))  // 1 station, 2 bands
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, s"$id.pt"),
+        graft.io.TorchTensors.encodePt(id, tensor))
+    }
+    drop("scene_a"); drop("scene_b")
+    val q = spark.readStream.format("graft-pt").load(tmp)
+      .select($"scene_id")
+      .writeStream.format("memory").queryName("pt_stream_" + hashCode.abs)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("pt_stream_" + hashCode.abs)
+      assert(t.as[String].collect().sorted.toSeq === Seq("scene_a", "scene_b"))
+      drop("scene_c")
+      q.processAllAvailable()
+      // Incremental: c arrives once, a/b are not re-read.
+      assert(t.as[String].collect().sorted.toSeq ===
+        Seq("scene_a", "scene_b", "scene_c"))
+    } finally q.stop()
+  }
+
   test("write path: roundtrip through real torch zip+pickle format") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_pt_write").toString
     val full = spark.read.format("graft-pt").load(dir)
