@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, Literal, Multiply, UnixMicros}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.GraftBridge
 import org.apache.spark.sql.functions.col
@@ -38,7 +38,39 @@ object AsOf {
       rightTimeCol: String,
       tiebreak: Seq[String] = Nil,
       toleranceMicros: Option[Long] = None,
-      rightSuffix: String = "_r"): DataFrame = {
+      rightSuffix: String = "_r"): DataFrame =
+    join(left, right, on, leftTimeCol, rightTimeCol, tiebreak,
+      toleranceMicros, rightSuffix, forward = false)
+
+  /** Forward as-of: the EARLIEST right row with time >= left time (the
+    * "next reading after this event"). Same operators as backward with
+    * both time axes negated — greatest(-t_r) <= -t_l is exactly
+    * smallest(t_r) >= t_l — so merge and broadcast paths, pushdown rule,
+    * and cost-based choice all apply unchanged. Ties on equal time break
+    * toward the max tiebreak value (matching backward).
+    */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      tiebreak: Seq[String] = Nil,
+      toleranceMicros: Option[Long] = None,
+      rightSuffix: String = "_r"): DataFrame =
+    join(left, right, on, leftTimeCol, rightTimeCol, tiebreak,
+      toleranceMicros, rightSuffix, forward = true)
+
+  private def join(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      tiebreak: Seq[String],
+      toleranceMicros: Option[Long],
+      rightSuffix: String,
+      forward: Boolean): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equi-key")
     val spark = left.sparkSession
     install(spark)
@@ -52,10 +84,19 @@ object AsOf {
 
     val lp = GraftBridge.analyzed(left)
     val rp = GraftBridge.analyzed(renamed)
+    // Negation must preserve micros: Cast(timestamp, long) truncates to
+    // seconds, so timestamps go through UnixMicros instead.
+    def time(e: Expression): Expression =
+      if (!forward) e
+      else Multiply(e.dataType match {
+        case TimestampType => UnixMicros(e)
+        case _             => Cast(e, LongType)
+      }, Literal(-1L))
     val plan = AsOfJoin(
       lp, rp,
       on.map(attr(lp, _)), on.map(k => attr(rp, k + rightSuffix)),
-      asTime(attr(lp, leftTimeCol)), asTime(attr(rp, rightTimeCol + rightSuffix)),
+      time(asTime(attr(lp, leftTimeCol))),
+      time(asTime(attr(rp, rightTimeCol + rightSuffix))),
       tiebreak.map(c => attr(rp, c + rightSuffix)),
       toleranceMicros)
     GraftBridge.ofRows(spark, plan)

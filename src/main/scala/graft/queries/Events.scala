@@ -64,6 +64,23 @@ object Events {
           round(col("value_r"), 3).as("click_value"))
     }),
 
+    // Forward direction: each click's NEXT purchase within 2 hours.
+    "aj3_asof_forward" -> ((s, dir) => {
+      val ev = eventsT(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOf.joinForward(clicks, purchases,
+          on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+          tiebreak = Seq("event_id"),
+          toleranceMicros = Some(2L * 3600 * 1000000))
+        .agg(count(lit(1)).as("n_total"),
+          count(col("ts_r")).as("n_matched"),
+          round(avg(unix_micros(col("ts_r")) - unix_micros(col("ts"))), 6)
+            .as("avg_gap_us"))
+    }),
+
     // Same operator with a 30-minute tolerance; aggregated match stats.
     "aj2_asof_tolerance" -> ((s, dir) => {
       val ev = eventsT(s, dir)
@@ -144,6 +161,20 @@ object Events {
         |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
         |SELECT event_id, user_id, ts, round(lvalue, 3) AS purchase_value,
         |       rts AS click_ts, round(rvalue, 3) AS click_value
+        |FROM cand WHERE rn = 1""".stripMargin,
+    "aj3_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |          WHERE event_type = 'click'),
+        |     r AS (SELECT event_id, user_id, ts FROM events
+        |          WHERE event_type = 'purchase'),
+        |cand AS (
+        |  SELECT l.event_id, l.ts, r.ts AS rts,
+        |         row_number() OVER (PARTITION BY l.event_id
+        |                            ORDER BY r.ts ASC, r.event_id DESC) AS rn
+        |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+        |                    AND r.ts <= l.ts + INTERVAL 2 HOUR)
+        |SELECT count(*) AS n_total, count(rts) AS n_matched,
+        |       round(avg(epoch_us(rts) - epoch_us(ts)), 6) AS avg_gap_us
         |FROM cand WHERE rn = 1""".stripMargin,
     "aj2_asof_tolerance" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events

@@ -85,6 +85,35 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(got === Seq(("a", Some(1.0)), ("b", None), ("c", None)), s"path=$path")
   }
 
+  test("forward as-of picks the smallest right time >= left time (both paths)") {
+    val got = bothPaths(
+      AsOf.joinBackward(trades, quotes, Seq("k"), "t", "t") // sanity anchor
+        .count())
+    assert(got.forall(_._2 == 4))
+    for ((path, fwd) <- bothPaths(
+        AsOf.joinForward(trades, quotes, Seq("k"), "t", "t")
+          .select($"k", $"t", $"tag", $"px_r")
+          .as[(Long, Long, String, Option[Double])]
+          .collect().sortBy(r => (r._1, r._2)).toSeq))
+      assert(fwd === Seq(
+        (1L, 100L, "A", Some(2.0)),  // exact time matches forward too
+        (1L, 250L, "B", Some(4.0)),  // next quote at 300
+        (2L, 50L, "C", Some(5.0)),   // 60 >= 50
+        (3L, 999L, "D", None)), s"path=$path")
+  }
+
+  test("forward tolerance bounds the look-ahead") {
+    val got = AsOf.joinForward(trades, quotes, Seq("k"), "t", "t",
+        toleranceMicros = Some(10L))
+      .select($"tag", $"px_r").as[(String, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("A", Some(2.0)),   // gap 0
+      ("B", None),        // next at 300, gap 50 > 10
+      ("C", Some(5.0)),   // gap 10 <= 10
+      ("D", None)))
+  }
+
   test("self-join: suffixed columns, fresh attribute ids") {
     val ev = Seq((1L, 10L, "x"), (1L, 20L, "y")).toDF("k", "t", "tag")
     val got = AsOf.joinBackward(ev, ev, Seq("k"), "t", "t", tiebreak = Seq("t"))
