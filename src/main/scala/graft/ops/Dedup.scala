@@ -122,6 +122,10 @@ object Dedup {
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Labels are monotonically non-increasing, so the label SUM is a
+    // complete convergence witness: unchanged sum == no label moved. One
+    // cheap aggregate per round instead of a join + count.
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
     var converged = false
     while (!converged) {
       val neighborMin = edges
@@ -130,11 +134,11 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") < col("old")).count()
+      val nextSum = next.agg(sum("label")).head.getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("keep_id"))
