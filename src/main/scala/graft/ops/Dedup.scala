@@ -113,9 +113,20 @@ object Dedup {
     * check is an exact count of changed rows. No GraphX, no driver-side
     * adjacency — at 100 TB every round is a keyed shuffle.
     */
-  def dupClusters(docs: DataFrame): DataFrame = {
-    val pairs = candidatePairs(lshBuckets(minhashSignatures(shingleHashes(docs))))
-      .select("doc_a", "doc_b")
+  def dupClusters(docs: DataFrame): DataFrame =
+    connectedComponents(
+      candidatePairs(lshBuckets(minhashSignatures(shingleHashes(docs))))
+        .select("doc_a", "doc_b"))
+
+  /** SimHash variant: same component resolution over the hamming-join
+    * pair graph.
+    */
+  def simhashClusters(docs: DataFrame, maxHamming: Int): DataFrame =
+    connectedComponents(
+      simhashPairs(simhash(docs), maxHamming).select("doc_a", "doc_b"))
+
+  /** Components of any undirected (doc_a, doc_b) pair frame. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
