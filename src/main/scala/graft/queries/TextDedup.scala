@@ -114,10 +114,6 @@ object TextDedup {
     // doc mapped to its cluster keeper (min doc_id in the component).
     "d8_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
 
-    // Same component resolution over the SimHash pair graph.
-    "d9_simhash_clusters" -> ((s, dir) =>
-      Dedup.simhashClusters(docs(s, dir), maxHamming = 8)),
-
     // The capstone corpus-cleaning pipeline, composed from the operator
     // library: drop near-dup non-keepers (anti-join against d8's cluster
     // map), keep docs whose quality clears the bar and whose predicted
@@ -321,22 +317,6 @@ object TextDedup {
          |GROUP BY d.lang""".stripMargin,
     "d8_dup_clusters" ->
       s"""WITH RECURSIVE $minhashChain,
-         |edges AS (
-         |  SELECT doc_a, doc_b FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(id, label) AS (
-         |  SELECT doc_a AS id, doc_a AS label FROM edges
-         |  UNION
-         |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON e.doc_b = r.id)
-         |SELECT id AS doc_id, min(label) AS keep_id
-         |FROM reach GROUP BY id""".stripMargin,
-    "d9_simhash_clusters" ->
-      s"""WITH RECURSIVE simh AS ($simhashSql),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM simh a JOIN simh b
-         |    ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
          |edges AS (
          |  SELECT doc_a, doc_b FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),

@@ -23,6 +23,19 @@ class DupClustersSpec extends AnyFunSuite {
     assert(!got.contains(30L)) // no candidate pair -> not in the graph
   }
 
+  test("simhashClusters resolves keepers over the hamming graph") {
+    // Identical texts share a simhash exactly -> hamming 0 pairs.
+    val x = "one two three four five six seven eight nine ten eleven twelve"
+    val y = "completely different words about catalysts optimizers and planners"
+    val docs = Seq((5L, x), (6L, x), (7L, y), (8L, y), (9L, "lone un-paired row"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashClusters(docs, maxHamming = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(6L) === got(5L) && got(8L) === got(7L))
+    for ((keeper, members) <- got.groupBy(_._2).view.mapValues(_.keys.toSet))
+      assert(keeper === members.min)
+  }
+
   test("propagation crosses chains: a~b and b~c puts a,c in one component") {
     // Force a chain via near-identical texts sharing most shingles.
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
