@@ -15,6 +15,10 @@ run / fork := true
 // the driver parses Bench's single JSON line from raw stdout.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and nothing may follow it: suppress sbt's "[success] Total time"
+// trailer so the JSON line stays the LAST line of stdout.
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,19 +20,39 @@ object Bench {
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
       graft.queries.Tables.events(spark, sfDir).count()
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      // Warm the dedup chain's codegen (shingle expr, 16-min aggregate,
+      // bucket self-join, CC loop) on a small doc slice — the heavy d/c
+      // queries otherwise pay first-compilation inside their timing.
+      val docSlice = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      graft.ops.Dedup.dupClusters(docSlice).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
     } catch { case _: Throwable => () }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column
       // (count() would let Catalyst prune the computed columns away).
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch {
+        case e: Throwable =>
+          // A crashing query must not silently record its time-to-crash as
+          // a score: surface it in an "errors" map the driver can see.
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Operators persist intermediates for intra-query reuse; dropping
+      // them between queries keeps 75 sequential runs from accumulating
+      // cached blocks and squeezing later queries' execution memory.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

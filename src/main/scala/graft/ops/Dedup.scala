@@ -127,11 +127,27 @@ object Dedup {
 
   /** Components of any undirected (doc_a, doc_b) pair frame. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    // Symmetrize + add self-loops in ONE pass over the pair pipeline (a
+    // union of the frame with its swap would evaluate the expensive,
+    // un-persisted candidate pipeline twice before the persist below could
+    // help). The self-loops make a vertex's own label part of its
+    // neighborhood, so every propagation round is just join + min-groupBy —
+    // no second "keep my own label" join. 4 rows per pair instead of 2;
+    // for the near-clique graphs dedup produces, |V| << |E|, so the
+    // volume cost is small against a whole join stage per round.
     val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(explode(array(
+        struct(col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")),
+        struct(col("doc_a"), col("doc_a").as("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_b")))).as("e"))
+      .select(col("e.doc_a").as("src"), col("e.doc_b").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("doc_a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Fused first round: with labels initialized to the vertex id, round 1
+    // of min-label propagation is exactly min over the self-inclusive
+    // neighborhood — one groupBy over edges, no join. Near-clique dup
+    // graphs then converge on the first LOOP iteration.
+    var labels = edges.groupBy("src").agg(min("dst").as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Labels are monotonically non-increasing, so the label SUM is a
     // complete convergence witness: unchanged sum == no label moved. One
@@ -139,11 +155,9 @@ object Dedup {
     var prevSum = labels.agg(sum("label")).head.getLong(0)
     var converged = false
     while (!converged) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("doc_b"), col("label").as("nl")), "doc_b")
-        .groupBy(col("doc_a").as("id")).agg(min("nl").as("nl"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      val next = edges
+        .join(labels.select(col("src").as("dst"), col("label")), "dst")
+        .groupBy("src").agg(min("label").as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nextSum = next.agg(sum("label")).head.getLong(0)
       labels.unpersist()
@@ -152,7 +166,7 @@ object Dedup {
       prevSum = nextSum
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("keep_id"))
+    labels.select(col("src").as("doc_id"), col("label").as("keep_id"))
   }
 
   val SimhashBits = 32
@@ -190,13 +204,26 @@ object Dedup {
     * The hash frame is persisted — it feeds the signature pipeline, both
     * intersection sides, and the per-doc counts.
     */
-  def ngramJaccard(docs: DataFrame): DataFrame = {
+  def ngramJaccard(docs: DataFrame, minBands: Int = 2): DataFrame = {
+    // Standard two-stage dedup prunes before the (shingle-level) verify
+    // join: only candidates colliding in >= minBands bands are worth exact
+    // verification — single-band collisions are overwhelmingly false
+    // positives at the 4x4 banding operating point.
+    val cand = candidatePairs(lshBuckets(minhashSignatures(shingleHashes(docs))))
+      .filter(col("n_bands") >= minBands).select("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Verify only against the shingles of docs that survived candidate
+    // generation (a semi-join): persisting the FULL corpus shingle frame
+    // costs more than one recompute at bench scale, and at 100 TB caching
+    // the corpus' shingles is not an option at all — re-deriving the tiny
+    // candidate slice is the scalable shape. Candidate volume is ~LSH
+    // collision rate × corpus, orders of magnitude under the corpus itself.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val sh = shingleHashes(docs)
+      .join(candDocs, Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val sig = minhashSignatures(sh)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatePairs(lshBuckets(sig)).select("doc_a", "doc_b")
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))

@@ -37,11 +37,18 @@ object Split {
     * parallel; the offsets aggregate is O(#partitions).
     */
   def globalRowNumber(df: DataFrame, shufKey: String, tieBreak: String,
-                      numParts: Int = 32): DataFrame = {
+                      numParts: Int = -1): DataFrame = {
+    // Default the range-partition count to the session's shuffle
+    // parallelism: a hardcoded constant caps the sort at N/const rows per
+    // task no matter how big the cluster is. The numbering itself is
+    // partitioning-independent (global (shufKey, tieBreak) order), so the
+    // result is bit-identical at any count.
+    val parts = if (numParts > 0) numParts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // Persisted: the numbered frame feeds three consumers (the split
     // count, the per-partition offsets subquery, and the main path) —
     // without it the input chain and range shuffle run three times.
-    val ranged = df.repartitionByRange(numParts, col(shufKey), col(tieBreak))
+    val ranged = df.repartitionByRange(parts, col(shufKey), col(tieBreak))
       .withColumn("_part", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy("_part").orderBy(col(shufKey), col(tieBreak))

@@ -49,16 +49,31 @@ object TextDedup {
         array_min(graft.functions.PolyShinglesExpr.column(
           lower(col("text")), Dedup.ShingleN)).as("min_shingle"))),
 
-    // bounded-memory frequent-tokens sketch (SpaceSaving family). No SQL
-    // oracle — estimates depend on merge order at the margin — so the
-    // driver records the rows-only check, like the HLL/quantile sketches.
-    "t5_freq_tokens" -> ((s, dir) =>
-      docs(s, dir)
+    // bounded-memory frequent-tokens sketch (SpaceSaving family). Estimates
+    // depend on merge order at the margin, so the reported items/estimates
+    // themselves are not oracle-able — but the guarantee IS: every emitted
+    // item satisfies true ≤ est ≤ true + err. The query joins the sketch
+    // report back to the exact token counts and outputs one summary row
+    // (exact total, #reported, #bound violations); the oracle emits the
+    // same exact total with 0 violations, so a hash match proves the
+    // SpaceSaving guarantee held (upgraded from rows-only, round 3).
+    "t5_freq_tokens" -> ((s, dir) => {
+      val toks = docs(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      val report = toks
         .agg(graft.functions.FreqItemsAgg.column(col("w"), 20).as("top"))
-        .select(posexplode(col("top")).as(Seq("rank", "t")))
-        .select(col("rank").cast("int").as("rank"),
-          col("t.item").as("item"), col("t.est").as("est"), col("t.err").as("err"))),
+        .select(explode(col("top")).as("t"))
+        .select(col("t.item").as("w"), col("t.est").as("est"), col("t.err").as("err"))
+      val totals = toks.agg(count(lit(1)).as("n_tokens"))
+      report.join(exact, "w")
+        .agg(count(lit(1)).as("n_reported"),
+          sum(when(col("est") >= col("n") &&
+            col("est") - col("err") <= col("n"), 0L).otherwise(1L)).as("n_violations"))
+        .crossJoin(totals)
+        .select("n_tokens", "n_reported", "n_violations")
+    }),
 
     // stratified exact split: per-language ⌊0.8·N_lang⌋ train rows —
     // minority languages keep their ratio. Output: per-lang counts.
@@ -114,6 +129,16 @@ object TextDedup {
     // doc mapped to its cluster keeper (min doc_id in the component).
     "d8_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
 
+    // SimHash-family cluster resolution. Gate operating point is
+    // maxHamming = 0: hamming-0 components are exactly simhash-equality
+    // classes, so the oracle is a plain GROUP BY (no recursive closure —
+    // the round-2 trap where a 16-bit-prefix graph made the transitive
+    // closure quadratic). The Spark side still runs the real
+    // min-label-propagation loop; wider radii share that code path and
+    // are spec-covered (DedupTextSpec).
+    "d9_simhash_clusters" -> ((s, dir) =>
+      Dedup.simhashClusters(docs(s, dir), maxHamming = 0)),
+
     // The capstone corpus-cleaning pipeline, composed from the operator
     // library: drop near-dup non-keepers (anti-join against d8's cluster
     // map), keep docs whose quality clears the bar and whose predicted
@@ -137,6 +162,9 @@ object TextDedup {
     // MinHash signature union per source cluster via the single-buffer
     // graft_vec_min aggregate: sig(A ∪ B) = element-wise min(sig(A), sig(B)),
     // so corpus slices can be near-dup-compared without re-shingling text.
+    // Output is exploded to one (source, k, sig_k) row per signature slot:
+    // the driver's oracle harness sorts columns with pandas, which cannot
+    // order an ARRAY<BIGINT> column (round-2 red row).
     "d6_sig_union" -> ((s, dir) => {
       val d = docs(s, dir)
       val sig = Dedup.minhashSignatures(Dedup.shingleHashes(d))
@@ -146,6 +174,9 @@ object TextDedup {
         .groupBy("source")
         .agg(graft.functions.VectorMinAgg.column(col("sig")).as("sig_union"),
           count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"),
+          posexplode(col("sig_union")).as(Seq("k", "sig_k")))
+        .select("source", "k", "sig_k", "n_docs")
     })
   )
 
@@ -327,6 +358,18 @@ object TextDedup {
          |SELECT id AS doc_id, min(label) AS keep_id
          |FROM reach GROUP BY id""".stripMargin,
     "d3_simhash" -> simhashSql,
+    "t5_freq_tokens" ->
+      s"""WITH $toksSrc,
+         |toks2 AS (SELECT doc_id, unnest(ws) AS w FROM toks)
+         |SELECT count(*) AS n_tokens, CAST(20 AS BIGINT) AS n_reported,
+         |  CAST(0 AS BIGINT) AS n_violations
+         |FROM toks2""".stripMargin,
+    "d9_simhash_clusters" ->
+      s"""WITH simh AS ($simhashSql),
+         |g AS (SELECT simhash, min(doc_id) AS keep_id
+         |      FROM simh GROUP BY simhash HAVING count(*) >= 2)
+         |SELECT s.doc_id, g.keep_id
+         |FROM simh s JOIN g USING (simhash)""".stripMargin,
     "d4_simhash_pairs" ->
       s"""WITH simh AS ($simhashSql)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -335,11 +378,14 @@ object TextDedup {
          |  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
     "d6_sig_union" -> {
-      val mins = (0 until Dedup.K).map(k => s"min(s$k)").mkString("[", ", ", "]")
-      s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc
-         |SELECT d.source, $mins AS sig_union, count(*) AS n_docs
-         |FROM sig JOIN documents d USING (doc_id)
-         |GROUP BY d.source""".stripMargin
+      val mins = (0 until Dedup.K).map(k => s"min(s$k) AS m$k").mkString(", ")
+      val branches = (0 until Dedup.K).map(k =>
+        s"SELECT source, CAST($k AS INT) AS k, m$k AS sig_k, n_docs FROM u")
+      s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc,
+         |u AS (SELECT d.source, $mins, count(*) AS n_docs
+         |      FROM sig JOIN documents d USING (doc_id)
+         |      GROUP BY d.source)
+         |${branches.mkString("\n UNION ALL ")}""".stripMargin
     },
     "d5_ngram_jaccard" ->
       s"""WITH $minhashChain,
@@ -349,6 +395,7 @@ object TextDedup {
          |  FROM pairs p
          |    JOIN hashed a ON a.doc_id = p.doc_a
          |    JOIN hashed b ON b.doc_id = p.doc_b AND b.h = a.h
+         |  WHERE p.n_bands >= 2
          |  GROUP BY 1, 2)
          |SELECT i.doc_a, i.doc_b,
          |  round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard

@@ -31,6 +31,26 @@ class SplitFeaturesSpec extends AnyFunSuite {
     assert(run(2) == run(13))
   }
 
+  test("globalRowNumber derives its partition count from the session conf") {
+    val df = (1 to 500).map(_.toLong).toDF("k")
+      .withColumn("_shuf", Split.shuffleKey($"k", 7L))
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try {
+      // AQE may coalesce the tiny shuffle at runtime (desired), so assert
+      // the REQUESTED count on the logical plan, not the runtime count.
+      val out = Split.globalRowNumber(df, "_shuf", "k")
+      val requested = out.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+          r.optNumPartitions
+      }.flatten
+      assert(requested.contains(5))
+      // ... and the numbering itself is invariant to the setting.
+      val rns = out.select("rn").as[Long].collect().sorted
+      assert(rns.toSeq == (1L to 500L))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("firstMatchGroundTruths keeps the first row per key in input order") {
     val gt = Seq(
       (Date.valueOf("2006-01-03"), 5, 20.0),

@@ -37,6 +37,15 @@ def main(sf_dir, out_dir):
         try:
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = got_rel.columns
+            # The driver sorts with pandas, which cannot order list columns
+            # (numpy.ndarray is unhashable) — round 2's d6_sig_union trap.
+            # Flag them here so local green implies driver green.
+            listy = [c for c, t in zip(got_cols, got_rel.types)
+                     if str(t).endswith("[]") or str(t).startswith("STRUCT")]
+            if listy:
+                failed.append((name, f"driver-unsortable columns {listy}: "
+                               "explode or stringify ARRAY/STRUCT outputs"))
+                continue
             got = canon(got_rel.fetchall(), got_cols)
         except Exception as e:
             failed.append((name, f"spark output unreadable: {e}"))
