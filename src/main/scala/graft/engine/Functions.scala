@@ -37,5 +37,15 @@ object Functions {
       exprs => FreqItemsAgg(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int]),
       "built-in")
+    // As-of SQL surface: marker predicates rewritten into the AsOfJoin
+    // operator by RewriteAsOfMarkerJoin (see plans/AsOfSql.scala).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_asof",
+      exprs => graft.plans.GraftAsOfCond(exprs, forward = false),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_asof_fwd",
+      exprs => graft.plans.GraftAsOfCond(exprs, forward = true),
+      "built-in")
   }
 }

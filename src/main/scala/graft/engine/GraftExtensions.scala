@@ -44,8 +44,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_freq_items", "bounded-memory top-k frequent items sketch"),
       (exprs: Seq[Expression]) => FreqItemsAgg(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int])))
-    // Whole-operator extension: as-of join planner strategy + pushdown rule.
+    ext.injectFunction((
+      FunctionIdentifier("graft_asof"),
+      info("graft_asof", "as-of join marker: backward, in a JOIN condition"),
+      (exprs: Seq[Expression]) => graft.plans.GraftAsOfCond(exprs, forward = false)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_asof_fwd"),
+      info("graft_asof_fwd", "as-of join marker: forward, in a JOIN condition"),
+      (exprs: Seq[Expression]) => graft.plans.GraftAsOfCond(exprs, forward = true)))
+    // Whole-operator extension: as-of join planner strategy + rewrite/pushdown rules.
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteAsOfMarkerJoin)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
   }
 }

@@ -60,12 +60,39 @@ object Sources {
       .select("scene_id", "stations")
   }
 
+  /** Explicit MTL schema: union of the L5 (bands 1-7, K-BAND_6) and L8/9
+    * (bands 1-11, K-BAND_10) layouts, every leaf a string (sci-notation
+    * numerics are cast downstream, F3). Fields are alphabetical — the order
+    * schema inference would produce. Pinning the schema saves a full
+    * inference pass over the JSON files on EVERY query that touches
+    * metadata, and is the only scale-sane option anyway: inference at
+    * 100 TB reads the corpus twice.
+    */
+  val mtlSchema: StructType = {
+    val rescaling = StructType(
+      (for (kind <- Seq("ADD", "MULT"); b <- Seq(1, 10, 11, 2, 3, 4, 5, 6, 7, 8, 9))
+        yield StructField(s"RADIANCE_${kind}_BAND_$b", StringType)).sortBy(_.name))
+    val thermal = StructType(Seq(
+      StructField("K1_CONSTANT_BAND_10", StringType),
+      StructField("K1_CONSTANT_BAND_6", StringType),
+      StructField("K2_CONSTANT_BAND_10", StringType),
+      StructField("K2_CONSTANT_BAND_6", StringType)))
+    val attrs = StructType(Seq(
+      StructField("DATE_ACQUIRED", StringType),
+      StructField("SPACECRAFT_ID", StringType)))
+    StructType(Seq(StructField("LANDSAT_METADATA_FILE", StructType(Seq(
+      StructField("IMAGE_ATTRIBUTES", attrs),
+      StructField("LEVEL1_RADIOMETRIC_RESCALING", rescaling),
+      StructField("LEVEL1_THERMAL_CONSTANTS", thermal))))))
+  }
+
   /** S3: nested multiline MTL metadata JSON, one file per scene; scene id
     * recovered from the file name. Numeric coefficient values arrive as
     * strings (sci-notation) and are cast downstream (F3).
     */
   def metadata(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("multiLine", "true").json(dir + "/*_MTL_metadata.json")
+    spark.read.option("multiLine", "true").schema(mtlSchema)
+      .json(dir + "/*_MTL_metadata.json")
       .withColumn("scene_id",
         regexp_extract(input_file_name(), "([^/]+)_MTL_metadata\\.json$", 1))
 
@@ -78,11 +105,26 @@ object Sources {
   /** S6: multi-source alignment. The reference drops a scene when any source
     * is missing (try/except + continue) — that is inner-join semantics across
     * the three per-scene sources.
+    *
+    * `skipFirst` is the compat form of the reference's `skip_first=True`
+    * (data_loader.py:110,125; README.md:132), which drops the first entry of
+    * the SORTED tensor list. The deterministic distributed analog is "drop
+    * the minimum scene_id": a 1-row min aggregate broadcast against the
+    * frame — lazy, no driver action, no global sort. Default off: it is a
+    * notebook-workflow quirk, not a semantic requirement.
     */
-  def alignScenes(scenes: DataFrame, stationLists: DataFrame, metadata: DataFrame): DataFrame =
-    scenes
+  def alignScenes(scenes: DataFrame, stationLists: DataFrame, metadata: DataFrame,
+      skipFirst: Boolean = false): DataFrame = {
+    val base =
+      if (!skipFirst) scenes
+      else scenes
+        .crossJoin(broadcast(scenes.agg(min(col("scene_id")).as("_first"))))
+        .filter(col("scene_id") =!= col("_first"))
+        .drop("_first")
+    base
       .join(stationLists, Seq("scene_id"), "inner")
       .join(metadata, Seq("scene_id"), "inner")
+  }
 
   /** S5: binary blob scan (multimodal/tensor ingest edge). Returns path,
     * length, modTime, content. Decode to typed tensors is an ingest-time

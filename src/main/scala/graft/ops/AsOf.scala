@@ -28,7 +28,8 @@ object AsOf {
     * `GraftExtensions` via `spark.sql.extensions`.
     */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
-    GraftBridge.install(spark, AsOfJoinStrategy, Seq(PushFilterThroughAsOfJoin))
+    GraftBridge.install(spark, AsOfJoinStrategy,
+      Seq(graft.plans.RewriteAsOfMarkerJoin, PushFilterThroughAsOfJoin))
 
   def joinBackward(
       left: DataFrame,

@@ -65,6 +65,26 @@ object Events {
     }),
 
     // Forward direction: each click's NEXT purchase within 2 hours.
+    // The as-of SQL surface: the graft_asof marker inside an ordinary
+    // LEFT JOIN condition, rewritten to the AsOfJoin operator by
+    // RewriteAsOfMarkerJoin (plans/AsOfSql.scala). Output keeps only the
+    // matched click TIME — tie-insensitive (the marker form takes no
+    // tiebreak column), so it is deterministic cross-engine.
+    "aj4_asof_sql" -> ((s, dir) => {
+      val ev = eventsT(s, dir)
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+        .createOrReplaceTempView("aj4_purchases")
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .createOrReplaceTempView("aj4_clicks")
+      s.sql(
+        """SELECT p.event_id, p.user_id, p.ts, c.c_ts AS click_ts
+          |FROM aj4_purchases p LEFT JOIN aj4_clicks c
+          |  ON p.user_id = c.c_user AND graft_asof(p.ts, c.c_ts)
+          |""".stripMargin)
+    }),
+
     "aj3_asof_forward" -> ((s, dir) => {
       val ev = eventsT(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
@@ -162,6 +182,13 @@ object Events {
         |SELECT event_id, user_id, ts, round(lvalue, 3) AS purchase_value,
         |       rts AS click_ts, round(rvalue, 3) AS click_value
         |FROM cand WHERE rn = 1""".stripMargin,
+    "aj4_asof_sql" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |          WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, l.ts, max(r.ts) AS click_ts
+        |FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |GROUP BY l.event_id, l.user_id, l.ts""".stripMargin,
     "aj3_asof_forward" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
         |          WHERE event_type = 'click'),

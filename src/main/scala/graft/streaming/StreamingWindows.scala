@@ -49,10 +49,17 @@ object StreamingWindows {
     * return the materialized result (test/smoke path).
     */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    // The smoke path's offset/commit/state checkpoints are throwaway; put
+    // them on tmpfs when available so the drive-to-completion isn't timing
+    // fsyncs of dead files. (A production stream would point this at
+    // durable storage — the location is deployment config, not semantics.)
+    val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
     val q: StreamingQuery = df.writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", s"$ckRoot/graft-ck-$name")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

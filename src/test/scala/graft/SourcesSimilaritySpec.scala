@@ -29,6 +29,22 @@ class SourcesSimilaritySpec extends AnyFunSuite {
     assert(aligned.count() == 11) // 13 scenes - 2 without metadata
   }
 
+  test("skipFirst drops exactly the minimum scene_id (reference skip_first compat)") {
+    val scenes = Sources.scenes(spark, s"$FixturesDir/scenes/scenes.jsonl")
+    val stations = Sources.stationLists(spark, s"$FixturesDir/stations")
+    val meta = Sources.metadata(spark, s"$FixturesDir/metadatas")
+    val all = Sources.alignScenes(scenes, stations, meta)
+    val skipped = Sources.alignScenes(scenes, stations, meta, skipFirst = true)
+    val first = scenes.agg(org.apache.spark.sql.functions.min("scene_id"))
+      .head().getString(0)
+    val dropped = all.select("scene_id").except(skipped.select("scene_id"))
+      .collect().map(_.getString(0)).toSeq
+    // the min scene may or may not survive alignment; either way nothing
+    // ELSE may disappear, and the min never appears in the skipped frame
+    assert(dropped.forall(_ == first))
+    assert(skipped.filter($"scene_id" === first).count() == 0)
+  }
+
   test("ground-truth CSV carries sentinel and duplicate keys (S1)") {
     val gt = Sources.groundTruths(spark, s"$FixturesDir/ground_truths.csv")
     assert(gt.filter($"air_temp" === -9999.0).count() > 0)

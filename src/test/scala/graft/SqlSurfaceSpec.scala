@@ -38,4 +38,47 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val top = freq.getSeq[org.apache.spark.sql.Row](0)
     assert(top.head.getString(0) === "a" && top.head.getLong(1) === 2L)
   }
+
+  test("graft_asof marker in SQL rewrites to the AsOfJoin operator") {
+    import spark.implicits._
+    Seq((1L, 10L, 100L), (1L, 25L, 200L), (2L, 7L, 300L))
+      .toDF("user_id", "ts", "pid").createOrReplaceTempView("asof_sql_l")
+    Seq((1L, 9L, 1L), (1L, 20L, 2L), (1L, 20L, 3L), (2L, 8L, 4L))
+      .toDF("c_user", "c_ts", "cid").createOrReplaceTempView("asof_sql_r")
+    val out = spark.sql(
+      """SELECT l.pid, r.c_ts FROM asof_sql_l l
+        |LEFT JOIN asof_sql_r r
+        |  ON l.user_id = r.c_user AND graft_asof(l.ts, r.c_ts)
+        |""".stripMargin)
+    // physical plan must be the as-of exec, not a regular join
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$phys")
+    val got = out.as[(Long, Option[Long])].collect().toSet
+    assert(got === Set((100L, Some(9L)), (200L, Some(20L)), (300L, None)))
+  }
+
+  test("graft_asof tolerance + forward + INNER variants") {
+    import spark.implicits._
+    // tolerance 3: purchase@25's best click is 20, gap 5 > 3 -> no match
+    val tol = spark.sql(
+      """SELECT l.pid, r.c_ts FROM asof_sql_l l
+        |LEFT JOIN asof_sql_r r
+        |  ON l.user_id = r.c_user AND graft_asof(l.ts, r.c_ts, 3L)
+        |""".stripMargin).as[(Long, Option[Long])].collect().toSet
+    assert(tol === Set((100L, Some(9L)), (200L, None), (300L, None)))
+    // forward: earliest right at-or-after left
+    val fwd = spark.sql(
+      """SELECT l.pid, r.c_ts FROM asof_sql_l l
+        |LEFT JOIN asof_sql_r r
+        |  ON l.user_id = r.c_user AND graft_asof_fwd(l.ts, r.c_ts)
+        |""".stripMargin).as[(Long, Option[Long])].collect().toSet
+    assert(fwd === Set((100L, Some(20L)), (200L, None), (300L, Some(8L))))
+    // INNER drops the unmatched left row
+    val inner = spark.sql(
+      """SELECT l.pid, r.c_ts FROM asof_sql_l l
+        |JOIN asof_sql_r r
+        |  ON l.user_id = r.c_user AND graft_asof(l.ts, r.c_ts)
+        |""".stripMargin).as[(Long, Long)].collect().toSet
+    assert(inner === Set((100L, 9L), (200L, 20L)))
+  }
 }
