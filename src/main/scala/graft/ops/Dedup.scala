@@ -220,8 +220,10 @@ object Dedup {
     // collision rate × corpus, orders of magnitude under the corpus itself.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shingleHashes(docs)
-      .join(candDocs, Seq("doc_id"), "left_semi")
+    // Semi-join BEFORE shingling: only candidate docs' text is re-parsed,
+    // so the second pass is proportional to the candidate slice, not the
+    // corpus.
+    val sh = shingleHashes(docs.join(candDocs, Seq("doc_id"), "left_semi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
