@@ -6,11 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Multimodal column handling: image/audio/video (and the reference's `.pt`
   * tensors, data_loader.py:128-135) are opaque `binary` columns with typed
-  * metadata. The Spark-side plumbing — binaryFile scan, schema, partitioning,
-  * per-row decode signature, downstream feature ops — is real; the codec
-  * itself is a clearly-marked DETERMINISTIC STUB (no torch/PIL/ffmpeg in
-  * this environment; at deploy time swap `decodeStub` for the real codec
-  * with the same `Array[Byte] => Array[Float]` signature).
+  * metadata. The IMAGE path decodes for real ([[decodeImage]], JDK ImageIO —
+  * PNG/JPEG/BMP/GIF, no external libs). Modalities whose codecs genuinely
+  * aren't in this environment (audio/video — no ffmpeg) keep the
+  * clearly-marked DETERMINISTIC STUB `decodeStub`; at deploy time swap it
+  * for the real codec with the same `Array[Byte] => Array[Float]` signature.
   *
   * Scale design: decode is a narrow map (no shuffle); `repartition(n)` before
   * decode spreads large media files across executors; decoded features are
@@ -38,6 +38,46 @@ object Multimodal {
 
   private val decodeUdf = udf(decodeStub _)
 
+  /** REAL image codec — no stub: the JDK ships `javax.imageio` (PNG, JPEG,
+    * BMP, GIF), so the image modality decodes for real even in this
+    * container. decode → bilinear resize to (w, h) → channel-major
+    * normalized floats [R(w·h) | G(w·h) | B(w·h)], the tensor layout a
+    * vision model expects. Returns null for bytes no reader accepts (the
+    * usual corrupt-sample row; filter on `features IS NOT NULL`).
+    * Deterministic: pure function of (bytes, w, h).
+    */
+  def decodeImage(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return null
+    val scaled = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    val out = new Array[Float](3 * w * h)
+    val n = w * h
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = scaled.getRGB(x, y)
+        out(i) = ((rgb >> 16) & 0xff) / 255.0f
+        out(n + i) = ((rgb >> 8) & 0xff) / 255.0f
+        out(2 * n + i) = (rgb & 0xff) / 255.0f
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private val decodeImageUdf = udf(decodeImage _)
+
   /** Scan a directory of media blobs → (name, length, content). */
   def scanBlobs(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(dir)
@@ -52,6 +92,15 @@ object Multimodal {
   def ingest(blobs: DataFrame, partitions: Int = 32): DataFrame =
     blobs.repartition(partitions, col("name"))
       .withColumn("features", decodeUdf(col("content")))
+      .drop("content")
+
+  /** Image ingest with the real ImageIO codec: decode + resize to (w, h)
+    * on executors (narrow map after the spread repartition, same plumbing
+    * as [[ingest]]).
+    */
+  def ingestImages(blobs: DataFrame, w: Int, h: Int, partitions: Int = 32): DataFrame =
+    blobs.repartition(partitions, col("name"))
+      .withColumn("features", decodeImageUdf(col("content"), lit(w), lit(h)))
       .drop("content")
 
   /** Frame-sample: every k-th element of a decoded sequence (video/audio

@@ -308,6 +308,25 @@ object Landsat {
         round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
     }),
 
+    // Multimodal image decode — REAL codec (JDK ImageIO), not the stub:
+    // scan committed PNG fixtures, decode + resize on executors, emit
+    // channel-major normalized features. The fixtures are solid-color
+    // images whose name carries the RGB, so the decoded values are
+    // analytically known to the oracle — if the codec misdecodes a single
+    // channel, the hashes diverge.
+    "mm2_image_decode" -> ((s, _) => {
+      val ingested = Multimodal.ingestImages(
+        Multimodal.scanBlobs(fx(s), s"$FixturesDir/images"), w = 4, h = 3,
+        partitions = 2)
+      ingested.select(col("name"), col("length"),
+        size(col("features")).as("n_features"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("r0"),
+        round(element_at(col("features"), 13).cast("double"), 6).as("g0"),
+        round(element_at(col("features"), 25).cast("double"), 6).as("b0"),
+        round(aggregate(col("features").cast("array<double>"), lit(0.0),
+          (acc, x) => acc + x), 4).as("f_sum"))
+    }),
+
     // J3: positional zip-join — bands zipped with the 11-wide coefficient
     // array by position (arrays_zip + posexplode; zip pads to the longer).
     "j3_zip_join" -> ((s, _) => {
@@ -574,6 +593,26 @@ object Landsat {
     "s5_binary_scan" ->
       """SELECT regexp_extract(filename, '([^/]+)$', 1) AS name, size AS length
         |FROM read_blob('/root/repo/fixtures/binary/*.bin')""".stripMargin,
+    "mm2_image_decode" ->
+      """WITH blobs AS (
+        |  SELECT regexp_extract(filename, '([^/]+)$', 1) AS name, size AS length
+        |  FROM read_blob('/root/repo/fixtures/images/*.png')),
+        |rgb AS (
+        |  SELECT name, length,
+        |    CAST(CAST(regexp_extract(name, 'img_(\d+)_(\d+)_(\d+)\.png', 1) AS INT) AS FLOAT)
+        |      / CAST(255.0 AS FLOAT) AS rf,
+        |    CAST(CAST(regexp_extract(name, 'img_(\d+)_(\d+)_(\d+)\.png', 2) AS INT) AS FLOAT)
+        |      / CAST(255.0 AS FLOAT) AS gf,
+        |    CAST(CAST(regexp_extract(name, 'img_(\d+)_(\d+)_(\d+)\.png', 3) AS INT) AS FLOAT)
+        |      / CAST(255.0 AS FLOAT) AS bf
+        |  FROM blobs)
+        |SELECT name, length, CAST(36 AS INT) AS n_features,
+        |  round(CAST(rf AS DOUBLE), 6) AS r0,
+        |  round(CAST(gf AS DOUBLE), 6) AS g0,
+        |  round(CAST(bf AS DOUBLE), 6) AS b0,
+        |  round(12 * CAST(rf AS DOUBLE) + 12 * CAST(gf AS DOUBLE)
+        |        + 12 * CAST(bf AS DOUBLE), 4) AS f_sum
+        |FROM rgb""".stripMargin,
     "mm1_multimodal_ingest" ->
       s"""WITH blobs AS (
          |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS name, size AS length,
