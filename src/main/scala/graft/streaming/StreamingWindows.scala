@@ -55,14 +55,22 @@ object StreamingWindows {
     // durable storage — the location is deployment config, not semantics.)
     val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
       System.getProperty("java.io.tmpdir")
+    // Unique per run: a reused checkpoint would pin the FIRST run's source
+    // path and offsets, which is exactly wrong for a throwaway smoke drive.
+    val ckDir = new java.io.File(
+      s"$ckRoot/graft-ck-$name-${java.util.UUID.randomUUID().toString.take(8)}")
     val q: StreamingQuery = df.writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(name)
-      .option("checkpointLocation", s"$ckRoot/graft-ck-$name")
+      .option("checkpointLocation", ckDir.getAbsolutePath)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(ckDir)
     df.sparkSession.table(name)
   }
 }

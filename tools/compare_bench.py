@@ -65,6 +65,11 @@ def main(sf_dir, oracle_path, bench_path, md_path=None):
             f.write("""
 ## Reading these numbers
 
+- Spark times are steady-state: Bench warms every query once un-timed
+  before measuring, so first-execution Janino/JIT compilation (0.3-1.5 s
+  per plan shape, one-time cost) stays out of the numbers. DuckDB times
+  are the median of 3 runs for the same reason.
+
 - The reference pipeline itself publishes no numbers (BASELINE.md): it is a
   single-threaded eager pandas/torch program with `deepcopy` between stages
   and an O(scenes x stations x |GT|) mask scan at its core. `pipeline_e2e`
