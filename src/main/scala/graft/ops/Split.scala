@@ -65,13 +65,20 @@ object Split {
 
   /** Exact-count deterministic split: rows with rn ≤ ⌊f·N⌋ are train. Adds
     * column `is_train`. `key` must be integral and unique per row.
+    *
+    * The cut ⌊f·N⌋ is a lazily-broadcast one-row aggregate, not a driver
+    * `count()` — the split stays a single action, so callers that only
+    * write/aggregate it don't pay a separate materializing pass (the
+    * count's job) first.
     */
   def exact(df: DataFrame, keyCol: String, trainFraction: Double, seed: Long): DataFrame = {
     val keyed = df.withColumn("_shuf", shuffleKey(col(keyCol), seed))
     val numbered = globalRowNumber(keyed, "_shuf", keyCol)
-    val n = numbered.count()
-    val cut = math.floor(trainFraction * n).toLong
-    numbered.withColumn("is_train", (col("rn") <= cut).cast("int")).drop("_shuf")
+    val total = numbered.groupBy().agg(count(lit(1)).as("_n"))
+    numbered.crossJoin(broadcast(total))
+      .withColumn("is_train",
+        (col("rn") <= floor(lit(trainFraction) * col("_n"))).cast("int"))
+      .drop("_shuf", "_n")
   }
 
   /** Stratified exact split: ⌊f·N_g⌋ train rows within EVERY stratum
