@@ -128,23 +128,30 @@ object Similarity {
     val cent = centroidsAgg(vecs)
     val scoredCells = v.crossJoin(broadcast(cent))
       .withColumn("ccos", round(cosine(col("dv"), col("cv")), 6))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cell"))
+    // Both argmaxes are top-1s, so they are max(struct(...)) aggregates,
+    // NOT row_number windows: groupBy gets map-side partial aggregation
+    // and no per-partition sort — at scale the difference between a
+    // combine and a full sort of vecs x centroids. Tie rule matches the
+    // window form it replaced: highest score, then lowest id (negated id
+    // ranks ahead inside max()).
     // Persisted: both sides of the within-cell self-join reuse the
     // assignment — without it the centroid scoring cross-join runs twice.
     val members = scoredCells
-      .withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") === 1)
-      .select(col("vec_id"), col("cell"), col("dv"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cell")).as("nc"),
+        col("cell"), col("dv"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("m.dv").as("dv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = members.select(col("cell"), col("vec_id").as("q_id"), col("dv").as("qv"))
     val b = members.select(col("cell"), col("vec_id").as("c_id"), col("dv").as("cv2"))
     val scored = a.join(b, "cell")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv2")), 6))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("q_id"), col("cell"), col("c_id").as("nn_id"), col("cos"))
+    scored.groupBy(col("q_id"))
+      .agg(max(struct(col("cos"), (-col("c_id")).as("nc"),
+        col("c_id"), col("cell"))).as("m"))
+      .select(col("q_id"), col("m.cell").as("cell"),
+        col("m.c_id").as("nn_id"), col("m.cos").as("cos"))
   }
 
   /** Per-label centroid norm: posexplode → per-dimension mean → L2 norm.
