@@ -36,6 +36,37 @@ class DupClustersSpec extends AnyFunSuite {
       assert(keeper === members.min)
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(60 + rnd.nextInt(60))(
+        (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong)).filter(p => p._1 != p._2)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = verts.map(v => v -> find(v)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected)
+    }
+  }
+
+  test("connectedComponents converges on a long path (diameter >> 1)") {
+    // A 13-vertex chain needs many propagation rounds — exercises the loop
+    // beyond the near-clique graphs dedup produces.
+    val edges = (0L until 12L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === (0L to 12L).map(_ -> 0L).toMap)
+  }
+
   test("propagation crosses chains: a~b and b~c puts a,c in one component") {
     // Force a chain via near-identical texts sharing most shingles.
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
