@@ -187,11 +187,16 @@ object Dedup {
 
   /** Near-dup pairs by SimHash: block on the top-16-bit prefix, verify with
     * hamming ≤ maxHamming via bit_count(xor). Blocking keeps the join keyed.
+    * Radius 0 blocks on the FULL hash — identical-simhash pairs agree on
+    * every bit, so equality blocking is exact there and skips the wide
+    * prefix groups a 16-bit key produces on template-heavy corpora.
     */
   def simhashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
-    val a = sh.select(shiftright(col("simhash"), 16).as("pfx"),
+    val block: Column => Column =
+      if (maxHamming == 0) identity else shiftright(_, 16)
+    val a = sh.select(block(col("simhash")).as("pfx"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = sh.select(shiftright(col("simhash"), 16).as("pfx"),
+    val b = sh.select(block(col("simhash")).as("pfx"),
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, "pfx").filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
