@@ -109,6 +109,38 @@ object TextDedup {
           count(lit(1)).as("n_tokens"))
     }),
 
+    // TF-IDF top term per document — the "what is this doc about" signal a
+    // curation pipeline keys on. Two groupBys (term frequency, document
+    // frequency) + a one-row broadcast for N; the per-doc argmax is a
+    // max(struct) aggregate (map-side partial, no window sort), ties
+    // breaking to the lexicographically greatest term.
+    "t7_tfidf_top_term" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val total = d.agg(count(lit(1)).as("_n"))
+      tf.join(dfreq, "w").crossJoin(broadcast(total))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("_n").cast("double") / col("df")), 6))
+        .groupBy("doc_id")
+        .agg(max(struct(col("tfidf"), col("w"))).as("m"))
+        .select(col("doc_id"), col("m.w").as("top_term"), col("m.tfidf").as("tfidf"))
+    }),
+
+    // Deterministic weighted mixture sampling — training-mix construction:
+    // per-source acceptance rates applied as a pure per-row LCG threshold
+    // (reproducible across engines/partitionings, re-runnable; weight =
+    // (src digit mod 10 + 1)/10 so every rate 0.1..1.0 is exercised).
+    "o7_weighted_mix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val srcNum = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+      val accept = Hashing.lcg(col("doc_id"), 99L, 1000L) < (srcNum % 10 + 1) * lit(100)
+      d.groupBy("source").agg(
+        count(lit(1)).as("n_total"),
+        sum(accept.cast("long")).as("n_sampled"))
+    }),
+
     // exact dedup: canonical keeper per identical text.
     "d1_exact_dedup" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
@@ -358,6 +390,29 @@ object TextDedup {
          |SELECT id AS doc_id, min(label) AS keep_id
          |FROM reach GROUP BY id""".stripMargin,
     "d3_simhash" -> simhashSql,
+    "t7_tfidf_top_term" ->
+      s"""WITH $toksSrc,
+         |tf AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+         |tfc AS (SELECT doc_id, w, count(*) AS tf FROM tf GROUP BY doc_id, w),
+         |dfc AS (SELECT w, count(*) AS df FROM tfc GROUP BY w),
+         |tot AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, w, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+         |  FROM tfc JOIN dfc USING (w) CROSS JOIN tot),
+         |ranked AS (
+         |  SELECT doc_id, w, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY tfidf DESC, w DESC) AS rn
+         |  FROM scored)
+         |SELECT doc_id, w AS top_term, tfidf FROM ranked WHERE rn = 1""".stripMargin,
+    "o7_weighted_mix" -> {
+      val lcg = Hashing.lcgSql("doc_id", 99L, 1000L)
+      s"""SELECT source, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN $lcg <
+         |    (CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 10 + 1) * 100
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM documents GROUP BY source""".stripMargin
+    },
     "t5_freq_tokens" ->
       s"""WITH $toksSrc,
          |toks2 AS (SELECT doc_id, unnest(ws) AS w FROM toks)
