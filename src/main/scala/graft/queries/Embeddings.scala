@@ -40,7 +40,12 @@ object Embeddings {
     // Same result as v3, but through the single-buffer graft_vec_sum
     // aggregate (no posexplode — one shuffled row per vector, not per dim).
     "v5_centroids_agg" -> ((s, dir) =>
-      Similarity.labelCentroidNormsAgg(t(s, dir, "embeddings")))
+      Similarity.labelCentroidNormsAgg(t(s, dir, "embeddings"))),
+
+    // Int8 scalar quantization: ‖q‖² is integer-exact cross-engine, so a
+    // hash match proves the quantized codes agree bit-for-bit.
+    "v6_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings")))
   )
 
   private val vSrc =
@@ -57,6 +62,19 @@ object Embeddings {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "v6_quantize_int8" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |am AS (SELECT vec_id, max(abs(x)) AS amax FROM ex GROUP BY vec_id),
+        |q AS (
+        |  SELECT e.vec_id, e.x, floor(e.x * 127 / a.amax + 0.5) AS qv, a.amax
+        |  FROM ex e JOIN am a USING (vec_id)
+        |  WHERE a.amax > 0)
+        |SELECT vec_id,
+        |  CAST(sum(CAST(qv * qv AS BIGINT)) AS BIGINT) AS qnorm2,
+        |  round(sqrt(sum(pow(x - qv * amax / 127, 2))), 6) AS err,
+        |  round(max(amax), 6) AS amax
+        |FROM q GROUP BY vec_id""".stripMargin,
     "v1_cosine_topk" ->
       s"""WITH $vSrc,
          |q AS (SELECT vec_id AS q_id, dv AS qv FROM v WHERE vec_id < $NQueries),

@@ -65,6 +65,22 @@ object Events {
     }),
 
     // Forward direction: each click's NEXT purchase within 2 hours.
+    // Salted join end-to-end: the explicit skew path (ops/Skew.saltedJoin —
+    // big side salted deterministically, small side replicated per salt)
+    // must produce EXACTLY the rows of the plain join; the oracle is that
+    // plain join. The salt itself is partition-dependent, but it only
+    // routes rows — every big row meets its dim row exactly once — so the
+    // aggregated output is deterministic.
+    "j6_salted_join" -> ((s, dir) => {
+      val ev = eventsT(s, dir).select("event_id", "user_id", "value")
+      val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_n"))
+      graft.ops.Skew.saltedJoin(ev, dim, "user_id", salts = 8)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("value"), 3).as("sum_value"),
+          max("user_n").as("user_n"))
+    }),
+
     // The as-of SQL surface: the graft_asof marker inside an ordinary
     // LEFT JOIN condition, rewritten to the AsOfJoin operator by
     // RewriteAsOfMarkerJoin (plans/AsOfSql.scala). Output keeps only the
@@ -182,6 +198,13 @@ object Events {
         |SELECT event_id, user_id, ts, round(lvalue, 3) AS purchase_value,
         |       rts AS click_ts, round(rvalue, 3) AS click_value
         |FROM cand WHERE rn = 1""".stripMargin,
+    "j6_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, count(*) AS user_n FROM events GROUP BY user_id)
+        |SELECT e.user_id, count(*) AS n_rows,
+        |  round(sum(e.value), 3) AS sum_value, max(d.user_n) AS user_n
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY e.user_id""".stripMargin,
     "aj4_asof_sql" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
         |          WHERE event_type = 'purchase'),
