@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{DotProductExpr, FreqItemsAgg, PolyHashExpr, PolyShinglesExpr, VectorMinAgg, VectorSumAgg}
+import graft.functions.{DotProductExpr, FreqItemsAgg, Int8QuantizeExpr, PolyHashExpr, PolyShinglesExpr, VectorMinAgg, VectorSumAgg}
 
 /** Registers graft's native Catalyst expressions as SQL functions so they are
   * usable from both the Column API (`call_function`) and `spark.sql`.
@@ -18,6 +18,11 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       exprs => DotProductExpr(exprs(0), exprs(1)),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_int8_quantize",
+      exprs => Int8QuantizeExpr(exprs.head),
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, FreqItemsAgg, PolyHashExpr, PolyShinglesExpr, VectorMinAgg, VectorSumAgg}
+import graft.functions.{DotProductExpr, FreqItemsAgg, Int8QuantizeExpr, PolyHashExpr, PolyShinglesExpr, VectorMinAgg, VectorSumAgg}
 import graft.plans.{AsOfJoinStrategy, PushFilterThroughAsOfJoin}
 
 /** Spark-native deployment hook: register graft's Catalyst expressions via
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "sequential dot product of two array<double>"),
       (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_int8_quantize"),
+      info("graft_int8_quantize", "one-pass int8 quantization summary of array<double>"),
+      (exprs: Seq[Expression]) => Int8QuantizeExpr(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", "polyhash of every word-n-gram shingle"),

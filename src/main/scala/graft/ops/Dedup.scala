@@ -169,6 +169,90 @@ object Dedup {
     labels.select(col("src").as("doc_id"), col("label").as("keep_id"))
   }
 
+  /** High-diameter variant of [[connectedComponents]]: alternating
+    * large-star/small-star rounds (the public two-phase MapReduce CC
+    * algorithm of Kiveris et al., SoCC'14), converging in O(log n) rounds
+    * on ANY graph shape — min-label propagation is O(diameter), which
+    * degrades to O(n) joins on chain-shaped dup graphs (template drift
+    * A~B~C~…). Propagation stays the fast path for the near-clique graphs
+    * LSH dedup usually produces (diameter ≤ ~3 → 1-2 cheaper rounds);
+    * choose this one when the candidate graph may contain long chains.
+    *
+    * Each round is a constant number of keyed shuffles over the edge set
+    * (no driver-side adjacency, no GraphX); the edge set never grows —
+    * both stars re-point each edge at a neighborhood minimum. Each round's
+    * edge state is `localCheckpoint`ed, not just persisted: the loop's
+    * self-unions/self-joins double the *logical plan* every round, and
+    * without lineage truncation the analyzer blows up (gigabyte plan
+    * strings / O(2^rounds) tree walks) long before the data does.
+    */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame =
+    connectedComponentsStarRounds(pairs)._1
+
+  /** [[connectedComponentsStar]] + the round count, exposed so tests can
+    * assert the O(log n) convergence bound on adversarial (chain) graphs.
+    */
+  def connectedComponentsStarRounds(
+      pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+    val MD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // All vertices (kept aside: star rounds drop vertices whose component
+    // collapses around them — roots re-enter the output via this frame).
+    val verts = pairs.select(col("doc_a").as("u"))
+      .union(pairs.select(col("doc_b").as("u")))
+      .distinct()
+      .persist(MD)
+    // Canonical directed edge state: u > v, distinct, self-loops dropped.
+    // localCheckpoint (eager) truncates lineage so round N's plan does not
+    // embed rounds 1..N-1; it also serves as the per-round cache.
+    var edges = pairs.filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var edgeCount = edges.count()
+    var rounds = 0
+    var converged = edgeCount == 0
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      // Large-star: every neighbor w strictly above u re-points at
+      // m = min(N(u) ∪ {u}). Output keeps the u > v invariant (w > u ≥ m).
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val ls = sym
+        .join(sym.groupBy("u").agg(min("v").as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m")), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+        .persist(MD)
+      // Small-star: every smaller neighbor (and u itself) re-points at the
+      // minimum of u's smaller neighborhood.
+      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      val next = ls.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // Fixpoint = the round was a set-level no-op (both frames are
+      // canonical distinct sets, so count + empty-diff ⟺ equality). At the
+      // fixpoint the edge set is a star forest centered at component
+      // minima — checking "no length-2 path" alone is NOT enough (a source
+      // with two root targets passes it one round early).
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      ls.unpersist()
+      edges = next
+      edgeCount = nextCount
+    }
+    // Star forest -> labels: sources point at their root; roots (and
+    // isolated vertices) map to themselves.
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("keep_id"))
+      .union(verts.join(edges.select("u"), Seq("u"), "left_anti")
+        .select(col("u").as("doc_id"), col("u").as("keep_id")))
+    (labels, rounds)
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash over (multiplicity-weighted) word hashes. */

@@ -159,23 +159,17 @@ object Similarity {
     * 4·dim, and integer dot products drive the candidate scan. Output per
     * vector: exact integer ‖q‖² (cross-engine-exact witness that the codes
     * match bit-for-bit), the reconstruction-error L2 norm, and the scale.
-    * Explode + groupBy keeps everything in codegen; the native-Expression
-    * variant (one pass, no row explosion) is the further optimization when
-    * this becomes the scan's hot path.
+    * One codegen'd `graft_int8_quantize` call per row — zero exchanges
+    * (the previous posexplode → amax-join → re-aggregate shape shuffled
+    * dim× the row count twice); all-zero vectors (no scale) are dropped,
+    * matching the oracle's `amax > 0` filter.
     */
-  def quantizeInt8(vecs: DataFrame): DataFrame = {
-    val ex = vecs.select(col("vec_id"),
-      posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
-    val am = ex.groupBy("vec_id").agg(max(abs(col("x"))).as("amax"))
-    ex.join(am, "vec_id")
-      .filter(col("amax") > 0)
-      .withColumn("q", floor(col("x") * 127 / col("amax") + 0.5))
-      .withColumn("deq", col("q") * col("amax") / 127)
-      .groupBy("vec_id")
-      .agg(sum((col("q") * col("q")).cast("long")).as("qnorm2"),
-        round(sqrt(sum(pow(col("x") - col("deq"), 2))), 6).as("err"),
-        round(max(col("amax")), 6).as("amax"))
-  }
+  def quantizeInt8(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+        graft.functions.Int8QuantizeExpr.column(asDouble(col("embedding"))).as("z"))
+      .filter(col("z").isNotNull)
+      .select(col("vec_id"), col("z.qnorm2").as("qnorm2"),
+        round(col("z.err"), 6).as("err"), round(col("z.amax"), 6).as("amax"))
 
   /** Per-label centroid norm: posexplode → per-dimension mean → L2 norm.
     * (Also the IVF coarse-quantizer building block: centroids per partition.)

@@ -71,7 +71,7 @@ object TextDedup {
         .agg(count(lit(1)).as("n_reported"),
           sum(when(col("est") >= col("n") &&
             col("est") - col("err") <= col("n"), 0L).otherwise(1L)).as("n_violations"))
-        .crossJoin(totals)
+        .crossJoin(broadcast(totals))
         .select("n_tokens", "n_reported", "n_violations")
     }),
 
@@ -102,10 +102,11 @@ object TextDedup {
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val freq = toks.groupBy("w").agg(count(lit(1)).as("wn"))
-      val total = toks.count()
+      val total = toks.agg(count(lit(1)).as("_n"))
       toks.join(freq, "w")
+        .crossJoin(broadcast(total))
         .groupBy("doc_id")
-        .agg(round(avg(-log(col("wn").cast("double") / total)), 6).as("avg_neg_logp"),
+        .agg(round(avg(-log(col("wn").cast("double") / col("_n"))), 6).as("avg_neg_logp"),
           count(lit(1)).as("n_tokens"))
     }),
 
@@ -160,6 +161,13 @@ object TextDedup {
     // connected components over the LSH candidate graph: every near-dup
     // doc mapped to its cluster keeper (min doc_id in the component).
     "d8_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
+
+    // Same cluster map through the O(log n)-round large-star/small-star
+    // path (the high-diameter-safe variant) — must agree with d8 exactly.
+    "d11_dup_clusters_star" -> ((s, dir) =>
+      Dedup.connectedComponentsStar(
+        Dedup.candidatePairs(Dedup.lshBuckets(Dedup.minhashSignatures(
+          Dedup.shingleHashes(docs(s, dir))))).select("doc_a", "doc_b"))),
 
     // SimHash-family cluster resolution. Gate operating point is
     // maxHamming = 0: hamming-0 components are exactly simhash-equality
@@ -379,6 +387,17 @@ object TextDedup {
          |  AND quality >= 0.3 AND pred = d.lang
          |GROUP BY d.lang""".stripMargin,
     "d8_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashChain,
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT doc_a AS id, doc_a AS label FROM edges
+         |  UNION
+         |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON e.doc_b = r.id)
+         |SELECT id AS doc_id, min(label) AS keep_id
+         |FROM reach GROUP BY id""".stripMargin,
+    "d11_dup_clusters_star" ->
       s"""WITH RECURSIVE $minhashChain,
          |edges AS (
          |  SELECT doc_a, doc_b FROM pairs

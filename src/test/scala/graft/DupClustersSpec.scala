@@ -67,6 +67,54 @@ class DupClustersSpec extends AnyFunSuite {
     assert(got === (0L to 12L).map(_ -> 0L).toMap)
   }
 
+  test("star CC matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(60 + rnd.nextInt(60))(
+        (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = verts.map(v => v -> find(v)).toMap
+      val got = Dedup.connectedComponentsStar(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected)
+    }
+  }
+
+  test("star CC: ScalaCheck chain graphs converge in <= log2(n) + c rounds") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Chain 0-1-2-…-n is the adversarial diameter-n case that degrades
+    // min-label propagation to O(n) rounds; large-star/small-star must
+    // finish in O(log n). The constant allows for the final no-op
+    // fixpoint-confirmation round.
+    val prop = Prop.forAll(Gen.choose(2, 400)) { n =>
+      val edges = (0L until n.toLong).map(i => (i, i + 1))
+      val (labels, rounds) =
+        Dedup.connectedComponentsStarRounds(edges.toDF("doc_a", "doc_b"))
+      val got = labels.as[(Long, Long)].collect().toMap
+      val bound = (math.log(n + 1.0) / math.log(2.0)).ceil.toInt + 3
+      got == (0L to n.toLong).map(_ -> 0L).toMap && rounds <= bound
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("star CC handles duplicate, reversed, and self-loop input pairs") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (4L, 5L))
+    val got = Dedup.connectedComponentsStar(edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("propagation crosses chains: a~b and b~c puts a,c in one component") {
     // Force a chain via near-identical texts sharing most shingles.
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
