@@ -7,8 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Multimodal column handling: image/audio/video (and the reference's `.pt`
   * tensors, data_loader.py:128-135) are opaque `binary` columns with typed
   * metadata. The IMAGE path decodes for real ([[decodeImage]], JDK ImageIO —
-  * PNG/JPEG/BMP/GIF, no external libs). Modalities whose codecs genuinely
-  * aren't in this environment (audio/video — no ffmpeg) keep the
+  * PNG/JPEG/BMP/GIF, no external libs), and so does AUDIO ([[decodeWav]],
+  * JDK `javax.sound.sampled` — WAV/PCM, no ffmpeg needed). Only VIDEO,
+  * whose codecs genuinely aren't in this environment, keeps the
   * clearly-marked DETERMINISTIC STUB `decodeStub`; at deploy time swap it
   * for the real codec with the same `Array[Byte] => Array[Float]` signature.
   *
@@ -21,9 +22,10 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** DETERMINISTIC STUB codec: derives FeatureDim floats from the first
-    * bytes (real impl: image decode + model forward). Pure function of the
-    * bytes — reproducible across partitionings and engines.
+  /** DETERMINISTIC STUB codec (video-only — image and audio decode for
+    * real above): derives FeatureDim floats from the first bytes (real
+    * impl: frame demux + model forward). Pure function of the bytes —
+    * reproducible across partitionings and engines.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
@@ -78,6 +80,56 @@ object Multimodal {
 
   private val decodeImageUdf = udf(decodeImage _)
 
+  /** REAL audio codec — no stub: the JDK ships `javax.sound.sampled`, which
+    * parses WAV containers (fmt/data chunk walk, header validation) without
+    * any native library. Decodes 16-bit signed and 8-bit unsigned PCM to
+    * normalized floats in [-1, 1); multi-channel frames stay interleaved
+    * (flat `[L0 R0 L1 R1 …]`), the layout [[frameSample]] then thins.
+    * Returns null for bytes that aren't a parseable PCM WAV (corrupt-sample
+    * row; filter on `features IS NOT NULL`). Deterministic: s/32768 and
+    * (s−128)/128 are exact dyadic rationals, so the decoded floats are a
+    * pure bit-level function of the input bytes.
+    */
+  def decodeWav(bytes: Array[Byte]): Array[Float] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: UnsupportedAudioFileException | _: java.io.IOException => return null
+      }
+    try {
+      val f = in.getFormat
+      val bits = f.getSampleSizeInBits
+      val signed16 = f.getEncoding == AudioFormat.Encoding.PCM_SIGNED && bits == 16
+      val unsigned8 = f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
+      if (!signed16 && !unsigned8) return null
+      val data = in.readAllBytes()
+      if (signed16) {
+        val n = data.length / 2
+        val out = new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          val s =
+            if (f.isBigEndian) (data(2 * i) << 8) | (data(2 * i + 1) & 0xff)
+            else (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+          out(i) = s / 32768.0f
+          i += 1
+        }
+        out
+      } else {
+        val out = new Array[Float](data.length)
+        var i = 0
+        while (i < data.length) {
+          out(i) = ((data(i) & 0xff) - 128) / 128.0f
+          i += 1
+        }
+        out
+      }
+    } finally in.close()
+  }
+
+  private val decodeWavUdf = udf(decodeWav _)
+
   /** Scan a directory of media blobs → (name, length, content). */
   def scanBlobs(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(dir)
@@ -101,6 +153,15 @@ object Multimodal {
   def ingestImages(blobs: DataFrame, w: Int, h: Int, partitions: Int = 32): DataFrame =
     blobs.repartition(partitions, col("name"))
       .withColumn("features", decodeImageUdf(col("content"), lit(w), lit(h)))
+      .drop("content")
+
+  /** Audio ingest with the real `javax.sound.sampled` codec: WAV/PCM decode
+    * to normalized interleaved samples on executors (narrow map after the
+    * spread repartition, same plumbing as [[ingest]]).
+    */
+  def ingestAudio(blobs: DataFrame, partitions: Int = 32): DataFrame =
+    blobs.repartition(partitions, col("name"))
+      .withColumn("features", decodeWavUdf(col("content")))
       .drop("content")
 
   /** Frame-sample: every k-th element of a decoded sequence (video/audio

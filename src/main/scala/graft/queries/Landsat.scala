@@ -327,6 +327,26 @@ object Landsat {
           (acc, x) => acc + x), 4).as("f_sum"))
     }),
 
+    // Multimodal audio decode — REAL codec (JDK javax.sound.sampled), not
+    // the stub: scan committed WAV fixtures, parse the PCM container and
+    // normalize samples on executors. Filenames carry the generator's
+    // sample-pattern parameters (tools/gen_wav_fixtures.py), so the oracle
+    // recomputes every decoded value analytically — one flipped byte in
+    // the 16-bit LE parse and the hashes diverge. corrupt.wav exercises
+    // the null path.
+    "mm3_audio_decode" -> ((s, _) => {
+      val ingested = Multimodal.ingestAudio(
+        Multimodal.scanBlobs(fx(s), s"$FixturesDir/audio"), partitions = 2)
+      ingested.filter(col("features").isNotNull)
+        .select(col("name"), col("length"),
+          size(col("features")).as("n_samples"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("s0"),
+          round(aggregate(col("features").cast("array<double>"), lit(0.0),
+            (acc, x) => acc + x), 4).as("s_sum"),
+          round(sqrt(aggregate(col("features").cast("array<double>"), lit(0.0),
+            (acc, x) => acc + x * x) / size(col("features"))), 6).as("rms"))
+    }),
+
     // J3: positional zip-join — bands zipped with the 11-wide coefficient
     // array by position (arrays_zip + posexplode; zip pads to the longer).
     "j3_zip_join" -> ((s, _) => {
@@ -613,6 +633,29 @@ object Landsat {
         |  round(12 * CAST(rf AS DOUBLE) + 12 * CAST(gf AS DOUBLE)
         |        + 12 * CAST(bf AS DOUBLE), 4) AS f_sum
         |FROM rgb""".stripMargin,
+    "mm3_audio_decode" ->
+      """WITH blobs AS (
+        |  SELECT regexp_extract(filename, '([^/]+)$', 1) AS name, size AS length
+        |  FROM read_blob('/root/repo/fixtures/audio/*.wav')
+        |  WHERE regexp_matches(filename, 'wav_\d+_\d+_\d+_\d+\.wav$')),
+        |p AS (
+        |  SELECT name, length,
+        |    CAST(regexp_extract(name, 'wav_(\d+)_(\d+)_(\d+)_(\d+)\.wav', 1) AS BIGINT) AS a,
+        |    CAST(regexp_extract(name, 'wav_(\d+)_(\d+)_(\d+)_(\d+)\.wav', 2) AS BIGINT) AS b,
+        |    CAST(regexp_extract(name, 'wav_(\d+)_(\d+)_(\d+)_(\d+)\.wav', 3) AS BIGINT) AS n,
+        |    CAST(regexp_extract(name, 'wav_(\d+)_(\d+)_(\d+)_(\d+)\.wav', 4) AS BIGINT) AS ch
+        |  FROM blobs),
+        |feat AS (
+        |  SELECT name, length,
+        |    list_transform(range(0, n * ch), j ->
+        |      CAST(CAST(((a * j + b) % 2001) - 1000 AS FLOAT)
+        |           / CAST(32768.0 AS FLOAT) AS DOUBLE)) AS f
+        |  FROM p)
+        |SELECT name, length, CAST(len(f) AS INT) AS n_samples,
+        |  round(f[1], 6) AS s0,
+        |  round(list_sum(f), 4) AS s_sum,
+        |  round(sqrt(list_sum(list_transform(f, x -> x * x)) / len(f)), 6) AS rms
+        |FROM feat""".stripMargin,
     "mm1_multimodal_ingest" ->
       s"""WITH blobs AS (
          |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS name, size AS length,

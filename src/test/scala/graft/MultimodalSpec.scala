@@ -41,6 +41,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(Array[Byte](1, 2, 3), 4, 4) == null)
   }
 
+  // Hand-crafted RIFF/WAVE container (not written via javax.sound, so the
+  // test isn't circular with the decoder's own parser).
+  private def wavBytes(samples: Seq[Int], channels: Int,
+      bits: Int = 16): Array[Byte] = {
+    val bytesPer = bits / 8
+    val dataLen = samples.length * bytesPer
+    val rate = 8000
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1) // PCM
+    bb.putShort(channels.toShort); bb.putInt(rate)
+    bb.putInt(rate * channels * bytesPer)
+    bb.putShort((channels * bytesPer).toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach { s =>
+      if (bits == 16) bb.putShort(s.toShort) else bb.put(s.toByte)
+    }
+    bb.array()
+  }
+
+  test("decodeWav parses 16-bit PCM mono: values, order, normalization") {
+    val samples = Seq(0, 1, -1, 32767, -32768, 12345, -12345)
+    val f = Multimodal.decodeWav(wavBytes(samples, channels = 1))
+    assert(f != null && f.length == samples.length)
+    assert(f.toSeq == samples.map(_ / 32768.0f))
+  }
+
+  test("decodeWav keeps stereo frames interleaved and handles 8-bit PCM") {
+    val stereo = Seq(100, -200, 300, -400) // L0 R0 L1 R1
+    val fs = Multimodal.decodeWav(wavBytes(stereo, channels = 2))
+    assert(fs.toSeq == stereo.map(_ / 32768.0f))
+    val f8 = Multimodal.decodeWav(
+      wavBytes(Seq(0, 128, 255), channels = 1, bits = 8))
+    assert(f8.toSeq == Seq(-1.0f, 0.0f, 127 / 128.0f))
+  }
+
+  test("decodeWav returns null on non-WAV bytes") {
+    assert(Multimodal.decodeWav(Array[Byte](1, 2, 3, 4)) == null)
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes) == null)
+  }
+
+  test("ingestAudio decodes through the DataFrame plumbing") {
+    val rows = Seq(
+      ("a.wav", wavBytes(Seq(16384, -16384), channels = 1)),
+      ("bad.wav", Array[Byte](9, 9, 9))
+    ).toDF("name", "content").withColumn("length", length(col("content")).cast("long"))
+    val out = Multimodal.ingestAudio(rows, partitions = 2)
+      .select("name", "features").as[(String, Option[Seq[Float]])].collect().toMap
+    assert(out("a.wav").get == Seq(0.5f, -0.5f))
+    assert(out("bad.wav").isEmpty)
+  }
+
   test("ingestImages decodes through the DataFrame plumbing") {
     val rows = Seq(
       ("a.png", pngBytes(4, 3, (255, 0, 0))),
