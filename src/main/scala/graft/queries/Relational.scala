@@ -173,13 +173,18 @@ object Relational {
       val sk = li.groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("_approx"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("_p50"))
-      li.join(broadcast(sk), "l_returnflag")
+      // Exact distinct in its own pass: a mixed distinct+sums aggregate
+      // Expands every joined row x2; two simple codegen aggs beat it.
+      val exact = li.select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+      li.select("l_returnflag", "l_extendedprice")
+        .join(broadcast(sk), "l_returnflag")
         .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-          first(col("_approx")).as("_a"),
+        .agg(first(col("_approx")).as("_a"),
           count(lit(1)).as("_n"),
           sum(when(col("l_extendedprice") <= col("_p50"), 1L).otherwise(0L)).as("_le"),
           sum(when(col("l_extendedprice") < col("_p50"), 1L).otherwise(0L)).as("_lt"))
+        .join(broadcast(exact), "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("_a") - col("exact_parts")) <=
             lit(0.15) * col("exact_parts")).as("cd_ok"),

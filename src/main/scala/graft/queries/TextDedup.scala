@@ -179,6 +179,17 @@ object TextDedup {
     "d9_simhash_clusters" -> ((s, dir) =>
       Dedup.simhashClusters(docs(s, dir), maxHamming = 0)),
 
+    // Wider-radius operating point (hamming <= 3, 16-bit prefix blocking),
+    // gated on a bounded sub-corpus (doc_id < 200) so the oracle's
+    // recursive-CTE transitive closure stays tractable at every SF — the
+    // full-corpus closure is the round-2 quadratic trap. The Spark side
+    // runs the identical production path (simhash -> blocked hamming join
+    // -> min-label propagation); only the input is narrowed, via a filter
+    // that pushes down to the parquet scan.
+    "d10_simhash_clusters_r3" -> ((s, dir) =>
+      Dedup.simhashClusters(docs(s, dir).filter(col("doc_id") < 200),
+        maxHamming = 3)),
+
     // The capstone corpus-cleaning pipeline, composed from the operator
     // library: drop near-dup non-keepers (anti-join against d8's cluster
     // map), keep docs whose quality clears the bar and whose predicted
@@ -444,6 +455,23 @@ object TextDedup {
          |      FROM simh GROUP BY simhash HAVING count(*) >= 2)
          |SELECT s.doc_id, g.keep_id
          |FROM simh s JOIN g USING (simhash)""".stripMargin,
+    "d10_simhash_clusters_r3" ->
+      s"""WITH RECURSIVE simh_all AS ($simhashSql),
+         |simh AS (SELECT * FROM simh_all WHERE doc_id < 200),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM simh a JOIN simh b
+         |    ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT doc_a AS id, doc_a AS label FROM edges
+         |  UNION
+         |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON e.doc_b = r.id)
+         |SELECT id AS doc_id, min(label) AS keep_id
+         |FROM reach GROUP BY id""".stripMargin,
     "d4_simhash_pairs" ->
       s"""WITH simh AS ($simhashSql)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
