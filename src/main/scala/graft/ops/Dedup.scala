@@ -119,10 +119,21 @@ object Dedup {
         .select("doc_a", "doc_b"))
 
   /** SimHash variant: same component resolution over the hamming-join
-    * pair graph.
+    * pair graph. Radius 0 short-circuits the iterative loop entirely:
+    * hamming-0 edges are simhash-equality pairs, so every component is an
+    * equality clique and the component minimum is just `min(doc_id)` per
+    * simhash group — one aggregate + one keyed join, no fixpoint rounds.
+    * Wider radii run the real propagation (gated by d10 at radius 3).
     */
   def simhashClusters(docs: DataFrame, maxHamming: Int): DataFrame =
-    connectedComponents(
+    if (maxHamming == 0) {
+      val sh = simhash(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val groups = sh.groupBy("simhash")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("_n"))
+        .filter(col("_n") >= 2)
+      sh.join(groups, "simhash").select("doc_id", "keep_id")
+    } else connectedComponents(
       simhashPairs(simhash(docs), maxHamming).select("doc_a", "doc_b"))
 
   /** Components of any undirected (doc_a, doc_b) pair frame. */

@@ -26,11 +26,17 @@ object Similarity {
     * partitioned per query vector — parallel across queries.
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    // Norms are per-VECTOR, computed once before the pair join — cosine()
+    // inside the join would re-derive both norms per PAIR, tripling the
+    // hot-path dot products (the dominant flops at 100 TB).
     val q = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = candidates.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = q.crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -50,11 +56,15 @@ object Similarity {
   def annBucketed(vecs: DataFrame, nBits: Int): DataFrame = {
     val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
       .withColumn("bucket", signBucket(col("dv"), nBits))
-    val a = v.select(col("bucket"), col("vec_id").as("q_id"), col("dv").as("qv"))
-    val b = v.select(col("bucket"), col("vec_id").as("c_id"), col("dv").as("cv"))
+      .withColumn("nrm", norm(col("dv"))) // once per vector, not per pair
+    val a = v.select(col("bucket"), col("vec_id").as("q_id"),
+      col("dv").as("qv"), col("nrm").as("qn"))
+    val b = v.select(col("bucket"), col("vec_id").as("c_id"),
+      col("dv").as("cv"), col("nrm").as("cn"))
     val scored = a.join(b, "bucket")
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
@@ -71,11 +81,15 @@ object Similarity {
   def cosineNearDupPairs(vecs: DataFrame, nBits: Int, minCos: Double): DataFrame = {
     val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
       .withColumn("bucket", signBucket(col("dv"), nBits))
-    val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("dv").as("va"))
-    val b = v.select(col("bucket"), col("vec_id").as("id_b"), col("dv").as("vb"))
+      .withColumn("nrm", norm(col("dv"))) // once per vector, not per pair
+    val a = v.select(col("bucket"), col("vec_id").as("id_a"),
+      col("dv").as("va"), col("nrm").as("na"))
+    val b = v.select(col("bucket"), col("vec_id").as("id_b"),
+      col("dv").as("vb"), col("nrm").as("nb"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }
@@ -125,9 +139,11 @@ object Similarity {
     */
   def ivfTopK(vecs: DataFrame): DataFrame = {
     val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
-    val cent = centroidsAgg(vecs)
+      .withColumn("dn", norm(col("dv"))) // once per vector, not per pair
+    val cent = centroidsAgg(vecs).withColumn("cn", norm(col("cv")))
     val scoredCells = v.crossJoin(broadcast(cent))
-      .withColumn("ccos", round(cosine(col("dv"), col("cv")), 6))
+      .withColumn("ccos",
+        round(dot(col("dv"), col("cv")) / (col("dn") * col("cn")), 6))
     // Both argmaxes are top-1s, so they are max(struct(...)) aggregates,
     // NOT row_number windows: groupBy gets map-side partial aggregation
     // and no per-partition sort — at scale the difference between a
@@ -139,14 +155,18 @@ object Similarity {
     val members = scoredCells
       .groupBy(col("vec_id"))
       .agg(max(struct(col("ccos"), (-col("cell")).as("nc"),
-        col("cell"), col("dv"))).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"), col("m.dv").as("dv"))
+        col("cell"), col("dv"), col("dn"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"),
+        col("m.dv").as("dv"), col("m.dn").as("dn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = members.select(col("cell"), col("vec_id").as("q_id"), col("dv").as("qv"))
-    val b = members.select(col("cell"), col("vec_id").as("c_id"), col("dv").as("cv2"))
+    val a = members.select(col("cell"), col("vec_id").as("q_id"),
+      col("dv").as("qv"), col("dn").as("qn"))
+    val b = members.select(col("cell"), col("vec_id").as("c_id"),
+      col("dv").as("cv2"), col("dn").as("cn2"))
     val scored = a.join(b, "cell")
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv2")), 6))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 6))
     scored.groupBy(col("q_id"))
       .agg(max(struct(col("cos"), (-col("c_id")).as("nc"),
         col("c_id"), col("cell"))).as("m"))

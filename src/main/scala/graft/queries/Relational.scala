@@ -32,13 +32,19 @@ object Relational {
     }),
 
     // A3: count distinct (main.py:109-110 analog).
+    // Three distincts over different keys in ONE agg would Expand every
+    // row x3 and shuffle the union of all three pair sets through a single
+    // exchange; three independent 2-column distinct aggs (each fully
+    // codegen'd, each shuffling only its own distinct pairs) joined on the
+    // 3-row group key are cheaper and parallelize as independent stages.
     "a3_count_distinct" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"),
-          countDistinct(col("l_orderkey")).as("n_orders"))
+      val li = t(s, dir, "lineitem")
+      def cd(key: String, as: String) =
+        li.select("l_returnflag", key).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+      cd("l_partkey", "n_parts")
+        .join(broadcast(cd("l_suppkey", "n_supps")), "l_returnflag")
+        .join(broadcast(cd("l_orderkey", "n_orders")), "l_returnflag")
     }),
 
     // A4: first-match reduce — first lineitem of each order in line order
