@@ -14,6 +14,26 @@ object Events {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** File-stream read of the events table (streaming queries can't use the
+    * batch reader's nanos rewrite, so ts arrives as raw nanos LONG and is
+    * truncated to µs here, same as Tables.events).
+    */
+  private def rawEventStream(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir) // ensures nanosAsLong conf is set
+    import org.apache.spark.sql.types._
+    s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))))
+      .option("pathGlobFilter", "events.parquet") // stream source needs a dir
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_tumbling" -> ((s, dir) =>
       EventWindows.tumbling(eventsT(s, dir), "15 minutes")),
@@ -29,19 +49,8 @@ object Events {
     // e1 (and the same oracle), produced incrementally through a stream +
     // memory sink. Proves the streaming path inside the driver gate.
     "e5_streaming_tumbling" -> ((s, dir) => {
-      Tables.events(s, dir) // ensures nanosAsLong conf is set
-      val raw = s.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
-        .option("pathGlobFilter", "events.parquet") // stream source needs a dir
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val agg = graft.streaming.StreamingWindows.tumbling(raw, "15 minutes", "1 hour")
+      val agg = graft.streaming.StreamingWindows.tumbling(
+        rawEventStream(s, dir), "15 minutes", "1 hour")
       graft.streaming.StreamingWindows.runToMemory(
         agg, "e5_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     }),
@@ -139,21 +148,26 @@ object Events {
     // watermark proves it closed. Oracle = batch sessions restricted to
     // ones closed at the final (ms-truncated) watermark.
     "e6_stateful_sessions" -> ((s, dir) => {
-      Tables.events(s, dir) // ensures nanosAsLong conf is set
-      val raw = s.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val sess = graft.streaming.StatefulSessions.sessions(raw, gapMinutes = 30)
+      val sess = graft.streaming.StatefulSessions.sessions(
+        rawEventStream(s, dir), gapMinutes = 30)
       graft.streaming.StreamingWindows.runToMemory(
         sess, "e6_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
+    // Streaming exact dedup: watermark-bounded first-per-key over
+    // (user_id, event_type) — the continuous-ingest member of the dedup
+    // family (re-crawled duplicates dropped as they arrive, per-key state
+    // expiring with the watermark). The gate surface is the KEY SET (which
+    // physical row arrives first per key is partition-order-dependent;
+    // the set of keys is not), and the 90-day horizon exceeds the
+    // corpus's 30-day span, so the stream's output is exactly the batch
+    // distinct the oracle computes.
+    "e7_streaming_dedup" -> ((s, dir) => {
+      val deduped = graft.streaming.StreamingDedup.distinctKeysBounded(
+        rawEventStream(s, dir), "ts", "90 days", Seq("user_id", "event_type"))
+      graft.streaming.StreamingWindows.runToMemory(
+        deduped, "e7_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
         org.apache.spark.sql.streaming.OutputMode.Append())
     }),
 
@@ -268,6 +282,8 @@ object Events {
         |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
         |GROUP BY a.user_id""".stripMargin,
     "e5_streaming_tumbling" -> tumblingOracle,
+    "e7_streaming_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "e1_tumbling" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) AS wstart, event_type,
         | count(*) AS n, round(sum(value), 3) AS sum_value

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Int8QuantizeExpr
+import graft.ops.Similarity
+
+/** Native one-pass int8 quantization: hand-computed codes, the all-zero
+  * null contract, codegen/interpreted agreement, and equivalence with the
+  * exploded-aggregate formulation it replaced.
+  */
+class Int8QuantizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("quantizes against hand-computed codes") {
+    // amax = 2.0; codes: 1.0->64 (63.5 rounds up), -2.0->-127, 0.5->32
+    // (31.75 -> floor(32.25)=32), 0->0
+    val df = Seq((1L, Seq(1.0, -2.0, 0.5, 0.0))).toDF("vec_id", "v")
+    val got = df.select(Int8QuantizeExpr.column($"v").as("z"))
+      .select($"z.qnorm2", $"z.amax").as[(Long, Double)].head()
+    assert(got._1 === 64L * 64 + 127L * 127 + 32L * 32)
+    assert(got._2 === 2.0)
+  }
+
+  test("all-zero and empty vectors quantize to null (no scale)") {
+    val df = Seq(
+      (1L, Some(Seq(0.0, 0.0))),
+      (2L, Some(Seq.empty[Double])),
+      (3L, Option.empty[Seq[Double]])).toDF("vec_id", "v")
+    val got = df.select($"vec_id", Int8QuantizeExpr.column($"v").as("z"))
+      .filter($"z".isNotNull).count()
+    assert(got === 0L)
+  }
+
+  test("interpreted eval agrees with the codegen'd DataFrame path") {
+    val vec = Seq(0.3, -1.7, 2.9, 0.0, -0.4)
+    // interpreted: direct nullSafeEval on catalyst ArrayData
+    val interp = Int8QuantizeExpr
+      .quantize(org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        vec.toArray))
+    // codegen: through a DataFrame projection
+    val cg = Seq(Tuple1(vec)).toDF("v")
+      .select(Int8QuantizeExpr.column($"v").as("z"))
+      .select($"z.qnorm2", $"z.err", $"z.amax")
+      .as[(Long, Double, Double)].head()
+    assert(interp.getLong(0) === cg._1)
+    assert(interp.getDouble(1) === cg._2)
+    assert(interp.getDouble(2) === cg._3)
+  }
+
+  test("matches the exploded-aggregate formulation it replaced") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 20L).map(i =>
+      (i, Seq.fill(16)(rnd.nextDouble() * 4 - 2).map(x => math.round(x * 1e6) / 1e6)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val native = Similarity.quantizeInt8(df)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    // reference: the posexplode -> amax-join -> re-aggregate shape
+    val ex = df.select($"vec_id", posexplode($"embedding".cast("array<double>")).as(Seq("pos", "x")))
+    val am = ex.groupBy("vec_id").agg(max(abs($"x")).as("amax"))
+    val ref = ex.join(am, "vec_id")
+      .filter($"amax" > 0)
+      .withColumn("q", floor($"x" * 127 / $"amax" + 0.5))
+      .withColumn("deq", $"q" * $"amax" / 127)
+      .groupBy("vec_id")
+      .agg(sum(($"q" * $"q").cast("long")).as("qnorm2"),
+        round(sqrt(sum(pow($"x" - $"deq", 2))), 6).as("err"),
+        round(max($"amax"), 6).as("amax"))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(native === ref)
+  }
+}

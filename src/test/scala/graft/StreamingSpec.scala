@@ -49,4 +49,23 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(gotPerUser == wantPerUser)
   }
+
+  test("streaming bounded dedup emits each key exactly once despite duplicate files") {
+    // Two copies of the corpus land as separate files — the re-crawl case;
+    // the second copy must be fully absorbed by the per-key state.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    ev.write.mode("overwrite").parquet(dir)
+    ev.write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = StreamingWindows.readEventStream(spark, dir, schema)
+    val got = StreamingWindows.runToMemory(
+      graft.streaming.StreamingDedup.distinctKeysBounded(
+        stream, "ts", "90 days", Seq("user_id", "event_type")),
+      "t_dedup", org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(_.toSeq).toList
+    val want = ev.select("user_id", "event_type").distinct()
+      .collect().map(_.toSeq).toList
+    assert(got.sortBy(_.toString) == want.sortBy(_.toString)) // once per key, no dupes
+  }
 }
