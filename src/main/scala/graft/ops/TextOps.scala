@@ -28,6 +28,18 @@ object TextOps {
   def subwordCount(text: Column): Column =
     regexp_count(lower(text), lit("[a-z]+[0-9]*"))
 
+  /** GPT-2-style pre-tokenization count: letter runs, digit runs, and
+    * punctuation runs, each with an optional leading space — the regex
+    * shape of the BPE pre-tokenizer without the learned merges (an upper
+    * bound on merged-BPE token count, the budget number a training
+    * pipeline bills by). The three classes are disjoint and space can only
+    * be consumed as the optional prefix, so the segmentation is unambiguous
+    * — identical under leftmost-first (Java) and RE2 (DuckDB) alternation.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
+
   def countIn(ws: Column, words: Seq[String]): Column =
     size(filter(ws, w => array_contains(array(words.map(lit): _*), w)))
 

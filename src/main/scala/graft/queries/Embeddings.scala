@@ -27,6 +27,16 @@ object Embeddings {
     "v2_ann_bucketed" -> ((s, dir) =>
       Similarity.annBucketed(t(s, dir, "embeddings"), NnBits)),
 
+    // Matryoshka-truncated ANN: MRL-trained embeddings rank usably under
+    // prefix truncation, so the candidate scan runs on the first 16 of 64
+    // dims — 4x less IO and flops per pair with the identical bucketed
+    // shape (the standard coarse-search/full-rerank split's first stage).
+    "v7_matryoshka_ann" -> ((s, dir) =>
+      Similarity.annBucketed(
+        t(s, dir, "embeddings")
+          .withColumn("embedding", slice(col("embedding"), 1, 16)),
+        NnBits)),
+
     "v3_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroidNorms(t(s, dir, "embeddings"))),
 
@@ -87,6 +97,20 @@ object Embeddings {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
          |  FROM scored)
          |SELECT q_id, CAST(rk AS INT) AS rk, c_id, cos FROM ranked WHERE rk <= 3""".stripMargin,
+    "v7_matryoshka_ann" ->
+      s"""WITH $vSrc,
+         |vt AS (SELECT vec_id, dv[1:16] AS dv FROM v),
+         |b AS (SELECT vec_id, dv, $bucketSql AS bucket FROM vt),
+         |scored AS (
+         |  SELECT a.vec_id AS q_id, a.bucket, b.vec_id AS c_id,
+         |    round(list_dot_product(a.dv, b.dv) /
+         |      (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 6) AS cos
+         |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT q_id, bucket, c_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, bucket, c_id AS nn_id, cos FROM ranked WHERE rk = 1""".stripMargin,
     "v2_ann_bucketed" ->
       s"""WITH $vSrc,
          |b AS (SELECT vec_id, dv, $bucketSql AS bucket FROM v),

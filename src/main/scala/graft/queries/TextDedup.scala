@@ -25,6 +25,13 @@ object TextDedup {
         TextOps.subwordCount(col("text")).cast("int").as("n_subwords"),
         length(col("text")).as("len_chars"))),
 
+    // BPE-style pre-tokenizer budget: per-doc token count under the GPT-2
+    // pre-tokenization regex (letter/digit/punct runs with optional
+    // leading space) — the number a training pipeline bills data by.
+    "t8_bpe_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
+
     // quality scoring: stopword ratio, word shape, composite score.
     "t2_quality" -> ((s, dir) => {
       val ws = TextOps.tokens(col("text"))
@@ -290,6 +297,11 @@ object TextDedup {
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+[0-9]*')) AS INT) AS n_subwords,
          |  CAST(len(text) AS INT) AS len_chars
          |FROM toks JOIN documents USING (doc_id)""".stripMargin,
+    "t8_bpe_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INT) AS n_bpe
+        |FROM documents""".stripMargin,
     "t2_quality" ->
       s"""WITH $toksSrc,
          |m AS (SELECT doc_id,
