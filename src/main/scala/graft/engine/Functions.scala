@@ -31,6 +31,18 @@ object Functions {
         exprs(1).eval(null).asInstanceOf[Int]),
       "built-in"
     )
+    // Spark's internal runtime-filter kernels, exposed as callable
+    // functions for the explicit BloomPrune operator.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
     // Aggregates: the analyzer wraps AggregateFunctions into
     // AggregateExpressions during resolution.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -36,6 +36,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => PolyShinglesExpr(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", "Bloom filter aggregate over join keys (runtime-filter kernel)"),
+      (exprs: Seq[Expression]) => new org.apache.spark.sql.catalyst.expressions
+        .aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain", "Bloom filter membership probe"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_vec_sum"),
       info("graft_vec_sum", "element-wise sum aggregate of array<double>"),
       (exprs: Seq[Expression]) => VectorSumAgg(exprs.head)))

@@ -198,6 +198,23 @@ object Relational {
             col("_lt") <= lit(0.51) * col("_n")).as("p50_ok"))
     }),
 
+    // Bloom-filter semi-join pruning: lineitem rows kept only for urgent
+    // orders — the Bloom filter (a one-row scalar subquery, broadcast to
+    // every scan task) drops most fact rows before the exact semi-join's
+    // shuffle; false positives are removed by the verify join, so the
+    // result (and the oracle) is the plain semi join. The aggregate output
+    // makes the gate a one-row exact check.
+    "j7_bloom_semi" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      graft.ops.BloomPrune.semiJoinPruned(
+          t(s, dir, "lineitem"), urgent, "l_orderkey",
+          estItems = 100000L, numBits = 1L << 20)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+    }),
+
     // multi-way join across the star schema (region..lineitem), revenue per
     // nation — exercises join ordering + AQE broadcast selection.
     "j5_star_join" -> ((s, dir) => {
@@ -224,6 +241,13 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS cd_ok, TRUE AS p50_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "j7_bloom_semi" ->
+      """SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem l
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey
+        |    AND o.o_orderpriority = '1-URGENT')""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty,
