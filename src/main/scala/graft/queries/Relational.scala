@@ -215,6 +215,19 @@ object Relational {
           round(sum("l_extendedprice"), 2).as("sum_price"))
     }),
 
+    // Equi-width histogram via width_bucket: one codegen'd bucket expr +
+    // one partial-aggregated groupBy — the distribution-profiling scan a
+    // data pipeline runs before choosing split points / salt factors.
+    "a8_histogram" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          width_bucket(col("l_quantity"), lit(0d), lit(50d), lit(10L))
+            .cast("int").as("bucket"),
+          col("l_extendedprice"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))),
+
     // multi-way join across the star schema (region..lineitem), revenue per
     // nation — exercises join ordering + AQE broadcast selection.
     "j5_star_join" -> ((s, dir) => {
@@ -241,6 +254,13 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS cd_ok, TRUE AS p50_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // width_bucket(x, 0, 50, 10) == 1 + floor(x/5) on [0, 50), and n+1 at
+    // or above the upper bound — the closed form the oracle uses.
+    "a8_histogram" ->
+      """SELECT l_returnflag,
+        |  CAST(least(1 + floor(l_quantity / 5), 11) AS INT) AS bucket,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "j7_bloom_semi" ->
       """SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem l

@@ -32,6 +32,19 @@ object TextDedup {
       docs(s, dir).select(col("doc_id"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
 
+    // Gopher-style repetition filter: duplicate-token fraction and
+    // top-token dominance per doc, plus the drop verdict at the published
+    // operating point — all zero-shuffle array arithmetic.
+    "t9_gopher_repetition" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        size(ws).as("n_words"),
+        round(TextOps.distinctRatio(ws), 6).as("distinct_ratio"),
+        round(TextOps.topTokenShare(ws), 6).as("top_share"),
+        (TextOps.topTokenShare(ws) > 0.2 ||
+          TextOps.distinctRatio(ws) < 0.5).as("flagged"))
+    }),
+
     // quality scoring: stopword ratio, word shape, composite score.
     "t2_quality" -> ((s, dir) => {
       val ws = TextOps.tokens(col("text"))
@@ -302,6 +315,19 @@ object TextDedup {
         |  CAST(len(regexp_extract_all(lower(text),
         |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INT) AS n_bpe
         |FROM documents""".stripMargin,
+    "t9_gopher_repetition" ->
+      s"""WITH $toksSrc,
+         |m AS (
+         |  SELECT doc_id, len(ws) AS n_words,
+         |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dr,
+         |    CAST(list_max(list_transform(list_distinct(ws),
+         |      w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws) AS ts
+         |  FROM toks)
+         |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+         |  round(dr, 6) AS distinct_ratio,
+         |  round(ts, 6) AS top_share,
+         |  (ts > 0.2 OR dr < 0.5) AS flagged
+         |FROM m""".stripMargin,
     "t2_quality" ->
       s"""WITH $toksSrc,
          |m AS (SELECT doc_id,
