@@ -264,6 +264,22 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Benchmark-contamination scan: train docs sharing at least `minShared`
+    * distinct shingles with the evaluation set. The eval side of an LLM
+    * pipeline is tiny against the corpus (benchmarks vs 100 TB), so its
+    * distinct shingle-hash set is BROADCAST — the corpus-side scan stays a
+    * narrow shingle+probe with one partial-aggregated groupBy, no
+    * corpus-wide shuffle of shingles.
+    */
+  def contamination(train: DataFrame, eval: DataFrame,
+      minShared: Long): DataFrame = {
+    val evalSh = shingleHashes(eval).select("h").distinct()
+    shingleHashes(train) // distinct (doc_id, h), so count = distinct shared
+      .join(broadcast(evalSh), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash over (multiplicity-weighted) word hashes. */

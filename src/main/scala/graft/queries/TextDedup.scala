@@ -189,6 +189,38 @@ object TextDedup {
         Dedup.candidatePairs(Dedup.lshBuckets(Dedup.minhashSignatures(
           Dedup.shingleHashes(docs(s, dir))))).select("doc_a", "doc_b"))),
 
+    // Benchmark contamination: train docs (doc_id >= 50) sharing >= 3
+    // distinct word-3-gram shingles with the stand-in eval set
+    // (doc_id < 50) — the pre-training leakage scan. Eval shingle set is
+    // broadcast; the corpus side never shuffles its shingles.
+    "d12_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+        minShared = 3)
+    }),
+
+    // Distributed sequence packing: global greedy packing is inherently
+    // sequential, so pack within each source shard (parallel across
+    // shards, deterministic inside): running token total in
+    // (n_tokens desc, doc_id) order, bin = floor(preceding-total /
+    // budget) — next-fit by cumulative sum, the standard distributed
+    // approximation of training-batch packing.
+    "o8_pack_sequences" -> ((s, dir) => {
+      val budget = 512
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("n_tokens"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      d.withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("bin",
+          floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).cast("long"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("sum_tokens"))
+    }),
+
     // SimHash-family cluster resolution. Gate operating point is
     // maxHamming = 0: hamming-0 components are exactly simhash-equality
     // classes, so the oracle is a plain GROUP BY (no recursive closure —
@@ -493,6 +525,28 @@ object TextDedup {
          |      FROM simh GROUP BY simhash HAVING count(*) >= 2)
          |SELECT s.doc_id, g.keep_id
          |FROM simh s JOIN g USING (simhash)""".stripMargin,
+    "d12_contamination" ->
+      s"""WITH $toksSrc, $shSrc, $hashedSrc,
+         |ev AS (SELECT DISTINCT h FROM hashed WHERE doc_id < 50),
+         |tr AS (SELECT doc_id, h FROM hashed WHERE doc_id >= 50)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM tr JOIN ev USING (h)
+         |GROUP BY doc_id HAVING count(*) >= 3""".stripMargin,
+    "o8_pack_sequences" ->
+      s"""WITH $toksSrc,
+         |d AS (
+         |  SELECT t.doc_id, doc.source, len(t.ws) AS n_tokens
+         |  FROM toks t JOIN documents doc ON t.doc_id = doc.doc_id),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY n_tokens DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM d)
+         |SELECT source,
+         |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM c GROUP BY 1, 2""".stripMargin,
     "d10_simhash_clusters_r3" ->
       s"""WITH RECURSIVE simh_all AS ($simhashSql),
          |simh AS (SELECT * FROM simh_all WHERE doc_id < 200),
