@@ -9,6 +9,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Static conf, default 100 generated classes: with ~100 declared
+      // queries the warmup pass's compiled plans are evicted before the
+      // timed pass reaches them, silently re-measuring Janino compilation
+      // instead of execution (r04: c1 10.7 s timed vs 2.6 s steady-state).
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup phase: read every table family once, then run EVERY query once
@@ -24,13 +29,16 @@ object Bench {
       graft.queries.Tables.events(spark, sfDir).count()
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // Fixed name order: hash-Map iteration reshuffles whenever a query is
+    // added, which silently changes warm-cache adjacency between rounds.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column
       // (count() would let Catalyst prune the computed columns away).
@@ -53,7 +61,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

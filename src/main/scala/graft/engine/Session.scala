@@ -25,6 +25,11 @@ object Session {
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.ansi.enabled", "false")
+      // Static conf, defaults to 100: a long-running engine serving ~100
+      // distinct plan shapes thrashes the generated-class cache at the
+      // default, re-paying Janino compilation (seconds per query) on every
+      // execution. Sized for the full declared surface with headroom.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.registerAll(spark)
