@@ -87,6 +87,34 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** PII scrubbing for training corpora: emails, IPv4 literals, and
+    * NANP-style phone fragments, matched with dialect-portable regexes
+    * (identical under Java regex and RE2) and replaced with typed
+    * redaction tags. Pure codegen'd string expressions — a narrow map
+    * with zero shuffle, the only shape that survives a 100 TB scrub.
+    * Replacement order matters: emails first (their local parts can
+    * contain dots and digits), then IPv4, then phones; the tags
+    * themselves are letters-only so later patterns never re-match them.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}(?:\\.[0-9]{1,3}){3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("[EMAIL]")),
+        lit(Ipv4Re), lit("[IP]")),
+      lit(PhoneRe), lit("[PHONE]"))
+
+  /** Per-kind PII hit counts on the unredacted text (audit trail columns —
+    * a scrub that cannot report what it removed is not reviewable).
+    */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailRe)).cast("int").as("n_emails"),
+    regexp_count(text, lit(Ipv4Re)).cast("int").as("n_ips"),
+    regexp_count(text, lit(PhoneRe)).cast("int").as("n_phones"))
+
   /** Whitespace-normalized lowercase form used for fingerprinting. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

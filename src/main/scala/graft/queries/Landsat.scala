@@ -347,6 +347,26 @@ object Landsat {
             (acc, x) => acc + x * x) / size(col("features"))), 6).as("rms"))
     }),
 
+    // Multimodal video decode — REAL codec (JDK ImageIO's multi-frame GIF
+    // reader), not the stub: demux committed animated-GIF fixtures, sample
+    // every 2nd frame, pool each kept frame to mean RGB. Filenames carry
+    // the generator's solid-gray frame recipe (vid_<g0>_<dg>_<nf>.gif,
+    // frame j = (g0 + j*dg) % 256), so the oracle recomputes every pooled
+    // value analytically — one misread frame index or palette entry and
+    // the hashes diverge. corrupt.gif exercises the null path.
+    "mm4_video_frames" -> ((s, _) => {
+      val ingested = Multimodal.ingestVideo(
+        Multimodal.scanBlobs(fx(s), s"$FixturesDir/video"), everyK = 2,
+        partitions = 2)
+      ingested.filter(col("decoded").isNotNull)
+        .select(col("name"), col("length"),
+          col("decoded.n_frames").as("n_frames"),
+          (size(col("decoded.features")) / 3).cast("int").as("n_sampled"),
+          round(element_at(col("decoded.features"), 1).cast("double"), 6).as("f0"),
+          round(aggregate(col("decoded.features").cast("array<double>"),
+            lit(0.0), (acc, x) => acc + x), 4).as("f_sum"))
+    }),
+
     // J3: positional zip-join — bands zipped with the 11-wide coefficient
     // array by position (arrays_zip + posexplode; zip pads to the longer).
     "j3_zip_join" -> ((s, _) => {
@@ -656,6 +676,30 @@ object Landsat {
         |  round(list_sum(f), 4) AS s_sum,
         |  round(sqrt(list_sum(list_transform(f, x -> x * x)) / len(f)), 6) AS rms
         |FROM feat""".stripMargin,
+    "mm4_video_frames" ->
+      """WITH blobs AS (
+        |  SELECT regexp_extract(filename, '([^/]+)$', 1) AS name, size AS length
+        |  FROM read_blob('/root/repo/fixtures/video/*.gif')
+        |  WHERE regexp_matches(filename, 'vid_\d+_\d+_\d+\.gif$')),
+        |p AS (
+        |  SELECT name, length,
+        |    CAST(regexp_extract(name, 'vid_(\d+)_(\d+)_(\d+)\.gif', 1) AS BIGINT) AS g0,
+        |    CAST(regexp_extract(name, 'vid_(\d+)_(\d+)_(\d+)\.gif', 2) AS BIGINT) AS dg,
+        |    CAST(regexp_extract(name, 'vid_(\d+)_(\d+)_(\d+)\.gif', 3) AS BIGINT) AS nf
+        |  FROM blobs),
+        |f AS (
+        |  SELECT name, length, nf,
+        |    flatten(list_transform(
+        |      list_filter(range(0, nf), j -> j % 2 = 0),
+        |      j -> list_transform(range(3), z ->
+        |        CAST(CAST((g0 + j * dg) % 256 AS FLOAT)
+        |             / CAST(255.0 AS FLOAT) AS DOUBLE)))) AS feats
+        |  FROM p)
+        |SELECT name, length, CAST(nf AS INT) AS n_frames,
+        |  CAST(len(feats) / 3 AS INT) AS n_sampled,
+        |  round(feats[1], 6) AS f0,
+        |  round(list_sum(feats), 4) AS f_sum
+        |FROM f""".stripMargin,
     "mm1_multimodal_ingest" ->
       s"""WITH blobs AS (
          |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS name, size AS length,

@@ -45,6 +45,24 @@ object TextDedup {
           TextOps.distinctRatio(ws) < 0.5).as("flagged"))
     }),
 
+    // PII scrub: typed redaction of emails / IPv4s / phone fragments plus
+    // per-kind audit counts. The synthetic corpus carries no PII, so the
+    // gate injects a deterministic PII tail per doc IDENTICALLY here and
+    // in the oracle — the operator under test is the redaction regexes,
+    // and the full redacted string is hash-compared, so one mis-scrubbed
+    // character diverges.
+    "t10_pii_redact" -> ((s, dir) => {
+      val withPii = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact doc"), col("doc_id").cast("string"),
+          lit("@example.com ip 10."), (col("doc_id") % 250).cast("string"),
+          lit(".0.1 tel 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+      withPii.select(
+        Seq(col("doc_id")) ++ TextOps.piiCounts(col("t")) ++
+          Seq(TextOps.redactPii(col("t")).as("redacted")): _*)
+    }),
+
     // quality scoring: stopword ratio, word shape, composite score.
     "t2_quality" -> ((s, dir) => {
       val ws = TextOps.tokens(col("text"))
@@ -360,6 +378,26 @@ object TextDedup {
          |  round(ts, 6) AS top_share,
          |  (ts > 0.2 OR dr < 0.5) AS flagged
          |FROM m""".stripMargin,
+    "t10_pii_redact" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |    text || ' contact doc' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com ip 10.' || CAST(doc_id % 250 AS VARCHAR)
+        |      || '.0.1 tel 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b', '[IP]', 'g'),
+        |    '\b[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS redacted
+        |FROM withpii""".stripMargin,
     "t2_quality" ->
       s"""WITH $toksSrc,
          |m AS (SELECT doc_id,

@@ -81,4 +81,19 @@ class DedupTextSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("awl") - 17.0 / 6.0) < 1e-12)
     assert(row.getAs[String]("lang") == "en")
   }
+
+  test("redactPii scrubs emails, IPv4s, and phones; counts audit the hits") {
+    val df = Seq(Tuple1(
+      "mail Bob.Smith+x@Corp.Example.ORG then 192.168.0.1 and 10.0.0.255, " +
+        "call 555-0143 or 555-9999; not-pii: v1.2.3, a@b (no tld), 12-34")
+    ).toDF("t")
+    val row = df.select(
+      (TextOps.piiCounts($"t") :+ TextOps.redactPii($"t").as("red")): _*).head()
+    assert(row.getAs[Int]("n_emails") == 1)
+    assert(row.getAs[Int]("n_ips") == 2)
+    assert(row.getAs[Int]("n_phones") == 2)
+    assert(row.getAs[String]("red") ==
+      "mail [EMAIL] then [IP] and [IP], call [PHONE] or [PHONE]; " +
+        "not-pii: v1.2.3, a@b (no tld), 12-34")
+  }
 }

@@ -94,6 +94,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out("bad.wav").isEmpty)
   }
 
+  // Multi-frame GIF written directly with ImageIO's sequence writer (the
+  // decoder under test reads via the reader API, so write/read aren't the
+  // same code path; values are asserted analytically, not round-tripped).
+  private def gifBytes(grays: Seq[Int]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    grays.foreach { g =>
+      val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 2)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  test("decodeGifFrames demuxes all frames and samples every k-th") {
+    val d = Multimodal.decodeGifFrames(gifBytes(Seq(0, 51, 102, 153, 204)), 2)
+    assert(d.n_frames == 5)
+    assert(d.features.length == 9) // frames 0, 2, 4 -> 3 pooled channels each
+    assert(d.features.toSeq == Seq(0, 0, 0, 102, 102, 102, 204, 204, 204)
+      .map(_ / 255.0f))
+    val all = Multimodal.decodeGifFrames(gifBytes(Seq(10, 20)), 1)
+    assert(all.n_frames == 2 && all.features.length == 6)
+    assert(Multimodal.decodeGifFrames("notagif".getBytes, 2) == null)
+  }
+
+  test("ingestVideo decodes through the DataFrame plumbing") {
+    val rows = Seq(
+      ("a.gif", gifBytes(Seq(255, 0, 255))),
+      ("bad.gif", Array[Byte](9, 9, 9))
+    ).toDF("name", "content").withColumn("length", length(col("content")).cast("long"))
+    val out = Multimodal.ingestVideo(rows, everyK = 2, partitions = 2)
+    val byName = out.select("name", "decoded").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(byName("bad.gif").isEmpty) // corrupt sample -> null, filterable
+    val a = out.filter(col("name") === "a.gif")
+      .select(col("decoded.n_frames"), col("decoded.features"))
+      .as[(Int, Seq[Float])].head()
+    assert(a._1 == 3)
+    assert(a._2 == Seq(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)) // frames 0 and 2
+  }
+
   test("ingestImages decodes through the DataFrame plumbing") {
     val rows = Seq(
       ("a.png", pngBytes(4, 3, (255, 0, 0))),
