@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{DotProductExpr, FreqItemsAgg, Int8QuantizeExpr, PolyHashExpr, PolyShinglesExpr, VectorMinAgg, VectorSumAgg}
+import graft.functions.{DotProductExpr, FreqItemsAgg, Int8QuantizeExpr, PolyHashExpr, PolyShinglesExpr, RepetitionStatsExpr, VectorMinAgg, VectorSumAgg}
 
 /** Registers graft's native Catalyst expressions as SQL functions so they are
   * usable from both the Column API (`call_function`) and `spark.sql`.
@@ -23,6 +23,11 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_int8_quantize",
       exprs => Int8QuantizeExpr(exprs.head),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rep_stats",
+      exprs => RepetitionStatsExpr(exprs.head),
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

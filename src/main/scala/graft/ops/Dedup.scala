@@ -158,20 +158,36 @@ object Dedup {
     // of min-label propagation is exactly min over the self-inclusive
     // neighborhood — one groupBy over edges, no join. Near-clique dup
     // graphs then converge on the first LOOP iteration.
+    // localCheckpoint (not persist): round N's logical plan would otherwise
+    // embed rounds 1..N-1 — the data is short-circuited by the cache, but
+    // Catalyst still re-analyzes the ever-growing tree, and on
+    // high-diameter (chain) graphs the planning time ends up dwarfing the
+    // per-round jobs. Lineage truncation keeps every round's plan flat:
+    // persisted edges ⋈ checkpointed labels.
+    // Lazy (eager = false): the convergence aggregate right below is the
+    // materializing action, so each round runs ONE job, not two.
     var labels = edges.groupBy("src").agg(min("dst").as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // Labels are monotonically non-increasing, so the label SUM is a
     // complete convergence witness: unchanged sum == no label moved. One
     // cheap aggregate per round instead of a join + count.
     var prevSum = labels.agg(sum("label")).head.getLong(0)
     var converged = false
     while (!converged) {
-      val next = edges
+      // TWO propagation hops per action: each driver round-trip (job
+      // submit + convergence head) costs more than an extra in-job
+      // shuffle stage, so doubling the hop count halves the loop's
+      // dominant fixed cost. Convergence stays sound — labels are
+      // monotonically non-increasing, so an unchanged sum after a 2-hop
+      // step certifies the 1-hop fixpoint too.
+      val hop = edges
         .join(labels.select(col("src").as("dst"), col("label")), "dst")
         .groupBy("src").agg(min("label").as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = edges
+        .join(hop.select(col("src").as("dst"), col("label")), "dst")
+        .groupBy("src").agg(min("label").as("label"))
+        .localCheckpoint(false)
       val nextSum = next.agg(sum("label")).head.getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum

@@ -59,20 +59,21 @@ object TextOps {
       lit(0.3) * least(lit(1.0), size(ws).cast("double") / 100.0) +
       lit(0.2) * (avgWordLen(ws) / 10.0)
 
-  /** Gopher-style repetition signals, as pure array expressions — a
-    * narrow map with ZERO shuffle (the per-doc alternative is an explode +
-    * two groupBys, which at 100 TB shuffles every token twice).
-    * distinctRatio: |set(ws)| / |ws| (low → repetitive boilerplate);
-    * topShare: the most frequent token's share of the doc (catches
-    * "batch batch batch" spam). O(distinct·n) per row — bounded by doc
-    * length, embarrassingly parallel.
+  /** Gopher-style repetition signals — a narrow map with ZERO shuffle (the
+    * per-doc alternative is an explode + two groupBys, which at 100 TB
+    * shuffles every token twice).
+    * distinct_ratio: |set(ws)| / |ws| (low → repetitive boilerplate);
+    * top_share: the most frequent token's share of the doc (catches
+    * "batch batch batch" spam). One native O(n) hash-counting pass per row
+    * ([[graft.functions.RepetitionStatsExpr]]); the HOF spelling
+    * (`array_distinct` + `transform(filter(...))`) is O(distinct·n) with
+    * per-element interpreted lambdas — ~10× slower corpus-wide.
     */
-  def distinctRatio(ws: Column): Column =
-    size(array_distinct(ws)).cast("double") / size(ws)
+  def repStats(ws: Column): Column = graft.functions.RepetitionStatsExpr.column(ws)
 
-  def topTokenShare(ws: Column): Column =
-    array_max(transform(array_distinct(ws),
-      w => size(filter(ws, x => x === w)))).cast("double") / size(ws)
+  def distinctRatio(ws: Column): Column = repStats(ws).getField("distinct_ratio")
+
+  def topTokenShare(ws: Column): Column = repStats(ws).getField("top_share")
 
   /** Marker-word hit count for one language. */
   def langHits(ws: Column, lang: String): Column = countIn(ws, LangMarkers(lang))

@@ -82,6 +82,36 @@ class DedupTextSpec extends AnyFunSuite {
     assert(row.getAs[String]("lang") == "en")
   }
 
+  test("repStats matches the HOF formulas and handles edge arrays") {
+    val df = Seq(
+      "batch batch batch window",   // ts 3/4, dr 2/4
+      "a b c d",                    // ts 1/4, dr 1
+      "x"                           // ts 1, dr 1
+    ).toDF("text")
+    val ws = TextOps.tokens($"text")
+    val rows = df.select(
+      TextOps.distinctRatio(ws).as("dr"),
+      TextOps.topTokenShare(ws).as("ts"),
+      // the displaced HOF spellings, as the independent witness
+      (size(array_distinct(ws)).cast("double") / size(ws)).as("dr0"),
+      (array_max(transform(array_distinct(ws),
+        w => size(filter(ws, x => x === w)))).cast("double") / size(ws)).as("ts0")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("dr") == r.getAs[Double]("dr0"))
+      assert(r.getAs[Double]("ts") == r.getAs[Double]("ts0"))
+    }
+    assert(rows(0).getAs[Double]("ts") == 0.75)
+    assert(rows(0).getAs[Double]("dr") == 0.5)
+    // null array -> null stats; SQL surface resolves too
+    val nulls = Seq(Tuple1(null: String)).toDF("text")
+      .select(TextOps.repStats(split($"text", " ")).as("st")).head()
+    assert(nulls.isNullAt(0))
+    assert(spark.sql(
+      "SELECT graft_rep_stats(array('a','a','b')).top_share").head().getDouble(0)
+      == 2.0 / 3.0)
+  }
+
   test("redactPii scrubs emails, IPv4s, and phones; counts audit the hits") {
     val df = Seq(Tuple1(
       "mail Bob.Smith+x@Corp.Example.ORG then 192.168.0.1 and 10.0.0.255, " +
