@@ -231,11 +231,13 @@ object Dedup {
     // Canonical directed edge state: u > v, distinct, self-loops dropped.
     // localCheckpoint (eager) truncates lineage so round N's plan does not
     // embed rounds 1..N-1; it also serves as the per-round cache.
+    // Lazy checkpoint: the count right below is the materializing action,
+    // so initialization is one job instead of two.
     var edges = pairs.filter(col("doc_a") =!= col("doc_b"))
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var edgeCount = edges.count()
     var rounds = 0
     var converged = edgeCount == 0
@@ -259,15 +261,25 @@ object Dedup {
         .union(ssMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
-      // Fixpoint = the round was a set-level no-op (both frames are
-      // canonical distinct sets, so count + empty-diff ⟺ equality). At the
-      // fixpoint the edge set is a star forest centered at component
-      // minima — checking "no length-2 path" alone is NOT enough (a source
-      // with two root targets passes it one round early).
-      val nextCount = next.count()
-      converged = nextCount == edgeCount &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+        .localCheckpoint(false)
+      // Fixpoint = the round was a set-level no-op. Both frames are
+      // canonical distinct sets, so next == edges ⟺ |next ∪ edges| ==
+      // |edges| == |next| — ONE aggregate action yields |union| and
+      // |next| together (and materializes the lazy checkpoint), replacing
+      // the former count + left-anti probe (3 jobs/round → 1). Checking
+      // "no length-2 path" alone would NOT be enough (a source with two
+      // root targets passes it one round early). At the fixpoint the edge
+      // set is a star forest centered at component minima.
+      val row = next.withColumn("_new", lit(1L))
+        .union(edges.withColumn("_new", lit(0L)))
+        .groupBy("u", "v").agg(max("_new").as("_n"))
+        .agg(count(lit(1)).as("n_union"), sum("_n").as("n_next"))
+        .head()
+      val unionCount = row.getLong(0)
+      // sum over zero groups is NULL (both frames empty — a fully
+      // collapsed component emptied the edge set last round).
+      val nextCount = if (row.isNullAt(1)) 0L else row.getLong(1)
+      converged = unionCount == edgeCount && nextCount == edgeCount
       ls.unpersist()
       edges = next
       edgeCount = nextCount
