@@ -48,12 +48,13 @@ object Events {
     // Structured Streaming execution of the tumbling window: same result as
     // e1 (and the same oracle), produced incrementally through a stream +
     // memory sink. Proves the streaming path inside the driver gate.
-    "e5_streaming_tumbling" -> ((s, dir) => {
-      val agg = graft.streaming.StreamingWindows.tumbling(
-        rawEventStream(s, dir), "15 minutes", "1 hour")
-      graft.streaming.StreamingWindows.runToMemory(
-        agg, "e5_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    }),
+    "e5_streaming_tumbling" -> ((s, dir) =>
+      graft.streaming.StreamingWindows.withStatePartitions(s, 8) {
+        val agg = graft.streaming.StreamingWindows.tumbling(
+          rawEventStream(s, dir), "15 minutes", "1 hour")
+        graft.streaming.StreamingWindows.runToMemory(
+          agg, "e5_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      }),
 
     // Custom whole-operator extension (AsOfJoin LogicalPlan + Strategy +
     // Exec): for every purchase, the user's most recent click at-or-before
@@ -147,13 +148,14 @@ object Events {
     // event-time timeouts; emits each session exactly once when the
     // watermark proves it closed. Oracle = batch sessions restricted to
     // ones closed at the final (ms-truncated) watermark.
-    "e6_stateful_sessions" -> ((s, dir) => {
-      val sess = graft.streaming.StatefulSessions.sessions(
-        rawEventStream(s, dir), gapMinutes = 30)
-      graft.streaming.StreamingWindows.runToMemory(
-        sess, "e6_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
-        org.apache.spark.sql.streaming.OutputMode.Append())
-    }),
+    "e6_stateful_sessions" -> ((s, dir) =>
+      graft.streaming.StreamingWindows.withStatePartitions(s, 8) {
+        val sess = graft.streaming.StatefulSessions.sessions(
+          rawEventStream(s, dir), gapMinutes = 30)
+        graft.streaming.StreamingWindows.runToMemory(
+          sess, "e6_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }),
 
     // Streaming exact dedup: watermark-bounded first-per-key over
     // (user_id, event_type) — the continuous-ingest member of the dedup
@@ -163,12 +165,46 @@ object Events {
     // the set of keys is not), and the 90-day horizon exceeds the
     // corpus's 30-day span, so the stream's output is exactly the batch
     // distinct the oracle computes.
-    "e7_streaming_dedup" -> ((s, dir) => {
-      val deduped = graft.streaming.StreamingDedup.distinctKeysBounded(
-        rawEventStream(s, dir), "ts", "90 days", Seq("user_id", "event_type"))
-      graft.streaming.StreamingWindows.runToMemory(
-        deduped, "e7_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
-        org.apache.spark.sql.streaming.OutputMode.Append())
+    "e7_streaming_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingWindows.withStatePartitions(s, 8) {
+        val deduped = graft.streaming.StreamingDedup.distinctKeysBounded(
+          rawEventStream(s, dir), "ts", "90 days", Seq("user_id", "event_type"))
+        graft.streaming.StreamingWindows.runToMemory(
+          deduped, "e7_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }),
+
+    // Watermarked stream-stream interval join — the streaming form of the
+    // range join, in the canonical attribution shape: each purchase pairs
+    // to the same user's clicks in the preceding 10 minutes, matched
+    // incrementally with per-side watermarks bounding the join state (at
+    // cluster scale each side buffers only its horizon, never the full
+    // history; the type filters push down to the scan so each side reads
+    // a fifth of the corpus). The memory-sink pairs are then
+    // batch-aggregated, and the oracle is the equivalent batch interval
+    // join — the streaming path must reproduce it bit-for-bit.
+    "e8_stream_join" -> ((s, dir) => {
+      val sunk = graft.streaming.StreamingWindows.withStatePartitions(s, 8) {
+        val clicks = rawEventStream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "90 days")
+        val purchases = rawEventStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "90 days")
+        val pairs = clicks.join(purchases,
+          expr("""user_id = p_user AND p_ts > c_ts
+                 |AND p_ts <= c_ts + interval 10 minutes""".stripMargin))
+          .select(col("user_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+        graft.streaming.StreamingWindows.runToMemory(
+          pairs, "e8_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+      sunk.groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("gap_us")), 6).as("avg_gap_us"))
     }),
 
     // Binned range self-join: same-user event pairs within 10 minutes,
@@ -281,6 +317,16 @@ object Events {
         |  AND epoch_us(b.ts) > epoch_us(a.ts)
         |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
         |GROUP BY a.user_id""".stripMargin,
+    // batch form of the same interval join: the streaming path must
+    // reproduce it exactly (the 90-day horizon exceeds the corpus span).
+    "e8_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs,
+        |  round(avg(epoch_us(p.ts) - epoch_us(c.ts)), 6) AS avg_gap_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) > epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+        |GROUP BY c.user_id""".stripMargin,
     "e5_streaming_tumbling" -> tumblingOracle,
     "e7_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",

@@ -239,6 +239,26 @@ object TextDedup {
           sum("n_tokens").cast("long").as("sum_tokens"))
     }),
 
+    // Verbatim-span duplication (the exact-substring dedup signal of
+    // Lee et al. 2022, at a fixed 10-token operating point instead of a
+    // suffix array): per doc, how many distinct 10-gram word spans also
+    // appear verbatim in some other doc. Hash-first (the shuffle carries
+    // longs, never span strings); shared-span detection is one partial-
+    // aggregated groupBy; the attach back to docs is a keyed join. No
+    // broadcast anywhere — at 100 TB the shared-span set is itself large.
+    "d13_span_dup" -> ((s, dir) => {
+      val n = 10
+      val sh = docs(s, dir).select(col("doc_id"),
+          explode(graft.functions.PolyShinglesExpr.column(
+            lower(col("text")), n)).as("h"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shared = sh.groupBy("h")
+        .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("h")
+      sh.join(shared, "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    }),
+
     // SimHash-family cluster resolution. Gate operating point is
     // maxHamming = 0: hamming-0 components are exactly simhash-equality
     // classes, so the oracle is a plain GROUP BY (no recursive closure —
@@ -563,6 +583,21 @@ object TextDedup {
          |      FROM simh GROUP BY simhash HAVING count(*) >= 2)
          |SELECT s.doc_id, g.keep_id
          |FROM simh s JOIN g USING (simhash)""".stripMargin,
+    "d13_span_dup" ->
+      s"""WITH $toksSrc,
+         |sh10 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
+         |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         |           ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
+         |           ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
+         |           ws[i + 9])) AS shingle
+         |  FROM toks),
+         |h10 AS (SELECT DISTINCT doc_id, ${graft.functions.Hashing.polyHashSql("shingle")} AS h FROM sh10),
+         |shared AS (SELECT h FROM h10 GROUP BY h HAVING count(*) >= 2)
+         |SELECT doc_id, count(*) AS n_dup_spans
+         |FROM h10 JOIN shared USING (h)
+         |GROUP BY doc_id""".stripMargin,
     "d12_contamination" ->
       s"""WITH $toksSrc, $shSrc, $hashedSrc,
          |ev AS (SELECT DISTINCT h FROM hashed WHERE doc_id < 50),

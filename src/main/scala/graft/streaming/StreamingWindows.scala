@@ -45,6 +45,22 @@ object StreamingWindows {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Run `body` with the session's shuffle-partition count (which fixes a
+    * NEW streaming query's state-store partition count) temporarily set to
+    * `n`, restoring the previous value after. Streaming state is
+    * partitioned at query start and every microbatch commits one file per
+    * state store per partition — at smoke/bench scale 32 partitions of
+    * near-empty stores are pure commit overhead, and at cluster scale this
+    * is the same lever, sized to keys-per-watermark-horizon instead.
+    * Batch queries are unaffected (AQE coalesces their shuffles).
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Drive a streaming frame to completion against a named memory sink and
     * return the materialized result (test/smoke path).
     */
