@@ -146,6 +146,24 @@ object Landsat {
         arrDot(flat).cast("long").as("t_dot"))
     }),
 
+    // S5 as incremental ingest: the SAME DataSource V2 table read through
+    // its MICRO_BATCH_READ capability (readStream) — each micro-batch
+    // decodes exactly the .pt files unseen at the previous offset. Driven
+    // to a memory sink; same projection and oracle as s5b/s5c, so the
+    // streaming scan must reproduce the batch decode bit-for-bit.
+    "s5d_pt_stream" -> ((s, _) => {
+      val df = fx(s).readStream.format("graft-pt").load(s"$FixturesDir/tensors")
+      val flat = flatten(flatten(col("tensor")))
+      val proj = df.select(col("scene_id"),
+        size(element_at(col("tensor"), 1)).as("nbands"),
+        size(col("tensor")).as("n_stations"),
+        arrSum(flat).cast("long").as("t_sum"),
+        arrDot(flat).cast("long").as("t_dot"))
+      graft.streaming.StreamingWindows.runToMemory(
+        proj, "s5d_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
     // S7: sink + re-scan roundtrip (parquet).
     "s7_sink_roundtrip" -> ((s, dir) => {
       val out = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
@@ -735,6 +753,11 @@ object Landsat {
         |  columns={'scene_id':'VARCHAR','nbands':'INTEGER','n_stations':'INTEGER',
         |           't_sum':'BIGINT','t_dot':'BIGINT'})""".stripMargin,
     "s5c_pt_datasource" ->
+      """SELECT scene_id, nbands, n_stations, t_sum, t_dot
+        |FROM read_csv('/root/repo/fixtures/tensors/expected.csv', header=true,
+        |  columns={'scene_id':'VARCHAR','nbands':'INTEGER','n_stations':'INTEGER',
+        |           't_sum':'BIGINT','t_dot':'BIGINT'})""".stripMargin,
+    "s5d_pt_stream" ->
       """SELECT scene_id, nbands, n_stations, t_sum, t_dot
         |FROM read_csv('/root/repo/fixtures/tensors/expected.csv', header=true,
         |  columns={'scene_id':'VARCHAR','nbands':'INTEGER','n_stations':'INTEGER',
