@@ -162,10 +162,10 @@ object Dedup {
     // embed rounds 1..N-1 — the data is short-circuited by the cache, but
     // Catalyst still re-analyzes the ever-growing tree, and on
     // high-diameter (chain) graphs the planning time ends up dwarfing the
-    // per-round jobs. Lineage truncation keeps every round's plan flat:
-    // persisted edges ⋈ checkpointed labels.
-    // Lazy (eager = false): the convergence aggregate right below is the
-    // materializing action, so each round runs ONE job, not two.
+    // per-round jobs. Lineage truncation keeps every round's plan flat
+    // (persisted edges ⋈ checkpointed labels), and lazy (eager = false)
+    // makes the convergence aggregate the materializing action — one job
+    // per round, not two.
     var labels = edges.groupBy("src").agg(min("dst").as("label"))
       .localCheckpoint(false)
     // Labels are monotonically non-increasing, so the label SUM is a
