@@ -228,6 +228,24 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           round(sum("l_extendedprice"), 2).as("sum_price"))),
 
+    // Pivot (long→wide reshaping): daily order counts per priority as one
+    // row per day with a column per priority — explicit value list, so the
+    // schema is static and no extra distinct-values job runs (at 100 TB an
+    // implicit pivot burns a full scan just to learn the columns). Missing
+    // (day, priority) cells are true zeros, pinned with na.fill to match
+    // the conditional-aggregation form the oracle uses.
+    "a9_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("day"), col("o_orderpriority"))
+        .groupBy("day")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("day"), col("1-URGENT").as("p1"), col("2-HIGH").as("p2"),
+          col("3-MEDIUM").as("p3"), col("4-NOT SPECIFIED").as("p4"),
+          col("5-LOW").as("p5"))),
+
     // multi-way join across the star schema (region..lineitem), revenue per
     // nation — exercises join ordering + AQE broadcast selection.
     "j5_star_join" -> ((s, dir) => {
@@ -254,6 +272,14 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS cd_ok, TRUE AS p50_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a9_pivot" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY 1""".stripMargin,
     // width_bucket(x, 0, 50, 10) == 1 + floor(x/5) on [0, 50), and n+1 at
     // or above the upper bound — the closed form the oracle uses.
     "a8_histogram" ->
