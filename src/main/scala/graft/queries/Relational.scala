@@ -228,6 +228,20 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           round(sum("l_extendedprice"), 2).as("sum_price"))),
 
+    // Exact order statistics + bivariate aggregates: median / p90 via the
+    // exact percentile aggregate (the sort-based complement of a7's
+    // sketches — use this when the group count is modest and the answer
+    // must be exact), plus Pearson correlation and sample covariance.
+    "a10_exact_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("covar_qp"))),
+
     // Pivot (long→wide reshaping): daily order counts per priority as one
     // row per day with a column per priority — explicit value list, so the
     // schema is static and no extra distinct-values job runs (at 100 TB an
@@ -271,6 +285,13 @@ object Relational {
     "a7_approx_sketches" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS cd_ok, TRUE AS p50_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a10_exact_stats" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a9_pivot" ->
       """SELECT CAST(o_orderdate AS DATE) AS day,
