@@ -292,6 +292,27 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Verbatim-span duplication counts (the exact-substring dedup signal of
+    * Lee et al. 2022 at a fixed n-token operating point, not a suffix
+    * array): per doc, how many of its distinct n-gram word spans appear
+    * verbatim in at least one other doc. Hash-first — the shuffle carries
+    * longs, never span strings; shared-span detection is one
+    * partial-aggregated groupBy; the attach back is a keyed join. No
+    * broadcast anywhere: at corpus scale the shared-span set is itself
+    * large.
+    */
+  def spanDupCounts(docs: DataFrame, n: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        explode(graft.functions.PolyShinglesExpr.column(
+          lower(col("text")), n)).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = sh.groupBy("h")
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("h")
+    sh.join(shared, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+  }
+
   /** Benchmark-contamination scan: train docs sharing at least `minShared`
     * distinct shingles with the evaluation set. The eval side of an LLM
     * pipeline is tiny against the corpus (benchmarks vs 100 TB), so its

@@ -246,18 +246,7 @@ object TextDedup {
     // longs, never span strings); shared-span detection is one partial-
     // aggregated groupBy; the attach back to docs is a keyed join. No
     // broadcast anywhere — at 100 TB the shared-span set is itself large.
-    "d13_span_dup" -> ((s, dir) => {
-      val n = 10
-      val sh = docs(s, dir).select(col("doc_id"),
-          explode(graft.functions.PolyShinglesExpr.column(
-            lower(col("text")), n)).as("h"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val shared = sh.groupBy("h")
-        .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("h")
-      sh.join(shared, "h")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
-    }),
+    "d13_span_dup" -> ((s, dir) => Dedup.spanDupCounts(docs(s, dir), n = 10)),
 
     // SimHash-family cluster resolution. Gate operating point is
     // maxHamming = 0: hamming-0 components are exactly simhash-equality

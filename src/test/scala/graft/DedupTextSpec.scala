@@ -112,6 +112,22 @@ class DedupTextSpec extends AnyFunSuite {
       == 2.0 / 3.0)
   }
 
+  test("spanDupCounts finds verbatim n-gram spans shared across docs") {
+    val docs = Seq(
+      (1L, "a b c d e unique tail one"),   // shares "a b c d e" with doc 2
+      (2L, "x y a b c d e other words"),
+      (3L, "entirely different text with no overlap at all")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.spanDupCounts(docs, n = 5)
+      .as[(Long, Long)].collect().toMap
+    // doc1 windows: [a b c d e] [b c d e unique] ... — only the first is
+    // shared; doc2's shared window is the same 5-gram at offset 2.
+    assert(got == Map(1L -> 1L, 2L -> 1L)) // doc 3 absent: no shared span
+    // span must be verbatim and contiguous: reordering kills it
+    val reordered = Seq((1L, "a b c d e"), (2L, "a b c e d")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.spanDupCounts(reordered, n = 5).isEmpty)
+  }
+
   test("redactPii scrubs emails, IPv4s, and phones; counts audit the hits") {
     val df = Seq(Tuple1(
       "mail Bob.Smith+x@Corp.Example.ORG then 192.168.0.1 and 10.0.0.255, " +
