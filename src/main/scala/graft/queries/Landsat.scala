@@ -172,6 +172,32 @@ object Landsat {
       s.read.parquet(tmp)
     }),
 
+    // S7 under schema evolution: two writer generations land different
+    // column sets in the same dataset (the normal life of a training-data
+    // lake — fields get added mid-crawl); the scan must stitch them with
+    // mergeSchema, nulling the columns each generation lacks. Output pins
+    // both the union schema and per-generation null accounting.
+    "s8_schema_evolution" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      // generation 1: (o_orderkey, o_totalprice); generation 2 adds
+      // o_orderpriority and drops o_totalprice.
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      ord.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy("gen")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_totalprice")).as("n_price"),
+          count(col("o_orderpriority")).as("n_prio"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("sum_price"))
+        .select(col("gen").cast("int").as("gen"), col("n"), col("n_price"),
+          col("n_prio"), col("sum_price"))
+    }),
+
     // P2+F1: scene-id split/substring/cast date parse.
     "p2_scene_date" -> ((s, _) => {
       Features.withSceneDate(scenesDf(fx(s)).select("scene_id"))
@@ -747,6 +773,16 @@ object Landsat {
          |FROM z""".stripMargin,
     "s7_sink_roundtrip" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
+    // recomputed from the base table: gen 1 = even keys carrying price,
+    // gen 2 = odd keys carrying priority; the merged scan must account
+    // for every null the other generation introduces.
+    "s8_schema_evolution" ->
+      """SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INT) AS gen,
+        |  count(*) AS n,
+        |  count(*) FILTER (o_orderkey % 2 = 0) AS n_price,
+        |  count(*) FILTER (o_orderkey % 2 = 1) AS n_prio,
+        |  round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 0 END), 2) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "s5b_pt_ingest" ->
       """SELECT scene_id, nbands, n_stations, t_sum, t_dot
         |FROM read_csv('/root/repo/fixtures/tensors/expected.csv', header=true,
