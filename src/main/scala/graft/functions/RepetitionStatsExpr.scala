@@ -59,20 +59,25 @@ object RepetitionStatsExpr {
     if (n == 0) return null
     val counts = new java.util.HashMap[UTF8String, Int](n * 2)
     var maxCount = 0
+    var nullCount = 0
     var i = 0
     while (i < n) {
-      // SQL array elements can be NULL; count nulls as one shared token,
-      // matching array_distinct/filter-equality semantics closely enough
-      // for the whitespace-split arrays this serves (split never emits
-      // null elements).
-      val w = if (ws.isNullAt(i)) UTF8String.EMPTY_UTF8
-              else ws.getUTF8String(i)
-      val c = counts.merge(w, 1, (a, b) => a + b)
-      if (c > maxCount) maxCount = c
+      // SQL array elements can be NULL, and split CAN emit genuine
+      // empty-string tokens (leading whitespace) — the two must stay
+      // distinct values, so nulls get their own counter instead of a
+      // sentinel key that could collide with a real token.
+      if (ws.isNullAt(i)) {
+        nullCount += 1
+        if (nullCount > maxCount) maxCount = nullCount
+      } else {
+        val c = counts.merge(ws.getUTF8String(i), 1, (a, b) => a + b)
+        if (c > maxCount) maxCount = c
+      }
       i += 1
     }
+    val distinct = counts.size + (if (nullCount > 0) 1 else 0)
     new GenericInternalRow(Array[Any](
-      counts.size.toDouble / n, maxCount.toDouble / n))
+      distinct.toDouble / n, maxCount.toDouble / n))
   }
 
   def column(ws: Column): Column = call_function("graft_rep_stats", ws)

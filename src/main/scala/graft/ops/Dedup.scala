@@ -188,6 +188,11 @@ object Dedup {
         .groupBy("src").agg(min("label").as("label"))
         .localCheckpoint(false)
       val nextSum = next.agg(sum("label")).head.getLong(0)
+      // The convergence aggregate materialized next's checkpoint; the
+      // superseded round's locally-checkpointed blocks are dead from here —
+      // release them, or high-diameter graphs accumulate one block set per
+      // round until GC.
+      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -281,6 +286,9 @@ object Dedup {
       val nextCount = if (row.isNullAt(1)) 0L else row.getLong(1)
       converged = unionCount == edgeCount && nextCount == edgeCount
       ls.unpersist()
+      // The fixpoint aggregate materialized next's checkpoint; drop the
+      // superseded round's blocks (same hygiene as the propagation loop).
+      edges.unpersist()
       edges = next
       edgeCount = nextCount
     }

@@ -158,10 +158,14 @@ object Multimodal {
       try javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       catch { case _: java.io.IOException => return null }
-    val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    if (!readers.hasNext) return null
-    val reader = readers.next()
+    // Every exit path below runs inside try/finally: an undecodable blob
+    // must still close the MemoryCacheImageInputStream, or a corpus-scale
+    // scan with many corrupt samples leaks one stream per reject until GC.
+    var reader: javax.imageio.ImageReader = null
     try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      reader = readers.next()
       reader.setInput(iis)
       val n = reader.getNumImages(true)
       if (n <= 0) return null
@@ -193,7 +197,7 @@ object Multimodal {
     } catch {
       case _: java.io.IOException | _: RuntimeException => null
     } finally {
-      reader.dispose()
+      if (reader != null) reader.dispose()
       iis.close()
     }
   }

@@ -167,7 +167,7 @@ object Landsat {
     // S7: sink + re-scan roundtrip (parquet).
     "s7_sink_roundtrip" -> ((s, dir) => {
       val out = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      val tmp = Tables.scratch("s7_sink")
       Sources.writeParquet(out, tmp)
       s.read.parquet(tmp)
     }),
@@ -179,7 +179,7 @@ object Landsat {
     // both the union schema and per-generation null accounting.
     "s8_schema_evolution" -> ((s, dir) => {
       val ord = t(s, dir, "orders")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val tmp = Tables.scratch("s8_evo")
       // generation 1: (o_orderkey, o_totalprice); generation 2 adds
       // o_orderpriority and drops o_totalprice.
       ord.filter(col("o_orderkey") % 2 === 0)

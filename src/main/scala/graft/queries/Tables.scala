@@ -9,6 +9,18 @@ object Tables {
   /** Fixture inputs mirroring the reference's source formats (tools/gen_fixtures.py). */
   val FixturesDir = "/root/repo/fixtures"
 
+  /** Fixed per-purpose scratch dir under the system temp root. Sink-side
+    * queries overwrite the SAME directory every invocation (Bench runs each
+    * query twice per round) instead of leaking a fresh createTempDirectory
+    * per run.
+    */
+  def scratch(name: String): String = {
+    val d = new java.io.File(new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-scratch"), name)
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     Session.prepare(spark)
     spark.read.parquet(s"$dir/$name.parquet")

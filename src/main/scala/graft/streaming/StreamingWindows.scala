@@ -53,6 +53,12 @@ object StreamingWindows {
     * near-empty stores are pure commit overhead, and at cluster scale this
     * is the same lever, sized to keys-per-watermark-horizon instead.
     * Batch queries are unaffected (AQE coalesces their shuffles).
+    *
+    * ASSUMES the driver runs queries sequentially (the gate/bench contract):
+    * the set/restore mutates the SHARED session conf, so concurrent query
+    * execution on the same session would race and silently change another
+    * query's partitioning — scope the override with `spark.newSession()`
+    * if that ever changes.
     */
   def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
