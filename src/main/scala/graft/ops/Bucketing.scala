@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed-table helpers: the zero-shuffle co-located join path.
@@ -18,14 +19,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, per-bucket-sorted table. */
+  /** Write `df` as a bucketed, per-bucket-sorted table.
+    *
+    * The repartition aligns write tasks with bucket ids (both sides are
+    * pmod(murmur3(keys), n)), so each bucket lands in exactly ONE file —
+    * the layout Spark's scan needs to also trust the sortBy metadata and
+    * skip the per-partition Sort at read time, and the difference between
+    * n files and n × writeTasks files at cluster scale.
+    */
   def writeBucketed(df: DataFrame, table: String, nBuckets: Int, keys: Seq[String]): Unit =
-    df.write
+    df.repartition(nBuckets, keys.map(col): _*)
+      .write
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Drop `table` and remove its on-disk location. A managed table's
+    * directory survives a previous session whose in-memory catalog is gone,
+    * and CTAS then refuses to create the "new" managed table over the
+    * existing location — so a re-runnable bucketed-write query must clear
+    * both the catalog entry and the directory first.
+    */
+  def reset(spark: SparkSession, table: String, location: java.io.File): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(location)
+  }
 
   /** Join two same-bucketing tables on their bucket keys — plans with zero
     * exchanges when bucket layouts line up.

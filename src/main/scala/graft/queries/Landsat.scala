@@ -198,6 +198,23 @@ object Landsat {
           col("n_prio"), col("sum_price"))
     }),
 
+    // Partition-pruned scan: documents re-laid-out hive-partitioned by
+    // lang, then queried with a partition-key predicate. The predicate
+    // never touches file contents — it prunes whole directories at listing
+    // time (PlanAudit prints the PartitionFilters line as proof). At 100 TB
+    // this is the scan-side complement of bucketing: a date/source/lang
+    // partition layout turns most queries' dominant cost (the full-corpus
+    // scan) into a listing of the one slice they touch.
+    "s9_partition_pruning" -> ((s, dir) => {
+      val out = Tables.scratch("s9_part")
+      t(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+
     // P2+F1: scene-id split/substring/cast date parse.
     "p2_scene_date" -> ((s, _) => {
       Features.withSceneDate(scenesDf(fx(s)).select("scene_id"))
@@ -773,6 +790,9 @@ object Landsat {
          |FROM z""".stripMargin,
     "s7_sink_roundtrip" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
+    "s9_partition_pruning" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
     // recomputed from the base table: gen 1 = even keys carrying price,
     // gen 2 = odd keys carrying priority; the merged scan must account
     // for every null the other generation introduces.

@@ -260,6 +260,42 @@ object Relational {
           col("3-MEDIUM").as("p3"), col("4-NOT SPECIFIED").as("p4"),
           col("5-LOW").as("p5"))),
 
+    // Bucketed-storage co-located join: both fact tables are written
+    // bucketed (and per-bucket sorted) on the join key, then sort-merge
+    // joined and aggregated on that key with ZERO Exchange operators — the
+    // shuffle is paid once at write time and amortized over every
+    // subsequent join/agg on the key. At 100 TB pre-bucketed layout is the
+    // single biggest lever for repeated fact-to-fact joins; the merge hint
+    // pins the SMJ path so the plan proof is about bucketing, not about
+    // the broadcast threshold at toy scale. PlanAudit shows this query's
+    // plan with no Exchange lines.
+    "j8_bucketed_join" -> ((s, dir) => {
+      val db = "graft_bucketed"
+      val dbLoc = Tables.scratch("bucketed_db")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
+      Seq("li_bkt", "ord_bkt").foreach(tb => graft.ops.Bucketing.reset(
+        s, s"$db.$tb", new java.io.File(dbLoc, tb)))
+      graft.ops.Bucketing.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        s"$db.li_bkt", nBuckets = 8, keys = Seq("l_orderkey"))
+      graft.ops.Bucketing.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        s"$db.ord_bkt", nBuckets = 8, keys = Seq("o_orderkey"))
+      val bl = s.table(s"$db.li_bkt")
+      val bo = s.table(s"$db.ord_bkt")
+      bl.hint("merge").join(bo, bl("l_orderkey") === bo("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          // Exact integer revenue, not round(sum(...), 2): price has 2
+          // decimals and discount 2, so each term is integral in 1e-4 units
+          // (up to one FP ulp, which the per-term round removes); the sum
+          // of longs is then order-independent, where a double sum rounds
+          // differently between engines at half-way points.
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000).cast("long")).as("revenue_e4"),
+          floor(max("o_totalprice") * 100).cast("long").as("o_total_cents"))
+    }),
+
     // multi-way join across the star schema (region..lineitem), revenue per
     // nation — exercises join ordering + AQE broadcast selection.
     "j5_star_join" -> ((s, dir) => {
@@ -390,6 +426,13 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(avg(l_discount), 6) AS avg_disc
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "j8_bucketed_join" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+        |   AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS o_total_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey""".stripMargin,
     "j5_star_join" ->
       """SELECT r_name, n_name,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
