@@ -49,7 +49,7 @@ object Events {
     // e1 (and the same oracle), produced incrementally through a stream +
     // memory sink. Proves the streaming path inside the driver gate.
     "e5_streaming_tumbling" -> ((s, dir) =>
-      graft.streaming.StreamingWindows.withStatePartitions(s, 8) {
+      graft.streaming.StreamingWindows.withStatePartitions(s, 4) {
         val agg = graft.streaming.StreamingWindows.tumbling(
           rawEventStream(s, dir), "15 minutes", "1 hour")
         graft.streaming.StreamingWindows.runToMemory(
@@ -149,7 +149,7 @@ object Events {
     // watermark proves it closed. Oracle = batch sessions restricted to
     // ones closed at the final (ms-truncated) watermark.
     "e6_stateful_sessions" -> ((s, dir) =>
-      graft.streaming.StreamingWindows.withStatePartitions(s, 8) {
+      graft.streaming.StreamingWindows.withStatePartitions(s, 4) {
         val sess = graft.streaming.StatefulSessions.sessions(
           rawEventStream(s, dir), gapMinutes = 30)
         graft.streaming.StreamingWindows.runToMemory(
@@ -166,7 +166,7 @@ object Events {
     // corpus's 30-day span, so the stream's output is exactly the batch
     // distinct the oracle computes.
     "e7_streaming_dedup" -> ((s, dir) =>
-      graft.streaming.StreamingWindows.withStatePartitions(s, 8) {
+      graft.streaming.StreamingWindows.withStatePartitions(s, 4) {
         val deduped = graft.streaming.StreamingDedup.distinctKeysBounded(
           rawEventStream(s, dir), "ts", "90 days", Seq("user_id", "event_type"))
         graft.streaming.StreamingWindows.runToMemory(
@@ -184,7 +184,12 @@ object Events {
     // batch-aggregated, and the oracle is the equivalent batch interval
     // join — the streaming path must reproduce it bit-for-bit.
     "e8_stream_join" -> ((s, dir) => {
-      val sunk = graft.streaming.StreamingWindows.withStatePartitions(s, 8) {
+      // 4 state partitions, not 8: the interval join runs FOUR stores per
+      // partition per microbatch (left/right × keyToNumValues/
+      // keyWithIndexToValue), so its per-batch store-lifecycle cost is 4x
+      // the single-store aggregations' — half the partitions at smoke
+      // scale, same keys-per-horizon sizing rule at cluster scale.
+      val sunk = graft.streaming.StreamingWindows.withStatePartitions(s, 4) {
         val clicks = rawEventStream(s, dir)
           .filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("c_ts"))

@@ -71,6 +71,23 @@ object StreamingWindows {
     * return the materialized result (test/smoke path).
     */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    // RocksDB state store + changelog checkpointing for every stream this
+    // engine starts. The default HDFS-backed store keeps all state as
+    // in-memory hashmaps and snapshots one file per store per partition
+    // per microbatch — both the e8 cost profile at smoke scale and, far
+    // worse, an OOM ceiling at cluster scale where watermark-horizon state
+    // exceeds executor heap. RocksDB spills state off-heap to local disk
+    // (unbounded keys per partition), and changelog checkpointing commits
+    // only the batch's delta instead of rewriting snapshots.
+    val sc = df.sparkSession.conf
+    sc.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    sc.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    // numRowsTotal bookkeeping issues a read-before-every-write; the
+    // metric isn't worth 2x the state-op cost on the join/dedup paths.
+    sc.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+      "false")
     // The smoke path's offset/commit/state checkpoints are throwaway; put
     // them on tmpfs when available so the drive-to-completion isn't timing
     // fsyncs of dead files. (A production stream would point this at
