@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -30,6 +31,66 @@ class SkewSpec extends AnyFunSuite {
       .groupBy("k", "name").agg(count(lit(1)).as("n"))
       .as[(String, String, Long)].collect().toSet
     assert(salted == plain)
+  }
+
+  // The manual salt path (above) proves the REWRITE is result-equal; this
+  // proves the RUNTIME path: AQE detects the oversized shuffle partition a
+  // hot key produces and splits it (SortMergeJoin(skew=true)) without any
+  // query rewrite — the mechanism Session enables for every graft query.
+  // Thresholds are lowered so a ~10 MB hot partition trips detection at
+  // test scale; at cluster scale the defaults (256 MB / factor 5) play the
+  // same role.
+  test("AQE splits the skewed partition at runtime and keeps the result") {
+    val spark2 = spark
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark2.conf.getOption(k)).toMap
+    try {
+      spark2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      spark2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+      spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark2.conf.set("spark.sql.shuffle.partitions", "8")
+      // 80% of rows share key 0 and carry a fat payload: one shuffle
+      // partition holds ~8 MB while the rest hold KBs.
+      val big = spark2.range(100000).select(
+        when(col("id") % 5 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("x" * 96), col("id").cast("string")).as("payload"))
+      val dim = spark2.range(0, 2000).select(
+        col("id").as("k"), (col("id") * 7).as("w"))
+      val joined = big.join(dim, "k")
+      val qe = org.apache.spark.sql.classic.GraftBridge.queryExecution(joined)
+      // Execute THIS Dataset's QueryExecution (a sink write would plan a
+      // separate one and leave this adaptive plan at its initial state).
+      joined.collect()
+      // String-level assertions: QueryStageExec nodes report no children,
+      // so SparkPlan.collect cannot descend into the materialized stages.
+      val finalPlan = (qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }).toString
+      assert(finalPlan.contains("SortMergeJoin(skew=true)"),
+        s"AQE did not mark the join skew=true:\n$finalPlan")
+      assert(finalPlan.contains("AQEShuffleRead coalesced and skewed"),
+        s"AQE did not split-read the skewed shuffle:\n$finalPlan")
+      // Skew splitting must not change the result: every big row with a
+      // dim match appears exactly once. The expectation runs through an
+      // independent physical path (broadcast-hash join, no shuffle to
+      // split), so agreement is a real cross-check, not a tautology.
+      def stats(df: org.apache.spark.sql.DataFrame): Seq[Any] = df
+        .agg(count(lit(1)).cast("long"), sum("w").cast("long"))
+        .collect().head.toSeq
+      assert(stats(joined) == stats(big.join(broadcast(dim), "k")))
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark2.conf.unset(k))(spark2.conf.set(k, _))
+    }
   }
 
   test("splitHotKeys partitions rows exactly") {
