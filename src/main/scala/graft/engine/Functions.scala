@@ -31,6 +31,11 @@ object Functions {
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_stats",
+      exprs => graft.functions.TokenStatsExpr(exprs.head),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes",
       exprs => PolyShinglesExpr(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int]),

@@ -43,13 +43,21 @@ object TextOps {
   def countIn(ws: Column, words: Seq[String]): Column =
     size(filter(ws, w => array_contains(array(words.map(lit): _*), w)))
 
+  /** One-pass native stats (len_sum + stopword/marker hits) — see
+    * [[graft.functions.TokenStatsExpr]]. The HOF spellings above re-walk
+    * the array once per word list with interpreted lambdas; this stays
+    * inside whole-stage codegen, and repeated getField calls on it
+    * collapse to one evaluation via subexpression elimination.
+    */
+  def tokenStats(ws: Column): Column = graft.functions.TokenStatsExpr.column(ws)
+
   /** Stopword fraction of tokens. */
   def stopwordRatio(ws: Column): Column =
-    countIn(ws, Stopwords).cast("double") / size(ws)
+    tokenStats(ws).getField("stop_hits").cast("double") / size(ws)
 
   /** Mean token length. */
   def avgWordLen(ws: Column): Column =
-    aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws)
+    tokenStats(ws).getField("len_sum").cast("double") / size(ws)
 
   /** Composite quality score ∈ [0,1]-ish: stopword mass + length saturation
     * + word-shape. Deterministic, cross-engine arithmetic.
@@ -76,7 +84,8 @@ object TextOps {
   def topTokenShare(ws: Column): Column = repStats(ws).getField("top_share")
 
   /** Marker-word hit count for one language. */
-  def langHits(ws: Column, lang: String): Column = countIn(ws, LangMarkers(lang))
+  def langHits(ws: Column, lang: String): Column =
+    tokenStats(ws).getField(lang)
 
   /** Deterministic argmax over the four marker scores (ties: en>de>es>fr). */
   def predictedLang(ws: Column): Column = {

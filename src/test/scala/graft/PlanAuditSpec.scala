@@ -23,6 +23,36 @@ class PlanAuditSpec extends AnyFunSuite {
     "v1_cosine_topk" -> 1,     // bounded 20-vector query set (baseline)
     "v4_ivf_topk" -> 2)        // broadcast centroid table, probe + assign
 
+  // Queries allowed to carry an interpreted-lambda Project (HOF exprs are
+  // CodegenFallback, so a per-element lambda drops its Project out of
+  // whole-stage codegen — the t9 failure mode, ~5-10x slower per element).
+  // Every entry here is bounded: committed fixtures of dozens of rows
+  // (scenes/stations/tensors/media), or a post-aggregation projection over
+  // a handful of groups (v5). Corpus-scale scans (documents / lineitem /
+  // events / embeddings row-level) must stay codegen-clean — the native
+  // expressions (graft_rep_stats, graft_token_stats, graft_dot, ...) are
+  // the replacement pattern.
+  private val allowedInterpreted = Set(
+    "flagship_station_mean", "g3_rot90", "g4_augment_tensor", "j1_gt_join",
+    "j3_zip_join", "m4_calibrated", "m5_assembly", "mm1_multimodal_ingest",
+    "mm2_image_decode", "mm3_audio_decode", "mm4_video_frames",
+    "p3_sentinel_filter", "pipeline_e2e", "s4_text_scan", "s5b_pt_ingest",
+    "s5c_pt_datasource", "s5d_pt_stream", "s6_align_join",
+    "v5_centroids_agg" // 10 post-aggregation rows, transform over dim
+  )
+
+  test("corpus-scale plans contain no interpreted per-element lambdas") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => allowedInterpreted(q._1))
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        PlanAudit.interpretedLambdaProjects(plan).headOption
+          .map(l => s"$name: $l")
+      }
+    assert(offenders.isEmpty,
+      s"interpreted lambda on a hot path: ${offenders.mkString("; ")}")
+  }
+
   test("nested-loop joins only appear as documented bounded broadcasts") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
