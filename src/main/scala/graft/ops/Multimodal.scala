@@ -13,9 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * animated GIF ([[decodeGifFrames]]: multi-frame demux + frame sampling +
   * per-frame pooling). H.264-class codecs genuinely aren't in this
   * environment; they slot in behind the same `Array[Byte] => Array[Float]`
-  * contract. The generic-blob path keeps the clearly-marked DETERMINISTIC
-  * STUB `decodeStub` (an arbitrary unknown modality has no real codec by
-  * definition).
+  * contract.
+  *
+  * The generic path ([[ingest]]) sniffs the modality from magic bytes (a
+  * pure-Catalyst binary-prefix comparison, [[modality]]) and dispatches to
+  * the real codec. A blob of UNKNOWN modality decodes to NULL — there is no
+  * codec for it by definition, and synthesizing fake features would silently
+  * pollute a training corpus at scale. Null features carry a `quarantined`
+  * flag (the same convention as corrupt samples the real codecs reject), and
+  * [[quarantineCounts]] is the per-modality accounting a pipeline reports.
   *
   * Scale design: decode is a narrow map (no shuffle); `repartition(n)` before
   * decode spreads large media files across executors; decoded features are
@@ -29,25 +35,25 @@ case class GifDecode(n_frames: Int, features: Array[Float])
 
 object Multimodal {
 
-  val FeatureDim = 16
+  private def bin(bs: Int*): org.apache.spark.sql.Column =
+    lit(bs.map(_.toByte).toArray)
 
-  /** DETERMINISTIC STUB codec (generic unknown-modality blobs only — image,
-    * audio, and GIF video decode for real above): derives FeatureDim floats
-    * from the first bytes (real impl: demux + model forward). Pure function
-    * of the bytes — reproducible across partitionings and engines.
+  /** Modality sniff from container magic bytes — pure Catalyst (binary
+    * `substring` + literal comparison, stays inside whole-stage codegen; no
+    * UDF touches the blob until a real codec needs it). PNG/JPEG/BMP →
+    * `image`, GIF → `video` (the JDK's multi-frame reader demuxes it;
+    * single-frame GIFs just yield one frame), RIFF/WAVE → `audio`, anything
+    * else → `unknown`.
     */
-  def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](FeatureDim)
-    var i = 0
-    while (i < FeatureDim) {
-      val b = if (i < bytes.length) bytes(i) & 0xff else 0
-      out(i) = b / 255.0f
-      i += 1
-    }
-    out
-  }
-
-  private val decodeUdf = udf(decodeStub _)
+  def modality(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(substring(content, 1, 8) ===
+        bin(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), "image")
+      .when(substring(content, 1, 3) === bin(0xff, 0xd8, 0xff), "image")
+      .when(substring(content, 1, 2) === bin('B', 'M'), "image")
+      .when(substring(content, 1, 4) === bin('G', 'I', 'F', '8'), "video")
+      .when(substring(content, 1, 4) === bin('R', 'I', 'F', 'F') &&
+        substring(content, 9, 4) === bin('W', 'A', 'V', 'E'), "audio")
+      .otherwise("unknown")
 
   /** REAL image codec — no stub: the JDK ships `javax.imageio` (PNG, JPEG,
     * BMP, GIF), so the image modality decodes for real even in this
@@ -204,21 +210,45 @@ object Multimodal {
 
   private val decodeGifUdf = udf(decodeGifFrames _)
 
-  /** Scan a directory of media blobs → (name, length, content). */
-  def scanBlobs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("binaryFile").load(dir)
+  /** Scan one or more directories of media blobs → (name, length, content). */
+  def scanBlobs(spark: SparkSession, dirs: String*): DataFrame =
+    spark.read.format("binaryFile").load(dirs: _*)
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
         col("length"),
         col("content"))
 
-  /** Ingest: decode each blob to a feature vector; partition first so the
-    * decode map parallelizes over executors, not files-per-listing.
+  /** Generic ingest: sniff the modality from magic bytes and dispatch to the
+    * REAL codec for it (image → [[decodeImage]] at (w, h); audio →
+    * [[decodeWav]]; video → [[decodeGifFrames]] every-`everyK` pooled
+    * frames). Unknown modalities — and blobs a codec rejects — yield NULL
+    * features and `quarantined = true`; no synthetic values ever enter the
+    * feature column. Partition first so the decode map parallelizes over
+    * executors, not files-per-listing.
     */
-  def ingest(blobs: DataFrame, partitions: Int = 32): DataFrame =
+  def ingest(blobs: DataFrame, partitions: Int = 32, w: Int = 4, h: Int = 3,
+      everyK: Int = 2): DataFrame =
     blobs.repartition(partitions, col("name"))
-      .withColumn("features", decodeUdf(col("content")))
+      .withColumn("modality", modality(col("content")))
+      .withColumn("features",
+        when(col("modality") === "image",
+          decodeImageUdf(col("content"), lit(w), lit(h)))
+          .when(col("modality") === "audio", decodeWavUdf(col("content")))
+          .when(col("modality") === "video",
+            decodeGifUdf(col("content"), lit(everyK)).getField("features"))
+          .otherwise(lit(null).cast(ArrayType(FloatType))))
+      .withColumn("quarantined", col("features").isNull)
       .drop("content")
+
+  /** Per-modality corpus-hygiene accounting over an [[ingest]] result: how
+    * many blobs arrived, how many were quarantined (unknown modality or
+    * codec-rejected). Map-side partial aggregation; one tiny shuffled row
+    * per modality, so it costs a scan at any corpus size.
+    */
+  def quarantineCounts(ingested: DataFrame): DataFrame =
+    ingested.groupBy("modality").agg(
+      count(lit(1)).as("n_blobs"),
+      count(when(col("quarantined"), 1)).as("n_quarantined"))
 
   /** Image ingest with the real ImageIO codec: decode + resize to (w, h)
     * on executors (narrow map after the spread repartition, same plumbing

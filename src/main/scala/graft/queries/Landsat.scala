@@ -357,16 +357,35 @@ object Landsat {
           round(col("longitude"), 6).as("lon2"))
     }),
 
-    // Multimodal ingest: binary scan → partitioned decode (stub codec) →
-    // typed feature column; downstream ops see Array[Float] like embeddings.
+    // Multimodal ingest: binary scan → magic-byte modality sniff (pure
+    // Catalyst) → dispatch to the REAL codec; unknown-modality blobs yield
+    // NULL features + quarantined=true (no synthetic floats enter the
+    // feature column — fake features silently pollute a corpus at scale).
+    // Scans binary (all unknown → quarantined) alongside the PNG fixtures
+    // (decoded for real) so both dispatch outcomes are hash-gated.
     "mm1_multimodal_ingest" -> ((s, _) => {
       val ingested = Multimodal.ingest(
-        Multimodal.scanBlobs(fx(s), s"$FixturesDir/binary"), partitions = 4)
-      ingested.select(col("name"), col("length"),
-        size(col("features")).as("n_features"),
+        Multimodal.scanBlobs(fx(s), s"$FixturesDir/binary",
+          s"$FixturesDir/images"), partitions = 4, w = 4, h = 3)
+      ingested.select(col("name"), col("length"), col("modality"),
+        col("quarantined"),
+        // size(null) is -1 under the default legacy conf; quarantined rows
+        // must carry NULL feature counts, not a sentinel.
+        when(col("features").isNotNull, size(col("features"))).as("n_features"),
         round(aggregate(col("features").cast("array<double>"), lit(0.0),
-          (acc, x) => acc + x), 4).as("f_sum"),
-        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+          (acc, x) => acc + x), 4).as("f_sum"))
+    }),
+
+    // Quarantine accounting over every modality fixture dir at once: the
+    // sniff routes all four codec families, and the corrupt samples plus
+    // unknown blobs land in the per-modality quarantine counts a corpus
+    // pipeline reports.
+    "mm5_quarantine_count" -> ((s, _) => {
+      val ingested = Multimodal.ingest(
+        Multimodal.scanBlobs(fx(s), s"$FixturesDir/binary",
+          s"$FixturesDir/images", s"$FixturesDir/audio",
+          s"$FixturesDir/video"), partitions = 4, w = 4, h = 3)
+      Multimodal.quarantineCounts(ingested)
     }),
 
     // Multimodal image decode — REAL codec (JDK ImageIO), not the stub:
@@ -761,20 +780,59 @@ object Landsat {
         |  round(feats[1], 6) AS f0,
         |  round(list_sum(feats), 4) AS f_sum
         |FROM f""".stripMargin,
+    // Fixture names are ground truth by construction (generators encode the
+    // recipe in the name), so the oracle derives modality + decoded values
+    // from names: unknown blobs are null/quarantined, PNGs decode to the
+    // analytic solid-color planes (same math the mm2 oracle proves).
     "mm1_multimodal_ingest" ->
-      s"""WITH blobs AS (
-         |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS name, size AS length,
-         |         hex(content) AS hx
-         |  FROM read_blob('/root/repo/fixtures/binary/*.bin')),
-         |feat AS (
-         |  SELECT name, length,
-         |    list_transform(range(0, ${Multimodal.FeatureDim}), i ->
-         |      CAST(CAST(concat('0x', substr(hx, i * 2 + 1, 2)) AS INT) AS FLOAT) / CAST(255.0 AS FLOAT)) AS f
-         |  FROM blobs)
-         |SELECT name, length, CAST(len(f) AS INT) AS n_features,
-         |  round(list_sum(list_transform(f, x -> CAST(x AS DOUBLE))), 4) AS f_sum,
-         |  round(CAST(f[1] AS DOUBLE), 6) AS f0
-         |FROM feat""".stripMargin,
+      """WITH bins AS (
+        |  SELECT regexp_extract(filename, '([^/]+)$', 1) AS name, size AS length
+        |  FROM read_blob('/root/repo/fixtures/binary/*.bin')),
+        |imgs AS (
+        |  SELECT regexp_extract(filename, '([^/]+)$', 1) AS name, size AS length
+        |  FROM read_blob('/root/repo/fixtures/images/*.png')),
+        |rgb AS (
+        |  SELECT name, length,
+        |    CAST(CAST(regexp_extract(name, 'img_(\d+)_(\d+)_(\d+)\.png', 1) AS INT) AS FLOAT)
+        |      / CAST(255.0 AS FLOAT) AS rf,
+        |    CAST(CAST(regexp_extract(name, 'img_(\d+)_(\d+)_(\d+)\.png', 2) AS INT) AS FLOAT)
+        |      / CAST(255.0 AS FLOAT) AS gf,
+        |    CAST(CAST(regexp_extract(name, 'img_(\d+)_(\d+)_(\d+)\.png', 3) AS INT) AS FLOAT)
+        |      / CAST(255.0 AS FLOAT) AS bf
+        |  FROM imgs)
+        |SELECT name, length, 'unknown' AS modality, TRUE AS quarantined,
+        |  CAST(NULL AS INT) AS n_features, CAST(NULL AS DOUBLE) AS f_sum
+        |FROM bins
+        |UNION ALL
+        |SELECT name, length, 'image' AS modality, FALSE AS quarantined,
+        |  CAST(36 AS INT) AS n_features,
+        |  round(12 * CAST(rf AS DOUBLE) + 12 * CAST(gf AS DOUBLE)
+        |        + 12 * CAST(bf AS DOUBLE), 4) AS f_sum
+        |FROM rgb""".stripMargin,
+    "mm5_quarantine_count" ->
+      """WITH names AS (
+        |  SELECT regexp_extract(filename, '([^/]+)$', 1) AS name
+        |  FROM read_blob('/root/repo/fixtures/binary/*.bin')
+        |  UNION ALL
+        |  SELECT regexp_extract(filename, '([^/]+)$', 1)
+        |  FROM read_blob('/root/repo/fixtures/images/*.png')
+        |  UNION ALL
+        |  SELECT regexp_extract(filename, '([^/]+)$', 1)
+        |  FROM read_blob('/root/repo/fixtures/audio/*.wav')
+        |  UNION ALL
+        |  SELECT regexp_extract(filename, '([^/]+)$', 1)
+        |  FROM read_blob('/root/repo/fixtures/video/*.gif')),
+        |m AS (
+        |  SELECT CASE
+        |    WHEN name LIKE 'img_%' THEN 'image'
+        |    WHEN name LIKE 'wav_%' THEN 'audio'
+        |    WHEN name LIKE 'vid_%' THEN 'video'
+        |    ELSE 'unknown' END AS modality
+        |  FROM names)
+        |SELECT modality, count(*) AS n_blobs,
+        |  CAST(sum(CASE WHEN modality = 'unknown' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quarantined
+        |FROM m GROUP BY modality""".stripMargin,
     "j3_zip_join" ->
       s"""WITH $scenesSrc, $metaSrc,
          |j AS (

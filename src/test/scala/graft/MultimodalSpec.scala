@@ -152,4 +152,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out("a.png").get.take(12).forall(_ == 1.0f))
     assert(out("bad.bin").isEmpty) // corrupt sample -> null, filterable
   }
+
+  test("ingest sniffs modality and dispatches to the real codec per blob") {
+    val rows = Seq(
+      ("a.png", pngBytes(4, 3, (255, 0, 0))),
+      ("b.wav", wavBytes(Seq(16384, -16384), channels = 1)),
+      ("c.gif", gifBytes(Seq(255, 0, 255))),
+      ("d.blob", Array[Byte]('T', 'A', 'F', 'G', 9, 9)),
+      ("trunc.bin", Array[Byte](1)) // shorter than any magic prefix
+    ).toDF("name", "content").withColumn("length", length(col("content")).cast("long"))
+    val out = Multimodal.ingest(rows, partitions = 2, w = 4, h = 3, everyK = 2)
+      .select("name", "modality", "quarantined", "features")
+      .as[(String, String, Boolean, Option[Seq[Float]])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("a.png")._2 == "image" && !out("a.png")._3)
+    assert(out("a.png")._4.get.take(12).forall(_ == 1.0f))
+    assert(out("b.wav")._2 == "audio" && out("b.wav")._4.get == Seq(0.5f, -0.5f))
+    assert(out("c.gif")._2 == "video")
+    assert(out("c.gif")._4.get == Seq(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f))
+    // No synthetic floats for unknown modalities: null + quarantined.
+    assert(out("d.blob")._2 == "unknown" && out("d.blob")._3)
+    assert(out("d.blob")._4.isEmpty)
+    assert(out("trunc.bin")._2 == "unknown" && out("trunc.bin")._4.isEmpty)
+  }
+
+  test("codec-rejected blobs with a known magic are quarantined too") {
+    // RIFF/WAVE magic but an unparseable container: modality sniffs as
+    // audio, the codec rejects it, and the row joins the quarantine.
+    val rows = Seq(("bad.wav", "RIFFxxxxWAVEgarbage".getBytes))
+      .toDF("name", "content")
+      .withColumn("length", length(col("content")).cast("long"))
+    val out = Multimodal.ingest(rows, partitions = 1)
+      .select("modality", "quarantined").as[(String, Boolean)].head()
+    assert(out == ("audio", true))
+  }
+
+  test("quarantineCounts aggregates per modality") {
+    val rows = Seq(
+      ("a.png", pngBytes(2, 2, (1, 2, 3))),
+      ("x.bin", Array[Byte](1, 2, 3, 4)),
+      ("y.bin", Array[Byte](5, 6, 7, 8))
+    ).toDF("name", "content").withColumn("length", length(col("content")).cast("long"))
+    val counts = Multimodal.quarantineCounts(Multimodal.ingest(rows, partitions = 1))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(counts("image") == ((1L, 0L)))
+    assert(counts("unknown") == ((2L, 2L)))
+  }
 }
