@@ -41,6 +41,12 @@ object Functions {
         exprs(1).eval(null).asInstanceOf[Int]),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_multi_shingle_hashes",
+      exprs => graft.functions.MultiShinglesExpr(exprs.head,
+        exprs(1).eval(null).toString.split(",").toSeq.map(_.trim.toInt)),
+      "built-in"
+    )
     // Spark's internal runtime-filter kernels, exposed as callable
     // functions for the explicit BloomPrune operator.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

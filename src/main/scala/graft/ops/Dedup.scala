@@ -321,6 +321,29 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
   }
 
+  /** Multi-n verbatim-span sweep (toward Lee et al. 2022 exact-substring
+    * dedup): [[spanDupCounts]] at several window widths at once, sharing ONE
+    * tokenize/char-hash pass via [[graft.functions.MultiShinglesExpr]] —
+    * extra widths cost per-token integer folds, never another traversal of
+    * the corpus text. Output: (doc_id, n, n_dup_spans) for every width with
+    * at least one shared span. Same scale shape as the single-n operator:
+    * the shuffle carries packed (n, hash) longs only, shared-span detection
+    * is one partial-aggregated groupBy, no broadcast of anything
+    * corpus-sized.
+    */
+  def spanDupCountsSweep(docs: DataFrame, ns: Seq[Int]): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        explode(graft.functions.MultiShinglesExpr.column(
+          lower(col("text")), ns)).as("nh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = sh.groupBy("nh")
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("nh")
+    sh.join(shared, "nh")
+      .groupBy(col("doc_id"), shiftright(col("nh"), 32).cast("int").as("n"))
+      .agg(count(lit(1)).as("n_dup_spans"))
+  }
+
   /** Benchmark-contamination scan: train docs sharing at least `minShared`
     * distinct shingles with the evaluation set. The eval side of an LLM
     * pipeline is tiny against the corpus (benchmarks vs 100 TB), so its

@@ -248,6 +248,13 @@ object TextDedup {
     // broadcast anywhere — at 100 TB the shared-span set is itself large.
     "d13_span_dup" -> ((s, dir) => Dedup.spanDupCounts(docs(s, dir), n = 10)),
 
+    // Multi-n sweep over the same corpus in ONE tokenize/char-hash pass:
+    // the practical step from a fixed n toward exact-substring dedup — a
+    // span verbatim at n=40 is a much stronger duplication signal than one
+    // at n=10, and the sweep bounds each doc's verbatim-run length.
+    "d14_span_sweep" -> ((s, dir) =>
+      Dedup.spanDupCountsSweep(docs(s, dir), ns = Seq(10, 20, 40))),
+
     // SimHash-family cluster resolution. Gate operating point is
     // maxHamming = 0: hamming-0 components are exactly simhash-equality
     // classes, so the oracle is a plain GROUP BY (no recursive closure —
@@ -587,6 +594,19 @@ object TextDedup {
          |SELECT doc_id, count(*) AS n_dup_spans
          |FROM h10 JOIN shared USING (h)
          |GROUP BY doc_id""".stripMargin,
+    "d14_span_sweep" ->
+      s"""WITH $toksSrc,
+         |sw AS (
+         |  SELECT doc_id, n,
+         |    unnest(list_transform(range(1, greatest(len(ws) - n + 2, 1)),
+         |      i -> array_to_string(ws[i:i+n-1], ' '))) AS shingle
+         |  FROM toks CROSS JOIN (VALUES (10), (20), (40)) AS nn(n)),
+         |h AS (SELECT DISTINCT doc_id, n,
+         |        ${graft.functions.Hashing.polyHashSql("shingle")} AS h FROM sw),
+         |shared AS (SELECT n, h FROM h GROUP BY n, h HAVING count(*) >= 2)
+         |SELECT doc_id, CAST(n AS INT) AS n, count(*) AS n_dup_spans
+         |FROM h JOIN shared USING (n, h)
+         |GROUP BY doc_id, n""".stripMargin,
     "d12_contamination" ->
       s"""WITH $toksSrc, $shSrc, $hashedSrc,
          |ev AS (SELECT DISTINCT h FROM hashed WHERE doc_id < 50),

@@ -128,6 +128,50 @@ class DedupTextSpec extends AnyFunSuite {
     assert(graft.ops.Dedup.spanDupCounts(reordered, n = 5).isEmpty)
   }
 
+  test("multiShingleHashes matches the single-n kernel for every width") {
+    val texts = Seq(
+      "a b c d e unique tail one",
+      "x  y\tz with   odd whitespace",
+      " leading space",
+      "short",
+      "",
+      "unicode éè café 😀 tokens here too"
+    )
+    for (s <- texts; n <- Seq(1, 2, 3, 5)) {
+      val single = graft.functions.PolyShinglesExpr.shingleHashes(s, n)
+        .toLongArray().toSeq
+      val multi = graft.functions.MultiShinglesExpr
+        .multiShingleHashes(s, Array(n)).toLongArray().toSeq
+      assert(multi.map(_ & 0xffffffffL) == single, s"n=$n text='$s'")
+      assert(multi.forall(h => (h >>> 32) == n), s"tag n=$n text='$s'")
+    }
+    // One call with several widths = concatenation of the per-width calls.
+    val s = "p q r s t u v w"
+    val sweep = graft.functions.MultiShinglesExpr
+      .multiShingleHashes(s, Array(2, 4)).toLongArray().toSeq
+    val manual = Seq(2, 4).flatMap(n =>
+      graft.functions.MultiShinglesExpr.multiShingleHashes(s, Array(n))
+        .toLongArray().toSeq)
+    assert(sweep == manual)
+  }
+
+  test("spanDupCountsSweep equals per-n spanDupCounts, through codegen") {
+    val docs = Seq(
+      (1L, "a b c d e unique tail one"),
+      (2L, "x y a b c d e other words"),
+      (3L, "entirely different text with no overlap at all"),
+      (4L, "x y a b c d e other words exactly repeated elsewhere"),
+      (5L, "q r s x y a b c d e other words exactly repeated elsewhere")
+    ).toDF("doc_id", "text")
+    val sweep = graft.ops.Dedup.spanDupCountsSweep(docs, ns = Seq(3, 5, 9))
+      .as[(Long, Int, Long)].collect().toSet
+    val perN = Seq(3, 5, 9).flatMap(n =>
+      graft.ops.Dedup.spanDupCounts(docs, n)
+        .as[(Long, Long)].collect().map { case (d, c) => (d, n, c) }).toSet
+    assert(sweep == perN && sweep.nonEmpty)
+    assert(sweep.exists(_._2 == 9)) // the widest window really fires
+  }
+
   test("redactPii scrubs emails, IPv4s, and phones; counts audit the hits") {
     val df = Seq(Tuple1(
       "mail Bob.Smith+x@Corp.Example.ORG then 192.168.0.1 and 10.0.0.255, " +
