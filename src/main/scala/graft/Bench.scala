@@ -62,7 +62,17 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures stdout with a bounded tail, which has truncated
+    // the per-query map (r05: 68 of 101 queries survived the capture).
+    // Persist the complete record to a file it can lift verbatim.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
