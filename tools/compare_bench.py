@@ -79,11 +79,14 @@ def main(sf_dir, oracle_path, bench_path, md_path=None):
   moment data exceeds one node.
 - Heavy-data queries (the dedup chain, text analysis) sit at 0.25x-4x
   DuckDB; several are at or below parity.
-- Ratios above ~10x are all sub-second Spark absolute times: fixed per-job
-  scheduling overhead on tiny fixture inputs, which amortizes to noise at
-  cluster scale. The streaming queries (e5, e6) additionally pay ~2 s of
-  microbatch machinery by design; iterative queries (d8 connected
-  components) pay one job per propagation round.
+- Ratios above ~10x are all sub-second (or low-single-second) Spark
+  absolute times: fixed per-job scheduling overhead on tiny fixture
+  inputs, which amortizes to noise at cluster scale. The streaming
+  queries (e5-e8, s5d) additionally pay microbatch machinery (source
+  listing, state-store commits) the batch comparator never pays, by
+  design; iterative queries (d8/d10/d11 connected components) pay one
+  job per propagation round. Check the spark-seconds column before
+  chasing a ratio.
 """)
 
 
