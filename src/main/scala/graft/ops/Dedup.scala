@@ -344,6 +344,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_dup_spans"))
   }
 
+  /** Per-doc longest-duplicated-span bound via a doubling ladder over
+    * [[spanDupCountsSweep]]: any sub-span of a shared span is itself shared,
+    * so the largest ladder width that still fires for a doc bounds its
+    * longest verbatim run within a factor of 2 (run length ∈ [max_dup_n,
+    * 2·max_dup_n) for consecutive doubling widths). This is the per-doc
+    * summary a decontamination pass thresholds on — "drop docs with a
+    * verbatim run ≥ 40 tokens" — without a suffix array, and it still costs
+    * ONE pass over the corpus text.
+    */
+  def maxDupSpan(docs: DataFrame,
+      ladder: Seq[Int] = Seq(5, 10, 20, 40, 80)): DataFrame =
+    spanDupCountsSweep(docs, ladder)
+      .groupBy("doc_id").agg(max("n").as("max_dup_n"))
+
   /** Benchmark-contamination scan: train docs sharing at least `minShared`
     * distinct shingles with the evaluation set. The eval side of an LLM
     * pipeline is tiny against the corpus (benchmarks vs 100 TB), so its

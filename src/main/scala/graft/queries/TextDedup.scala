@@ -255,6 +255,11 @@ object TextDedup {
     "d14_span_sweep" -> ((s, dir) =>
       Dedup.spanDupCountsSweep(docs(s, dir), ns = Seq(10, 20, 40))),
 
+    // Doubling-ladder summary of the sweep: per doc, the largest width that
+    // still fires bounds its longest verbatim run within 2x — the per-doc
+    // number a decontamination pass thresholds on, still one text pass.
+    "d15_max_dup_span" -> ((s, dir) => Dedup.maxDupSpan(docs(s, dir))),
+
     // SimHash-family cluster resolution. Gate operating point is
     // maxHamming = 0: hamming-0 components are exactly simhash-equality
     // classes, so the oracle is a plain GROUP BY (no recursive closure —
@@ -607,6 +612,19 @@ object TextDedup {
          |SELECT doc_id, CAST(n AS INT) AS n, count(*) AS n_dup_spans
          |FROM h JOIN shared USING (n, h)
          |GROUP BY doc_id, n""".stripMargin,
+    "d15_max_dup_span" ->
+      s"""WITH $toksSrc,
+         |sw AS (
+         |  SELECT doc_id, n,
+         |    unnest(list_transform(range(1, greatest(len(ws) - n + 2, 1)),
+         |      i -> array_to_string(ws[i:i+n-1], ' '))) AS shingle
+         |  FROM toks CROSS JOIN (VALUES (5), (10), (20), (40), (80)) AS nn(n)),
+         |h AS (SELECT DISTINCT doc_id, n,
+         |        ${graft.functions.Hashing.polyHashSql("shingle")} AS h FROM sw),
+         |shared AS (SELECT n, h FROM h GROUP BY n, h HAVING count(*) >= 2)
+         |SELECT doc_id, CAST(max(n) AS INT) AS max_dup_n
+         |FROM h JOIN shared USING (n, h)
+         |GROUP BY doc_id""".stripMargin,
     "d12_contamination" ->
       s"""WITH $toksSrc, $shSrc, $hashedSrc,
          |ev AS (SELECT DISTINCT h FROM hashed WHERE doc_id < 50),

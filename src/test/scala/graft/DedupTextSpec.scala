@@ -172,6 +172,24 @@ class DedupTextSpec extends AnyFunSuite {
     assert(sweep.exists(_._2 == 9)) // the widest window really fires
   }
 
+  test("maxDupSpan bounds the longest verbatim run within the ladder") {
+    // Docs 1/2 share exactly a 25-token run; docs 3/4 share exactly 7
+    // tokens; doc 5 shares nothing. With ladder 5/10/20/40/80 the largest
+    // firing width is the largest ladder value <= the true run length.
+    val run25 = (1 to 25).map(i => s"w$i").mkString(" ")
+    val run7 = (1 to 7).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha $run25 omega"),
+      (2L, s"$run25 tail tokens here"),
+      (3L, s"pre $run7"),
+      (4L, s"$run7 post"),
+      (5L, "nothing shared with anyone at all in this one")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.maxDupSpan(docs)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 20, 2L -> 20, 3L -> 5, 4L -> 5))
+  }
+
   test("redactPii scrubs emails, IPv4s, and phones; counts audit the hits") {
     val df = Seq(Tuple1(
       "mail Bob.Smith+x@Corp.Example.ORG then 192.168.0.1 and 10.0.0.255, " +
