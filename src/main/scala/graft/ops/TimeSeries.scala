@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: per-key daily resample + gap-fill with
+  * linear interpolation. The reference's domain is exactly this shape — a
+  * per-station daily temperature series with missing days that must become
+  * a dense 365-vector (see `/root/reference/feature_extractor.py`'s
+  * assembly loop); this operator is the general distributed form.
+  *
+  * Scale shape: one groupBy to the daily grain, one groupBy for per-key
+  * bounds, a `sequence()` explode for the spine (rows = keys × span days —
+  * never wider than the filled output itself), one keyed left join, and two
+  * per-key ordered windows. Everything is partitioned by the series key, so
+  * a 100 TB corpus with millions of keys parallelizes per key; no window
+  * ever sees more than one key's span.
+  */
+object TimeSeries {
+
+  /** Dense daily series per key: observed days carry the daily mean of
+    * `valCol`; missing interior days are linearly interpolated between the
+    * nearest observed neighbors; leading/trailing gaps (none at the daily
+    * grain, since bounds come from observed days) would clamp to the
+    * nearest observed value. Output: key, d (date), v_filled (6 dp),
+    * interpolated flag.
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String, valCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("d"))
+      .agg(avg(col(valCol)).as("v"))
+    val spine = daily.groupBy(col(keyCol))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col(keyCol), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val joined = spine.join(daily, Seq(keyCol, "d"), "left")
+
+    val wPrev = Window.partitionBy(keyCol).orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keyCol).orderBy("d")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(col("v"), ignoreNulls = true).over(wPrev)
+    val pd = last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(wPrev)
+    val nv = first(col("v"), ignoreNulls = true).over(wNext)
+    val nd = first(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(wNext)
+
+    joined.select(col(keyCol), col("d"),
+      round(
+        when(col("v").isNotNull, col("v"))
+          .when(pv.isNull, nv) // leading gap: backfill
+          .when(nv.isNull, pv) // trailing gap: forward-fill
+          .otherwise(pv + (nv - pv) *
+            (datediff(col("d"), pd).cast("double") / datediff(nd, pd))),
+        6).as("v_filled"),
+      col("v").isNull.as("interpolated"))
+  }
+}

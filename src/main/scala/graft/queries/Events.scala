@@ -223,6 +223,14 @@ object Events {
           round(avg(col("gap_us")), 6).as("avg_gap_us"))
         .select(col("k").as("user_id"), col("n_pairs"), col("avg_gap_us"))),
 
+    // Time-series regularization: per-user daily mean resample, dense
+    // date spine, linear interpolation of interior gaps (the distributed
+    // form of the reference's dense-365-vector assembly). Partitioned per
+    // user — no global window, survives millions of keys.
+    "ts1_gap_fill" -> ((s, dir) =>
+      graft.ops.TimeSeries.gapFillDaily(eventsT(s, dir),
+        keyCol = "user_id", tsCol = "ts", valCol = "value")),
+
     // F8 over semi-structured props: JSON field extraction + aggregate.
     "e4_json_props" -> ((s, dir) =>
       eventsT(s, dir)
@@ -239,6 +247,39 @@ object Events {
       |FROM events GROUP BY wstart, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ts1_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, avg(value) AS v
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |bounds AS (
+        |  SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM bounds),
+        |j AS (
+        |  SELECT s.user_id, s.d, daily.v
+        |  FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d),
+        |f AS (
+        |  SELECT user_id, d, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER wp AS pd,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER wn AS nd
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY d
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY d
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, d,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |             WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv) *
+        |               (CAST(date_diff('day', pd, d) AS DOUBLE)
+        |                / date_diff('day', pd, nd)) END, 6) AS v_filled,
+        |  v IS NULL AS interpolated
+        |FROM f""".stripMargin,
     "aj1_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events
         |          WHERE event_type = 'purchase'),

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TimeSeries
+
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def series(rows: (Long, String, Double)*) =
+    rows.toDF("user_id", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+
+  test("gapFillDaily interpolates interior gaps linearly") {
+    // user 1: day 1 = 10, day 4 = 40 -> days 2,3 interpolate to 20, 30
+    val df = series(
+      (1L, "2024-01-01 12:00:00", 10.0),
+      (1L, "2024-01-04 09:00:00", 40.0))
+    val out = TimeSeries.gapFillDaily(df, "user_id", "ts", "value")
+      .orderBy("d").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getDouble(2)).toSeq == Seq(10.0, 20.0, 30.0, 40.0))
+    assert(out.map(_.getBoolean(3)).toSeq == Seq(false, true, true, false))
+  }
+
+  test("gapFillDaily averages same-day observations before filling") {
+    val df = series(
+      (2L, "2024-02-01 00:00:00", 4.0),
+      (2L, "2024-02-01 23:00:00", 6.0), // day mean 5
+      (2L, "2024-02-03 00:00:00", 11.0))
+    val out = TimeSeries.gapFillDaily(df, "user_id", "ts", "value")
+      .orderBy("d").collect()
+    assert(out.map(_.getDouble(2)).toSeq == Seq(5.0, 8.0, 11.0))
+  }
+
+  test("gapFillDaily keys are independent and spines never cross users") {
+    val df = series(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-03 00:00:00", 3.0),
+      (3L, "2024-03-10 00:00:00", 7.0)) // single-day series: no fill rows
+    val out = TimeSeries.gapFillDaily(df, "user_id", "ts", "value")
+    assert(out.count() == 4)
+    val u3 = out.filter(col("user_id") === 3).collect()
+    assert(u3.length == 1 && u3.head.getDouble(2) == 7.0)
+  }
+}
