@@ -122,6 +122,25 @@ object Relational {
         .union(mk("union", li.union(o).distinct()))
     }),
 
+    // SCD1 merge/upsert (ops/Merge): a stale customer snapshot (keys
+    // <= 1200) receives a delta of recent-order balances — shared column
+    // `balance` takes the delta's value, snapshot-only `name` carries
+    // forward, delta-only `n_orders` appears, and keys new to the snapshot
+    // insert. One full-outer equi-join; bucketed layout makes it
+    // shuffle-free at 100 TB (j8 proves the layout).
+    "o9_merge_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .filter(col("c_custkey") <= 1200)
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          round(col("c_acctbal"), 2).as("balance"))
+      val updates = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '2001-01-01'"))
+        .groupBy(col("o_custkey").as("key"))
+        .agg(round(sum("o_totalprice"), 2).as("balance"),
+          count(lit(1)).as("n_orders"))
+      graft.ops.Merge.upsert(base, updates, "key")
+    }),
+
     // semi/anti joins (drop-on-missing semantics family, SURVEY §2.3 note).
     "j4_semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -318,6 +337,22 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "o9_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key, c_name AS name,
+        |         round(c_acctbal, 2) AS balance
+        |  FROM customer WHERE c_custkey <= 1200),
+        |upd AS (
+        |  SELECT o_custkey AS key, round(sum(o_totalprice), 2) AS balance,
+        |         count(*) AS n_orders
+        |  FROM orders WHERE o_orderdate >= DATE '2001-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT COALESCE(b.key, u.key) AS key, b.name AS name,
+        |  COALESCE(u.balance, b.balance) AS balance, u.n_orders AS n_orders,
+        |  CASE WHEN b.key IS NOT NULL AND u.key IS NOT NULL THEN 'updated'
+        |       WHEN b.key IS NULL THEN 'inserted'
+        |       ELSE 'kept' END AS action
+        |FROM base b FULL OUTER JOIN upd u ON b.key = u.key""".stripMargin,
     "a7_approx_sketches" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS cd_ok, TRUE AS p50_ok
