@@ -137,28 +137,33 @@ object Similarity {
     * is the join/partition key — at cluster scale each cell's candidate
     * list is a separate partition and the centroid table is broadcast.
     */
-  def ivfTopK(vecs: DataFrame): DataFrame = {
+  /** IVF coarse assignment: every vector joined (broadcast) against the
+    * label-mean centroid table, argmax rounded cosine → its cell (ties →
+    * lower cell id). Both argmaxes here and downstream are top-1s, so they
+    * are max(struct(...)) aggregates, NOT row_number windows: groupBy gets
+    * map-side partial aggregation and no per-partition sort — at scale the
+    * difference between a combine and a full sort of vecs × centroids.
+    * Persisted: callers self-join the assignment — without it the
+    * centroid-scoring cross-join runs once per side.
+    */
+  def assignCells(vecs: DataFrame): DataFrame = {
     val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
       .withColumn("dn", norm(col("dv"))) // once per vector, not per pair
     val cent = centroidsAgg(vecs).withColumn("cn", norm(col("cv")))
     val scoredCells = v.crossJoin(broadcast(cent))
       .withColumn("ccos",
         round(dot(col("dv"), col("cv")) / (col("dn") * col("cn")), 6))
-    // Both argmaxes are top-1s, so they are max(struct(...)) aggregates,
-    // NOT row_number windows: groupBy gets map-side partial aggregation
-    // and no per-partition sort — at scale the difference between a
-    // combine and a full sort of vecs x centroids. Tie rule matches the
-    // window form it replaced: highest score, then lowest id (negated id
-    // ranks ahead inside max()).
-    // Persisted: both sides of the within-cell self-join reuse the
-    // assignment — without it the centroid scoring cross-join runs twice.
-    val members = scoredCells
+    scoredCells
       .groupBy(col("vec_id"))
       .agg(max(struct(col("ccos"), (-col("cell")).as("nc"),
         col("cell"), col("dv"), col("dn"))).as("m"))
       .select(col("vec_id"), col("m.cell").as("cell"),
         col("m.dv").as("dv"), col("m.dn").as("dn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def ivfTopK(vecs: DataFrame): DataFrame = {
+    val members = assignCells(vecs)
     val a = members.select(col("cell"), col("vec_id").as("q_id"),
       col("dv").as("qv"), col("dn").as("qn"))
     val b = members.select(col("cell"), col("vec_id").as("c_id"),
@@ -172,6 +177,30 @@ object Similarity {
         col("c_id"), col("cell"))).as("m"))
       .select(col("q_id"), col("m.cell").as("cell"),
         col("m.c_id").as("nn_id"), col("m.cos").as("cos"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup = cluster the embedding
+    * space coarsely, then drop near-duplicates WITHIN each cluster — the
+    * clustering bounds the candidate set so the pair scan is per-cell, never
+    * corpus-wide all-pairs. Keeper rule: lowest vec_id in each near-dup
+    * neighborhood survives; a vector is dropped iff some LOWER-id member of
+    * its cell sits at cosine ≥ minCos. Output: one row per dropped vector
+    * (vec_id, cell, max cosine to a lower-id neighbor — the dedup witness).
+    * At 100 TB the cell id is the shuffle key, identical shape to [[ivfTopK]].
+    */
+  def semDedupDrops(vecs: DataFrame, minCos: Double): DataFrame = {
+    val members = assignCells(vecs)
+    val a = members.select(col("cell"), col("vec_id").as("id_a"),
+      col("dv").as("va"), col("dn").as("na"))
+    val b = members.select(col("cell"), col("vec_id").as("id_b"),
+      col("dv").as("vb"), col("dn").as("nb"))
+    a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("id_b").as("vec_id"), col("cell"))
+      .agg(max(col("cos")).as("max_lower_cos"))
   }
 
   /** Int8 scalar quantization per vector — the 100 TB ANN memory/IO trick:

@@ -47,6 +47,12 @@ object Embeddings {
     "d7_embedding_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), NnBits, minCos = 0.25)),
 
+    // SemDeDup: coarse IVF clustering, then near-dup drops WITHIN each
+    // cell (lowest vec_id in a neighborhood survives). The cluster bounds
+    // the candidate set — per-cell pair scan, never corpus-wide all-pairs.
+    "d16_semdedup" -> ((s, dir) =>
+      Similarity.semDedupDrops(t(s, dir, "embeddings"), minCos = 0.35)),
+
     // Same result as v3, but through the single-buffer graft_vec_sum
     // aggregate (no posexplode — one shuffled row per vector, not per dim).
     "v5_centroids_agg" -> ((s, dir) =>
@@ -133,6 +139,33 @@ object Embeddings {
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
          |WHERE round(list_dot_product(a.dv, c.dv) /
          |    (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(c.dv, c.dv))), 6) >= 0.25""".stripMargin,
+    "d16_semdedup" ->
+      s"""WITH $vSrc,
+         |exploded AS (
+         |  SELECT label, unnest(range(1, len(dv) + 1)) AS pos, unnest(dv) AS x FROM v),
+         |mdims AS (
+         |  SELECT label, pos, round(avg(x), 9) AS m
+         |  FROM exploded GROUP BY label, pos),
+         |cent AS (
+         |  SELECT label AS cell, list(m ORDER BY pos) AS cv FROM mdims GROUP BY label),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        round(list_dot_product(v.dv, c.cv) /
+         |          (sqrt(list_dot_product(v.dv, v.dv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+         |        c.cell) AS ark
+         |    FROM v CROSS JOIN cent c)
+         |  WHERE ark = 1),
+         |members AS (
+         |  SELECT a.cell, a.vec_id, v.dv FROM assigned a JOIN v USING (vec_id)),
+         |pairs AS (
+         |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(list_dot_product(a.dv, b.dv) /
+         |      (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 6) AS cos
+         |  FROM members a JOIN members b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT id_b AS vec_id, cell, max(cos) AS max_lower_cos
+         |FROM pairs WHERE cos >= 0.35 GROUP BY id_b, cell""".stripMargin,
     "v4_ivf_topk" ->
       s"""WITH $vSrc,
          |exploded AS (

@@ -21,7 +21,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t6_unigram_logprob" -> 1, // one-row token-total aggregate
     "t7_tfidf_top_term" -> 1,  // one-row doc-count aggregate
     "v1_cosine_topk" -> 1,     // bounded 20-vector query set (baseline)
-    "v4_ivf_topk" -> 2)        // broadcast centroid table, probe + assign
+    "v4_ivf_topk" -> 2,        // broadcast centroid table, probe + assign
+    "d16_semdedup" -> 2)       // broadcast centroid table, both pair sides
 
   // Queries allowed to carry an interpreted-lambda Project (HOF exprs are
   // CodegenFallback, so a per-element lambda drops its Project out of
