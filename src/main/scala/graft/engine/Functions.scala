@@ -47,6 +47,18 @@ object Functions {
         exprs(1).eval(null).toString.split(",").toSeq.map(_.trim.toInt)),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_encode",
+      exprs => graft.functions.PqEncodeExpr(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Int]),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_dist_table",
+      exprs => graft.functions.PqDistTableExpr(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Int]),
+      "built-in"
+    )
     // Spark's internal runtime-filter kernels, exposed as callable
     // functions for the explicit BloomPrune operator.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

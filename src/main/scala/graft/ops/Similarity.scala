@@ -220,6 +220,67 @@ object Similarity {
       .select(col("vec_id"), col("z.qnorm2").as("qnorm2"),
         round(col("z.err"), 6).as("err"), round(col("z.amax"), 6).as("amax"))
 
+  /** One-row flattened PQ codebook: the per-label mean centroids (9 dp,
+    * bit-identical cross-engine) concatenated label-major into a single
+    * array<double>. One row → always the broadcast side; the downstream
+    * crossJoin is the bounded one-row-aggregate shape t5/t6 use.
+    * The transform/flatten lambdas touch #labels rows — off the hot path.
+    */
+  def pqCodebook(vecs: DataFrame): DataFrame =
+    centroidsAgg(vecs).agg(
+      flatten(transform(array_sort(collect_list(struct(col("cell"), col("cv")))),
+        s => s.getField("cv"))).as("cb"))
+
+  /** Product quantization encode (Jégou et al. 2011): each vector's m
+    * subvectors quantized to the nearest codebook centroid — dim floats
+    * become m small codes. One codegen'd `graft_pq_encode` call per row
+    * against the broadcast one-row codebook: zero shuffles over the corpus.
+    * Output: per-vector codes (as columns, driver-sortable) + the rounded
+    * L2 reconstruction error.
+    */
+  def pqEncode(vecs: DataFrame, m: Int): DataFrame = {
+    val enc = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
+      .crossJoin(broadcast(pqCodebook(vecs)))
+      .select(col("vec_id"),
+        graft.functions.PqExprs.encodeColumn(col("dv"), col("cb"), m).as("z"))
+    val codeCols = (0 until m).map(s =>
+      element_at(col("z.codes"), s + 1).as(s"code$s"))
+    enc.select(col("vec_id") +: codeCols :+ col("z.err").as("err"): _*)
+  }
+
+  /** PQ asymmetric-distance top-1: candidates are scanned through their
+    * codes only — per pair the score is m lookups into the query's k×m
+    * distance table, never a touch of the raw candidate vector (the reason
+    * PQ survives 100 TB: the code table is 64× smaller than the vectors
+    * and the per-candidate cost is O(m), not O(dim)). The bounded query
+    * set (tables in hand) broadcasts; ties → lower candidate id.
+    */
+  def pqAdcTop1(vecs: DataFrame, m: Int, nQueries: Int): DataFrame = {
+    val cb = pqCodebook(vecs)
+    val cand = vecs.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("dv"))
+      .crossJoin(broadcast(cb))
+      .select(col("c_id"),
+        graft.functions.PqExprs.encodeColumn(col("dv"), col("cb"), m)
+          .getField("codes").as("codes"))
+    val qs = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("qv"))
+      .crossJoin(broadcast(cb))
+      .select(col("q_id"),
+        graft.functions.PqExprs.distTableColumn(col("qv"), col("cb"), m).as("tbl"))
+    // Σ_s tbl[codes[s]·m + s], summed in s order (matches the oracle's
+    // ordered list_sum), then rounded like every scored output.
+    val adist = round((0 until m).map(s =>
+      element_at(col("tbl"), element_at(col("codes"), s + 1) * m + s + 1))
+      .reduce(_ + _), 6)
+    cand.crossJoin(broadcast(qs))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("adist", adist)
+      .groupBy("q_id")
+      .agg(max(struct((-col("adist")).as("na"), (-col("c_id")).as("nc"),
+        col("c_id"), col("adist"))).as("mx"))
+      .select(col("q_id"), col("mx.c_id").as("nn_id"), col("mx.adist").as("adist"))
+  }
+
   /** Per-label centroid norm: posexplode → per-dimension mean → L2 norm.
     * (Also the IVF coarse-quantizer building block: centroids per partition.)
     */

@@ -16,6 +16,7 @@ object Embeddings {
 
   val NQueries = 20
   val NnBits = 8
+  val PqM = 4 // PQ subspaces over the 64-dim embeddings (16 dims each)
 
   val queries: Map[String, Q] = Map(
     "v1_cosine_topk" -> ((s, dir) => {
@@ -61,7 +62,18 @@ object Embeddings {
     // Int8 scalar quantization: ‖q‖² is integer-exact cross-engine, so a
     // hash match proves the quantized codes agree bit-for-bit.
     "v6_quantize_int8" -> ((s, dir) =>
-      Similarity.quantizeInt8(t(s, dir, "embeddings")))
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))),
+
+    // Product quantization encode: 64 floats → 4 codes per vector (the
+    // compression step past v6's int8). Zero-shuffle codegen'd map against
+    // a one-row broadcast codebook.
+    "v8_pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(t(s, dir, "embeddings"), m = PqM)),
+
+    // PQ asymmetric-distance top-1: candidates scored through their codes
+    // only — m table lookups per pair, the raw vectors never rejoin.
+    "v9_pq_adc" -> ((s, dir) =>
+      Similarity.pqAdcTop1(t(s, dir, "embeddings"), m = PqM, nQueries = NQueries))
   )
 
   private val vSrc =
@@ -77,7 +89,68 @@ object Embeddings {
     s"CASE WHEN dv[${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     .mkString(" + ")
 
+  /** Shared PQ oracle prelude: label-mean codebook (9 dp), then the rounded
+    * squared L2 between every vector subspace and every centroid subspace,
+    * written as a·a + c·c − 2·a·c over ordered `list_dot_product`s — the
+    * exact arithmetic graft_pq_encode/graft_pq_dist_table perform, so codes
+    * and distances agree bit-for-bit. Sub width hardcodes the 64-dim
+    * fixture / PqM split.
+    */
+  private val pqSub = 64 / PqM
+  private val pqD2 =
+    s"""exploded AS (
+       |  SELECT label, unnest(range(1, len(dv) + 1)) AS pos, unnest(dv) AS x FROM v),
+       |mdims AS (
+       |  SELECT label, pos, round(avg(x), 9) AS m
+       |  FROM exploded GROUP BY label, pos),
+       |cent AS (
+       |  SELECT label AS cell, list(m ORDER BY pos) AS cv FROM mdims GROUP BY label),
+       |subs AS (SELECT unnest(range($PqM)) AS s),
+       |d2 AS (
+       |  SELECT v.vec_id, c.cell, s.s,
+       |    round(list_dot_product(v.dv[s.s*$pqSub+1:(s.s+1)*$pqSub], v.dv[s.s*$pqSub+1:(s.s+1)*$pqSub])
+       |        + list_dot_product(c.cv[s.s*$pqSub+1:(s.s+1)*$pqSub], c.cv[s.s*$pqSub+1:(s.s+1)*$pqSub])
+       |        - 2 * list_dot_product(v.dv[s.s*$pqSub+1:(s.s+1)*$pqSub], c.cv[s.s*$pqSub+1:(s.s+1)*$pqSub]), 6) AS d2
+       |  FROM v CROSS JOIN cent c CROSS JOIN subs s)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "v8_pq_encode" ->
+      s"""WITH $vSrc,
+         |$pqD2,
+         |best AS (
+         |  SELECT vec_id, s, cell, d2 FROM (
+         |    SELECT vec_id, s, cell, d2,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cell) AS rk
+         |    FROM d2)
+         |  WHERE rk = 1)
+         |SELECT vec_id,
+         |  CAST(max(CASE WHEN s=0 THEN cell END) AS INT) AS code0,
+         |  CAST(max(CASE WHEN s=1 THEN cell END) AS INT) AS code1,
+         |  CAST(max(CASE WHEN s=2 THEN cell END) AS INT) AS code2,
+         |  CAST(max(CASE WHEN s=3 THEN cell END) AS INT) AS code3,
+         |  round(sqrt(list_sum(list(d2 ORDER BY s))), 6) AS err
+         |FROM best GROUP BY vec_id""".stripMargin,
+    "v9_pq_adc" ->
+      s"""WITH $vSrc,
+         |$pqD2,
+         |codes AS (
+         |  SELECT vec_id, s, cell AS code FROM (
+         |    SELECT vec_id, s, cell,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cell) AS rk
+         |    FROM d2)
+         |  WHERE rk = 1),
+         |qd AS (SELECT vec_id AS q_id, cell, s, d2 FROM d2 WHERE vec_id < $NQueries),
+         |pairs AS (
+         |  SELECT q.q_id, c.vec_id AS c_id,
+         |    round(list_sum(list(q.d2 ORDER BY q.s)), 6) AS adist
+         |  FROM codes c JOIN qd q ON q.cell = c.code AND q.s = c.s
+         |  WHERE c.vec_id <> q.q_id
+         |  GROUP BY q.q_id, c.vec_id)
+         |SELECT q_id, c_id AS nn_id, adist FROM (
+         |  SELECT q_id, c_id, adist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rk
+         |  FROM pairs)
+         |WHERE rk = 1""".stripMargin,
     "v6_quantize_int8" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),

@@ -22,7 +22,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "t7_tfidf_top_term" -> 1,  // one-row doc-count aggregate
     "v1_cosine_topk" -> 1,     // bounded 20-vector query set (baseline)
     "v4_ivf_topk" -> 2,        // broadcast centroid table, probe + assign
-    "d16_semdedup" -> 2)       // broadcast centroid table, both pair sides
+    "d16_semdedup" -> 2,       // broadcast centroid table, both pair sides
+    "v8_pq_encode" -> 1,       // one-row broadcast codebook
+    "v9_pq_adc" -> 3)          // codebook x2 (encode + tables), bounded query set
 
   // Queries allowed to carry an interpreted-lambda Project (HOF exprs are
   // CodegenFallback, so a per-element lambda drops its Project out of
@@ -39,7 +41,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "mm2_image_decode", "mm3_audio_decode", "mm4_video_frames",
     "p3_sentinel_filter", "pipeline_e2e", "s4_text_scan", "s5b_pt_ingest",
     "s5c_pt_datasource", "s5d_pt_stream", "s6_align_join",
-    "v5_centroids_agg" // 10 post-aggregation rows, transform over dim
+    "v5_centroids_agg", // 10 post-aggregation rows, transform over dim
+    "v8_pq_encode", "v9_pq_adc", // one-row codebook assembly (transform/flatten)
+    "d16_semdedup" // centroid-table assembly, 10 post-aggregation rows
   )
 
   test("corpus-scale plans contain no interpreted per-element lambdas") {
