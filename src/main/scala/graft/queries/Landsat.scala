@@ -215,6 +215,26 @@ object Landsat {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
 
+    // Sort-clustered scan: documents re-laid-out range-partitioned +
+    // sorted by n_chars, then queried with a range predicate. Sorting makes
+    // parquet row-group min/max stats DISJOINT, so the pushed filter skips
+    // whole row groups/files at footer time — the within-partition
+    // complement of s9's directory pruning (LayoutSpec proves the scan
+    // emits a fraction of the corpus; unsorted layout emits all of it).
+    // At 100 TB, sort-clustering on the dominant filter column is the
+    // difference between scanning the slice and scanning the lake.
+    "s10_sorted_pruning" -> ((s, dir) => {
+      val out = Tables.scratch("s10_sorted")
+      t(s, dir, "documents")
+        .repartitionByRange(8, col("n_chars"))
+        .sortWithinPartitions("n_chars")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("n_chars") >= 400)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+
     // P2+F1: scene-id split/substring/cast date parse.
     "p2_scene_date" -> ((s, _) => {
       Features.withSceneDate(scenesDf(fx(s)).select("scene_id"))
@@ -851,6 +871,9 @@ object Landsat {
     "s9_partition_pruning" ->
       """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+    "s10_sorted_pruning" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents WHERE n_chars >= 400 GROUP BY lang""".stripMargin,
     // recomputed from the base table: gen 1 = even keys carrying price,
     // gen 2 = odd keys carrying priority; the merged scan must account
     // for every null the other generation introduces.
