@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -133,6 +133,30 @@ object TextOps {
     * text (reference analog: none — LLM-pipeline extension per the brief).
     */
   def fingerprint(text: Column): Column = Hashing.polyHash(normalized(text))
+
+  /** Fixed-token-budget chunking with overlap — the RAG/pretraining
+    * chunker: each document explodes into windows of `chunkSize` tokens
+    * starting every `stride` tokens (overlap = chunkSize − stride), the
+    * final partial window included. Pure generator + slice/concat
+    * expressions (no lambda HOFs): the whole thing stays inside the scan's
+    * whole-stage codegen and shuffles nothing — at 100 TB chunking is a
+    * free map over the corpus scan, and the output order/ids are
+    * deterministic (chunk_id = window ordinal).
+    */
+  def chunkFixed(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    docs.select(col(idCol), tokens(col(textCol)).as("ws"))
+      .select(col(idCol), col("ws"),
+        posexplode(sequence(lit(1), greatest(size(col("ws")), lit(1)),
+          lit(stride))).as(Seq("chunk_id", "start")))
+      .select(col(idCol),
+        col("chunk_id").cast("int").as("chunk_id"),
+        least(lit(chunkSize), size(col("ws")) - col("start") + 1)
+          .cast("int").as("n_tokens"),
+        concat_ws(" ", slice(col("ws"), col("start"), lit(chunkSize)))
+          .as("chunk_text"))
+  }
 
   /** Word n-gram shingles (space-joined), empty when fewer than n tokens.
     * 1-based element_at; guarded so Spark's sequence() never runs backwards.

@@ -113,6 +113,31 @@ object TextDedup {
         .select("n_tokens", "n_reported", "n_violations")
     }),
 
+    // Fixed-token chunking with overlap (RAG/pretraining chunker): 32-token
+    // windows every 24 tokens, final partial window kept. Pure generator +
+    // slice/concat — zero shuffle, fully codegen'd; the chunk text itself
+    // is hash-compared so the reconstruction is proven verbatim.
+    "t11_chunk" -> ((s, dir) =>
+      TextOps.chunkFixed(docs(s, dir), "doc_id", "text",
+        chunkSize = 32, stride = 24)),
+
+    // Quality-quartile binning (curriculum/mixture construction): ntile
+    // over the rounded quality score WITHIN each source — the window is
+    // partitioned by source, so no global sort; ties pinned by doc_id.
+    "w2_quality_bins" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val scored = docs(s, dir).select(col("doc_id"), col("source"),
+        round(TextOps.qualityScore(ws), 6).as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("q"), col("doc_id"))
+      scored.withColumn("bin", ntile(4).over(w))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("q"), 6).as("avg_q"),
+          round(min("q"), 6).as("min_q"),
+          round(max("q"), 6).as("max_q"))
+    }),
+
     // stratified exact split: per-language ⌊0.8·N_lang⌋ train rows —
     // minority languages keep their ratio. Output: per-lang counts.
     "o5_stratified_split" -> ((s, dir) =>
@@ -419,6 +444,35 @@ object TextDedup {
         |    '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b', '[IP]', 'g'),
         |    '\b[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS redacted
         |FROM withpii""".stripMargin,
+    "t11_chunk" ->
+      s"""WITH $toksSrc,
+         |st AS (
+         |  SELECT doc_id, ws,
+         |    unnest(range(1, greatest(len(ws), 1) + 1, 24)) AS start
+         |  FROM toks)
+         |SELECT doc_id, CAST((start - 1) // 24 AS INT) AS chunk_id,
+         |  CAST(least(32, len(ws) - start + 1) AS INT) AS n_tokens,
+         |  array_to_string(ws[start:start+31], ' ') AS chunk_text
+         |FROM st""".stripMargin,
+    "w2_quality_bins" ->
+      s"""WITH $toksSrc,
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS DOUBLE) / len(ws) AS stop_ratio,
+         |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS awl,
+         |  len(ws) AS n FROM toks),
+         |scored AS (
+         |  SELECT d.doc_id, d.source,
+         |    round(0.5 * m.stop_ratio + 0.3 * least(1.0, CAST(m.n AS DOUBLE) / 100.0)
+         |          + 0.2 * (m.awl / 10.0), 6) AS q
+         |  FROM documents d JOIN m ON d.doc_id = m.doc_id),
+         |binned AS (
+         |  SELECT source, q,
+         |    ntile(4) OVER (PARTITION BY source ORDER BY q, doc_id) AS bin
+         |  FROM scored)
+         |SELECT source, CAST(bin AS INT) AS bin, count(*) AS n_docs,
+         |  round(avg(q), 6) AS avg_q, round(min(q), 6) AS min_q,
+         |  round(max(q), 6) AS max_q
+         |FROM binned GROUP BY source, bin""".stripMargin,
     "t2_quality" ->
       s"""WITH $toksSrc,
          |m AS (SELECT doc_id,
