@@ -358,6 +358,37 @@ object Dedup {
     spanDupCountsSweep(docs, ladder)
       .groupBy("doc_id").agg(max("n").as("max_dup_n"))
 
+  /** Top shared verbatim spans WITH their text — the "show me the
+    * boilerplate" tool on top of [[spanDupCounts]]'s counts: the `topK`
+    * n-gram spans appearing in the most distinct docs, each carrying one
+    * example occurrence's verbatim text. Hash-first end-to-end: positions
+    * ride the same posexplode as the hashes, the heavy groupBys carry
+    * (hash, doc, pos) longs only, and the span STRINGS are materialized
+    * only for the topK winners — a broadcast join back to the ≤topK
+    * example docs, then a slice/concat readout. At 100 TB the corpus text
+    * is traversed once and re-read only for the handful of winners.
+    */
+  def topSharedSpans(docs: DataFrame, n: Int, topK: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      posexplode(graft.functions.PolyShinglesExpr.column(
+        lower(col("text")), n)).as(Seq("pos", "h")))
+    val perDoc = sh.groupBy("h", "doc_id")
+      .agg(count(lit(1)).as("n_occ"), min("pos").as("min_pos"))
+    val top = perDoc.groupBy("h")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_occ").as("n_occurrences"),
+        min(struct(col("doc_id"), col("min_pos"))).as("first"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), col("h"))
+      .limit(topK)
+      .select(col("h"), col("n_docs"), col("n_occurrences"),
+        col("first.doc_id").as("doc_id"), col("first.min_pos").as("pos"))
+    docs.join(broadcast(top), "doc_id")
+      .select(col("h"), col("n_docs"), col("n_occurrences"), col("doc_id"),
+        concat_ws(" ", slice(split(lower(col("text")), "\\s+"),
+          col("pos") + 1, lit(n))).as("span_text"))
+  }
+
   /** Benchmark-contamination scan: train docs sharing at least `minShared`
     * distinct shingles with the evaluation set. The eval side of an LLM
     * pipeline is tiny against the corpus (benchmarks vs 100 TB), so its

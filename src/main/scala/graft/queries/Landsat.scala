@@ -215,6 +215,19 @@ object Landsat {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
 
+    // S7 in the LLM-corpus interchange format: JSONL sink + re-scan with an
+    // explicit schema (schema'd read — no inference pass over the data, the
+    // only sane contract at 100 TB). Roundtrip must be lossless: the oracle
+    // reads the ORIGINAL table, so the hash match proves write→read
+    // identity including the full text bodies.
+    "s11_jsonl_roundtrip" -> ((s, dir) => {
+      val out = Tables.scratch("s11_jsonl")
+      t(s, dir, "documents").write.mode("overwrite").json(out)
+      s.read.schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(out)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // Sort-clustered scan: documents re-laid-out range-partitioned +
     // sorted by n_chars, then queried with a range predicate. Sorting makes
     // parquet row-group min/max stats DISJOINT, so the pushed filter skips
@@ -874,6 +887,8 @@ object Landsat {
     "s10_sorted_pruning" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
         |FROM documents WHERE n_chars >= 400 GROUP BY lang""".stripMargin,
+    "s11_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // recomputed from the base table: gen 1 = even keys carrying price,
     // gen 2 = odd keys carrying priority; the merged scan must account
     // for every null the other generation introduces.

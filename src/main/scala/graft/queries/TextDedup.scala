@@ -130,10 +130,14 @@ object TextDedup {
         round(TextOps.qualityScore(ws), 6).as("q"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy(col("q"), col("doc_id"))
+      // sum_q, not avg_q: the mean of two 6-dp values lands exactly on a
+      // .5 seventh-decimal boundary, where Java's decimal-string rounding
+      // and DuckDB's binary-double rounding disagree (caught at sf0.001,
+      // 2-doc bins). The SUM of 6-dp values stays 6-dp — no boundary.
       scored.withColumn("bin", ntile(4).over(w))
         .groupBy("source", "bin")
         .agg(count(lit(1)).as("n_docs"),
-          round(avg("q"), 6).as("avg_q"),
+          round(sum("q"), 6).as("sum_q"),
           round(min("q"), 6).as("min_q"),
           round(max("q"), 6).as("max_q"))
     }),
@@ -284,6 +288,12 @@ object TextDedup {
     // still fires bounds its longest verbatim run within 2x — the per-doc
     // number a decontamination pass thresholds on, still one text pass.
     "d15_max_dup_span" -> ((s, dir) => Dedup.maxDupSpan(docs(s, dir))),
+
+    // the "show me the boilerplate" readout: top-10 most-shared 10-token
+    // spans with one example occurrence's verbatim text (extracted only
+    // for the winners — the heavy path never materializes span strings).
+    "d17_top_spans" -> ((s, dir) =>
+      Dedup.topSharedSpans(docs(s, dir), n = 10, topK = 10)),
 
     // SimHash-family cluster resolution. Gate operating point is
     // maxHamming = 0: hamming-0 components are exactly simhash-equality
@@ -470,7 +480,7 @@ object TextDedup {
          |    ntile(4) OVER (PARTITION BY source ORDER BY q, doc_id) AS bin
          |  FROM scored)
          |SELECT source, CAST(bin AS INT) AS bin, count(*) AS n_docs,
-         |  round(avg(q), 6) AS avg_q, round(min(q), 6) AS min_q,
+         |  round(sum(q), 6) AS sum_q, round(min(q), 6) AS min_q,
          |  round(max(q), 6) AS max_q
          |FROM binned GROUP BY source, bin""".stripMargin,
     "t2_quality" ->
@@ -679,6 +689,23 @@ object TextDedup {
          |SELECT doc_id, CAST(max(n) AS INT) AS max_dup_n
          |FROM h JOIN shared USING (n, h)
          |GROUP BY doc_id""".stripMargin,
+    "d17_top_spans" ->
+      s"""WITH $toksSrc,
+         |st AS (SELECT doc_id, ws,
+         |  unnest(range(1, greatest(len(ws) - 8, 1))) AS i FROM toks),
+         |sh AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |  array_to_string(ws[i:i+9], ' ') AS shingle FROM st),
+         |h AS (SELECT doc_id, pos, ${graft.functions.Hashing.polyHashSql("shingle")} AS h FROM sh),
+         |perdoc AS (SELECT h, doc_id, count(*) AS n_occ, min(pos) AS min_pos
+         |           FROM h GROUP BY h, doc_id),
+         |agg AS (
+         |  SELECT h, count(*) AS n_docs, CAST(sum(n_occ) AS BIGINT) AS n_occurrences,
+         |    min(struct_pack(d := doc_id, p := min_pos)) AS first
+         |  FROM perdoc GROUP BY h HAVING count(*) >= 2),
+         |top AS (SELECT * FROM agg ORDER BY n_docs DESC, h LIMIT 10)
+         |SELECT t.h, t.n_docs, t.n_occurrences, t.first.d AS doc_id,
+         |  array_to_string(k.ws[t.first.p + 1 : t.first.p + 10], ' ') AS span_text
+         |FROM top t JOIN toks k ON k.doc_id = t.first.d""".stripMargin,
     "d12_contamination" ->
       s"""WITH $toksSrc, $shSrc, $hashedSrc,
          |ev AS (SELECT DISTINCT h FROM hashed WHERE doc_id < 50),
