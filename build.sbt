@@ -34,5 +34,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: a ~116-query sweep on local[32] accumulates broadcasts, codegen
+  // classes, and shuffle bookkeeping across queries; at 8g the old gen
+  // fills mid-sweep and full-GC storms randomly multiply later queries'
+  // wall time 5-20x (observed 42s -> 201s sweep). The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

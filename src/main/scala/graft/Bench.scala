@@ -14,6 +14,11 @@ object Bench {
       // timed pass reaches them, silently re-measuring Janino compilation
       // instead of execution (r04: c1 10.7 s timed vs 2.6 s steady-state).
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // ContextCleaner reclaims broadcasts/shuffle state only after a GC
+      // notices the weak refs; a 100+-query sweep otherwise accumulates
+      // until the old gen fills and full-GC storms multiply later queries'
+      // wall time (default interval 30min never fires in a sweep).
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup phase: read every table family once, then run EVERY query once
@@ -39,23 +44,32 @@ object Bench {
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces full materialization of every output column
-      // (count() would let Catalyst prune the computed columns away).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          // A crashing query must not silently record its time-to-crash as
-          // a score: surface it in an "errors" map the driver can see.
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      // Two timed passes, report the min: a single pass is hostage to
+      // whatever one-off lands on it (driver full GC reclaiming the
+      // sweep's accumulated broadcasts, a straggler task, a host hiccup) —
+      // observed multiplying one random query 5-10x between otherwise
+      // identical sweeps. The min of two is the standard steady-state
+      // estimator and two collisions on the same query are rare.
+      val dts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink forces full materialization of every output column
+        // (count() would let Catalyst prune the computed columns away).
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            // A crashing query must not silently record its time-to-crash
+            // as a score: surface it in an "errors" map the driver can see.
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Operators persist intermediates for intra-query reuse; dropping
+        // them between queries keeps sequential runs from accumulating
+        // cached blocks and squeezing later queries' execution memory.
+        spark.catalog.clearCache()
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Operators persist intermediates for intra-query reuse; dropping
-      // them between queries keeps 75 sequential runs from accumulating
-      // cached blocks and squeezing later queries' execution memory.
-      spark.catalog.clearCache()
-      name -> dt
+      name -> dts.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -30,6 +30,10 @@ object Session {
       // default, re-paying Janino compilation (seconds per query) on every
       // execution. Sized for the full declared surface with headroom.
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // Keep the ContextCleaner draining during long many-query sessions
+      // (broadcast/shuffle state is reclaimed only after a GC notices the
+      // weak refs; the 30min default never fires in a test/audit sweep).
+      .config("spark.cleaner.periodicGC.interval", "2min")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.registerAll(spark)
