@@ -358,6 +358,30 @@ object Dedup {
     spanDupCountsSweep(docs, ladder)
       .groupBy("doc_id").agg(max("n").as("max_dup_n"))
 
+  /** Edit-distance verification of LSH candidate pairs: the exact-verify
+    * stage of the dedup funnel (LSH recalls candidates cheaply; Levenshtein
+    * on the whitespace-normalized text confirms them). Quadratic-per-pair
+    * cost is paid ONLY on the candidate set — at 100 TB the funnel shape
+    * (bucketed recall → per-pair verify) is what makes an O(n²·len²)
+    * metric usable at all. Output keeps pairs with relative distance
+    * (lev / max len) ≤ maxRel.
+    */
+  def editDistanceVerify(docs: DataFrame, maxRel: Double): DataFrame = {
+    val sig = minhashSignatures(shingleHashes(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatePairs(lshBuckets(sig))
+    val norm = docs.select(col("doc_id"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("t"))
+    cands
+      .join(norm.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(norm.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("rel", round(col("lev").cast("double") /
+        greatest(length(col("ta")), length(col("tb"))), 6))
+      .filter(col("rel") <= maxRel)
+      .select("doc_a", "doc_b", "lev", "rel")
+  }
+
   /** Top shared verbatim spans WITH their text — the "show me the
     * boilerplate" tool on top of [[spanDupCounts]]'s counts: the `topK`
     * n-gram spans appearing in the most distinct docs, each carrying one

@@ -53,4 +53,28 @@ object TimeSeries {
         6).as("v_filled"),
       col("v").isNull.as("interpolated"))
   }
+
+  /** Trailing-window rolling statistics + anomaly flag over the per-key
+    * daily series: 7-day RANGE frame (calendar days, not rows — gaps in
+    * the series shrink the window, exactly what a sensor pipeline wants),
+    * mean/stddev_pop/count, and a 2σ spike flag (suppressed until the
+    * window has ≥3 observations). Partitioned per key — no global sort;
+    * the RANGE frame keys on the integer epoch-day so the frame bound is
+    * O(1) arithmetic, not an interval probe.
+    */
+  def rollingDailyStats(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, windowDays: Int = 7): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("d"))
+      .agg(avg(col(valCol)).as("v"))
+      .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+    val win = Window.partitionBy(keyCol).orderBy("di")
+      .rangeBetween(-(windowDays - 1), Window.currentRow)
+    daily.select(col(keyCol), col("d"), round(col("v"), 6).as("v_day"),
+      count(lit(1)).over(win).as("n_win"),
+      round(avg(col("v")).over(win), 6).as("trail_avg"),
+      round(stddev_pop(col("v")).over(win), 6).as("trail_sd"),
+      (abs(col("v") - avg(col("v")).over(win)) >
+        lit(2) * stddev_pop(col("v")).over(win) &&
+        count(lit(1)).over(win) >= 3).as("anomaly"))
+  }
 }

@@ -231,6 +231,13 @@ object Events {
       graft.ops.TimeSeries.gapFillDaily(eventsT(s, dir),
         keyCol = "user_id", tsCol = "ts", valCol = "value")),
 
+    // Trailing 7-day rolling stats + 2σ anomaly flag over the daily
+    // series — RANGE frame on calendar days (gaps shrink the window),
+    // partitioned per user.
+    "ts2_rolling_stats" -> ((s, dir) =>
+      graft.ops.TimeSeries.rollingDailyStats(eventsT(s, dir),
+        keyCol = "user_id", tsCol = "ts", valCol = "value", windowDays = 7)),
+
     // F8 over semi-structured props: JSON field extraction + aggregate.
     "e4_json_props" -> ((s, dir) =>
       eventsT(s, dir)
@@ -247,6 +254,27 @@ object Events {
       |FROM events GROUP BY wstart, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ts2_rolling_stats" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, avg(value) AS v
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |w AS (
+        |  SELECT user_id, d, v,
+        |    date_diff('day', DATE '1970-01-01', d) AS di
+        |  FROM daily),
+        |r AS (
+        |  SELECT user_id, d, v,
+        |    count(*) OVER win AS n_win,
+        |    avg(v) OVER win AS m,
+        |    stddev_pop(v) OVER win AS sd
+        |  FROM w
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY di
+        |                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, d, round(v, 6) AS v_day,
+        |  CAST(n_win AS BIGINT) AS n_win, round(m, 6) AS trail_avg,
+        |  round(sd, 6) AS trail_sd,
+        |  (abs(v - m) > 2 * sd AND n_win >= 3) AS anomaly
+        |FROM r""".stripMargin,
     "ts1_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d, avg(value) AS v

@@ -289,6 +289,12 @@ object TextDedup {
     // number a decontamination pass thresholds on, still one text pass.
     "d15_max_dup_span" -> ((s, dir) => Dedup.maxDupSpan(docs(s, dir))),
 
+    // exact-verify stage of the dedup funnel: Levenshtein on normalized
+    // text over the LSH candidate pairs only (quadratic cost bounded by
+    // the recall stage, never corpus-wide).
+    "d18_editdist_verify" -> ((s, dir) =>
+      Dedup.editDistanceVerify(docs(s, dir), maxRel = 0.3)),
+
     // the "show me the boilerplate" readout: top-10 most-shared 10-token
     // spans with one example occurrence's verbatim text (extracted only
     // for the winners — the heavy path never materializes span strings).
@@ -689,6 +695,17 @@ object TextDedup {
          |SELECT doc_id, CAST(max(n) AS INT) AS max_dup_n
          |FROM h JOIN shared USING (n, h)
          |GROUP BY doc_id""".stripMargin,
+    "d18_editdist_verify" ->
+      s"""WITH $minhashChain,
+         |norm AS (SELECT doc_id,
+         |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
+         |  round(CAST(levenshtein(a.t, b.t) AS DOUBLE) / greatest(len(a.t), len(b.t)), 6) AS rel
+         |FROM pairs c
+         |  JOIN norm a ON a.doc_id = c.doc_a
+         |  JOIN norm b ON b.doc_id = c.doc_b
+         |WHERE round(CAST(levenshtein(a.t, b.t) AS DOUBLE) / greatest(len(a.t), len(b.t)), 6) <= 0.3""".stripMargin,
     "d17_top_spans" ->
       s"""WITH $toksSrc,
          |st AS (SELECT doc_id, ws,

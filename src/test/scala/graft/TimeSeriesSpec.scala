@@ -35,6 +35,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(2)).toSeq == Seq(5.0, 8.0, 11.0))
   }
 
+  test("rollingDailyStats uses a calendar-day frame, not a row frame") {
+    // days 1,2,10: day 10's 7-day window must NOT include days 1-2
+    val df = series(
+      (1L, "2024-01-01 00:00:00", 10.0),
+      (1L, "2024-01-02 00:00:00", 20.0),
+      (1L, "2024-01-10 00:00:00", 99.0))
+    val out = TimeSeries.rollingDailyStats(df, "user_id", "ts", "value")
+      .orderBy("d").collect()
+    assert(out.map(_.getLong(3)).toSeq == Seq(1, 2, 1)) // n_win
+    assert(out(1).getDouble(4) == 15.0) // avg(10,20)
+    assert(out(2).getDouble(4) == 99.0) // gap reset: only day 10 in frame
+    // anomaly suppressed below 3 observations
+    assert(out.forall(!_.getBoolean(6)))
+  }
+
+  test("rollingDailyStats flags a 2-sigma spike once the window has data") {
+    val df = series((Seq.tabulate(6)(i =>
+      (2L, f"2024-02-0${i + 1}%d 00:00:00", 10.0)) :+
+      ((2L, "2024-02-07 00:00:00", 500.0))): _*)
+    val out = TimeSeries.rollingDailyStats(df, "user_id", "ts", "value")
+      .orderBy("d").collect()
+    assert(out.count(_.getBoolean(6)) == 1 && out.last.getBoolean(6))
+  }
+
   test("gapFillDaily keys are independent and spines never cross users") {
     val df = series(
       (1L, "2024-01-01 00:00:00", 1.0),
