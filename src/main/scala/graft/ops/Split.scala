@@ -63,6 +63,18 @@ object Split {
       .drop("_part", "_prn", "_offset")
   }
 
+  /** Deterministic seeded global permutation — the training-order shuffle
+    * every epoch of a data pipeline needs, reproducible across engines,
+    * partitionings, and reruns (unlike `rand(seed)`, whose draw depends on
+    * partition layout). `rn` is the row's position in the shuffled order,
+    * assigned via the same range-partitioned scalable row number as
+    * [[exact]] — no single-partition window at any size.
+    */
+  def shuffleOrder(df: DataFrame, keyCol: String, seed: Long): DataFrame = {
+    val keyed = df.withColumn("_shuf", shuffleKey(col(keyCol), seed))
+    globalRowNumber(keyed, "_shuf", keyCol).drop("_shuf")
+  }
+
   /** Exact-count deterministic split: rows with rn ≤ ⌊f·N⌋ are train. Adds
     * column `is_train`. `key` must be integral and unique per row.
     *

@@ -354,6 +354,13 @@ object Landsat {
         .select(col("o_orderkey"), col("rn"), col("is_train"))
     }),
 
+    // O10: deterministic seeded epoch shuffle — a reproducible global
+    // permutation of the corpus (scalable row number, no global window).
+    "o10_shuffle_order" -> ((s, dir) =>
+      Split.shuffleOrder(t(s, dir, "documents").select("doc_id"),
+          "doc_id", seed = 7L)
+        .select(col("doc_id"), col("rn"))),
+
     // F1: string split / slice scalars.
     "f1_string_split" -> ((s, dir) =>
       t(s, dir, "part").select(col("p_partkey"),
@@ -969,6 +976,13 @@ object Landsat {
          |)""".stripMargin,
     "g2_augment" -> g2OracleSql,
     "g4_augment_tensor" -> g4OracleSql,
+    "o10_shuffle_order" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, ${Hashing.lcgSql("doc_id", 7, Hashing.LcgM)} AS shuf
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY shuf, doc_id) AS BIGINT) AS rn
+         |FROM keyed""".stripMargin,
     "o1_split_exact" ->
       s"""WITH keyed AS (
          |  SELECT o_orderkey, $lcg42 AS shuf FROM orders),

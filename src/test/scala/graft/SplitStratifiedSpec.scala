@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+// (shuffleOrder tests live here with the other Split surface tests)
 
 import graft.ops.Split
 
@@ -38,5 +39,23 @@ class SplitStratifiedSpec extends AnyFunSuite {
     val s3 = Split.samplePerKey(df, "g", "k", k = 5, seed = 10L)
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(s3 !== s1)
+  }
+
+  test("shuffleOrder is a deterministic permutation, invariant to input partitioning") {
+    val base = spark.range(500).select(col("id").as("k"))
+    val o1 = Split.shuffleOrder(base, "k", seed = 11L)
+      .select("k", "rn").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // rn is a bijection onto 1..N
+    assert(o1.map(_._2).sorted === (1L to 500L))
+    // it is NOT the identity order (it actually shuffles)
+    assert(o1.map(_._2) !== (1L to 500L))
+    // identical under a different physical partitioning
+    val o2 = Split.shuffleOrder(base.repartition(7), "k", seed = 11L)
+      .select("k", "rn").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(o2 === o1)
+    // different seed, different permutation
+    val o3 = Split.shuffleOrder(base, "k", seed = 12L)
+      .select("k", "rn").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(o3 !== o1)
   }
 }
