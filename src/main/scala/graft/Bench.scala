@@ -50,26 +50,32 @@ object Bench {
       // observed multiplying one random query 5-10x between otherwise
       // identical sweeps. The min of two is the standard steady-state
       // estimator and two collisions on the same query are rare.
-      val dts = (1 to 2).map { _ =>
+      val passes = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
         // (count() would let Catalyst prune the computed columns away).
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            // A crashing query must not silently record its time-to-crash
-            // as a score: surface it in an "errors" map the driver can see.
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              // A crashing query must not silently record its time-to-crash
+              // as a score: surface it in an "errors" map the driver can see.
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // Operators persist intermediates for intra-query reuse; dropping
         // them between queries keeps sequential runs from accumulating
         // cached blocks and squeezing later queries' execution memory.
         spark.catalog.clearCache()
-        dt
+        (dt, ok)
       }
-      name -> dts.min
+      // min over SUCCESSFUL passes only — a transient failure's
+      // time-to-crash must not undercut a valid run's time. If every pass
+      // failed, record the duration anyway; the errors map flags it.
+      val good = passes.collect { case (dt, true) => dt }
+      name -> (if (good.nonEmpty) good.min else passes.map(_._1).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -33,7 +33,10 @@ object Session {
       // Keep the ContextCleaner draining during long many-query sessions
       // (broadcast/shuffle state is reclaimed only after a GC notices the
       // weak refs; the 30min default never fires in a test/audit sweep).
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // 10min here — a periodic System.gc() is a stop-the-world pause, so
+      // the shared session stays mild; the sweep mains (Bench/Verify) run
+      // the aggressive 2min interval where the accumulation actually is.
+      .config("spark.cleaner.periodicGC.interval", "10min")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.registerAll(spark)

@@ -371,7 +371,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = candidatePairs(lshBuckets(sig))
     val norm = docs.select(col("doc_id"),
-      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("t"))
+      TextOps.normalized(col("text")).as("t")) // same contract as fingerprint
     cands
       .join(norm.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
       .join(norm.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")

@@ -24,8 +24,13 @@ object Merge {
     * updated / inserted / kept per row.
     */
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
-    val b = base.as("b")
-    val u = updates.as("u")
+    // Presence markers, not key-null tests: a NULL key never matches in the
+    // equi-join, so a base row with key=NULL would otherwise read as
+    // "inserted" (b.key IS NULL on its own output row) and corrupt the
+    // action audit. The markers are non-null exactly when the side is
+    // present, whatever its key holds.
+    val b = base.withColumn("_b_present", lit(true)).as("b")
+    val u = updates.withColumn("_u_present", lit(true)).as("u")
     val shared = updates.columns.toSet - key
     val outBase = base.columns.filter(_ != key).map { c =>
       if (shared(c)) coalesce(col(s"u.$c"), col(s"b.$c")).as(c)
@@ -36,8 +41,8 @@ object Merge {
     b.join(u, col(s"b.$key") === col(s"u.$key"), "full_outer")
       .select(Seq(coalesce(col(s"b.$key"), col(s"u.$key")).as(key)) ++
         outBase ++ outNew :+
-        when(col(s"b.$key").isNotNull && col(s"u.$key").isNotNull, "updated")
-          .when(col(s"b.$key").isNull, "inserted")
+        when(col("_b_present").isNotNull && col("_u_present").isNotNull, "updated")
+          .when(col("_b_present").isNull, "inserted")
           .otherwise("kept").as("action"): _*)
   }
 }

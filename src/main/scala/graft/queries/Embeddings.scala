@@ -89,22 +89,34 @@ object Embeddings {
     s"CASE WHEN dv[${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     .mkString(" + ")
 
-  /** Shared PQ oracle prelude: label-mean codebook (9 dp), then the rounded
-    * squared L2 between every vector subspace and every centroid subspace,
-    * written as a·a + c·c − 2·a·c over ordered `list_dot_product`s — the
-    * exact arithmetic graft_pq_encode/graft_pq_dist_table perform, so codes
-    * and distances agree bit-for-bit. Sub width hardcodes the 64-dim
-    * fixture / PqM split.
+  /** Shared label-mean centroid prelude (9 dp — the cross-engine
+    * bit-identical quantizer contract); consumers append their own `cent`
+    * projection on top of `mdims`.
+    */
+  private val centPrelude =
+    """exploded AS (
+      |  SELECT label, unnest(range(1, len(dv) + 1)) AS pos, unnest(dv) AS x FROM v),
+      |mdims AS (
+      |  SELECT label, pos, round(avg(x), 9) AS m
+      |  FROM exploded GROUP BY label, pos)""".stripMargin
+
+  /** PQ oracle prelude: the centroid table with POSITIONAL cell ids
+    * (dense_rank over label, 0-based) — graft_pq_encode's codes are indices
+    * into the cell-sorted flattened codebook, so the oracle must rank the
+    * same way or parity would silently depend on labels being exactly
+    * 0..k-1 contiguous. Then the rounded squared L2 between every vector
+    * subspace and every centroid subspace, written as a·a + c·c − 2·a·c
+    * over ordered `list_dot_product`s — the exact arithmetic
+    * graft_pq_encode/graft_pq_dist_table perform, so codes and distances
+    * agree bit-for-bit. Sub width hardcodes the 64-dim fixture / PqM split.
     */
   private val pqSub = 64 / PqM
   private val pqD2 =
-    s"""exploded AS (
-       |  SELECT label, unnest(range(1, len(dv) + 1)) AS pos, unnest(dv) AS x FROM v),
-       |mdims AS (
-       |  SELECT label, pos, round(avg(x), 9) AS m
-       |  FROM exploded GROUP BY label, pos),
+    s"""$centPrelude,
        |cent AS (
-       |  SELECT label AS cell, list(m ORDER BY pos) AS cv FROM mdims GROUP BY label),
+       |  SELECT CAST(dense_rank() OVER (ORDER BY label) - 1 AS INT) AS cell,
+       |         list(m ORDER BY pos) AS cv
+       |  FROM mdims GROUP BY label),
        |subs AS (SELECT unnest(range($PqM)) AS s),
        |d2 AS (
        |  SELECT v.vec_id, c.cell, s.s,
@@ -214,11 +226,7 @@ object Embeddings {
          |    (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(c.dv, c.dv))), 6) >= 0.25""".stripMargin,
     "d16_semdedup" ->
       s"""WITH $vSrc,
-         |exploded AS (
-         |  SELECT label, unnest(range(1, len(dv) + 1)) AS pos, unnest(dv) AS x FROM v),
-         |mdims AS (
-         |  SELECT label, pos, round(avg(x), 9) AS m
-         |  FROM exploded GROUP BY label, pos),
+         |$centPrelude,
          |cent AS (
          |  SELECT label AS cell, list(m ORDER BY pos) AS cv FROM mdims GROUP BY label),
          |assigned AS (

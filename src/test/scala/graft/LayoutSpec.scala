@@ -30,8 +30,8 @@ class LayoutSpec extends AnyFunSuite {
   test("range filter on sort-clustered parquet skips row groups; unsorted scans all") {
     val src = spark.range(100000).select(
       col("id").as("n_chars"), (col("id") % 13).as("lang"))
-    val sortedDir = "/tmp/graft-layout-spec/sorted"
-    val unsortedDir = "/tmp/graft-layout-spec/unsorted"
+    val sortedDir = graft.queries.Tables.scratch("layout-spec-sorted")
+    val unsortedDir = graft.queries.Tables.scratch("layout-spec-unsorted")
     src.repartitionByRange(8, col("n_chars")).sortWithinPartitions("n_chars")
       .write.mode("overwrite").parquet(sortedDir)
     src.repartition(8) // round-robin: every file spans the full value range

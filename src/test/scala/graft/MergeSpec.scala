@@ -27,6 +27,20 @@ class MergeSpec extends AnyFunSuite {
     assert(out(0).isNullAt(3) && out(1).getLong(3) == 5L)
   }
 
+  test("upsert labels NULL-key base rows as kept, not inserted") {
+    val base = Seq((Some(1L), "a", 10.0), (None, "nul", 20.0))
+      .toDF("key", "name", "balance")
+    val updates = Seq((1L, 99.0)).toDF("key", "balance")
+    val out = Merge.upsert(base, updates, "key")
+      .orderBy(col("key").asc_nulls_last).collect()
+    assert(out.length == 2)
+    assert(out(0).getString(3) == "updated")
+    // the NULL-key base row never joins, but it is a carried-forward base
+    // row — "kept", with its columns intact
+    assert(out(1).isNullAt(0) && out(1).getString(3) == "kept")
+    assert(out(1).getString(1) == "nul" && out(1).getDouble(2) == 20.0)
+  }
+
   test("upsert result has exactly the union of keys") {
     val base = (1L to 100L).map(k => (k, k * 1.0)).toDF("key", "balance")
     val updates = (51L to 150L).map(k => (k, k * 2.0)).toDF("key", "balance")
