@@ -158,6 +158,28 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** Feature hashing (the "hashing trick"): per-doc term frequencies over
+    * a FIXED bucket space (token → polyhash mod nBuckets) — the bounded-
+    * vocabulary document vector every at-scale featurizer uses (no
+    * vocabulary build pass, no dictionary broadcast, vector width fixed
+    * regardless of corpus size). Output per doc: the argmax bucket (ties →
+    * lower bucket), its tf, the populated-bucket count, and the vector's
+    * L2 norm. Shape: explode + two map-side-partial groupBys — no joins,
+    * no windows.
+    */
+  def hashedTf(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol), pmod(Hashing.polyHash(col("w")), lit(nBuckets)).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col(idCol))
+      .agg(max(struct(col("tf"), (-col("bucket")).as("nb"), col("bucket"))).as("m"),
+        count(lit(1)).as("n_buckets"),
+        round(sqrt(sum((col("tf") * col("tf")).cast("double"))), 6).as("l2"))
+      .select(col(idCol), col("m.bucket").cast("int").as("top_bucket"),
+        col("m.tf").as("top_tf"), col("n_buckets"), col("l2"))
+  }
+
   /** Word n-gram shingles (space-joined), empty when fewer than n tokens.
     * 1-based element_at; guarded so Spark's sequence() never runs backwards.
     */

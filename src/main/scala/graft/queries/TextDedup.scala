@@ -113,6 +113,12 @@ object TextDedup {
         .select("n_tokens", "n_reported", "n_violations")
     }),
 
+    // Feature hashing: bounded-vocabulary document vectors (token →
+    // polyhash mod 16) with no dictionary pass — explode + two
+    // map-side-partial groupBys.
+    "t12_hashed_tfvec" -> ((s, dir) =>
+      TextOps.hashedTf(docs(s, dir), "doc_id", "text", nBuckets = 16)),
+
     // Fixed-token chunking with overlap (RAG/pretraining chunker): 32-token
     // windows every 24 tokens, final partial window kept. Pure generator +
     // slice/concat — zero shuffle, fully codegen'd; the chunk text itself
@@ -460,6 +466,24 @@ object TextDedup {
         |    '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b', '[IP]', 'g'),
         |    '\b[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS redacted
         |FROM withpii""".stripMargin,
+    "t12_hashed_tfvec" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($wsSql) AS w FROM documents),
+         |hashed AS (SELECT doc_id,
+         |  ${graft.functions.Hashing.polyHashSql("w")} % 16 AS bucket FROM toks),
+         |tf AS (SELECT doc_id, bucket, count(*) AS tf
+         |       FROM hashed GROUP BY doc_id, bucket),
+         |ranked AS (
+         |  SELECT doc_id, bucket, tf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, bucket) AS rk
+         |  FROM tf),
+         |agg AS (
+         |  SELECT doc_id, round(sqrt(sum(CAST(tf AS DOUBLE) * tf)), 6) AS l2,
+         |    count(*) AS n_buckets
+         |  FROM tf GROUP BY doc_id)
+         |SELECT a.doc_id, CAST(r.bucket AS INT) AS top_bucket, r.tf AS top_tf,
+         |  a.n_buckets, a.l2
+         |FROM agg a JOIN ranked r ON r.doc_id = a.doc_id AND r.rk = 1""".stripMargin,
     "t11_chunk" ->
       s"""WITH $toksSrc,
          |st AS (
