@@ -36,7 +36,12 @@ object Bench {
     } catch { case _: Throwable => () }
     // Fixed name order: hash-Map iteration reshuffles whenever a query is
     // added, which silently changes warm-cache adjacency between rounds.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional args = query-name subset for scoped re-timing (the full
+    // sweep remains the number of record; a subset skips the sweep's
+    // memory-pressure adjacency, so use it for triage, not PERF rows).
+    val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered =
+      if (args.isEmpty) ordered0 else ordered0.filter(q => args.contains(q._1))
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
