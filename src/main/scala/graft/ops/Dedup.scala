@@ -118,6 +118,30 @@ object Dedup {
       candidatePairs(lshBuckets(minhashSignatures(shingleHashes(docs))))
         .select("doc_a", "doc_b"))
 
+  /** Canonical-document selection: per duplicate cluster, keep the member
+    * with the highest score (ties → lowest doc_id) — the production form
+    * of "drop near-dups" (keep-longest / keep-highest-quality), where
+    * min-id keeps are only a tie-break of last resort.
+    *
+    * `clusters` is a (doc_id, keep_id) cluster map (e.g. [[dupClusters]]);
+    * `score` is evaluated against `docs`' columns. One keyed join + one
+    * max(struct) aggregate — argmax without a window sort, so at 100 TB
+    * this is two shuffles of (id, score) pairs, never a per-cluster sort.
+    * Reference behavior: the pipeline keeps samples in scan order
+    * (feature_extractor.py:42-47 iterates the per-scene zip and takes
+    * rows as encountered); a score-ranked keeper is the deliberate,
+    * order-independent form of that choice.
+    */
+  def keepBest(docs: DataFrame, clusters: DataFrame, score: Column): DataFrame =
+    clusters.select(col("doc_id"), col("keep_id").as("cluster_id"))
+      .join(docs.select(col("doc_id"), score.as("_score")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(max(struct(col("_score").as("s"), (-col("doc_id")).as("nd"),
+          col("doc_id").as("d"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("m.d").as("keep_doc"),
+        col("m.s").as("keep_score"), col("n_members"))
+
   /** SimHash variant: same component resolution over the hamming-join
     * pair graph. Radius 0 short-circuits the iterative loop entirely:
     * hamming-0 edges are simhash-equality pairs, so every component is an

@@ -235,6 +235,16 @@ object TextDedup {
     // doc mapped to its cluster keeper (min doc_id in the component).
     "d8_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
 
+    // Canonical selection over d8's clusters: keep the LONGEST member per
+    // near-dup cluster (ties -> lowest doc_id) — argmax via max(struct),
+    // no per-cluster window sort.
+    "d19_keep_longest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.keepBest(d, Dedup.dupClusters(d), col("n_chars"))
+        .select(col("cluster_id"), col("keep_doc"),
+          col("keep_score").as("keep_chars"), col("n_members"))
+    }),
+
     // Same cluster map through the O(log n)-round large-star/small-star
     // path (the high-diameter-safe variant) — must agree with d8 exactly.
     "d11_dup_clusters_star" -> ((s, dir) =>
@@ -631,6 +641,29 @@ object TextDedup {
          |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON e.doc_b = r.id)
          |SELECT id AS doc_id, min(label) AS keep_id
          |FROM reach GROUP BY id""".stripMargin,
+    "d19_keep_longest" ->
+      s"""WITH RECURSIVE $minhashChain,
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT doc_a AS id, doc_a AS label FROM edges
+         |  UNION
+         |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON e.doc_b = r.id),
+         |comp AS (
+         |  SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+         |j AS (
+         |  SELECT c.cluster_id, c.doc_id, d.n_chars
+         |  FROM comp c JOIN documents d USING (doc_id)),
+         |rk AS (
+         |  SELECT cluster_id, doc_id, n_chars, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM j),
+         |sz AS (SELECT cluster_id, count(*) AS n_members FROM j GROUP BY cluster_id)
+         |SELECT r.cluster_id, r.doc_id AS keep_doc, r.n_chars AS keep_chars,
+         |  sz.n_members
+         |FROM rk r JOIN sz USING (cluster_id)
+         |WHERE r.rk = 1""".stripMargin,
     "d11_dup_clusters_star" ->
       s"""WITH RECURSIVE $minhashChain,
          |edges AS (

@@ -132,4 +132,21 @@ class DupClustersSpec extends AnyFunSuite {
     assert(got(2L) === got(1L))
     if (got.contains(3L) && got.contains(4L)) assert(got(4L) === got(3L))
   }
+
+  test("keepBest selects the highest score per cluster, ties to min doc_id") {
+    val clusters = Seq( // two clusters as a (doc_id, keep_id) map
+      (10L, 10L), (11L, 10L), (12L, 10L),
+      (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "keep_id")
+    val docs = Seq( // scores: cluster 10 has a unique max; cluster 20 ties
+      (10L, 5L), (11L, 9L), (12L, 7L),
+      (20L, 4L), (21L, 4L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.keepBest(docs, clusters,
+        org.apache.spark.sql.functions.col("n_chars"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (c, d, s, n) => c -> ((d, s, n)) }.toMap
+    assert(got(10L) === ((11L, 9L, 3L))) // max score wins
+    assert(got(20L) === ((20L, 4L, 2L))) // tie -> lowest doc_id
+  }
 }
