@@ -111,6 +111,22 @@ object Split {
       .drop("_shuf", "_grn", "_gn")
   }
 
+  /** Group-leakage-safe split: every row of a group (all documents from
+    * one source/domain) lands in the SAME split because the assignment
+    * hashes the GROUP key, not the row. The contamination-safe train/test
+    * split for corpora: near-identical documents cluster within a source,
+    * and a row-level split would put siblings on both sides of the eval
+    * boundary. The assignment itself is a pure map — zero shuffle,
+    * deterministic across runs, engines, and cluster sizes (polyhash of
+    * the group value, no RNG state), so train/test membership can be
+    * recomputed from the key alone anywhere in the pipeline.
+    */
+  def groupSplit(df: DataFrame, groupCol: String, nBuckets: Int,
+      trainBuckets: Int): DataFrame =
+    df.withColumn("split",
+      when(pmod(Hashing.polyHash(col(groupCol)), lit(nBuckets)) < trainBuckets,
+        "train").otherwise("test"))
+
   /** Deterministic uniform sample of (up to) k rows per key: rank by the
     * seeded per-row LCG inside each key and keep the first k. The scalable
     * form of "give me k examples per class" — one shuffle on the key, no

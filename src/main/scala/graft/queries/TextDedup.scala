@@ -148,6 +148,16 @@ object TextDedup {
           round(max("q"), 6).as("max_q"))
     }),
 
+    // group-leakage-safe split: hash the SOURCE, not the row — every doc
+    // of a source lands in one split (contamination-safe eval boundary).
+    // Witness columns: per-split doc + distinct-source counts.
+    "o11_group_split" -> ((s, dir) =>
+      graft.ops.Split.groupSplit(docs(s, dir), "source", nBuckets = 10,
+          trainBuckets = 8)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"))),
+
     // stratified exact split: per-language ⌊0.8·N_lang⌋ train rows —
     // minority languages keep their ratio. Output: per-lang counts.
     "o5_stratified_split" -> ((s, dir) =>
@@ -566,6 +576,15 @@ object TextDedup {
          |  count(*) AS n_tokens
          |FROM toks2 JOIN freq USING (w) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+    "o11_group_split" ->
+      s"""WITH s AS (
+         |  SELECT source,
+         |    CASE WHEN ${graft.functions.Hashing.polyHashSql("source")} % 10 < 8
+         |      THEN 'train' ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources
+         |FROM s GROUP BY split""".stripMargin,
     "o5_stratified_split" -> {
       val shuf = Hashing.lcgSql("doc_id", 7L, Hashing.LcgM)
       s"""WITH numbered AS (

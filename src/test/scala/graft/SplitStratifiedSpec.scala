@@ -58,4 +58,18 @@ class SplitStratifiedSpec extends AnyFunSuite {
       .select("k", "rn").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(o3 !== o1)
   }
+
+  test("groupSplit never puts one group's rows in two splits") {
+    val rows = (1 to 200).map(i => (i.toLong, s"src_${i % 17}"))
+      .toDF("doc_id", "source")
+    val got = Split.groupSplit(rows, "source", nBuckets = 10, trainBuckets = 8)
+      .select("source", "split").as[(String, String)].collect()
+    val perGroup = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(perGroup.values.forall(_.size == 1)) // leakage-free
+    assert(got.map(_._2).toSet.subsetOf(Set("train", "test")))
+    // Deterministic: a re-run assigns identically.
+    val again = Split.groupSplit(rows, "source", 10, 8)
+      .select("source", "split").as[(String, String)].collect()
+    assert(got.sortBy(_._1.toString).toSeq == again.sortBy(_._1.toString).toSeq)
+  }
 }
