@@ -889,10 +889,10 @@ object Landsat {
     "s7_sink_roundtrip" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
     "s9_partition_pruning" ->
-      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
     "s10_sorted_pruning" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE n_chars >= 400 GROUP BY lang""".stripMargin,
     "s11_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
