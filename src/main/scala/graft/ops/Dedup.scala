@@ -382,6 +382,54 @@ object Dedup {
     spanDupCountsSweep(docs, ladder)
       .groupBy("doc_id").agg(max("n").as("max_dup_n"))
 
+  /** Exact-substring span REMOVAL — the end state of the Lee et al. 2022
+    * deduplicate-text-datasets pipeline, not just its signal: emit a cleaned
+    * corpus where every duplicated n-token span is cut from all-but-one
+    * occurrence (the canonical first (doc_id, pos) occurrence keeps its
+    * text; every other occurrence's n-token window is removed, overlapping
+    * windows merging into one cut run — so a shared 30-token run disappears
+    * wholesale from the non-canonical docs).
+    *
+    * Scale shape: one posexplode pass over the corpus text (hash-first —
+    * the shuffles carry (long, int) pairs, never span strings), one
+    * partial-aggregated groupBy to find shared hashes + their canonical
+    * occurrence, one keyed join back, and a per-doc collect_set of cut
+    * starts bounded by the doc's own token count. The token-level interval
+    * union is per-row array arithmetic (filter-with-index + exists — both
+    * codegen'd HOFs), zero additional shuffle. At 100 TB nothing
+    * corpus-sized is broadcast and the text is traversed exactly twice
+    * (shingle pass + rewrite pass).
+    */
+  def cutSpans(docs: DataFrame, n: Int): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+        posexplode(graft.functions.PolyShinglesExpr.column(
+          lower(col("text")), n)).as(Seq("pos", "h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Shared spans (>= 2 occurrences, within- OR cross-doc) and their
+    // canonical keeper occurrence — min (doc_id, pos), matching d17's
+    // example-occurrence choice.
+    val shared = occ.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("n_occ") >= 2)
+    // Every non-canonical occurrence of a shared span starts a cut window.
+    val cuts = occ.join(shared.select("h", "first"), "h")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("cut_starts"))
+    val kept = filter(col("ws"), (w, i) =>
+      !exists(col("cuts_arr"), c => c <= i && i < c + lit(n)))
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("cuts_arr",
+        coalesce(col("cut_starts"), expr("CAST(array() AS ARRAY<INT>)")))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_tokens"),
+        size(kept).as("n_kept"),
+        size(col("cuts_arr")).as("n_cuts"),
+        array_join(kept, " ").as("cleaned_text"))
+  }
+
   /** Edit-distance verification of LSH candidate pairs: the exact-verify
     * stage of the dedup funnel (LSH recalls candidates cheaply; Levenshtein
     * on the whitespace-normalized text confirms them). Quadratic-per-pair
@@ -391,8 +439,10 @@ object Dedup {
     * (lev / max len) ≤ maxRel.
     */
   def editDistanceVerify(docs: DataFrame, maxRel: Double): DataFrame = {
+    // No persist on the signature frame: unlike minhashLsh (which reuses it
+    // on three sides), this pipeline consumes it exactly once — caching it
+    // would be pure cache pressure in a 120-query sweep.
     val sig = minhashSignatures(shingleHashes(docs))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = candidatePairs(lshBuckets(sig))
     val norm = docs.select(col("doc_id"),
       TextOps.normalized(col("text")).as("t")) // same contract as fingerprint

@@ -303,6 +303,12 @@ object TextDedup {
     // broadcast anywhere — at 100 TB the shared-span set is itself large.
     "d13_span_dup" -> ((s, dir) => Dedup.spanDupCounts(docs(s, dir), n = 10)),
 
+    // Exact-substring span REMOVAL — the cleaned-corpus end state of the
+    // Lee et al. chain (d13 finds the signal, c2 emits the result): every
+    // duplicated 10-token span cut from all-but-one occurrence, the full
+    // cleaned text hash-compared verbatim.
+    "c2_cut_spans" -> ((s, dir) => Dedup.cutSpans(docs(s, dir), n = 10)),
+
     // Multi-n sweep over the same corpus in ONE tokenize/char-hash pass:
     // the practical step from a fixed n toward exact-substring dedup — a
     // span verbatim at n=40 is a much stronger duplication signal than one
@@ -799,6 +805,36 @@ object TextDedup {
          |SELECT t.h, t.n_docs, t.n_occurrences, t.first.d AS doc_id,
          |  array_to_string(k.ws[t.first.p + 1 : t.first.p + 10], ' ') AS span_text
          |FROM top t JOIN toks k ON k.doc_id = t.first.d""".stripMargin,
+    "c2_cut_spans" ->
+      s"""WITH $toksSrc,
+         |st AS (SELECT doc_id, ws,
+         |  unnest(range(1, greatest(len(ws) - 8, 1))) AS i FROM toks),
+         |occ AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |  ${graft.functions.Hashing.polyHashSql("array_to_string(ws[i:i+9], ' ')")} AS h
+         |  FROM st),
+         |agg AS (
+         |  SELECT h, min(struct_pack(d := doc_id, p := pos)) AS first
+         |  FROM occ GROUP BY h HAVING count(*) >= 2),
+         |cuts AS (
+         |  SELECT o.doc_id, o.pos FROM occ o JOIN agg a USING (h)
+         |  WHERE NOT (o.doc_id = a.first.d AND o.pos = a.first.p)),
+         |ncuts AS (SELECT doc_id, count(*) AS n_cuts FROM cuts GROUP BY doc_id),
+         |tok AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks),
+         |kept AS (
+         |  SELECT t.doc_id, t.i, t.ws[t.i] AS w FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+         |    WHERE c.doc_id = t.doc_id AND c.pos <= t.i - 1 AND t.i - 1 < c.pos + 10)),
+         |fin AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(w, ' ' ORDER BY i) AS cleaned_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_tokens,
+         |  CAST(coalesce(f.n_kept, 0) AS INT) AS n_kept,
+         |  CAST(coalesce(nc.n_cuts, 0) AS INT) AS n_cuts,
+         |  coalesce(f.cleaned_text, '') AS cleaned_text
+         |FROM toks t
+         |  LEFT JOIN fin f USING (doc_id)
+         |  LEFT JOIN ncuts nc USING (doc_id)""".stripMargin,
     "d12_contamination" ->
       s"""WITH $toksSrc, $shSrc, $hashedSrc,
          |ev AS (SELECT DISTINCT h FROM hashed WHERE doc_id < 50),

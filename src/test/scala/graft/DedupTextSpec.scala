@@ -190,6 +190,35 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got == Map(1L -> 20, 2L -> 20, 3L -> 5, 4L -> 5))
   }
 
+  test("cutSpans removes duplicated spans from all-but-one occurrence") {
+    // Docs 1 and 2 share a verbatim 4-token run ("dup span shared run");
+    // doc 3 is clean. At n = 3 the run yields two shared shingles whose
+    // canonical occurrences both live in doc 1 (min doc_id), so doc 1 keeps
+    // its text, doc 2 loses the whole run (overlapping cut windows merge),
+    // and doc 3 is untouched.
+    val docs = Seq(
+      (1L, "alpha dup span shared run beta"),
+      (2L, "gamma dup span shared run delta"),
+      (3L, "totally unrelated text here")).toDF("doc_id", "text")
+    val out = Dedup.cutSpans(docs, n = 3)
+      .select("doc_id", "n_tokens", "n_kept", "n_cuts", "cleaned_text")
+      .as[(Long, Int, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 6, 6, 0, "alpha dup span shared run beta")))
+    // doc 2: cut starts at token 1 and 2, covering tokens 1..4 — "gamma"
+    // and "delta" survive.
+    assert(out(2L) == ((2L, 6, 2, 2, "gamma delta")))
+    assert(out(3L) == ((3L, 4, 4, 0, "totally unrelated text here")))
+  }
+
+  test("cutSpans keeps exactly one occurrence of a within-doc repeat") {
+    // One doc repeating a 3-token phrase: the second occurrence is cut.
+    val docs = Seq((7L, "x one two three y one two three z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.cutSpans(docs, n = 3)
+      .select("n_kept", "cleaned_text").as[(Int, String)].head()
+    assert(out == ((6, "x one two three y z")))
+  }
+
   test("redactPii scrubs emails, IPv4s, and phones; counts audit the hits") {
     val df = Seq(Tuple1(
       "mail Bob.Smith+x@Corp.Example.ORG then 192.168.0.1 and 10.0.0.255, " +
