@@ -25,6 +25,14 @@ object Session {
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.ansi.enabled", "false")
+      // Report per-bucket sort order from bucketed scans (off by default
+      // since 3.0 because it lists files at planning time). Bucketing.
+      // writeBucketed repartitions onto the bucket ids so every bucket is
+      // exactly ONE file — the layout this conf needs — and the payoff is
+      // the j8/d20 co-located joins dropping their residual per-bucket
+      // Sorts: the store side of an incremental-dedup join then runs
+      // scan→join with no Exchange AND no Sort.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // Static conf, defaults to 100: a long-running engine serving ~100
       // distinct plan shapes thrashes the generated-class cache at the
       // default, re-paying Janino compilation (seconds per query) on every
@@ -51,6 +59,8 @@ object Session {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    // see local(): one-file-per-bucket layout → sorted bucketed scans
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     Functions.registerAll(spark)
     graft.ops.AsOf.install(spark)
     spark

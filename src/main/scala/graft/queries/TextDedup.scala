@@ -333,6 +333,38 @@ object TextDedup {
     "d17_top_spans" -> ((s, dir) =>
       Dedup.topSharedSpans(docs(s, dir), n = 10, topK = 10)),
 
+    // Incremental dedup against a PERSISTED signature store — the
+    // operational 100-TB shape: a production pipeline dedups a daily delta
+    // against the existing corpus, not the corpus against itself. The
+    // store build shingles the corpus ONCE and persists its LSH bucket
+    // rows bucketed + sorted on the join key (band, band_key); the
+    // incremental query then shingles ONLY the new batch and sort-merge
+    // joins it against the bucket-aligned store read — zero re-shingling
+    // of the old corpus and ZERO Exchange (and zero Sort) on the store
+    // side; the only shuffle is the tiny delta aligning itself to the
+    // store's bucketing (PlanAudit/PlanAuditSpec prove the plan shape).
+    // Gate split: docs >= 50 are the standing corpus, docs < 50 the batch.
+    "d20_incremental_dedup" -> ((s, dir) => {
+      val db = "graft_sigstore"
+      val dbLoc = Tables.scratch("sigstore_db")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
+      graft.ops.Bucketing.reset(s, s"$db.sig_bkt",
+        new java.io.File(dbLoc, "sig_bkt"))
+      val d = docs(s, dir)
+      graft.ops.Bucketing.writeBucketed(
+        Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(
+          d.filter(col("doc_id") >= 50)))),
+        s"$db.sig_bkt", nBuckets = 8, keys = Seq("band", "band_key"))
+      val store = s.table(s"$db.sig_bkt")
+        .select(col("band"), col("band_key"), col("doc_id").as("doc_old"))
+      val deltaB = Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(
+          d.filter(col("doc_id") < 50))))
+        .select(col("band"), col("band_key"), col("doc_id").as("doc_new"))
+      store.hint("merge").join(deltaB, Seq("band", "band_key"))
+        .groupBy("doc_new", "doc_old")
+        .agg(count(lit(1)).as("n_bands"))
+    }),
+
     // SimHash-family cluster resolution. Gate operating point is
     // maxHamming = 0: hamming-0 components are exactly simhash-equality
     // classes, so the oracle is a plain GROUP BY (no recursive closure —
@@ -655,6 +687,14 @@ object TextDedup {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM nonkeepers)
          |  AND quality >= 0.3 AND pred = d.lang
          |GROUP BY d.lang""".stripMargin,
+    "d20_incremental_dedup" ->
+      s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc
+         |SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
+         |  count(*) AS n_bands
+         |FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.band_key = b.band_key
+         |WHERE a.doc_id < 50 AND b.doc_id >= 50
+         |GROUP BY 1, 2""".stripMargin,
     "d8_dup_clusters" ->
       s"""WITH RECURSIVE $minhashChain,
          |edges AS (

@@ -53,4 +53,41 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("sorted one-file-per-bucket scans drop the per-bucket Sort too") {
+    // Depends on the tables written by the test above plus the session conf
+    // spark.sql.legacy.bucketedTableScan.outputOrdering=true (Session).
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.colocatedJoin(spark, s"$db.facts", s"$db.dims", Seq("k"))
+      val qe = org.apache.spark.sql.classic.GraftBridge.queryExecution(joined)
+      joined.write.format("noop").mode("overwrite").save()
+      val plan = qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      val sorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sorts.isEmpty,
+        s"sorted bucketed scan should satisfy SMJ ordering, found Sorts:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("d20 incremental-dedup store side: bucket-aligned read, no Exchange/Sort") {
+    val plan = SparkEntry.queries("d20_incremental_dedup")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("Bucketed: true"), "store scan must be bucket-aligned")
+    // Exactly ONE Sort and ONE band-key Exchange — both on the delta side;
+    // the store scan feeds the join raw (its order/partitioning come from
+    // the bucketed layout).
+    assert(plan.linesIterator.count(_.contains("+- Sort [band")) == 1, plan)
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(band")) == 1, plan)
+  }
 }
