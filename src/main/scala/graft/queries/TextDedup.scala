@@ -32,6 +32,14 @@ object TextDedup {
       docs(s, dir).select(col("doc_id"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
 
+    // Real BPE train + apply (t8 counts pre-tokenizer segments; t13 learns
+    // actual merges): 8 merge rounds over the corpus word-frequency table,
+    // then the corpus re-tokenized under the learned table. The per-doc
+    // token counts gate the whole merge sequence — one wrong argmax or one
+    // mis-applied merge shifts counts corpus-wide.
+    "t13_bpe_train" -> ((s, dir) =>
+      graft.ops.Bpe.trainApply(docs(s, dir), "text", nMerges = 8)),
+
     // Gopher-style repetition filter: duplicate-token fraction and
     // top-token dominance per doc, plus the drop verdict at the published
     // operating point — all zero-shuffle array arithmetic.
@@ -491,6 +499,7 @@ object TextDedup {
         |  CAST(len(regexp_extract_all(lower(text),
         |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INT) AS n_bpe
         |FROM documents""".stripMargin,
+    "t13_bpe_train" -> graft.ops.Bpe.oracleSql(nMerges = 8),
     "t9_gopher_repetition" ->
       s"""WITH $toksSrc,
          |m AS (

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("train learns the hand-computed merge sequence with pinned ties") {
+    // vocab: aaab ×2, aab ×1.
+    // round 1: (a,a)=5 (2 per aaab ×2 + 1), (a,b)=3 → merge (a,a).
+    //   aaab → (aa)(a)(b)  [greedy left-to-right], aab → (aa)(b)
+    // round 2: (aa,a)=2, (a,b)=2, (aa,b)=1 → tie broken to lexicographically
+    //   smallest pair: (a,b).
+    // round 3: aaab → (aa)(ab); pairs: (aa,ab)=2, (aa,b)=1 → (aa,ab).
+    val docs = Seq((1L, "aaab aaab"), (2L, "aab")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", merges = 3)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+  }
+
+  test("tokenCounts applies merges greedily left-to-right") {
+    val docs = Seq((1L, "aaab aaab"), (2L, "aab")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val out = Bpe.tokenCounts(docs, "text", merges)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // aaab → (aaab): 1 token, ×2 words; aab → (aa)(b): 2 tokens.
+    assert(out(1L) == ((2, 2)))
+    assert(out(2L) == ((1, 2)))
+  }
+
+  test("train stops early when no pair remains") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // Only 2 possible merges exist: (a,b) then nothing ((ab) is one symbol).
+    val merges = Bpe.train(docs, "text", merges = 5)
+    assert(merges == Seq(("a", "b")))
+  }
+}
