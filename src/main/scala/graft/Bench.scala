@@ -104,15 +104,25 @@ object Bench {
       // time-to-crash must not undercut a valid run's time. If every pass
       // failed, record the duration anyway; the errors map flags it.
       val good = passes.collect { case (dt, true) => dt }
+      // A transient crash that a later pass (or the recovery pass)
+      // survived is noise, not a broken query — only surface queries with
+      // NO successful pass, so the driver's error view matches the score's
+      // meaning (min over successful passes).
+      if (good.nonEmpty) errors.remove(name)
       name -> (if (good.nonEmpty) good.min else passes.map(_._1).min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal seconds (0.1 ms): full double precision is bench noise and
+    // more than doubles the line length — the driver captures stdout with a
+    // bounded tail, and an oversized line is exactly what truncated the
+    // r05/r06 records into "parsed": null.
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a bounded tail, which has truncated
     // the per-query map (r05: 68 of 101 queries survived the capture).

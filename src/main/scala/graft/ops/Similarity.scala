@@ -256,7 +256,11 @@ object Similarity {
     * set (tables in hand) broadcasts; ties → lower candidate id.
     */
   def pqAdcTop1(vecs: DataFrame, m: Int, nQueries: Int): DataFrame = {
+    // The codebook is a corpus-wide centroid aggregation feeding BOTH
+    // crossJoins below (candidate encode + query distance tables); without
+    // the persist the full-scan aggregate executes twice per run.
     val cb = pqCodebook(vecs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = vecs.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("dv"))
       .crossJoin(broadcast(cb))
       .select(col("c_id"),
