@@ -48,6 +48,12 @@ object Functions {
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cut_spans",
+      exprs => graft.functions.CutSpansExpr(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Int]),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_encode",
       exprs => graft.functions.PqEncodeExpr(exprs(0), exprs(1),
         exprs(2).eval(null).asInstanceOf[Int]),

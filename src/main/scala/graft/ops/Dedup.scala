@@ -395,10 +395,11 @@ object Dedup {
     * partial-aggregated groupBy to find shared hashes + their canonical
     * occurrence, one keyed join back, and a per-doc collect_set of cut
     * starts bounded by the doc's own token count. The token-level interval
-    * union is per-row array arithmetic (filter-with-index + exists — both
-    * codegen'd HOFs), zero additional shuffle. At 100 TB nothing
-    * corpus-sized is broadcast and the text is traversed exactly twice
-    * (shingle pass + rewrite pass).
+    * union is one codegen'd `graft_cut_spans` call per row (a HOF spelling
+    * would be an interpreted per-token × per-cut lambda — the t9 failure
+    * mode), zero additional shuffle. At 100 TB nothing corpus-sized is
+    * broadcast and the text is traversed exactly twice (shingle pass +
+    * rewrite pass).
     */
   def cutSpans(docs: DataFrame, n: Int): DataFrame = {
     val occ = docs.select(col("doc_id"),
@@ -417,17 +418,17 @@ object Dedup {
       .filter(!(col("doc_id") === col("first.doc_id") &&
         col("pos") === col("first.pos")))
       .groupBy("doc_id").agg(collect_set(col("pos")).as("cut_starts"))
-    val kept = filter(col("ws"), (w, i) =>
-      !exists(col("cuts_arr"), c => c <= i && i < c + lit(n)))
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    docs.select(col("doc_id"), lower(col("text")).as("t"))
       .join(cuts, Seq("doc_id"), "left")
       .withColumn("cuts_arr",
         coalesce(col("cut_starts"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("z",
+        graft.functions.CutSpansExpr.column(col("t"), col("cuts_arr"), n))
       .select(col("doc_id"),
-        size(col("ws")).as("n_tokens"),
-        size(kept).as("n_kept"),
+        col("z.n_tokens").as("n_tokens"),
+        col("z.n_kept").as("n_kept"),
         size(col("cuts_arr")).as("n_cuts"),
-        array_join(kept, " ").as("cleaned_text"))
+        col("z.cleaned").as("cleaned_text"))
   }
 
   /** Edit-distance verification of LSH candidate pairs: the exact-verify

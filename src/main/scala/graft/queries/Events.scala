@@ -152,9 +152,22 @@ object Events {
       graft.streaming.StreamingWindows.withStatePartitions(s, 4) {
         val sess = graft.streaming.StatefulSessions.sessions(
           rawEventStream(s, dir), gapMinutes = 30)
-        graft.streaming.StreamingWindows.runToMemory(
+        val emitted = graft.streaming.StreamingWindows.runToMemory(
           sess, "e6_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
           org.apache.spark.sql.streaming.OutputMode.Append())
+        // Held-back-tail witness: sessions still open at the final
+        // watermark are deliberately NOT emitted (append-mode contract);
+        // n_open_at_end = batch-total − emitted pins that delta as an
+        // output column, so the oracle proves the missing rows are exactly
+        // the watermark-open tail, not dropped data. Two one-row
+        // aggregates, broadcast (the t5 bounded shape).
+        val total = EventWindows.sessions(eventsT(s, dir), gapMinutes = 30)
+          .agg(count(lit(1)).as("_total"))
+        val emittedN = emitted.agg(count(lit(1)).as("_emitted"))
+        emitted.crossJoin(broadcast(total)).crossJoin(broadcast(emittedN))
+          .withColumn("n_open_at_end",
+            (col("_total") - col("_emitted")).cast("int"))
+          .drop("_total", "_emitted")
       }),
 
     // Streaming exact dedup: watermark-bounded first-per-key over
@@ -380,10 +393,15 @@ object Events {
         |sess AS (
         |  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |    count(*) AS n_events, round(sum(value), 3) AS sum_value
-        |  FROM numbered GROUP BY user_id, session_no)
-        |SELECT * FROM sess
-        |WHERE epoch_us(session_end) + 1800000000 <
-        |  (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""".stripMargin,
+        |  FROM numbered GROUP BY user_id, session_no),
+        |closed AS (
+        |  SELECT * FROM sess
+        |  WHERE epoch_us(session_end) + 1800000000 <
+        |    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events))
+        |SELECT c.*,
+        |  CAST((SELECT count(*) FROM sess) - (SELECT count(*) FROM closed)
+        |    AS INT) AS n_open_at_end
+        |FROM closed c""".stripMargin,
     "rj1_range_pairs" ->
       """SELECT a.user_id, count(*) AS n_pairs,
         |  round(avg(epoch_us(b.ts) - epoch_us(a.ts)), 6) AS avg_gap_us
