@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-curve probe for the heavy dedup chain: times the same queries at
+  * sf0.1 and at a synthesized 10× replica of it (sf1-equivalent), in ONE
+  * session, so the two points are load-fair. The replica suffixes every
+  * token with its replica index, which keeps every shingle/signature
+  * distinct across replicas — the corpus grows 10× with the SAME local
+  * duplicate-structure density (10× the clusters of the same shape), the
+  * realistic scale-up. A bare 10× copy would instead make every doc a
+  * 10-way exact duplicate and measure a pathological all-dup corpus.
+  *
+  * Run: sbt "runMain graft.ScaleProbe [query...]" (default: the d2→d8→d19
+  * chain + c1 + c2 + t13). Prints one line per (query, scale) with
+  * wall-clock seconds; paste the table into PERF.md.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val spark = graft.engine.Session.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val big = graft.queries.Tables.scratch("sf1_documents")
+    val bigDir = new java.io.File(big)
+    if (!new java.io.File(bigDir, "documents.parquet").exists()) {
+      val d = spark.read.parquet(s"$base/documents.parquet")
+      val reps = (0 until 10).map { k =>
+        if (k == 0) d
+        else d.select(
+          (col("doc_id") + k * 10000000L).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1$k").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      reps.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$big/documents.parquet")
+      println(s"built 10x replica at $big")
+    }
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("d2_minhash_lsh", "d8_dup_clusters", "d19_keep_longest",
+        "c1_clean_corpus", "c2_cut_spans", "t13_bpe_train")
+    for (name <- names; (label, dir) <- Seq("sf0.1" -> base, "sf1" -> big)) {
+      val fn = SparkEntry.queries(name)
+      // one warmup (codegen/JIT), then min of two timed passes
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val ts = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        spark.catalog.clearCache()
+        println(f"$name%-22s $label%-6s ${ts.min}%8.2f s")
+      } catch {
+        case e: Throwable =>
+          println(s"$name $label FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
