@@ -285,6 +285,59 @@ object Similarity {
       .select(col("q_id"), col("mx.c_id").as("nn_id"), col("mx.adist").as("adist"))
   }
 
+  /** Lloyd k-means training — the real coarse-quantizer fit behind IVF/PQ
+    * (v4/v8 quantize against label means; production trains the cells).
+    * Deterministic contract so the merge of T iterations is
+    * oracle-replicable: init = the k lowest vec_ids in id order;
+    * assignment distance is the rounded-6dp squared L2 (the PqExprs
+    * arithmetic, m = 1 → the whole vector is one subspace), ties → lower
+    * cell; new centroid = per-dim mean rounded to 9 dp (the v4/v5
+    * quantizer contract); an emptied cell keeps its previous centroid.
+    *
+    * Scale shape per iteration: the k×dim codebook is a plan literal
+    * (broadcast-sized — it IS the model), assignment is a zero-shuffle
+    * codegen'd map over the corpus, and the update is ONE keyed
+    * per-cluster `graft_vec_sum` aggregate (one shuffled row per vector,
+    * not per dim). The k-row collect per round is the model update, the
+    * same driver shape as BPE's per-merge argmax. Output: the final
+    * assignment (vec_id, cluster, d2).
+    */
+  def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cb: Array[Double] = v.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("dv").collect()
+      .flatMap(_.getSeq[Double](0))
+    val dim = if (k > 0) cb.length / k else 0
+    def assigned = {
+      val tbl = graft.functions.PqExprs.distTableColumn(
+        col("dv"), typedlit(cb.toSeq), 1)
+      v.withColumn("tbl", tbl)
+        .withColumn("d2", array_min(col("tbl")))
+        .withColumn("cluster",
+          (array_position(col("tbl"), col("d2")) - 1).cast("int"))
+    }
+    for (_ <- 1 to iters) {
+      val means = assigned.groupBy("cluster")
+        .agg(graft.functions.VectorSumAgg.column(col("dv")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"),
+          transform(col("s"), x => round(x / col("n"), 9)).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      val next = new Array[Double](cb.length)
+      for (cl <- 0 until k) {
+        val c = means.getOrElse(cl, cb.slice(cl * dim, (cl + 1) * dim).toSeq)
+        var j = 0
+        c.foreach { x => next(cl * dim + j) = x; j += 1 }
+      }
+      cb = next
+    }
+    // v stays persisted for the final assignment job; the sweep harnesses
+    // (Bench/Verify) clear caches between queries.
+    assigned.select(col("vec_id"), col("cluster"), col("d2"))
+  }
+
   /** Per-label centroid norm: posexplode → per-dimension mean → L2 norm.
     * (Also the IVF coarse-quantizer building block: centroids per partition.)
     */

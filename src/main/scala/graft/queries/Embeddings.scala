@@ -73,8 +73,18 @@ object Embeddings {
     // PQ asymmetric-distance top-1: candidates scored through their codes
     // only — m table lookups per pair, the raw vectors never rejoin.
     "v9_pq_adc" -> ((s, dir) =>
-      Similarity.pqAdcTop1(t(s, dir, "embeddings"), m = PqM, nQueries = NQueries))
+      Similarity.pqAdcTop1(t(s, dir, "embeddings"), m = PqM, nQueries = NQueries)),
+
+    // Real Lloyd k-means training (v4/v8 take their coarse quantizer from
+    // label means; production trains it): 3 assign/update rounds from a
+    // deterministic init, final assignment gated per vector — one wrong
+    // centroid in any round reassigns vectors corpus-wide.
+    "v10_kmeans" -> ((s, dir) =>
+      Similarity.kmeans(t(s, dir, "embeddings"), k = KmeansK, iters = KmeansIters))
   )
+
+  val KmeansK = 8
+  val KmeansIters = 3
 
   private val vSrc =
     """v AS (SELECT vec_id, label,
@@ -125,7 +135,57 @@ object Embeddings {
        |        - 2 * list_dot_product(v.dv[s.s*$pqSub+1:(s.s+1)*$pqSub], c.cv[s.s*$pqSub+1:(s.s+1)*$pqSub]), 6) AS d2
        |  FROM v CROSS JOIN cent c CROSS JOIN subs s)""".stripMargin
 
+  /** v10 oracle: replicates kmeans' T assign/update rounds stage-by-stage
+    * (the t13 pattern — materialized CTE chain, one aggregate per round).
+    * Same arithmetic as the engine: rounded-6dp squared L2 as ordered
+    * a·a + c·c − 2·a·c, ties → lower cell, 9-dp per-dim means, emptied
+    * cells carrying their previous centroid.
+    */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val d2 = "round(list_dot_product(v.dv, v.dv) + list_dot_product(c.c, c.c)" +
+      " - 2 * list_dot_product(v.dv, c.c), 6)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH $vSrc,
+              |c0 AS MATERIALIZED (
+              |  SELECT CAST(vec_id AS INT) AS cl, dv AS c FROM v WHERE vec_id < $k),
+              |""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s"""a$i AS (
+                |  SELECT vec_id, cl FROM (
+                |    SELECT v.vec_id, c.cl,
+                |      row_number() OVER (PARTITION BY v.vec_id
+                |                         ORDER BY $d2, c.cl) AS rk
+                |    FROM v CROSS JOIN c${i - 1} c)
+                |  WHERE rk = 1),
+                |m$i AS (
+                |  SELECT cl, list(m ORDER BY j) AS c FROM (
+                |    SELECT a.cl, st.j, round(avg(st.x), 9) AS m
+                |    FROM a$i a JOIN (
+                |      SELECT vec_id, unnest(range(1, len(dv) + 1)) AS j,
+                |        unnest(dv) AS x FROM v) st USING (vec_id)
+                |    GROUP BY a.cl, st.j)
+                |  GROUP BY cl),
+                |c$i AS MATERIALIZED (
+                |  SELECT * FROM m$i
+                |  UNION ALL
+                |  SELECT cl, c FROM c${i - 1}
+                |  WHERE cl NOT IN (SELECT cl FROM m$i)),
+                |""".stripMargin
+    }
+    sb ++= s"""fin AS (
+              |  SELECT vec_id, cl, d2 FROM (
+              |    SELECT v.vec_id, c.cl, $d2 AS d2,
+              |      row_number() OVER (PARTITION BY v.vec_id
+              |                         ORDER BY $d2, c.cl) AS rk
+              |    FROM v CROSS JOIN c$iters c)
+              |  WHERE rk = 1)
+              |SELECT vec_id, CAST(cl AS INT) AS cluster, d2
+              |FROM fin""".stripMargin
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "v10_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
     "v8_pq_encode" ->
       s"""WITH $vSrc,
          |$pqD2,

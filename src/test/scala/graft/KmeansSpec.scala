@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+class KmeansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kmeans separates two obvious blobs from a poor init") {
+    // init = vec_ids 0 and 1 — both in the left blob; Lloyd must still
+    // split the blobs: round 1 assigns {2,3} to whichever init centroid is
+    // nearer, the update pulls one centroid right, and the final
+    // assignment is the clean 2-blob partition.
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(10f, 10f)), (3L, Array(10f, 11f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(vecs, k = 2, iters = 3)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(out(0L) == out(1L))
+    assert(out(2L) == out(3L))
+    assert(out(0L) != out(2L))
+  }
+
+  test("kmeans keeps an emptied cell's previous centroid") {
+    // Identical init vectors → c0 = c1 = (0,0); round 1 assigns EVERY
+    // vector to cell 0 (tie → lower cell), emptying cell 1, whose (0,0)
+    // centroid must carry over. It then wins the origin points back in
+    // round 2 while cell 0's mean drifts right:
+    //   cb1 = ((0.75,0.75), (0,0)) → cb2 = ((1.5,1.5), (0,0)).
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0f, 0f)),
+      (2L, Array(1f, 1f)), (3L, Array(2f, 2f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(vecs, k = 2, iters = 2)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(out == Map(0L -> 1, 1L -> 1, 2L -> 0, 3L -> 0))
+  }
+}
