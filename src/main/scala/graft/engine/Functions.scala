@@ -48,6 +48,14 @@ object Functions {
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_bands",
+      exprs => graft.functions.LshBandsExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int],
+        exprs(3).eval(null).asInstanceOf[Int]),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cut_spans",
       exprs => graft.functions.CutSpansExpr(exprs(0), exprs(1),
         exprs(2).eval(null).asInstanceOf[Int]),

@@ -62,6 +62,15 @@ object Dedup {
     sig.select(col("doc_id"),
       posexplode(array((0 until Bands).map(bandKey): _*)).as(Seq("band", "band_key")))
 
+  /** Per-row LSH band keys — the STREAMING form of
+    * [[minhashSignatures]]+[[lshBuckets]] (a delta stream cannot run an
+    * unbounded groupBy, but the signature is a pure function of the text;
+    * see [[graft.functions.LshBandsExpr]]). `posexplode` the result to get
+    * the same (band, band_key) rows the batch path emits.
+    */
+  def lshBandsPerRow(text: Column): Column =
+    graft.functions.LshBandsExpr.column(lower(text), ShingleN, K, Bands)
+
   /** Candidate pairs (doc_a < doc_b) sharing ≥1 LSH bucket, with the count
     * of shared bands. Join is on (band, band_key) — never a cross product.
     * Each doc emits exactly one bucket row per band, so a pair can meet at

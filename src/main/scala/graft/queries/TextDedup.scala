@@ -353,24 +353,40 @@ object TextDedup {
     // store's bucketing (PlanAudit/PlanAuditSpec prove the plan shape).
     // Gate split: docs >= 50 are the standing corpus, docs < 50 the batch.
     "d20_incremental_dedup" -> ((s, dir) => {
-      val db = "graft_sigstore"
-      val dbLoc = Tables.scratch("sigstore_db")
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
-      graft.ops.Bucketing.reset(s, s"$db.sig_bkt",
-        new java.io.File(dbLoc, "sig_bkt"))
-      val d = docs(s, dir)
-      graft.ops.Bucketing.writeBucketed(
-        Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(
-          d.filter(col("doc_id") >= 50)))),
-        s"$db.sig_bkt", nBuckets = 8, keys = Seq("band", "band_key"))
-      val store = s.table(s"$db.sig_bkt")
-        .select(col("band"), col("band_key"), col("doc_id").as("doc_old"))
+      val store = buildSigStore(s, dir, "graft_sigstore")
       val deltaB = Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(
-          d.filter(col("doc_id") < 50))))
+          docs(s, dir).filter(col("doc_id") < 50))))
         .select(col("band"), col("band_key"), col("doc_id").as("doc_new"))
       store.hint("merge").join(deltaB, Seq("band", "band_key"))
         .groupBy("doc_new", "doc_old")
         .agg(count(lit(1)).as("n_bands"))
+    }),
+
+    // The STREAMING face of d20: the new batch arrives as a stream and
+    // LSH-probes the same persisted bucketed store via a stream-static
+    // join. Per-row `graft_lsh_bands` computes each delta doc's band keys
+    // with NO streaming aggregation (the signature is a pure function of
+    // the text), so the probe is stateless — no watermark, no state store;
+    // each micro-batch plans the bucket-aligned store read. Band matches
+    // land in the sink and one batch rollup produces exactly d20's output
+    // (same oracle) — continuous-ingest dedup against the standing corpus.
+    "e9_stream_incremental" -> ((s, dir) => {
+      val store = buildSigStore(s, dir, "graft_sigstore_e9")
+      graft.streaming.StreamingWindows.withStatePartitions(s, 4) {
+        val delta = s.readStream
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id").as("doc_new"),
+            posexplode(Dedup.lshBandsPerRow(col("text")))
+              .as(Seq("band", "band_key")))
+        val matches = delta.join(store, Seq("band", "band_key"))
+        graft.streaming.StreamingWindows.runToMemory(
+          matches, "e9_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+          .groupBy("doc_new", "doc_old")
+          .agg(count(lit(1)).as("n_bands"))
+      }
     }),
 
     // SimHash-family cluster resolution. Gate operating point is
@@ -435,6 +451,24 @@ object TextDedup {
     })
   )
 
+  /** One-time signature-store build for the incremental-dedup queries:
+    * the standing corpus (doc_id >= 50) shingled ONCE, its LSH bucket rows
+    * persisted bucketed+sorted on the join key. Returns the store frame
+    * with `doc_id` renamed to `doc_old`.
+    */
+  private def buildSigStore(s: SparkSession, dir: String, db: String): DataFrame = {
+    val dbLoc = Tables.scratch(db + "_db")
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
+    graft.ops.Bucketing.reset(s, s"$db.sig_bkt",
+      new java.io.File(dbLoc, "sig_bkt"))
+    graft.ops.Bucketing.writeBucketed(
+      Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(
+        t(s, dir, "documents").filter(col("doc_id") >= 50)))),
+      s"$db.sig_bkt", nBuckets = 8, keys = Seq("band", "band_key"))
+    s.table(s"$db.sig_bkt")
+      .select(col("band"), col("band_key"), col("doc_id").as("doc_old"))
+  }
+
   // ---- oracle ------------------------------------------------------------
 
   private val wsSql = """string_split_regex(lower(text), '\s+')"""
@@ -480,6 +514,18 @@ object TextDedup {
 
   private val minhashChain =
     s"$toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $pairsSrc"
+
+  /** Shared d20/e9 oracle: cross-boundary band collisions (batch and
+    * streaming must produce the identical rollup).
+    */
+  private val incrementalOracle =
+    s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc
+       |SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
+       |  count(*) AS n_bands
+       |FROM buckets a JOIN buckets b
+       |  ON a.band = b.band AND a.band_key = b.band_key
+       |WHERE a.doc_id < 50 AND b.doc_id >= 50
+       |GROUP BY 1, 2""".stripMargin
 
   private val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private def markerList(l: String) =
@@ -696,14 +742,8 @@ object TextDedup {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM nonkeepers)
          |  AND quality >= 0.3 AND pred = d.lang
          |GROUP BY d.lang""".stripMargin,
-    "d20_incremental_dedup" ->
-      s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc
-         |SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
-         |  count(*) AS n_bands
-         |FROM buckets a JOIN buckets b
-         |  ON a.band = b.band AND a.band_key = b.band_key
-         |WHERE a.doc_id < 50 AND b.doc_id >= 50
-         |GROUP BY 1, 2""".stripMargin,
+    "d20_incremental_dedup" -> incrementalOracle,
+    "e9_stream_incremental" -> incrementalOracle,
     "d8_dup_clusters" ->
       s"""WITH RECURSIVE $minhashChain,
          |edges AS (

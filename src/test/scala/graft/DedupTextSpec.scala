@@ -190,6 +190,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got == Map(1L -> 20, 2L -> 20, 3L -> 5, 4L -> 5))
   }
 
+  test("per-row LSH band keys equal the batch explode/groupBy path") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about spark engines"),
+      (3L, "short"), // < ShingleN tokens -> no signature on either path
+      (4L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val batch = Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(docs)))
+      .as[(Long, Int, Long)].collect().toSet
+    val perRow = docs
+      .select($"doc_id", posexplode(Dedup.lshBandsPerRow($"text")).as(Seq("band", "band_key")))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(perRow == batch)
+    assert(!batch.exists(_._1 == 3L)) // shingle-less doc emits nothing
+  }
+
   test("cutSpans removes duplicated spans from all-but-one occurrence") {
     // Docs 1 and 2 share a verbatim 4-token run ("dup span shared run");
     // doc 3 is clean. At n = 3 the run yields two shared shingles whose
