@@ -39,7 +39,8 @@ object ScaleProbe {
     }
     val names = if (args.nonEmpty) args.toSeq
       else Seq("d2_minhash_lsh", "d8_dup_clusters", "d19_keep_longest",
-        "c1_clean_corpus", "c2_cut_spans", "t13_bpe_train")
+        "c1_clean_corpus", "c2_cut_spans", "t13_bpe_train",
+        "d20_incremental_dedup", "d21_store_append")
     for (name <- names; (label, dir) <- Seq("sf0.1" -> base, "sf1" -> big)) {
       val fn = SparkEntry.queries(name)
       // one warmup (codegen/JIT), then min of two timed passes

@@ -36,6 +36,39 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append `df` into an existing bucketed table — store MAINTENANCE: a
+    * delta's rows land in the SAME bucket layout the standing table was
+    * written with (Spark validates the append's bucket spec against the
+    * table's), so the table never rewrites and subsequent joins on the
+    * bucket keys stay Exchange-free. Each append adds one file per touched
+    * bucket, which forfeits the one-file-per-bucket sorted-scan guarantee:
+    * readers keep the shuffle-free property but pay a per-bucket merge
+    * Sort until a periodic [[writeBucketed]] compaction restores it — the
+    * standard append-then-compact lifecycle of a 100-TB keyed store.
+    */
+  def appendBucketed(df: DataFrame, table: String, nBuckets: Int, keys: Seq[String]): Unit =
+    df.repartition(nBuckets, keys.map(col): _*)
+      .write
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Compact an appended bucketed table back to one file per bucket,
+    * restoring the Sort-free scan that [[appendBucketed]] defers. Reads the
+    * table's files RAW (`spark.read.parquet`), not through the bucketed
+    * scan: a bucketed read already satisfies the repartition's required
+    * distribution, so the planner elides the shuffle and write tasks no
+    * longer align 1:1 with bucket ids — each task then emits a file per
+    * bucket it happens to hold and the compaction silently fails its whole
+    * purpose. The raw read has unknown partitioning, forcing the real
+    * bucket-hash shuffle.
+    */
+  def compactBucketed(spark: SparkSession, sourceLocation: String,
+      destTable: String, nBuckets: Int, keys: Seq[String]): Unit =
+    writeBucketed(spark.read.parquet(sourceLocation), destTable, nBuckets, keys)
+
   /** Drop `table` and remove its on-disk location. A managed table's
     * directory survives a previous session whose in-memory catalog is gone,
     * and CTAS then refuses to create the "new" managed table over the

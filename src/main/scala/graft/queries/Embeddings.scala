@@ -44,6 +44,27 @@ object Embeddings {
     "v4_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"))),
 
+    // ANN quality EVAL — the check a pipeline runs before trusting an
+    // index: recall@1 of the IVF path (v4's machinery) against the exact
+    // brute-force answer (v1's) on the gate's query set. Output keeps the
+    // per-query disagreement witness (true vs ivf neighbor), not just the
+    // rate, so a recall drop is diagnosable. Scale shape: the exact side is
+    // the bounded q×corpus scan (20 queries — never corpus×corpus); the
+    // IVF side is the cell-keyed join; the eval itself joins two
+    // one-row-per-query frames. No new plan machinery.
+    "v11_ann_recall" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val brute = Similarity.bruteForceTopK(
+          vecs.filter(col("vec_id") < NQueries), vecs, k = 1)
+        .select(col("q_id"), col("c_id").as("true_nn"))
+      val ivf = Similarity.ivfTopK(vecs)
+        .filter(col("q_id") < NQueries)
+        .select(col("q_id"), col("nn_id").as("ivf_nn"))
+      brute.join(ivf, "q_id")
+        .select(col("q_id"), col("true_nn"), col("ivf_nn"),
+          (col("true_nn") === col("ivf_nn")).cast("int").as("hit"))
+    }),
+
     // Embedding-cosine near-dup: LSH-bucketed candidate pairs at cos>=0.25.
     "d7_embedding_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), NnBits, minCos = 0.25)),
@@ -98,6 +119,30 @@ object Embeddings {
   private val bucketSql = (0 until NnBits).map(j =>
     s"CASE WHEN dv[${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     .mkString(" + ")
+
+  /** The IVF coarse-quantizer chain (label-mean centroids → rounded-cosine
+    * cell assignment → cell members with vectors) — shared by the v4 top-1
+    * oracle and the v11 recall eval.
+    */
+  private val ivfMembersSrc =
+    """exploded AS (
+      |  SELECT label, unnest(range(1, len(dv) + 1)) AS pos, unnest(dv) AS x FROM v),
+      |mdims AS (
+      |  SELECT label, pos, round(avg(x), 9) AS m
+      |  FROM exploded GROUP BY label, pos),
+      |cent AS (
+      |  SELECT label AS cell, list(m ORDER BY pos) AS cv FROM mdims GROUP BY label),
+      |assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        round(list_dot_product(v.dv, c.cv) /
+      |          (sqrt(list_dot_product(v.dv, v.dv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+      |        c.cell) AS ark
+      |    FROM v CROSS JOIN cent c)
+      |  WHERE ark = 1),
+      |members AS (
+      |  SELECT a.cell, a.vec_id, v.dv FROM assigned a JOIN v USING (vec_id))""".stripMargin
 
   /** Shared label-mean centroid prelude (9 dp — the cross-engine
     * bit-identical quantizer contract); consumers append their own `cent`
@@ -309,24 +354,7 @@ object Embeddings {
          |FROM pairs WHERE cos >= 0.35 GROUP BY id_b, cell""".stripMargin,
     "v4_ivf_topk" ->
       s"""WITH $vSrc,
-         |exploded AS (
-         |  SELECT label, unnest(range(1, len(dv) + 1)) AS pos, unnest(dv) AS x FROM v),
-         |mdims AS (
-         |  SELECT label, pos, round(avg(x), 9) AS m
-         |  FROM exploded GROUP BY label, pos),
-         |cent AS (
-         |  SELECT label AS cell, list(m ORDER BY pos) AS cv FROM mdims GROUP BY label),
-         |assigned AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT v.vec_id, c.cell,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |        round(list_dot_product(v.dv, c.cv) /
-         |          (sqrt(list_dot_product(v.dv, v.dv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
-         |        c.cell) AS ark
-         |    FROM v CROSS JOIN cent c)
-         |  WHERE ark = 1),
-         |members AS (
-         |  SELECT a.cell, a.vec_id, v.dv FROM assigned a JOIN v USING (vec_id)),
+         |$ivfMembersSrc,
          |scored AS (
          |  SELECT a.vec_id AS q_id, a.cell, b.vec_id AS c_id,
          |    round(list_dot_product(a.dv, b.dv) /
@@ -337,6 +365,33 @@ object Embeddings {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
          |  FROM scored)
          |WHERE rk = 1""".stripMargin,
+    "v11_ann_recall" ->
+      s"""WITH $vSrc,
+         |q AS (SELECT vec_id AS q_id, dv AS qv FROM v WHERE vec_id < $NQueries),
+         |bscored AS (
+         |  SELECT q_id, vec_id AS c_id, $cosSql AS cos
+         |  FROM q CROSS JOIN (SELECT vec_id, dv AS cv FROM v) c
+         |  WHERE c.vec_id <> q.q_id),
+         |brute AS (
+         |  SELECT q_id, c_id AS true_nn FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+         |    FROM bscored) WHERE rk = 1),
+         |$ivfMembersSrc,
+         |iscored AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    round(list_dot_product(a.dv, b.dv) /
+         |      (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 6) AS cos
+         |  FROM members a JOIN members b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < $NQueries),
+         |ivf AS (
+         |  SELECT q_id, c_id AS ivf_nn FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+         |    FROM iscored) WHERE rk = 1)
+         |SELECT b.q_id AS q_id, true_nn, ivf_nn,
+         |  CAST(true_nn = ivf_nn AS INT) AS hit
+         |FROM brute b JOIN ivf i ON b.q_id = i.q_id""".stripMargin,
     "v3_label_centroids" ->
       s"""WITH $vSrc,
          |exploded AS (

@@ -389,6 +389,31 @@ object TextDedup {
       }
     }),
 
+    // Store MAINTENANCE — the third leg of the incremental-dedup lifecycle
+    // (d20 builds + probes the store, e9 probes it continuously, d21 folds
+    // the probed delta INTO it so tomorrow's batch probes an up-to-date
+    // corpus). The append repartitions the delta by the store's own bucket
+    // hash, so rows land in the right buckets WITHOUT rewriting the
+    // standing table, and subsequent probe joins stay Exchange-free on the
+    // store side (each append defers the sorted-scan ordering to a periodic
+    // compaction — Bucketing.appendBucketed documents the tradeoff). Gate:
+    // the post-append store rollup must equal a full-corpus rebuild —
+    // identical band populations prove no row was lost, duplicated, or
+    // mis-bucketed by the append path.
+    "d21_store_append" -> ((s, dir) => {
+      val db = "graft_sigstore_d21"
+      buildSigStore(s, dir, db)
+      graft.ops.Bucketing.appendBucketed(
+        Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(
+          docs(s, dir).filter(col("doc_id") < 50)))),
+        s"$db.sig_bkt", nBuckets = 8, keys = Seq("band", "band_key"))
+      s.table(s"$db.sig_bkt")
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("doc_id").as("n_docs"),
+          sum("band_key").as("sum_keys"))
+    }),
+
     // SimHash-family cluster resolution. Gate operating point is
     // maxHamming = 0: hamming-0 components are exactly simhash-equality
     // classes, so the oracle is a plain GROUP BY (no recursive closure —
@@ -744,6 +769,13 @@ object TextDedup {
          |GROUP BY d.lang""".stripMargin,
     "d20_incremental_dedup" -> incrementalOracle,
     "e9_stream_incremental" -> incrementalOracle,
+    "d21_store_append" ->
+      s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc
+         |SELECT band, count(*) AS n_rows,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  CAST(sum(band_key) AS BIGINT) AS sum_keys
+         |FROM buckets
+         |GROUP BY 1""".stripMargin,
     "d8_dup_clusters" ->
       s"""WITH RECURSIVE $minhashChain,
          |edges AS (

@@ -90,4 +90,64 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning(band")) == 1, plan)
   }
+
+  test("d21 store append equals a full rebuild and stays bucket-aligned") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("d21_store_append")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // Rollup parity with a from-scratch rebuild over the whole corpus: the
+    // append lost, duplicated, and mis-bucketed nothing.
+    val full = graft.ops.Dedup.lshBuckets(graft.ops.Dedup.minhashSignatures(
+        graft.ops.Dedup.shingleHashes(graft.queries.Tables.t(spark, sf, "documents"))))
+      .groupBy("band").agg(count(lit(1)).as("n_rows"),
+        countDistinct("doc_id").as("n_docs"), sum("band_key").as("sum_keys"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == full)
+    // A probe against the APPENDED store still plans bucket-aligned: no
+    // Exchange on the store side (the one band Exchange is the probe's).
+    // The sorted-scan ordering IS forfeited until compaction — with >1
+    // file per bucket the store side legitimately re-sorts, so unlike the
+    // d20 gate this asserts Exchange count only.
+    val probe = graft.ops.Dedup.lshBuckets(graft.ops.Dedup.minhashSignatures(
+        graft.ops.Dedup.shingleHashes(graft.queries.Tables.t(spark, sf, "documents")
+          .filter(col("doc_id") < 10))))
+      .withColumnRenamed("doc_id", "doc_new")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // Force the shuffled path (at real store scale broadcast is off the
+      // table anyway) so the assertion exercises bucket alignment.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = spark.table("graft_sigstore_d21.sig_bkt")
+        .join(probe, Seq("band", "band_key"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      assert(plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(band")) == 1, plan)
+      // With >1 file per bucket the store side re-sorts (2 Sorts: store +
+      // probe) — the cost the append deferred. ("- Sort" matches both the
+      // ":-" first-child and "+-" last-child tree prefixes.)
+      assert(plan.linesIterator.count(_.contains("- Sort [band")) == 2, plan)
+
+      // Compaction closes the lifecycle: rewriting the appended store with
+      // writeBucketed restores one-file-per-bucket, so the probe join
+      // reclaims the Sort-free store scan the fresh build had.
+      Bucketing.reset(spark, "graft_sigstore_d21.sig_cmp",
+        new java.io.File(graft.queries.Tables.scratch("graft_sigstore_d21_db"), "sig_cmp"))
+      Bucketing.compactBucketed(spark,
+        new java.io.File(graft.queries.Tables.scratch("graft_sigstore_d21_db"), "sig_bkt").toString,
+        "graft_sigstore_d21.sig_cmp", nBuckets = 8, keys = Seq("band", "band_key"))
+      assert(spark.table("graft_sigstore_d21.sig_cmp").count() ==
+        spark.table("graft_sigstore_d21.sig_bkt").count())
+      val compacted = spark.table("graft_sigstore_d21.sig_cmp")
+        .join(probe, Seq("band", "band_key"))
+        .queryExecution.executedPlan.toString
+      assert(compacted.contains("Bucketed: true"), compacted.take(2000))
+      assert(compacted.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(band")) == 1, compacted)
+      // Store side Sort-free again: the only band Sort left is the probe's.
+      assert(compacted.linesIterator.count(_.contains("- Sort [band")) == 1, compacted)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }

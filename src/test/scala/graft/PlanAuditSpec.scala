@@ -23,6 +23,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t7_tfidf_top_term" -> 1,  // one-row doc-count aggregate
     "v1_cosine_topk" -> 1,     // bounded 20-vector query set (baseline)
     "v4_ivf_topk" -> 2,        // broadcast centroid table, probe + assign
+    "v11_ann_recall" -> 3,     // v1's bounded query set + v4's centroid
+                               // table on both assignment sides
     "d16_semdedup" -> 2,       // broadcast centroid table, both pair sides
     "v8_pq_encode" -> 1,       // one-row broadcast codebook
     "v9_pq_adc" -> 3)          // codebook x2 (encode + tables), bounded query set
