@@ -140,4 +140,24 @@ object Split {
       .filter(col("_srn") <= k)
       .drop("_srn")
   }
+
+  /** Sharded training export — the pipeline's final materialization: every
+    * row gets a deterministic shard from its position in the seeded global
+    * shuffle order (shard = (rn−1) % nShards), which gives exact ±1 shard
+    * balance AND makes each shard an interleaved sample of the shuffled
+    * order — shard files double as training-order streams, the layout a
+    * loader consumes shard-at-a-time. The frame is WRITTEN partitioned by
+    * shard and the export is read BACK as the return value, so a caller's
+    * rollup verifies the on-disk files, not the pre-write plan. Scale:
+    * one range shuffle (the scalable row number), one repartition bounding
+    * writer fan-out to nShards tasks, no global window, no driver state.
+    */
+  def shardedExport(df: DataFrame, keyCol: String, nShards: Int, seed: Long,
+      outDir: String): DataFrame = {
+    shuffleOrder(df, keyCol, seed)
+      .withColumn("shard", ((col("rn") - 1) % nShards).cast("int"))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+  }
 }

@@ -361,6 +361,20 @@ object Landsat {
           "doc_id", seed = 7L)
         .select(col("doc_id"), col("rn"))),
 
+    // O12: sharded training export — deterministic balanced shards from
+    // the o10 shuffle order, written partitionBy(shard) and read BACK for
+    // the rollup, so the gate verifies the on-disk export (count + key
+    // checksum + first position per shard: nothing lost, duplicated, or
+    // misrouted by the write).
+    "o12_sharded_export" -> ((s, dir) => {
+      val out = Tables.scratch("o12_export")
+      Split.shardedExport(t(s, dir, "documents").select("doc_id"), "doc_id",
+          nShards = 8, seed = 7L, outDir = out)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          min("rn").as("first_rn"))
+    }),
+
     // F1: string split / slice scalars.
     "f1_string_split" -> ((s, dir) =>
       t(s, dir, "part").select(col("p_partkey"),
@@ -983,6 +997,19 @@ object Landsat {
          |SELECT doc_id,
          |  CAST(row_number() OVER (ORDER BY shuf, doc_id) AS BIGINT) AS rn
          |FROM keyed""".stripMargin,
+    "o12_sharded_export" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, ${Hashing.lcgSql("doc_id", 7, Hashing.LcgM)} AS shuf
+         |  FROM documents),
+         |numbered AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY shuf, doc_id) AS rn
+         |  FROM keyed)
+         |SELECT CAST((rn - 1) % 8 AS INT) AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(min(rn) AS BIGINT) AS first_rn
+         |FROM numbered
+         |GROUP BY 1""".stripMargin,
     "o1_split_exact" ->
       s"""WITH keyed AS (
          |  SELECT o_orderkey, $lcg42 AS shuf FROM orders),

@@ -455,6 +455,34 @@ object TextDedup {
           sum("n_chars").as("sum_chars"))
     }),
 
+    // Pipeline OBSERVABILITY for the c1 cleaning cascade: per-stage funnel
+    // accounting (total → survives dedup → survives quality → survives
+    // langid) in ONE corpus pass — the drop report every production
+    // cleaning run ships with, and the first thing checked when a corpus
+    // shrinks unexpectedly. Same predicates, same arithmetic as c1, so the
+    // funnel numbers are exactly c1's population. Scale shape: the flags
+    // are a pure map over the doc scan (plus c1's own dedup chain for the
+    // keeper set); the rollup is a single partial-aggregated one-row agg.
+    "c3_filter_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nonKeepers = Dedup.dupClusters(d)
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id"), lit(1).as("_dup"))
+      val ws = TextOps.tokens(col("text"))
+      d.withColumn("quality", TextOps.qualityScore(ws))
+        .withColumn("pred", TextOps.predictedLang(ws))
+        .join(nonKeepers, Seq("doc_id"), "left_outer")
+        .select(col("_dup").isNull.as("keep1"),
+          (col("quality") >= 0.3).as("q_ok"),
+          (col("pred") === col("lang")).as("l_ok"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep1"), 1L).otherwise(0L)).as("after_dedup"),
+          sum(when(col("keep1") && col("q_ok"), 1L).otherwise(0L))
+            .as("after_quality"),
+          sum(when(col("keep1") && col("q_ok") && col("l_ok"), 1L).otherwise(0L))
+            .as("after_langid"))
+    }),
+
     // MinHash signature union per source cluster via the single-buffer
     // graft_vec_min aggregate: sig(A ∪ B) = element-wise min(sig(A), sig(B)),
     // so corpus slices can be near-dup-compared without re-shingling text.
@@ -767,6 +795,41 @@ object TextDedup {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM nonkeepers)
          |  AND quality >= 0.3 AND pred = d.lang
          |GROUP BY d.lang""".stripMargin,
+    "c3_filter_funnel" ->
+      s"""WITH RECURSIVE $minhashChain,
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT doc_a AS id, doc_a AS label FROM edges
+         |  UNION
+         |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON e.doc_b = r.id),
+         |nonkeepers AS (
+         |  SELECT id AS doc_id FROM reach GROUP BY id
+         |  HAVING id <> min(label)),
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS DOUBLE) / len(ws) AS stop_ratio,
+         |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS awl,
+         |  len(ws) AS n FROM toks),
+         |q AS (SELECT doc_id,
+         |  0.5 * stop_ratio + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0)
+         |    + 0.2 * (awl / 10.0) AS quality FROM m),
+         |h AS (SELECT doc_id, ${hitsSql("en")} AS en, ${hitsSql("de")} AS de,
+         |             ${hitsSql("es")} AS es, ${hitsSql("fr")} AS fr FROM toks),
+         |pr AS (SELECT doc_id,
+         |  CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |       WHEN de >= es AND de >= fr THEN 'de'
+         |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred FROM h)
+         |SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN nk.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS after_dedup,
+         |  CAST(sum(CASE WHEN nk.doc_id IS NULL AND quality >= 0.3
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+         |  CAST(sum(CASE WHEN nk.doc_id IS NULL AND quality >= 0.3
+         |    AND pred = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS after_langid
+         |FROM documents d
+         |LEFT JOIN nonkeepers nk USING (doc_id)
+         |JOIN q USING (doc_id) JOIN pr USING (doc_id)""".stripMargin,
     "d20_incremental_dedup" -> incrementalOracle,
     "e9_stream_incremental" -> incrementalOracle,
     "d21_store_append" ->

@@ -206,6 +206,47 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!batch.exists(_._1 == 3L)) // shingle-less doc emits nothing
   }
 
+  test("e9's continuous-ingest probe finds store matches across micro-batches") {
+    // The e9 contract beyond the gate (which replays one batch): deltas
+    // arriving over SEVERAL micro-batches each probe the standing store
+    // statelessly and the union of their matches equals the batch rollup.
+    val store = Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(Seq(
+        (10L, "the quick brown fox jumps over the lazy dog today"),
+        (11L, "completely different standing corpus document text here"))
+        .toDF("doc_id", "text"))))
+      .select($"band", $"band_key", $"doc_id".as("doc_old"))
+    val dir = java.nio.file.Files.createTempDirectory("e9stream")
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("e9batch")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // Batch 1 duplicates doc 10; batch 2 is one clean doc + a dup of 11.
+    writeBatch("f1.parquet", Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today")))
+    writeBatch("f2.parquet", Seq(
+      (2L, "no overlap with anything in the standing corpus at all"),
+      (3L, "completely different standing corpus document text here")))
+
+    val delta = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .select($"doc_id".as("doc_new"),
+        posexplode(Dedup.lshBandsPerRow($"text")).as(Seq("band", "band_key")))
+    val got = graft.streaming.StreamingWindows.runToMemory(
+        delta.join(store, Seq("band", "band_key")),
+        "e9spec_" + System.nanoTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .groupBy("doc_new", "doc_old").agg(count(lit(1)).as("n_bands"))
+      .as[(Long, Long, Long)].collect().toSet
+    // Identical text => identical signature => all 4 bands collide.
+    assert(got == Set((1L, 10L, Dedup.Bands.toLong), (3L, 11L, Dedup.Bands.toLong)))
+  }
+
   test("cutSpans removes duplicated spans from all-but-one occurrence") {
     // Docs 1 and 2 share a verbatim 4-token run ("dup span shared run");
     // doc 3 is clean. At n = 3 the run yields two shared shingles whose

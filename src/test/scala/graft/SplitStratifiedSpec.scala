@@ -59,6 +59,23 @@ class SplitStratifiedSpec extends AnyFunSuite {
     assert(o3 !== o1)
   }
 
+  test("shardedExport: balanced shards, lossless roundtrip, interleaved order") {
+    val base = spark.range(101).select(col("id").as("k")) // 101 = 12*8 + 5
+    val out = java.nio.file.Files.createTempDirectory("o12spec").toString
+    val back = Split.shardedExport(base, "k", nShards = 8, seed = 11L, outDir = out)
+      .select("k", "rn", "shard").as[(Long, Long, Int)].collect().toSeq
+    // Lossless: the read-back export is exactly the input key set.
+    assert(back.map(_._1).sorted === (0L until 101L))
+    // Exact ±1 balance: 5 shards of 13, 3 of 12.
+    val sizes = back.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.values.toSeq.sorted === Seq(12, 12, 12, 13, 13, 13, 13, 13))
+    // Interleaved: shard s holds exactly the positions rn ≡ s+1 (mod 8).
+    assert(back.forall { case (_, rn, s) => (rn - 1) % 8 == s })
+    // The shard column is a real partition directory, not a data column.
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs === (0 until 8).map(s => s"shard=$s").toArray)
+  }
+
   test("groupSplit never puts one group's rows in two splits") {
     val rows = (1 to 200).map(i => (i.toLong, s"src_${i % 17}"))
       .toDF("doc_id", "source")
