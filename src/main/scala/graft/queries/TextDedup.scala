@@ -317,6 +317,16 @@ object TextDedup {
     // cleaned text hash-compared verbatim.
     "c2_cut_spans" -> ((s, dir) => Dedup.cutSpans(docs(s, dir), n = 10)),
 
+    // ANY-LENGTH span removal — the Lee et al. production semantics ("cut
+    // every duplicated run >= L tokens", their L=50) rather than c2's cut-
+    // every-shared-window: same one shingle pass, but merged cut windows
+    // are only removed when the merged run spans >= 30 tokens, so short
+    // incidental repeats survive and long verbatim boilerplate disappears
+    // wholesale. The d15 doubling ladder is the survey step that picks the
+    // threshold; the kernel (CutSpansExpr min_run) does the interval union.
+    "c4_cut_long_spans" -> ((s, dir) =>
+      Dedup.cutLongSpans(docs(s, dir), n = 10, minRun = 30)),
+
     // Multi-n sweep over the same corpus in ONE tokenize/char-hash pass:
     // the practical step from a fixed n toward exact-substring dedup — a
     // span verbatim at n=40 is a much stronger duplication signal than one
@@ -1008,6 +1018,51 @@ object TextDedup {
          |  SELECT t.doc_id, t.i, t.ws[t.i] AS w FROM tok t
          |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
          |    WHERE c.doc_id = t.doc_id AND c.pos <= t.i - 1 AND t.i - 1 < c.pos + 10)),
+         |fin AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(w, ' ' ORDER BY i) AS cleaned_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_tokens,
+         |  CAST(coalesce(f.n_kept, 0) AS INT) AS n_kept,
+         |  CAST(coalesce(nc.n_cuts, 0) AS INT) AS n_cuts,
+         |  coalesce(f.cleaned_text, '') AS cleaned_text
+         |FROM toks t
+         |  LEFT JOIN fin f USING (doc_id)
+         |  LEFT JOIN ncuts nc USING (doc_id)""".stripMargin,
+    "c4_cut_long_spans" ->
+      s"""WITH $toksSrc,
+         |st AS (SELECT doc_id, ws,
+         |  unnest(range(1, greatest(len(ws) - 8, 1))) AS i FROM toks),
+         |occ AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |  ${graft.functions.Hashing.polyHashSql("array_to_string(ws[i:i+9], ' ')")} AS h
+         |  FROM st),
+         |agg AS (
+         |  SELECT h, min(struct_pack(d := doc_id, p := pos)) AS first
+         |  FROM occ GROUP BY h HAVING count(*) >= 2),
+         |cuts AS (
+         |  SELECT o.doc_id, o.pos FROM occ o JOIN agg a USING (h)
+         |  WHERE NOT (o.doc_id = a.first.d AND o.pos = a.first.p)),
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos > coalesce(max(pos + 10) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |    THEN 1 ELSE 0 END AS b
+         |  FROM cuts),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+         |  FROM brk),
+         |runs AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + 10 AS e
+         |  FROM isl GROUP BY doc_id, gid
+         |  HAVING max(pos) + 10 - min(pos) >= 30),
+         |ncuts AS (SELECT doc_id, count(*) AS n_cuts FROM runs GROUP BY doc_id),
+         |tok AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks),
+         |kept AS (
+         |  SELECT t.doc_id, t.i, t.ws[t.i] AS w FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM runs r
+         |    WHERE r.doc_id = t.doc_id AND r.s <= t.i - 1 AND t.i - 1 < r.e)),
          |fin AS (
          |  SELECT doc_id, count(*) AS n_kept,
          |    string_agg(w, ' ' ORDER BY i) AS cleaned_text

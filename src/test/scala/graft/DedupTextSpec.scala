@@ -276,6 +276,40 @@ class DedupTextSpec extends AnyFunSuite {
     assert(out == ((6, "x one two three y z")))
   }
 
+  test("cutLongSpans cuts only merged runs >= minRun; short repeats survive") {
+    // Docs 1/2 share a LONG 6-token run ("one two three four five six") and
+    // a SHORT 3-token phrase ("tiny shared bit"). At n = 3, minRun = 5:
+    // the long run's four overlapping shared windows merge to extent 6 >= 5
+    // and are cut from doc 2 (doc 1 is canonical); the short phrase's single
+    // window has extent 3 < 5 and SURVIVES in both docs — the any-length
+    // semantics c2 cannot express.
+    val docs = Seq(
+      (1L, "one two three four five six pad tiny shared bit"),
+      (2L, "pre one two three four five six post tiny shared bit end"),
+      (3L, "noise words only")).toDF("doc_id", "text")
+    val out = Dedup.cutLongSpans(docs, n = 3, minRun = 5)
+      .select("doc_id", "n_tokens", "n_kept", "n_cuts", "cleaned_text")
+      .as[(Long, Int, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 10, 10, 0,
+      "one two three four five six pad tiny shared bit")))
+    assert(out(2L) == ((2L, 12, 6, 1, "pre post tiny shared bit end")))
+    assert(out(3L) == ((3L, 3, 3, 0, "noise words only")))
+  }
+
+  test("cutLongSpans with minRun <= n is bit-identical to cutSpans") {
+    val docs = Seq(
+      (1L, "alpha dup span shared run beta"),
+      (2L, "gamma dup span shared run delta"),
+      (3L, "totally unrelated text here")).toDF("doc_id", "text")
+    val a = Dedup.cutSpans(docs, n = 3)
+      .select("doc_id", "n_tokens", "n_kept", "cleaned_text")
+      .as[(Long, Int, Int, String)].collect().toSet
+    val b = Dedup.cutLongSpans(docs, n = 3, minRun = 0)
+      .select("doc_id", "n_tokens", "n_kept", "cleaned_text")
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(a == b)
+  }
+
   test("redactPii scrubs emails, IPv4s, and phones; counts audit the hits") {
     val df = Seq(Tuple1(
       "mail Bob.Smith+x@Corp.Example.ORG then 192.168.0.1 and 10.0.0.255, " +
