@@ -40,6 +40,26 @@ object Bpe {
     (length(enc) - length(call_function("replace", enc, lit("("), lit(""))))
       .cast("int")
 
+  private def freqVocab(docs: DataFrame, textCol: String): DataFrame =
+    wordsOf(docs, textCol)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(col("n"), charEncode(col("w")).as("enc"))
+
+  /** Adjacent-symbol pair counts of an encoded vocab, weighted by word
+    * frequency — the per-round shuffle of BPE training (keyed groupBy,
+    * partial-aggregated; the vocab, not the corpus, is the input).
+    */
+  private def pairCounts(cur: DataFrame): DataFrame = {
+    // Spark SQL string literals eat single backslashes, hence \\\\ here.
+    val syms = expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)")
+    cur
+      .select(col("n"), explode(arrays_zip(
+        slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+        slice(syms, lit(2), greatest(size(syms) - 1, lit(0))))).as("p"))
+      .groupBy(col("p.0").as("a"), col("p.1").as("b"))
+      .agg(sum("n").as("cnt"))
+  }
+
   /** Learn `merges` BPE merge rules from the corpus. Each round: adjacent
     * symbol pairs of every vocab word, weighted by word frequency, one
     * groupBy + a deterministic argmax (max count, ties → lexicographically
@@ -47,22 +67,13 @@ object Bpe {
     * the ordered merge list. Stops early if no pair remains.
     */
   def train(docs: DataFrame, textCol: String, merges: Int): Seq[(String, String)] = {
-    val vocab = wordsOf(docs, textCol)
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(col("n"), charEncode(col("w")).as("enc"))
+    val vocab = freqVocab(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var cur = vocab
     var done = false
     for (_ <- 1 to merges if !done) {
-      // Spark SQL string literals eat single backslashes, hence \\\\ here.
-      val syms = expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)")
-      val best = cur
-        .select(col("n"), explode(arrays_zip(
-          slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
-          slice(syms, lit(2), greatest(size(syms) - 1, lit(0))))).as("p"))
-        .groupBy(col("p.0").as("a"), col("p.1").as("b"))
-        .agg(sum("n").as("cnt"))
+      val best = pairCounts(cur)
         .orderBy(desc("cnt"), col("a"), col("b"))
         .limit(1).collect()
       if (best.isEmpty) done = true
@@ -72,6 +83,54 @@ object Bpe {
         // Narrow map over the persisted vocab; round i's lineage is i cheap
         // replaces on top of the cached frame (M is small by construction).
         cur = cur.select(col("n"), applyMerge(col("enc"), a, b).as("enc"))
+      }
+    }
+    vocab.unpersist()
+    out.toSeq
+  }
+
+  /** BATCHED BPE training — the driver-loop fix for production vocab sizes
+    * (VERDICT r07: one argmax round per merge makes a 32k vocab ~32k
+    * sequential Spark jobs; the data never becomes the wall, the round
+    * count does). Standard distributed-BPE batching: per round, take the
+    * top-`window` pairs by (count desc, a, b) and apply, in rank order,
+    * every pair that shares NO symbol with ANY higher-ranked pair in the
+    * window (capped at `batchCap`). Symbol-disjoint merges commute — one
+    * replace can neither create nor destroy another's "(a)(b)" pattern —
+    * so the batch is order-insensitive in effect while the pinned rank
+    * order keeps the merge LIST deterministic and oracle-replicable.
+    *
+    * Selection is greedy first-fit over the ranked window (the standard
+    * batched-BPE rule): scan ranks in order, keep a pair iff neither of
+    * its symbols was used by an already-kept pair this round, stop at
+    * `batchCap`. The scan is sequential but over <= `window` DRIVER-side
+    * rows — the data-parallel work stays one pair-count groupBy per round
+    * — and a SQL oracle replicates it as a single-row recursion carrying
+    * the used-symbol list ([[oracleSqlBatched]]).
+    */
+  def trainBatched(docs: DataFrame, textCol: String, rounds: Int,
+      window: Int, batchCap: Int): Seq[(String, String)] = {
+    val vocab = freqVocab(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var cur = vocab
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val top = pairCounts(cur)
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(window).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val used = scala.collection.mutable.HashSet.empty[String]
+      for ((a, b) <- top
+           if sel.size < batchCap && !used(a) && !used(b)) {
+        sel += ((a, b)); used += a; used += b
+      }
+      if (sel.isEmpty) done = true
+      else {
+        out ++= sel
+        cur = sel.foldLeft(cur) { case (c, (a, b)) =>
+          c.select(col("n"), applyMerge(col("enc"), a, b).as("enc")) }
       }
     }
     vocab.unpersist()
@@ -102,6 +161,12 @@ object Bpe {
   def trainApply(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
     tokenCounts(docs, textCol, train(docs, textCol, nMerges))
 
+  /** Batched train-then-apply (the t13b gate shape). */
+  def trainApplyBatched(docs: DataFrame, textCol: String, rounds: Int,
+      window: Int, batchCap: Int): DataFrame =
+    tokenCounts(docs, textCol,
+      trainBatched(docs, textCol, rounds, window, batchCap))
+
   /** DuckDB oracle replicating [[train]] + [[tokenCounts]] exactly: M
     * chained (materialized) CTE stages, each doing the same pair-count →
     * deterministic argmax → literal replace. Generated, not hand-written,
@@ -109,13 +174,7 @@ object Bpe {
     */
   def oracleSql(nMerges: Int): String = {
     val sb = new StringBuilder
-    sb ++= """WITH wd AS MATERIALIZED (
-             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
-             |  FROM documents),
-             |e0 AS MATERIALIZED (
-             |  SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS enc, count(*) AS n
-             |  FROM wd GROUP BY w),
-             |""".stripMargin
+    sb ++= prefixStages()
     for (i <- 1 to nMerges) {
       sb ++= s"""p$i AS (
                 |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(n) AS cnt FROM (
@@ -125,18 +184,86 @@ object Bpe {
                 |  GROUP BY 1, 2),
                 |b$i AS (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
                 |e$i AS MATERIALIZED (
-                |  SELECT replace(enc, '(' || a || ')(' || b || ')', '(' || a || b || ')') AS enc, n
-                |  FROM e${i - 1} CROSS JOIN b$i),
+                |  SELECT coalesce(replace(enc, '(' || a || ')(' || b || ')', '(' || a || b || ')'), enc) AS enc, n
+                |  FROM e${i - 1} LEFT JOIN b$i ON TRUE),
                 |""".stripMargin
     }
-    sb ++= s"""tc AS (
-              |  SELECT replace(replace(enc, '(', ''), ')', '') AS w,
-              |    CAST(len(enc) - len(replace(enc, '(', '')) AS INT) AS toks
-              |  FROM e$nMerges)
-              |SELECT doc_id, CAST(count(*) AS INT) AS n_words,
-              |  CAST(sum(toks) AS INT) AS n_bpe
-              |FROM wd JOIN tc USING (w)
-              |GROUP BY doc_id""".stripMargin
+    sb ++= finalStages(nMerges)
     sb.toString
   }
+
+  /** DuckDB oracle replicating [[trainBatched]] + [[tokenCounts]]: per
+    * round, the same pair-count stage, then the greedy first-fit batch
+    * selection expressed as a SINGLE-ROW recursive CTE walking the ranked
+    * window and carrying the used-symbol list and the kept-pair list —
+    * exactly the engine's sequential scan. The kept pairs are then padded
+    * to a FIXED `batchCap` slots (pad slots resolve to a '(~)' pattern
+    * that can never match the [a-z]+ symbol alphabet, so they are no-op
+    * replaces), and application is `batchCap` nested replaces in kept
+    * order — static SQL for a data-dependent batch, total under an
+    * exhausted pair supply.
+    */
+  def oracleSqlBatched(rounds: Int, window: Int, batchCap: Int): String = {
+    val sb = new StringBuilder
+    sb ++= prefixStages(recursive = true)
+    for (i <- 1 to rounds) {
+      val nested = (1 to batchCap).foldLeft("enc") { (acc, j) =>
+        s"replace($acc, (SELECT coalesce('(' || a || ')(' || b || ')', '(~)') FROM b$i WHERE k = $j), " +
+          s"(SELECT coalesce('(' || a || b || ')', '(~)') FROM b$i WHERE k = $j))"
+      }
+      val fits = s"len(g.sel) < $batchCap AND NOT list_contains(g.used, r.a)" +
+        " AND NOT list_contains(g.used, r.b)"
+      sb ++= s"""p$i AS (
+                |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(n) AS cnt FROM (
+                |    SELECT regexp_extract_all(enc, '\\(([a-z]+)\\)', 1) AS syms, n,
+                |      unnest(range(1, greatest(len(regexp_extract_all(enc, '\\(([a-z]+)\\)', 1)), 1))) AS i
+                |    FROM e${i - 1})
+                |  GROUP BY 1, 2),
+                |r$i AS (SELECT a, b, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+                |  FROM p$i ORDER BY cnt DESC, a, b LIMIT $window),
+                |g$i(rn, used, sel) AS (
+                |  SELECT CAST(0 AS BIGINT), CAST([] AS VARCHAR[]),
+                |    CAST([] AS STRUCT(a VARCHAR, b VARCHAR)[])
+                |  UNION ALL
+                |  SELECT r.rn,
+                |    CASE WHEN $fits
+                |      THEN list_append(list_append(g.used, r.a), r.b) ELSE g.used END,
+                |    CASE WHEN $fits
+                |      THEN list_append(g.sel, struct_pack(a := r.a, b := r.b)) ELSE g.sel END
+                |  FROM g$i g JOIN r$i r ON r.rn = g.rn + 1),
+                |f$i AS (SELECT sel FROM g$i ORDER BY rn DESC LIMIT 1),
+                |t$i AS (SELECT f.sel[g.k].a AS a, f.sel[g.k].b AS b, g.k AS k
+                |  FROM f$i f, (SELECT unnest(range(1, ${batchCap + 1})) AS k) g
+                |  WHERE g.k <= len(f.sel)),
+                |b$i AS (SELECT g.k, t.a, t.b
+                |  FROM (SELECT unnest(range(1, ${batchCap + 1})) AS k) g
+                |  LEFT JOIN t$i t USING (k)),
+                |e$i AS MATERIALIZED (
+                |  SELECT $nested AS enc, n FROM e${i - 1}),
+                |""".stripMargin
+    }
+    sb ++= finalStages(rounds)
+    sb.toString
+  }
+
+  private def prefixStages(recursive: Boolean = false): String = {
+    val kw = if (recursive) "WITH RECURSIVE" else "WITH"
+    s"""$kw wd AS MATERIALIZED (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
+       |  FROM documents),
+       |e0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS enc, count(*) AS n
+       |  FROM wd GROUP BY w),
+       |""".stripMargin
+  }
+
+  private def finalStages(lastStage: Int): String =
+    s"""tc AS (
+       |  SELECT replace(replace(enc, '(', ''), ')', '') AS w,
+       |    CAST(len(enc) - len(replace(enc, '(', '')) AS INT) AS toks
+       |  FROM e$lastStage)
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+       |  CAST(sum(toks) AS INT) AS n_bpe
+       |FROM wd JOIN tc USING (w)
+       |GROUP BY doc_id""".stripMargin
 }

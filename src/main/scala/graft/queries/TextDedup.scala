@@ -40,6 +40,17 @@ object TextDedup {
     "t13_bpe_train" -> ((s, dir) =>
       graft.ops.Bpe.trainApply(docs(s, dir), "text", nMerges = 8)),
 
+    // BATCHED BPE training — the production-vocab round shape (VERDICT
+    // r07: one argmax job per merge makes a 32k vocab ~32k sequential
+    // jobs): per round, greedy first-fit over the top-48 ranked pairs
+    // selects up to 16 symbol-disjoint merges applied together, so the
+    // round count tracks vocab_target/batch, not vocab_target. 8 rounds
+    // learn 80+ merges here (vs t13's 8) and the whole merge chain is
+    // gated through the re-tokenized per-doc counts.
+    "t13b_bpe_batched" -> ((s, dir) =>
+      graft.ops.Bpe.trainApplyBatched(docs(s, dir), "text",
+        rounds = 8, window = 48, batchCap = 16)),
+
     // Gopher-style repetition filter: duplicate-token fraction and
     // top-token dominance per doc, plus the drop verdict at the published
     // operating point — all zero-shuffle array arithmetic.
@@ -609,6 +620,8 @@ object TextDedup {
         |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INT) AS n_bpe
         |FROM documents""".stripMargin,
     "t13_bpe_train" -> graft.ops.Bpe.oracleSql(nMerges = 8),
+    "t13b_bpe_batched" -> graft.ops.Bpe.oracleSqlBatched(
+      rounds = 8, window = 48, batchCap = 16),
     "t9_gopher_repetition" ->
       s"""WITH $toksSrc,
          |m AS (

@@ -36,4 +36,27 @@ class BpeSpec extends AnyFunSuite {
     val merges = Bpe.train(docs, "text", merges = 5)
     assert(merges == Seq(("a", "b")))
   }
+
+  test("trainBatched merges symbol-disjoint pairs in one round") {
+    // round 1 pairs: (a,b)=3, (c,d)=2 — disjoint symbols, both selected,
+    // in rank order. Round 2: single-symbol words, no pairs → stop.
+    val docs = Seq((1L, "ab ab ab"), (2L, "cd cd")).toDF("doc_id", "text")
+    val merges = Bpe.trainBatched(docs, "text", rounds = 5, window = 8, batchCap = 8)
+    assert(merges == Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("trainBatched defers pairs sharing a symbol with a higher rank") {
+    // round 1: (a,b)=3 outranks (b,c)=2 and claims 'b' → (b,c) deferred.
+    // round 2: vocab (ab), (b)(c) → only (b,c) remains.
+    val docs = Seq((1L, "ab ab ab"), (2L, "bc bc")).toDF("doc_id", "text")
+    val merges = Bpe.trainBatched(docs, "text", rounds = 5, window = 8, batchCap = 8)
+    assert(merges == Seq(("a", "b"), ("b", "c")))
+  }
+
+  test("trainBatched with batchCap=1 reduces to sequential train") {
+    val docs = Seq((1L, "aaab aaab"), (2L, "aab")).toDF("doc_id", "text")
+    val seq = Bpe.train(docs, "text", merges = 3)
+    val bat = Bpe.trainBatched(docs, "text", rounds = 3, window = 8, batchCap = 1)
+    assert(bat == seq)
+  }
 }
