@@ -435,6 +435,49 @@ object TextDedup {
           sum("band_key").as("sum_keys"))
     }),
 
+    // The FULL multi-batch lifecycle — e9/d20/d21 each gate one leg; this
+    // gates the loop closing: ingest batch 1 (doc_id in [100,200)) probes
+    // the standing store (doc_id >= 200), its bucket rows are d21-appended
+    // INTO the store, then batch 2 (doc_id < 100) probes the UPDATED store
+    // via a freshly planned stream-static join. The oracle demands the
+    // batch2-vs-batch1 collision pairs — matches that exist ONLY if the
+    // append actually lands in the bucket layout the next probe reads
+    // (e.g. docs (87,134) and (61,185) at sf0.01), so a lost, duplicated,
+    // or mis-bucketed append row flips the rollup. Each probe is the e9
+    // stateless stream-static shape; the final union is band-level rows
+    // from both probes rolled up once.
+    "e10_multibatch_lifecycle" -> ((s, dir) => {
+      val db = "graft_sigstore_e10"
+      buildSigStore(s, dir, db, minDocId = 200)
+      def probe(lo: Long, hi: Long): DataFrame =
+        graft.streaming.StreamingWindows.withStatePartitions(s, 4) {
+          val delta = s.readStream
+            .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .select(col("doc_id").as("doc_new"),
+              posexplode(Dedup.lshBandsPerRow(col("text")))
+                .as(Seq("band", "band_key")))
+          // Re-read the table INSIDE the probe so the second probe plans
+          // against the post-append file listing, not a stale snapshot.
+          val store = s.table(s"$db.sig_bkt")
+            .select(col("band"), col("band_key"), col("doc_id").as("doc_old"))
+          graft.streaming.StreamingWindows.runToMemory(
+            delta.join(store, Seq("band", "band_key")),
+            "e10_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        }
+      val batch1Matches = probe(100, 200)
+      graft.ops.Bucketing.appendBucketed(
+        Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(
+          docs(s, dir).filter(col("doc_id") >= 100 && col("doc_id") < 200)))),
+        s"$db.sig_bkt", nBuckets = 8, keys = Seq("band", "band_key"))
+      val batch2Matches = probe(0, 100)
+      batch1Matches.union(batch2Matches)
+        .groupBy("doc_new", "doc_old")
+        .agg(count(lit(1)).as("n_bands"))
+    }),
+
     // SimHash-family cluster resolution. Gate operating point is
     // maxHamming = 0: hamming-0 components are exactly simhash-equality
     // classes, so the oracle is a plain GROUP BY (no recursive closure —
@@ -526,18 +569,19 @@ object TextDedup {
   )
 
   /** One-time signature-store build for the incremental-dedup queries:
-    * the standing corpus (doc_id >= 50) shingled ONCE, its LSH bucket rows
-    * persisted bucketed+sorted on the join key. Returns the store frame
+    * the standing corpus (doc_id >= minDocId) shingled ONCE, its LSH bucket
+    * rows persisted bucketed+sorted on the join key. Returns the store frame
     * with `doc_id` renamed to `doc_old`.
     */
-  private def buildSigStore(s: SparkSession, dir: String, db: String): DataFrame = {
+  private def buildSigStore(s: SparkSession, dir: String, db: String,
+      minDocId: Long = 50): DataFrame = {
     val dbLoc = Tables.scratch(db + "_db")
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
     graft.ops.Bucketing.reset(s, s"$db.sig_bkt",
       new java.io.File(dbLoc, "sig_bkt"))
     graft.ops.Bucketing.writeBucketed(
       Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(
-        t(s, dir, "documents").filter(col("doc_id") >= 50)))),
+        t(s, dir, "documents").filter(col("doc_id") >= minDocId)))),
       s"$db.sig_bkt", nBuckets = 8, keys = Seq("band", "band_key"))
     s.table(s"$db.sig_bkt")
       .select(col("band"), col("band_key"), col("doc_id").as("doc_old"))
@@ -855,6 +899,21 @@ object TextDedup {
          |JOIN q USING (doc_id) JOIN pr USING (doc_id)""".stripMargin,
     "d20_incremental_dedup" -> incrementalOracle,
     "e9_stream_incremental" -> incrementalOracle,
+    // The lifecycle union: batch 1 ([100,200)) against the standing corpus
+    // (>= 200) it probed, plus batch 2 (< 100) against standing ∪ batch 1
+    // (>= 100) — the second disjunct's batch1 rows exist only via the
+    // append. Batch-internal pairs are absent on BOTH sides: the engine's
+    // store never contains the probing batch, and the oracle's predicate
+    // keeps doc_new and doc_old in disjoint ranges.
+    "e10_multibatch_lifecycle" ->
+      s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc
+         |SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
+         |  count(*) AS n_bands
+         |FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.band_key = b.band_key
+         |WHERE (a.doc_id >= 100 AND a.doc_id < 200 AND b.doc_id >= 200)
+         |   OR (a.doc_id < 100 AND b.doc_id >= 100)
+         |GROUP BY 1, 2""".stripMargin,
     "d21_store_append" ->
       s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc
          |SELECT band, count(*) AS n_rows,

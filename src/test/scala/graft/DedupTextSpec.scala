@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{Hashing, PolyHashExpr}
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Bucketing, Dedup, TextOps}
 
 class DedupTextSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -245,6 +245,40 @@ class DedupTextSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     // Identical text => identical signature => all 4 bands collide.
     assert(got == Set((1L, 10L, Dedup.Bands.toLong), (3L, 11L, Dedup.Bands.toLong)))
+  }
+
+  test("e10's appended store rows feed the NEXT probe (lifecycle loop)") {
+    // Standing corpus: doc 100. Batch 1: doc 10 (dup of nothing standing).
+    // Probe 1 finds no match; after appending batch 1 into the bucketed
+    // store, batch 2's doc 1 — a dup of BATCH 1's doc 10 — must match it,
+    // which can only happen through the appended rows.
+    val db = "graft_e10_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '/tmp/$db'")
+    def buckets(rows: Seq[(Long, String)]) =
+      Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(
+        rows.toDF("doc_id", "text"))))
+    Bucketing.writeBucketed(
+      buckets(Seq((100L, "standing corpus text with nothing resembling the batches"))),
+      s"$db.sig_bkt", nBuckets = 4, keys = Seq("band", "band_key"))
+    def probe(rows: Seq[(Long, String)]) = {
+      val delta = rows.toDF("doc_id", "text")
+        .select($"doc_id".as("doc_new"),
+          posexplode(Dedup.lshBandsPerRow($"text")).as(Seq("band", "band_key")))
+      delta.join(
+          spark.table(s"$db.sig_bkt")
+            .select($"band", $"band_key", $"doc_id".as("doc_old")),
+          Seq("band", "band_key"))
+        .groupBy("doc_new", "doc_old").agg(count(lit(1)).as("n"))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    val batch1 = Seq(10L -> "the quick brown fox jumps over the lazy dog today")
+    assert(probe(batch1).isEmpty)
+    Bucketing.appendBucketed(buckets(batch1), s"$db.sig_bkt",
+      nBuckets = 4, keys = Seq("band", "band_key"))
+    val got = probe(Seq(1L -> "the quick brown fox jumps over the lazy dog today"))
+    assert(got == Set((1L, 10L, Dedup.Bands.toLong)))
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
   test("cutSpans removes duplicated spans from all-but-one occurrence") {
