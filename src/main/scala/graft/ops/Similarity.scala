@@ -305,10 +305,16 @@ object Similarity {
   def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cb: Array[Double] = v.filter(col("vec_id") < k).orderBy("vec_id")
-      .select("dv").collect()
-      .flatMap(_.getSeq[Double](0))
-    val dim = if (k > 0) cb.length / k else 0
+    // Init = the k LOWEST vec_ids (a bounded sort, NOT `vec_id < k`: ids
+    // need not be 0-based or contiguous), cluster-labeled by ordinal rank
+    // in that id order — the oracle derives its labels from the same
+    // ranked list, so parity never depends on the id values themselves.
+    val init = v.orderBy("vec_id").limit(k)
+      .select("dv").collect().map(_.getSeq[Double](0))
+    require(init.length == k, s"kmeans: need >= $k vectors, got ${init.length}")
+    val dim = init.head.length
+    require(init.forall(_.length == dim), "kmeans: ragged embedding dims")
+    var cb: Array[Double] = init.flatten.toArray
     def assigned = {
       val tbl = graft.functions.PqExprs.distTableColumn(
         col("dv"), typedlit(cb.toSeq), 1)
@@ -336,6 +342,55 @@ object Similarity {
     // v stays persisted for the final assignment job; the sweep harnesses
     // (Bench/Verify) clear caches between queries.
     assigned.select(col("vec_id"), col("cluster"), col("d2"))
+  }
+
+  /** [[kmeans]] with the codebook carried as a BROADCAST one-row frame
+    * instead of a plan literal — the large-k path. A k×dim literal is
+    * baked into every iteration's generated code and driver plan; past
+    * ~1e5–1e6 doubles (k in the thousands at dim 64–1024, the IVF regime)
+    * that bloats codegen and plan serialization, while a broadcast ships
+    * the same bytes through the block manager once per iteration and keeps
+    * generated-code size O(1) in k. Same deterministic contract and
+    * arithmetic — bit-identical assignments to [[kmeans]] (KmeansSpec) —
+    * and the model never visits the driver: init is a bounded sort, the
+    * update is a k-row joined frame (localCheckpoint truncates the
+    * per-iteration lineage), so driver state is just the loop counter.
+    */
+  def kmeansBroadcast(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Ordinal labels over the k lowest ids; the single-partition window is
+    // bounded at k rows (the limit(k) output), not corpus-scale.
+    var cent: DataFrame = v.orderBy("vec_id").limit(k)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("int").as("cl"), col("dv").as("c"))
+      .localCheckpoint()
+    // One flattened codebook row in cl order (array_sort on the struct
+    // sorts by the leading cl field), broadcast into the assignment map.
+    def cbFrame(c: DataFrame): DataFrame =
+      c.agg(flatten(transform(
+        array_sort(collect_list(struct(col("cl"), col("c")))),
+        s => s.getField("c"))).as("cb"))
+    def assigned(cbF: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cbF))
+        .withColumn("tbl", graft.functions.PqExprs.distTableColumn(
+          col("dv"), col("cb"), 1))
+        .withColumn("d2", array_min(col("tbl")))
+        .withColumn("cluster",
+          (array_position(col("tbl"), col("d2")) - 1).cast("int"))
+    for (_ <- 1 to iters) {
+      val means = assigned(cbFrame(cent)).groupBy("cluster")
+        .agg(graft.functions.VectorSumAgg.column(col("dv")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cluster").as("cl"),
+          transform(col("s"), x => round(x / col("n"), 9)).as("c"))
+      // Emptied cells keep their previous centroid (left join + coalesce).
+      cent = cent.as("p").join(means.as("m"), Seq("cl"), "left")
+        .select(col("cl"), coalesce(col("m.c"), col("p.c")).as("c"))
+        .localCheckpoint()
+    }
+    assigned(cbFrame(cent)).select(col("vec_id"), col("cluster"), col("d2"))
   }
 
   /** Per-label centroid norm: posexplode → per-dimension mean → L2 norm.

@@ -190,9 +190,13 @@ object Embeddings {
     val d2 = "round(list_dot_product(v.dv, v.dv) + list_dot_product(c.c, c.c)" +
       " - 2 * list_dot_product(v.dv, c.c), 6)"
     val sb = new StringBuilder
+    // c0 = the k LOWEST vec_ids with ORDINAL labels — the same ranked-list
+    // derivation as the engine's init, so parity holds for non-contiguous
+    // or non-zero-based ids (a `vec_id < k` filter would silently diverge).
     sb ++= s"""WITH $vSrc,
               |c0 AS MATERIALIZED (
-              |  SELECT CAST(vec_id AS INT) AS cl, dv AS c FROM v WHERE vec_id < $k),
+              |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, dv AS c
+              |  FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT $k)),
               |""".stripMargin
     for (i <- 1 to iters) {
       sb ++= s"""a$i AS (

@@ -38,4 +38,32 @@ class KmeansSpec extends AnyFunSuite {
       .as[(Long, Int, Double)].collect().map(r => r._1 -> r._2).toMap
     assert(out == Map(0L -> 1, 1L -> 1, 2L -> 0, 3L -> 0))
   }
+
+  test("kmeans init uses the k lowest ids, not ids < k") {
+    // vec_ids 7/13/21/40 — a `vec_id < k` init would be EMPTY here. The
+    // lowest-2 init is {7, 13} (both left blob) and Lloyd still separates.
+    val vecs = Seq(
+      (7L, Array(0f, 0f)), (13L, Array(0f, 1f)),
+      (21L, Array(10f, 10f)), (40L, Array(10f, 11f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(vecs, k = 2, iters = 3)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(out(7L) == out(13L) && out(21L) == out(40L) && out(7L) != out(21L))
+  }
+
+  test("kmeansBroadcast assigns bit-identically to the plan-literal path") {
+    // k = 8 over 40 pseudo-random 16-dim vectors with NON-contiguous ids —
+    // every (vec_id, cluster, d2) row must agree exactly: both paths share
+    // the rounded-6dp distance and 9-dp mean contract, so any divergence
+    // is a real codebook/order bug, not float noise.
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 40).map { i =>
+      (i * 3L + 5, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val lit = Similarity.kmeans(vecs, k = 8, iters = 3)
+      .as[(Long, Int, Double)].collect().toSet
+    val bc = Similarity.kmeansBroadcast(vecs, k = 8, iters = 3)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(bc == lit)
+  }
 }
