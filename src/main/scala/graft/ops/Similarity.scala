@@ -357,30 +357,33 @@ object Similarity {
     * per-iteration lineage), so driver state is just the loop counter.
     */
   def kmeansBroadcast(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Ordinal labels over the k lowest ids; the single-partition window is
-    // bounded at k rows (the limit(k) output), not corpus-scale.
+    assignByCodebook(v, cbFrameOf(fitOn(v, k, iters)))
+      .select(col("vec_id"), col("cluster"), col("d2"))
+  }
+
+  /** Trained-quantizer fit: the final (cl, c) centroid frame of the
+    * broadcast Lloyd loop — the model [[ivfTrainedTop1]] probes against.
+    */
+  def kmeansFit(vecs: DataFrame, k: Int, iters: Int): DataFrame =
+    fitOn(vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), k, iters)
+
+  /** The Lloyd loop of [[kmeansBroadcast]] over a pre-projected (vec_id,
+    * dv) frame. Init = ordinal labels over the k lowest ids (the
+    * single-partition window is bounded at k rows — the limit(k) output,
+    * not corpus-scale); per round the assignment is the broadcast-codebook
+    * map and the update a k-row joined frame, localCheckpoint-truncated.
+    */
+  private def fitOn(v: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     var cent: DataFrame = v.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1)
         .cast("int").as("cl"), col("dv").as("c"))
       .localCheckpoint()
-    // One flattened codebook row in cl order (array_sort on the struct
-    // sorts by the leading cl field), broadcast into the assignment map.
-    def cbFrame(c: DataFrame): DataFrame =
-      c.agg(flatten(transform(
-        array_sort(collect_list(struct(col("cl"), col("c")))),
-        s => s.getField("c"))).as("cb"))
-    def assigned(cbF: DataFrame): DataFrame =
-      v.crossJoin(broadcast(cbF))
-        .withColumn("tbl", graft.functions.PqExprs.distTableColumn(
-          col("dv"), col("cb"), 1))
-        .withColumn("d2", array_min(col("tbl")))
-        .withColumn("cluster",
-          (array_position(col("tbl"), col("d2")) - 1).cast("int"))
     for (_ <- 1 to iters) {
-      val means = assigned(cbFrame(cent)).groupBy("cluster")
+      val means = assignByCodebook(v, cbFrameOf(cent)).groupBy("cluster")
         .agg(graft.functions.VectorSumAgg.column(col("dv")).as("s"),
           count(lit(1)).as("n"))
         .select(col("cluster").as("cl"),
@@ -390,7 +393,74 @@ object Similarity {
         .select(col("cl"), coalesce(col("m.c"), col("p.c")).as("c"))
         .localCheckpoint()
     }
-    assigned(cbFrame(cent)).select(col("vec_id"), col("cluster"), col("d2"))
+    cent
+  }
+
+  /** One flattened codebook row in cl order (array_sort on the struct
+    * sorts by the leading cl field) — the broadcast side of the
+    * assignment map.
+    */
+  private def cbFrameOf(cent: DataFrame): DataFrame =
+    cent.agg(flatten(transform(
+      array_sort(collect_list(struct(col("cl"), col("c")))),
+      s => s.getField("c"))).as("cb"))
+
+  /** Nearest-centroid assignment against a broadcast one-row codebook:
+    * rounded-6dp squared L2 (the PqExprs kernel, m = 1), ties → lower
+    * cell via array_position's first-match.
+    */
+  private def assignByCodebook(v: DataFrame, cbF: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cbF))
+      .withColumn("tbl", graft.functions.PqExprs.distTableColumn(
+        col("dv"), col("cb"), 1))
+      .withColumn("d2", array_min(col("tbl")))
+      .withColumn("cluster",
+        (array_position(col("tbl"), col("d2")) - 1).cast("int"))
+
+  /** IVF search over a TRAINED coarse quantizer — v4's probe shape with
+    * [[fitOn]]'s Lloyd-trained codebook in place of label means (the
+    * production ANN index build: train cells, invert the corpus, probe a
+    * few cells per query). Per query: rank cells by the rounded-6dp
+    * squared L2 to their centroid, search the nprobe nearest cells'
+    * inverted lists, return the top-1 neighbor (ties → lower cell / lower
+    * candidate id). Scale shape: the codebook is one broadcast row, the
+    * corpus assignment is a zero-shuffle codegen'd map, the probe is a
+    * KEYED join on cell (never all-pairs), and the final top-1 is a
+    * map-side-combined max(struct) argmax, not a window sort. Recall vs
+    * exhaustive search is tunable by nprobe (v11 measures the analogous
+    * trade for the label-mean quantizer).
+    */
+  def ivfTrainedTop1(vecs: DataFrame, k: Int, iters: Int, nprobe: Int,
+      nQueries: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbF = cbFrameOf(fitOn(v, k, iters))
+    // Inverted lists: every vector in exactly one trained cell.
+    val members = assignByCodebook(v, cbF)
+      .select(col("cluster").as("cell"), col("vec_id").as("c_id"),
+        col("dv").as("cv"))
+    // Query fan-out: nprobe nearest cells per query. The window is over
+    // nQueries × k rows (bounded), partitioned per query.
+    val qcells = v.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cbF))
+      .select(col("vec_id").as("q_id"), col("dv").as("qv"),
+        posexplode(graft.functions.PqExprs.distTableColumn(
+          col("dv"), col("cb"), 1)).as(Seq("cell", "cd2")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cd2"), col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("cell"))
+    // Probe: keyed join on cell; exact rounded-6dp pair distance in the
+    // same aa + cc − 2·ac form as the PqExprs kernel and the oracle.
+    qcells.join(members, "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("d2", round(dot(col("qv"), col("qv"))
+        + dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), 6))
+      .groupBy("q_id")
+      .agg(max(struct((-col("d2")).as("nd"), (-col("c_id")).as("nc"),
+        col("c_id"), col("d2"))).as("m"))
+      .select(col("q_id"), col("m.c_id").as("nn_id"), col("m.d2").as("d2"))
   }
 
   /** Per-label centroid norm: posexplode → per-dimension mean → L2 norm.

@@ -101,11 +101,22 @@ object Embeddings {
     // deterministic init, final assignment gated per vector — one wrong
     // centroid in any round reassigns vectors corpus-wide.
     "v10_kmeans" -> ((s, dir) =>
-      Similarity.kmeans(t(s, dir, "embeddings"), k = KmeansK, iters = KmeansIters))
+      Similarity.kmeans(t(s, dir, "embeddings"), k = KmeansK, iters = KmeansIters)),
+
+    // TRAINED IVF — the production ANN index closing the v10→v4 gap: the
+    // Lloyd-trained codebook (not label means) partitions the corpus into
+    // inverted lists, each query probes its nprobe nearest trained cells,
+    // and the top-1 comes from a keyed cell join + map-side argmax. One
+    // wrong centroid in training, one mis-ranked probe cell, or one lost
+    // inverted-list member flips some query's neighbor.
+    "v12_ivf_trained" -> ((s, dir) =>
+      Similarity.ivfTrainedTop1(t(s, dir, "embeddings"), k = KmeansK,
+        iters = KmeansIters, nprobe = IvfNprobe, nQueries = NQueries))
   )
 
   val KmeansK = 8
   val KmeansIters = 3
+  val IvfNprobe = 2
 
   private val vSrc =
     """v AS (SELECT vec_id, label,
@@ -186,9 +197,14 @@ object Embeddings {
     * a·a + c·c − 2·a·c, ties → lower cell, 9-dp per-dim means, emptied
     * cells carrying their previous centroid.
     */
-  private def kmeansOracle(k: Int, iters: Int): String = {
-    val d2 = "round(list_dot_product(v.dv, v.dv) + list_dot_product(c.c, c.c)" +
+  private val kmD2 =
+    "round(list_dot_product(v.dv, v.dv) + list_dot_product(c.c, c.c)" +
       " - 2 * list_dot_product(v.dv, c.c), 6)"
+
+  /** The shared Lloyd-chain CTE prefix (through the trained centroids
+    * `c$iters` and the final assignment `fin`) of the v10 and v12 oracles.
+    */
+  private def kmeansStages(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     // c0 = the k LOWEST vec_ids with ORDINAL labels — the same ranked-list
     // derivation as the engine's init, so parity holds for non-contiguous
@@ -203,7 +219,7 @@ object Embeddings {
                 |  SELECT vec_id, cl FROM (
                 |    SELECT v.vec_id, c.cl,
                 |      row_number() OVER (PARTITION BY v.vec_id
-                |                         ORDER BY $d2, c.cl) AS rk
+                |                         ORDER BY $kmD2, c.cl) AS rk
                 |    FROM v CROSS JOIN c${i - 1} c)
                 |  WHERE rk = 1),
                 |m$i AS (
@@ -223,18 +239,53 @@ object Embeddings {
     }
     sb ++= s"""fin AS (
               |  SELECT vec_id, cl, d2 FROM (
-              |    SELECT v.vec_id, c.cl, $d2 AS d2,
+              |    SELECT v.vec_id, c.cl, $kmD2 AS d2,
               |      row_number() OVER (PARTITION BY v.vec_id
-              |                         ORDER BY $d2, c.cl) AS rk
+              |                         ORDER BY $kmD2, c.cl) AS rk
               |    FROM v CROSS JOIN c$iters c)
-              |  WHERE rk = 1)
-              |SELECT vec_id, CAST(cl AS INT) AS cluster, d2
-              |FROM fin""".stripMargin
+              |  WHERE rk = 1)""".stripMargin
     sb.toString
   }
 
+  private def kmeansOracle(k: Int, iters: Int): String =
+    s"""${kmeansStages(k, iters)}
+       |SELECT vec_id, CAST(cl AS INT) AS cluster, d2
+       |FROM fin""".stripMargin
+
+  /** v12 oracle: the trained centroid chain, then the IVF probe — per
+    * query the nprobe nearest cells by the same rounded distance, the
+    * probed cells' inverted-list members as candidates, exact rounded
+    * pair distance, top-1 by (d2, c_id).
+    */
+  private def ivfTrainedOracle(k: Int, iters: Int, nprobe: Int,
+      nQueries: Int): String =
+    s"""${kmeansStages(k, iters)},
+       |qc AS (
+       |  SELECT vec_id AS q_id, cl FROM (
+       |    SELECT v.vec_id, c.cl,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |                         ORDER BY $kmD2, c.cl) AS crk
+       |    FROM v CROSS JOIN c$iters c
+       |    WHERE v.vec_id < $nQueries)
+       |  WHERE crk <= $nprobe),
+       |scored AS (
+       |  SELECT qc.q_id, f.vec_id AS c_id,
+       |    round(list_dot_product(a.dv, a.dv) + list_dot_product(b.dv, b.dv)
+       |      - 2 * list_dot_product(a.dv, b.dv), 6) AS d2
+       |  FROM qc JOIN fin f USING (cl)
+       |  JOIN v a ON a.vec_id = qc.q_id
+       |  JOIN v b ON b.vec_id = f.vec_id
+       |  WHERE f.vec_id <> qc.q_id)
+       |SELECT q_id, c_id AS nn_id, d2 FROM (
+       |  SELECT q_id, c_id, d2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rk
+       |  FROM scored)
+       |WHERE rk = 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "v10_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
+    "v12_ivf_trained" ->
+      ivfTrainedOracle(KmeansK, KmeansIters, IvfNprobe, NQueries),
     "v8_pq_encode" ->
       s"""WITH $vSrc,
          |$pqD2,

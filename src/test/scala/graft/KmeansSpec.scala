@@ -66,4 +66,24 @@ class KmeansSpec extends AnyFunSuite {
       .as[(Long, Int, Double)].collect().toSet
     assert(bc == lit)
   }
+
+  test("ivfTrainedTop1 probes trained cells; nprobe bounds the search") {
+    // Two clean blobs; training k = 2 recovers them as cells. nprobe = 1
+    // searches only the query's own blob → within-blob nearest neighbor.
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 0f)),
+      (3L, Array(10f, 10f)), (4L, Array(10f, 11f)), (5L, Array(11f, 10f)))
+      .toDF("vec_id", "embedding")
+    val nn = Similarity.ivfTrainedTop1(vecs, k = 2, iters = 3,
+        nprobe = 1, nQueries = 6)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    // d2 ties inside each blob resolve to the lower candidate id.
+    assert(nn == Map(0L -> 1L, 1L -> 0L, 2L -> 0L,
+      3L -> 4L, 4L -> 3L, 5L -> 3L))
+    // nprobe = k searches everything: same result here (blobs are far).
+    val all = Similarity.ivfTrainedTop1(vecs, k = 2, iters = 3,
+        nprobe = 2, nQueries = 6)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(all == nn)
+  }
 }

@@ -27,7 +27,8 @@ class PlanAuditSpec extends AnyFunSuite {
                                // table on both assignment sides
     "d16_semdedup" -> 2,       // broadcast centroid table, both pair sides
     "v8_pq_encode" -> 1,       // one-row broadcast codebook
-    "v9_pq_adc" -> 3)          // codebook x2 (encode + tables), bounded query set
+    "v9_pq_adc" -> 3,          // codebook x2 (encode + tables), bounded query set
+    "v12_ivf_trained" -> 2)    // one-row trained codebook, invert + query sides
 
   // Queries allowed to carry an interpreted-lambda Project (HOF exprs are
   // CodegenFallback, so a per-element lambda drops its Project out of
@@ -46,6 +47,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "s5c_pt_datasource", "s5d_pt_stream", "s6_align_join",
     "v5_centroids_agg", // 10 post-aggregation rows, transform over dim
     "v8_pq_encode", "v9_pq_adc", // one-row codebook assembly (transform/flatten)
+    "v12_ivf_trained", // one-row trained-codebook assembly (transform/flatten)
     "d16_semdedup" // centroid-table assembly, 10 post-aggregation rows
   )
 
