@@ -167,6 +167,40 @@ object Bpe {
     tokenCounts(docs, textCol,
       trainBatched(docs, textCol, rounds, window, batchCap))
 
+  /** Tokenize the corpus to per-doc TOKEN STREAMS under a trained merge
+    * table — the step between vocabulary training (t13/t13b) and sequence
+    * packing (o8/o12): each doc's alphabetic words in order, tokens '|'-
+    * joined within a word, words ' '-joined. The whole doc is folded in
+    * ONE pass: non-alphabetic runs collapse to a single space, every
+    * letter is paren-encoded, and each merge's "(a)(b)" replace is
+    * word-local by construction (the pattern can't span a space) — so the
+    * per-word semantics of [[tokenCounts]] hold with zero explode, zero
+    * join, zero shuffle before the output: narrow codegen'd string ops
+    * per row, the cheapest possible corpus pass at 100 TB. Docs with no
+    * alphabetic words are dropped (matching the oracle's vocab join).
+    */
+  def tokenStreams(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val cleaned = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
+    val enc = merges.foldLeft(regexp_replace(cleaned, "([a-z])", "($1)")) {
+      case (c, (a, b)) => applyMerge(c, a, b)
+    }
+    def rep(c: Column, from: String, to: String): Column =
+      call_function("replace", c, lit(from), lit(to))
+    docs.select(col("doc_id"),
+        size(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+          .cast("int").as("n_words"),
+        tokenCount(enc).as("n_bpe"),
+        rep(rep(rep(enc, ")(", "|"), "(", ""), ")", "").as("tok_str"))
+      .filter(col("n_words") > 0)
+  }
+
+  /** Batched-train-then-stream (the t14 gate shape). */
+  def trainStreamBatched(docs: DataFrame, textCol: String, rounds: Int,
+      window: Int, batchCap: Int): DataFrame =
+    tokenStreams(docs, textCol,
+      trainBatched(docs, textCol, rounds, window, batchCap))
+
   /** DuckDB oracle replicating [[train]] + [[tokenCounts]] exactly: M
     * chained (materialized) CTE stages, each doing the same pair-count →
     * deterministic argmax → literal replace. Generated, not hand-written,
@@ -206,43 +240,79 @@ object Bpe {
   def oracleSqlBatched(rounds: Int, window: Int, batchCap: Int): String = {
     val sb = new StringBuilder
     sb ++= prefixStages(recursive = true)
-    for (i <- 1 to rounds) {
-      val nested = (1 to batchCap).foldLeft("enc") { (acc, j) =>
-        s"replace($acc, (SELECT coalesce('(' || a || ')(' || b || ')', '(~)') FROM b$i WHERE k = $j), " +
-          s"(SELECT coalesce('(' || a || b || ')', '(~)') FROM b$i WHERE k = $j))"
-      }
-      val fits = s"len(g.sel) < $batchCap AND NOT list_contains(g.used, r.a)" +
-        " AND NOT list_contains(g.used, r.b)"
-      sb ++= s"""p$i AS (
-                |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(n) AS cnt FROM (
-                |    SELECT regexp_extract_all(enc, '\\(([a-z]+)\\)', 1) AS syms, n,
-                |      unnest(range(1, greatest(len(regexp_extract_all(enc, '\\(([a-z]+)\\)', 1)), 1))) AS i
-                |    FROM e${i - 1})
-                |  GROUP BY 1, 2),
-                |r$i AS (SELECT a, b, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
-                |  FROM p$i ORDER BY cnt DESC, a, b LIMIT $window),
-                |g$i(rn, used, sel) AS (
-                |  SELECT CAST(0 AS BIGINT), CAST([] AS VARCHAR[]),
-                |    CAST([] AS STRUCT(a VARCHAR, b VARCHAR)[])
-                |  UNION ALL
-                |  SELECT r.rn,
-                |    CASE WHEN $fits
-                |      THEN list_append(list_append(g.used, r.a), r.b) ELSE g.used END,
-                |    CASE WHEN $fits
-                |      THEN list_append(g.sel, struct_pack(a := r.a, b := r.b)) ELSE g.sel END
-                |  FROM g$i g JOIN r$i r ON r.rn = g.rn + 1),
-                |f$i AS (SELECT sel FROM g$i ORDER BY rn DESC LIMIT 1),
-                |t$i AS (SELECT f.sel[g.k].a AS a, f.sel[g.k].b AS b, g.k AS k
-                |  FROM f$i f, (SELECT unnest(range(1, ${batchCap + 1})) AS k) g
-                |  WHERE g.k <= len(f.sel)),
-                |b$i AS (SELECT g.k, t.a, t.b
-                |  FROM (SELECT unnest(range(1, ${batchCap + 1})) AS k) g
-                |  LEFT JOIN t$i t USING (k)),
-                |e$i AS MATERIALIZED (
-                |  SELECT $nested AS enc, n FROM e${i - 1}),
-                |""".stripMargin
-    }
+    for (i <- 1 to rounds) sb ++= batchedStage(i, window, batchCap)
     sb ++= finalStages(rounds)
+    sb.toString
+  }
+
+  /** One batched-training round of [[oracleSqlBatched]]/[[oracleSqlStreams]]:
+    * pair counts of e${i-1}, the ranked window, the single-row recursive
+    * greedy selection, fixed-slot padding, and the nested-replace rewrite
+    * into e$i.
+    */
+  private def batchedStage(i: Int, window: Int, batchCap: Int): String = {
+    val nested = (1 to batchCap).foldLeft("enc") { (acc, j) =>
+      s"replace($acc, (SELECT coalesce('(' || a || ')(' || b || ')', '(~)') FROM b$i WHERE k = $j), " +
+        s"(SELECT coalesce('(' || a || b || ')', '(~)') FROM b$i WHERE k = $j))"
+    }
+    val fits = s"len(g.sel) < $batchCap AND NOT list_contains(g.used, r.a)" +
+      " AND NOT list_contains(g.used, r.b)"
+    s"""p$i AS (
+       |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(n) AS cnt FROM (
+       |    SELECT regexp_extract_all(enc, '\\(([a-z]+)\\)', 1) AS syms, n,
+       |      unnest(range(1, greatest(len(regexp_extract_all(enc, '\\(([a-z]+)\\)', 1)), 1))) AS i
+       |    FROM e${i - 1})
+       |  GROUP BY 1, 2),
+       |r$i AS (SELECT a, b, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+       |  FROM p$i ORDER BY cnt DESC, a, b LIMIT $window),
+       |g$i(rn, used, sel) AS (
+       |  SELECT CAST(0 AS BIGINT), CAST([] AS VARCHAR[]),
+       |    CAST([] AS STRUCT(a VARCHAR, b VARCHAR)[])
+       |  UNION ALL
+       |  SELECT r.rn,
+       |    CASE WHEN $fits
+       |      THEN list_append(list_append(g.used, r.a), r.b) ELSE g.used END,
+       |    CASE WHEN $fits
+       |      THEN list_append(g.sel, struct_pack(a := r.a, b := r.b)) ELSE g.sel END
+       |  FROM g$i g JOIN r$i r ON r.rn = g.rn + 1),
+       |f$i AS (SELECT sel FROM g$i ORDER BY rn DESC LIMIT 1),
+       |t$i AS (SELECT f.sel[g.k].a AS a, f.sel[g.k].b AS b, g.k AS k
+       |  FROM f$i f, (SELECT unnest(range(1, ${batchCap + 1})) AS k) g
+       |  WHERE g.k <= len(f.sel)),
+       |b$i AS (SELECT g.k, t.a, t.b
+       |  FROM (SELECT unnest(range(1, ${batchCap + 1})) AS k) g
+       |  LEFT JOIN t$i t USING (k)),
+       |e$i AS MATERIALIZED (
+       |  SELECT $nested AS enc, n FROM e${i - 1}),
+       |""".stripMargin
+  }
+
+  /** DuckDB oracle replicating [[trainBatched]] + [[tokenStreams]]: the
+    * batched round stages, then the PRODUCTION-variant application — each
+    * distinct vocab word's final encoding mapped to its token string once,
+    * joined back to the corpus word occurrences, re-assembled in document
+    * order. Equivalent to the engine's one-pass doc-level fold because
+    * merges are word-local on both sides.
+    */
+  def oracleSqlStreams(rounds: Int, window: Int, batchCap: Int): String = {
+    val sb = new StringBuilder
+    sb ++= prefixStages(recursive = true)
+    for (i <- 1 to rounds) sb ++= batchedStage(i, window, batchCap)
+    sb ++= s"""tc AS (
+              |  SELECT replace(replace(enc, '(', ''), ')', '') AS w,
+              |    CAST(len(enc) - len(replace(enc, '(', '')) AS INT) AS toks,
+              |    replace(replace(replace(enc, ')(', '|'), '(', ''), ')', '') AS tw
+              |  FROM e$rounds),
+              |wp AS (
+              |  SELECT doc_id, lst[i] AS w, i AS pos FROM (
+              |    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS lst,
+              |      unnest(range(1, len(regexp_extract_all(lower(text), '[a-z]+', 0)) + 1)) AS i
+              |    FROM documents))
+              |SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+              |  CAST(sum(toks) AS INT) AS n_bpe,
+              |  string_agg(tw, ' ' ORDER BY pos) AS tok_str
+              |FROM wp JOIN tc USING (w)
+              |GROUP BY doc_id""".stripMargin
     sb.toString
   }
 

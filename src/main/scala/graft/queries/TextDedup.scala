@@ -51,6 +51,17 @@ object TextDedup {
       graft.ops.Bpe.trainApplyBatched(docs(s, dir), "text",
         rounds = 8, window = 48, batchCap = 16)),
 
+    // Tokenize-to-STREAM under a batch-trained vocab — the missing middle
+    // of the tokenizer story (t13/t13b count tokens; o8/o12 pack already-
+    // tokenized sequences): per doc, the ordered token stream itself,
+    // produced by ONE codegen'd doc-level merge fold (zero explode/join/
+    // shuffle before the output — merges are word-local so the per-word
+    // semantics hold). Hash-gating tok_str pins every token boundary of
+    // every document, not just the counts.
+    "t14_bpe_stream" -> ((s, dir) =>
+      graft.ops.Bpe.trainStreamBatched(docs(s, dir), "text",
+        rounds = 4, window = 32, batchCap = 12)),
+
     // Gopher-style repetition filter: duplicate-token fraction and
     // top-token dominance per doc, plus the drop verdict at the published
     // operating point — all zero-shuffle array arithmetic.
@@ -666,6 +677,8 @@ object TextDedup {
     "t13_bpe_train" -> graft.ops.Bpe.oracleSql(nMerges = 8),
     "t13b_bpe_batched" -> graft.ops.Bpe.oracleSqlBatched(
       rounds = 8, window = 48, batchCap = 16),
+    "t14_bpe_stream" -> graft.ops.Bpe.oracleSqlStreams(
+      rounds = 4, window = 32, batchCap = 12),
     "t9_gopher_repetition" ->
       s"""WITH $toksSrc,
          |m AS (

@@ -53,6 +53,28 @@ class BpeSpec extends AnyFunSuite {
     assert(merges == Seq(("a", "b"), ("b", "c")))
   }
 
+  test("tokenStreams emits ordered per-doc token strings") {
+    // Merges (a,b) then (ab,c): "abc abx" -> "abc|abx"... verify exact
+    // boundaries: "abc" -> (ab)(c) -> (abc) one token; "abx" -> (ab)(x)
+    // two tokens; punctuation collapses to a word break.
+    val docs = Seq((1L, "Abc, abx!"), (2L, "zq"), (3L, "123 ...")).toDF("doc_id", "text")
+    val out = Bpe.tokenStreams(docs, "text", Seq(("a", "b"), ("ab", "c")))
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2, 3, "abc ab|x")))
+    assert(out(2L) == ((2L, 1, 2, "z|q")))
+    assert(!out.contains(3L)) // no alphabetic words -> dropped
+  }
+
+  test("tokenStreams doc-level fold equals per-word tokenCounts") {
+    val docs = Seq((1L, "the cat and the hat"), (2L, "band bandana ban")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", merges = 6)
+    val streams = Bpe.tokenStreams(docs, "text", merges)
+      .select("doc_id", "n_words", "n_bpe").as[(Long, Int, Int)].collect().toSet
+    val counts = Bpe.tokenCounts(docs, "text", merges)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(streams == counts)
+  }
+
   test("trainBatched with batchCap=1 reduces to sequential train") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aab")).toDF("doc_id", "text")
     val seq = Bpe.train(docs, "text", merges = 3)
