@@ -39,8 +39,10 @@ object ScaleProbe {
     }
     val names = if (args.nonEmpty) args.toSeq
       else Seq("d2_minhash_lsh", "d8_dup_clusters", "d19_keep_longest",
-        "c1_clean_corpus", "c2_cut_spans", "t13_bpe_train",
-        "d20_incremental_dedup", "d21_store_append")
+        "c1_clean_corpus", "c2_cut_spans", "c4_cut_long_spans",
+        "t13_bpe_train", "t13b_bpe_batched", "t14_bpe_stream",
+        "d20_incremental_dedup", "d21_store_append",
+        "e10_multibatch_lifecycle")
     for (name <- names; (label, dir) <- Seq("sf0.1" -> base, "sf1" -> big)) {
       val fn = SparkEntry.queries(name)
       // one warmup (codegen/JIT), then min of two timed passes

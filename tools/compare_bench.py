@@ -28,10 +28,16 @@ def main(sf_dir, oracle_path, bench_path, md_path=None):
     for name, sql in sorted(oracle.items()):
         times = []
         try:
+            # Median of 3 for fast oracles; a single run once the first
+            # pass shows the query is heavy (>2 s) — at that size run-to-run
+            # variance is small relative to the time and 3x runs would make
+            # the full sweep take tens of minutes (c2/c4-class rewrites).
             for _ in range(3):
                 t0 = time.time()
                 con.sql(sql).fetchall()
                 times.append(time.time() - t0)
+                if times[0] > 2.0:
+                    break
             duck = statistics.median(times)
         except Exception as e:
             duck = None
