@@ -111,7 +111,17 @@ object Embeddings {
     // inverted-list member flips some query's neighbor.
     "v12_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTrainedTop1(t(s, dir, "embeddings"), k = KmeansK,
-        iters = KmeansIters, nprobe = IvfNprobe, nQueries = NQueries))
+        iters = KmeansIters, nprobe = IvfNprobe, nQueries = NQueries)),
+
+    // IVF-PQ — the complete trained index (FAISS IVFPQ shape): trained
+    // coarse cells bound the candidate set (keyed cell join), PQ codes
+    // bound the per-candidate cost (m lookups, raw vectors never rejoin
+    // after the one-pass build). v9's ADC is query×corpus; this is
+    // query×(nprobe cells) — the actual production search shape.
+    "v13_ivf_pq" -> ((s, dir) =>
+      Similarity.ivfPqTop1(t(s, dir, "embeddings"), k = KmeansK,
+        iters = KmeansIters, m = PqM, nprobe = IvfNprobe,
+        nQueries = NQueries))
   )
 
   val KmeansK = 8
@@ -252,6 +262,54 @@ object Embeddings {
        |SELECT vec_id, CAST(cl AS INT) AS cluster, d2
        |FROM fin""".stripMargin
 
+  /** v13 oracle: the trained centroid chain, then the PQ leg against the
+    * TRAINED centroids (cent2 = c$iters with ordinal cells — the same
+    * sub-distance arithmetic as pqD2, codes = per-(vec, s) argmin), the
+    * nprobe cell ranking, and ADC scoring of the probed cells' members
+    * through their codes only (v9's ordered-list_sum contract).
+    */
+  private def ivfPqOracle(k: Int, iters: Int, m: Int, nprobe: Int,
+      nQueries: Int): String = {
+    val sub = 64 / m
+    s"""${kmeansStages(k, iters)},
+       |cent2 AS (SELECT cl AS cell, c AS cv FROM c$iters),
+       |subs AS (SELECT unnest(range($m)) AS s),
+       |pd2 AS (
+       |  SELECT v.vec_id, c.cell, s.s,
+       |    round(list_dot_product(v.dv[s.s*$sub+1:(s.s+1)*$sub], v.dv[s.s*$sub+1:(s.s+1)*$sub])
+       |        + list_dot_product(c.cv[s.s*$sub+1:(s.s+1)*$sub], c.cv[s.s*$sub+1:(s.s+1)*$sub])
+       |        - 2 * list_dot_product(v.dv[s.s*$sub+1:(s.s+1)*$sub], c.cv[s.s*$sub+1:(s.s+1)*$sub]), 6) AS d2
+       |  FROM v CROSS JOIN cent2 c CROSS JOIN subs s),
+       |codes AS (
+       |  SELECT vec_id, s, cell AS code FROM (
+       |    SELECT vec_id, s, cell,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cell) AS rk
+       |    FROM pd2)
+       |  WHERE rk = 1),
+       |qd AS (SELECT vec_id AS q_id, cell, s, d2 FROM pd2 WHERE vec_id < $nQueries),
+       |qc AS (
+       |  SELECT vec_id AS q_id, cl FROM (
+       |    SELECT v.vec_id, c.cl,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |                         ORDER BY $kmD2, c.cl) AS crk
+       |    FROM v CROSS JOIN c$iters c
+       |    WHERE v.vec_id < $nQueries)
+       |  WHERE crk <= $nprobe),
+       |pairs AS (
+       |  SELECT qc.q_id, f.vec_id AS c_id,
+       |    round(list_sum(list(q.d2 ORDER BY q.s)), 6) AS adist
+       |  FROM qc JOIN fin f USING (cl)
+       |  JOIN codes c ON c.vec_id = f.vec_id
+       |  JOIN qd q ON q.q_id = qc.q_id AND q.cell = c.code AND q.s = c.s
+       |  WHERE f.vec_id <> qc.q_id
+       |  GROUP BY qc.q_id, f.vec_id)
+       |SELECT q_id, c_id AS nn_id, adist FROM (
+       |  SELECT q_id, c_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rk
+       |  FROM pairs)
+       |WHERE rk = 1""".stripMargin
+  }
+
   /** v12 oracle: the trained centroid chain, then the IVF probe — per
     * query the nprobe nearest cells by the same rounded distance, the
     * probed cells' inverted-list members as candidates, exact rounded
@@ -286,6 +344,8 @@ object Embeddings {
     "v10_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
     "v12_ivf_trained" ->
       ivfTrainedOracle(KmeansK, KmeansIters, IvfNprobe, NQueries),
+    "v13_ivf_pq" ->
+      ivfPqOracle(KmeansK, KmeansIters, PqM, IvfNprobe, NQueries),
     "v8_pq_encode" ->
       s"""WITH $vSrc,
          |$pqD2,

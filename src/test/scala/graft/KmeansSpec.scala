@@ -86,4 +86,21 @@ class KmeansSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
     assert(all == nn)
   }
+
+  test("ivfPqTop1 candidates respect the probed trained cells") {
+    // Same two blobs, m = 2 subspaces over dim 2. nprobe = 1 bounds the
+    // candidate set to the query's own trained cell, so every approximate
+    // neighbor must come from the query's blob — the structural IVF-PQ
+    // guarantee (code-level exactness is the v13 oracle's job).
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 0f)),
+      (3L, Array(10f, 10f)), (4L, Array(10f, 11f)), (5L, Array(11f, 10f)))
+      .toDF("vec_id", "embedding")
+    val nn = Similarity.ivfPqTop1(vecs, k = 2, iters = 3, m = 2,
+        nprobe = 1, nQueries = 6)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(nn.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    val blob = (id: Long) => id < 3
+    nn.foreach { case (q, c) => assert(blob(q) == blob(c), s"$q -> $c") }
+  }
 }

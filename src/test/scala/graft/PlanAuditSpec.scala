@@ -28,7 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "d16_semdedup" -> 2,       // broadcast centroid table, both pair sides
     "v8_pq_encode" -> 1,       // one-row broadcast codebook
     "v9_pq_adc" -> 3,          // codebook x2 (encode + tables), bounded query set
-    "v12_ivf_trained" -> 2)    // one-row trained codebook, invert + query sides
+    "v12_ivf_trained" -> 2,    // one-row trained codebook, invert + query sides
+    "v13_ivf_pq" -> 2)         // one-row trained codebook, build + query sides
 
   // Queries allowed to carry an interpreted-lambda Project (HOF exprs are
   // CodegenFallback, so a per-element lambda drops its Project out of
@@ -48,6 +49,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "v5_centroids_agg", // 10 post-aggregation rows, transform over dim
     "v8_pq_encode", "v9_pq_adc", // one-row codebook assembly (transform/flatten)
     "v12_ivf_trained", // one-row trained-codebook assembly (transform/flatten)
+    "v13_ivf_pq", // one-row trained-codebook assembly (transform/flatten)
     "d16_semdedup" // centroid-table assembly, 10 post-aggregation rows
   )
 
