@@ -63,6 +63,35 @@ object Split {
       .drop("_part", "_prn", "_offset")
   }
 
+  /** Global running SUM of `valCol` in ascending (orderCol, tieBreak)
+    * order, without a single-partition window — [[globalRowNumber]]'s
+    * range-partition + per-partition-offset machinery with the offsets
+    * carrying partial SUMS instead of counts. Adds `cum` = Σ valCol over
+    * every row at or before this one in the global order. The offsets
+    * aggregate is O(#partitions); every other stage is parallel — the
+    * scalable form of `sum() OVER (ORDER BY ...)`, which Spark would
+    * otherwise execute as a one-task global window.
+    */
+  def globalCumSum(df: DataFrame, valCol: String, orderCol: String,
+      tieBreak: String, numParts: Int = -1): DataFrame = {
+    val parts = if (numParts > 0) numParts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, col(orderCol), col(tieBreak))
+      .withColumn("_part", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("_part").orderBy(col(orderCol), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val summed = ranged.withColumn("_psum", sum(col(valCol)).over(w))
+    val offsets = ranged.groupBy("_part").agg(sum(col(valCol)).as("_ptot"))
+      .withColumn("_offset",
+        coalesce(sum(col("_ptot")).over(
+          Window.orderBy("_part").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_part", "_offset")
+    summed.join(broadcast(offsets), "_part")
+      .withColumn("cum", col("_offset") + col("_psum"))
+      .drop("_part", "_psum", "_offset")
+  }
+
   /** Deterministic seeded global permutation — the training-order shuffle
     * every epoch of a data pipeline needs, reproducible across engines,
     * partitionings, and reruns (unlike `rand(seed)`, whose draw depends on

@@ -309,6 +309,25 @@ object TextDedup {
     // (n_tokens desc, doc_id) order, bin = floor(preceding-total /
     // budget) — next-fit by cumulative sum, the standard distributed
     // approximation of training-batch packing.
+    // Token-budget curation — the corpus-construction endgame: keep the
+    // BEST documents (quality desc, ties → doc_id) until a global token
+    // budget is spent. The global quality-ordered cumulative sum runs on
+    // Split.globalCumSum (range-partition + per-partition offsets — the
+    // scalable form of `sum() OVER (ORDER BY ...)`, which would otherwise
+    // be a one-task window over the corpus). Budget 15000 cuts a real
+    // prefix at every SF.
+    "o13_token_budget" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val d = docs(s, dir).select(col("doc_id"),
+          size(ws).cast("int").as("n_tokens"),
+          round(TextOps.qualityScore(ws), 6).as("quality"))
+        .withColumn("_ord", -col("quality"))
+      graft.ops.Split.globalCumSum(d, "n_tokens", "_ord", "doc_id")
+        .filter(col("cum") <= 15000)
+        .select(col("doc_id"), col("n_tokens"), col("quality"),
+          col("cum").cast("long").as("cum_tokens"))
+    }),
+
     "o8_pack_sequences" -> ((s, dir) => {
       val budget = 512
       val d = docs(s, dir).select(col("doc_id"), col("source"),
@@ -1166,6 +1185,19 @@ object TextDedup {
          |SELECT doc_id, count(*) AS n_shared
          |FROM tr JOIN ev USING (h)
          |GROUP BY doc_id HAVING count(*) >= 3""".stripMargin,
+    "o13_token_budget" ->
+      s"""WITH $toksSrc,
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS DOUBLE) / len(ws) AS stop_ratio,
+         |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS awl,
+         |  len(ws) AS n FROM toks),
+         |q AS (SELECT doc_id, CAST(n AS INT) AS n_tokens,
+         |  round(0.5 * stop_ratio + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0)
+         |        + 0.2 * (awl / 10.0), 6) AS quality FROM m),
+         |c AS (SELECT doc_id, n_tokens, quality,
+         |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum FROM q)
+         |SELECT doc_id, n_tokens, quality, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum <= 15000""".stripMargin,
     "o8_pack_sequences" ->
       s"""WITH $toksSrc,
          |d AS (

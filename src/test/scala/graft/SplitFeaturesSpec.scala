@@ -31,6 +31,21 @@ class SplitFeaturesSpec extends AnyFunSuite {
     assert(run(2) == run(13))
   }
 
+  test("globalCumSum equals the one-task global window at any partitioning") {
+    // val = k % 7 + 1, ordered by (ord = k * 37 % 101, k): cum must match
+    // a sequential prefix sum over the sorted rows, independent of both
+    // input layout and range-partition count.
+    val rows = (1 to 300).map(k => (k.toLong, (k * 37 % 101).toLong, k % 7 + 1L))
+    val expected = rows.sortBy(r => (r._2, r._1))
+      .scanLeft((0L, 0L))((acc, r) => (r._1, acc._2 + r._3)).tail.toMap
+    for (parts <- Seq(3, 16)) {
+      val df = rows.toDF("k", "ord", "v").repartition(parts)
+      val got = Split.globalCumSum(df, "v", "ord", "k")
+        .select("k", "cum").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
   test("globalRowNumber derives its partition count from the session conf") {
     val df = (1 to 500).map(_.toLong).toDF("k")
       .withColumn("_shuf", Split.shuffleKey($"k", 7L))
