@@ -465,6 +465,41 @@ object TextDedup {
           sum("band_key").as("sum_keys"))
     }),
 
+    // The d21 maintenance leg as a STREAM — continuous store upkeep: the
+    // delta arrives as a stream and each micro-batch's LSH bucket rows
+    // are folded into the bucketed store through foreachBatch, where the
+    // micro-batch is a BATCH frame (the full shingle→minhash→bucket chain
+    // plus the bucket-hash-aligned append run unchanged per batch). Gate:
+    // the post-stream rollup must hash-equal a full-corpus rebuild (d21's
+    // oracle) — no row lost, duplicated, or mis-bucketed by the streaming
+    // path either.
+    "e11_stream_append" -> ((s, dir) => {
+      val db = "graft_sigstore_e11"
+      buildSigStore(s, dir, db)
+      val delta = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") < 50)
+      graft.streaming.StreamingWindows.runForeachBatch(delta, "e11") {
+        (batch, _) =>
+          graft.ops.Bucketing.appendBucketed(
+            Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(batch))),
+            s"$db.sig_bkt", nBuckets = 8, keys = Seq("band", "band_key"))
+      }
+      // foreachBatch appends run in Spark's CLONED micro-batch session;
+      // the writer invalidates ITS file-listing cache, not this reader's —
+      // without the refresh this session silently reads the pre-append
+      // listing (observed: rollup missing every appended row). At 100 TB
+      // a metastore/table format (Hive/Iceberg/Delta) carries this
+      // invalidation; for a raw parquet bucketed table it is explicit.
+      s.catalog.refreshTable(s"$db.sig_bkt")
+      s.table(s"$db.sig_bkt")
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("doc_id").as("n_docs"),
+          sum("band_key").as("sum_keys"))
+    }),
+
     // The FULL multi-batch lifecycle — e9/d20/d21 each gate one leg; this
     // gates the loop closing: ingest batch 1 (doc_id in [100,200)) probes
     // the standing store (doc_id >= 200), its bucket rows are d21-appended
@@ -662,6 +697,17 @@ object TextDedup {
 
   private val minhashChain =
     s"$toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $pairsSrc"
+
+  /** Shared d21/e11 oracle: the full-corpus band rollup the post-append
+    * store must hash-equal.
+    */
+  private val storeRollupOracle =
+    s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc
+       |SELECT band, count(*) AS n_rows,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  CAST(sum(band_key) AS BIGINT) AS sum_keys
+       |FROM buckets
+       |GROUP BY 1""".stripMargin
 
   /** Shared d20/e9 oracle: cross-boundary band collisions (batch and
     * streaming must produce the identical rollup).
@@ -946,13 +992,10 @@ object TextDedup {
          |WHERE (a.doc_id >= 100 AND a.doc_id < 200 AND b.doc_id >= 200)
          |   OR (a.doc_id < 100 AND b.doc_id >= 100)
          |GROUP BY 1, 2""".stripMargin,
-    "d21_store_append" ->
-      s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc
-         |SELECT band, count(*) AS n_rows,
-         |  count(DISTINCT doc_id) AS n_docs,
-         |  CAST(sum(band_key) AS BIGINT) AS sum_keys
-         |FROM buckets
-         |GROUP BY 1""".stripMargin,
+    "d21_store_append" -> storeRollupOracle,
+    // Batch append and streaming append must leave the store in the SAME
+    // state as a full rebuild.
+    "e11_stream_append" -> storeRollupOracle,
     "d8_dup_clusters" ->
       s"""WITH RECURSIVE $minhashChain,
          |edges AS (

@@ -112,4 +112,29 @@ object StreamingWindows {
     rm(ckDir)
     df.sparkSession.table(name)
   }
+
+  /** Drive a streaming frame to completion through `foreachBatch` — the
+    * maintenance-sink path: each micro-batch arrives as a BATCH DataFrame
+    * with the full batch API available (aggregations, bucketed-table
+    * appends, arbitrary writers). Same throwaway-checkpoint hygiene as
+    * [[runToMemory]]; a production stream points checkpointLocation at
+    * durable storage (deployment config, not semantics).
+    */
+  def runForeachBatch(df: DataFrame, name: String)
+      (f: (DataFrame, Long) => Unit): Unit = {
+    val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
+    val ckDir = new java.io.File(
+      s"$ckRoot/graft-ck-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+    val q: StreamingQuery = df.writeStream
+      .foreachBatch(f)
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def rm(g: java.io.File): Unit = {
+      Option(g.listFiles()).foreach(_.foreach(rm)); g.delete(); ()
+    }
+    rm(ckDir)
+  }
 }
