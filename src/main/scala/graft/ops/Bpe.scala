@@ -95,10 +95,14 @@ object Bpe {
     * count does). Standard distributed-BPE batching: per round, take the
     * top-`window` pairs by (count desc, a, b) and apply, in rank order,
     * every pair that shares NO symbol with ANY higher-ranked pair in the
-    * window (capped at `batchCap`). Symbol-disjoint merges commute — one
-    * replace can neither create nor destroy another's "(a)(b)" pattern —
-    * so the batch is order-insensitive in effect while the pinned rank
-    * order keeps the merge LIST deterministic and oracle-replicable.
+    * window (capped at `batchCap`). Symbol-disjointness makes same-round
+    * interference rare, but is not a strict commutativity proof: a kept
+    * pair whose MERGED symbol equals another kept pair's operand (e.g.
+    * ('a','b') and ('ab','x') in one batch) can interact, with the earlier
+    * replace feeding the later one. The batch is therefore applied in the
+    * pinned rank order, which keeps both the merge LIST and the rewrite
+    * deterministic and oracle-replicable (the oracle replays the identical
+    * replaces in the identical order).
     *
     * Selection is greedy first-fit over the ranked window (the standard
     * batched-BPE rule): scan ranks in order, keep a pair iff neither of
@@ -137,15 +141,51 @@ object Bpe {
     out.toSeq
   }
 
+  /** Each DISTINCT alphabetic word of the corpus, encoded ONCE under the
+    * merge table: (w, toks, tw) where toks is the BPE token count and tw
+    * the '|'-joined token string. This is the production application
+    * shape — the M-replace fold runs over the distinct VOCABULARY, not
+    * over every word occurrence, so application cost is O(vocab × M)
+    * + one keyed join back to the corpus instead of O(corpus × M)
+    * per-row replaces (the difference between minutes and days at
+    * M = 32k on 100 TB).
+    */
+  private def encodedVocab(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc = merges.foldLeft(charEncode(col("w"))) {
+      case (c, (a, b)) => applyMerge(c, a, b)
+    }
+    def rep(c: Column, from: String, to: String): Column =
+      call_function("replace", c, lit(from), lit(to))
+    words.select(col("w")).distinct()
+      .select(col("w"), tokenCount(enc).as("toks"),
+        rep(rep(rep(enc, ")(", "|"), "(", ""), ")", "").as("tw"))
+  }
+
   /** Re-tokenize the corpus under a trained merge table: per doc, the
-    * alphabetic word count and the total BPE token count. The merge fold is
-    * per-row narrow arithmetic (codegen'd string replaces) — zero shuffle
-    * before the final per-doc aggregate. (A production variant would join
-    * words against the pre-encoded vocab instead of re-folding per
-    * occurrence; the fold keeps the query self-contained and is the same
-    * O(corpus × M) work the join's build side pays.)
+    * alphabetic word count and the total BPE token count. PRODUCTION
+    * PATH: encode each distinct vocab word once ([[encodedVocab]]), then
+    * hash-join the (small) encoded vocab back to word occurrences and
+    * aggregate per doc — two corpus passes, no per-occurrence merge fold.
+    * AQE broadcasts the vocab side when it fits; otherwise the join keys
+    * on the word, the natural co-location. Matches the oracle's
+    * `wd JOIN tc USING (w) GROUP BY doc_id` shape exactly.
     */
   def tokenCounts(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wp = wordsOf(docs, textCol)
+    wp.join(encodedVocab(wp, merges), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_words"),
+        sum("toks").cast("int").as("n_bpe"))
+  }
+
+  /** The superseded per-occurrence application: folds all M replaces over
+    * every word occurrence — O(corpus × M) narrow work, zero pre-agg
+    * shuffle. Kept as the semantics witness for [[tokenCounts]] (BpeSpec
+    * proves parity); do not use at production vocab sizes.
+    */
+  def tokenCountsFold(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val enc = merges.foldLeft(charEncode(col("w"))) {
       case (c, (a, b)) => applyMerge(c, a, b)
@@ -170,16 +210,38 @@ object Bpe {
   /** Tokenize the corpus to per-doc TOKEN STREAMS under a trained merge
     * table — the step between vocabulary training (t13/t13b) and sequence
     * packing (o8/o12): each doc's alphabetic words in order, tokens '|'-
-    * joined within a word, words ' '-joined. The whole doc is folded in
-    * ONE pass: non-alphabetic runs collapse to a single space, every
-    * letter is paren-encoded, and each merge's "(a)(b)" replace is
-    * word-local by construction (the pattern can't span a space) — so the
-    * per-word semantics of [[tokenCounts]] hold with zero explode, zero
-    * join, zero shuffle before the output: narrow codegen'd string ops
-    * per row, the cheapest possible corpus pass at 100 TB. Docs with no
-    * alphabetic words are dropped (matching the oracle's vocab join).
+    * joined within a word, words ' '-joined. PRODUCTION PATH (the shape
+    * the oracle uses): encode each DISTINCT vocab word once
+    * ([[encodedVocab]] — O(vocab × M), not O(corpus × M)), hash-join back
+    * to positional word occurrences, and reassemble each doc in order
+    * with a sorted collect. The reassembly groupBy keys on doc_id — the
+    * same key the downstream packers (o8/o12) consume, so the shuffle is
+    * reused, and per-doc state is bounded by doc length. Docs with no
+    * alphabetic words are dropped (inner vocab join).
     */
   def tokenStreams(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wp = docs.select(col("doc_id"),
+      posexplode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+        .as(Seq("pos", "w")))
+    wp.join(encodedVocab(wp, merges), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_words"),
+        sum("toks").cast("int").as("n_bpe"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tw")))),
+          x => x.getField("tw")), " ").as("tok_str"))
+  }
+
+  /** The superseded one-pass doc-level fold: the whole doc cleaned to
+    * space-separated words, every letter paren-encoded, all M merge
+    * replaces folded per ROW — zero explode/join/shuffle before the
+    * output but O(corpus × M) work. Merges are word-local (the "(a)(b)"
+    * pattern can't span the space between words), so this provably
+    * equals the join path ([[tokenStreams]]); BpeSpec gates the parity.
+    * Kept as the semantics witness; do not use at production vocab sizes.
+    */
+  def tokenStreamsFold(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val cleaned = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
     val enc = merges.foldLeft(regexp_replace(cleaned, "([a-z])", "($1)")) {

@@ -54,13 +54,24 @@ object TextDedup {
     // Tokenize-to-STREAM under a batch-trained vocab — the missing middle
     // of the tokenizer story (t13/t13b count tokens; o8/o12 pack already-
     // tokenized sequences): per doc, the ordered token stream itself,
-    // produced by ONE codegen'd doc-level merge fold (zero explode/join/
-    // shuffle before the output — merges are word-local so the per-word
-    // semantics hold). Hash-gating tok_str pins every token boundary of
-    // every document, not just the counts.
+    // via the PRODUCTION application path — each distinct vocab word
+    // encoded once (O(vocab × M) replaces), hash-joined back to
+    // positional occurrences, reassembled in doc order. Hash-gating
+    // tok_str pins every token boundary of every document, not just the
+    // counts.
     "t14_bpe_stream" -> ((s, dir) =>
       graft.ops.Bpe.trainStreamBatched(docs(s, dir), "text",
         rounds = 4, window = 32, batchCap = 12)),
+
+    // The same stream application at PRODUCTION merge count — 8 batched
+    // rounds learn 80+ merges (≥64; t14 stops at ~40), so this gate is
+    // what makes the vocab-join application the load-bearing path: at
+    // this M the per-occurrence fold is already visibly quadratic while
+    // the join path's vocab-side fold cost is unchanged per word. Same
+    // full tok_str hash gate.
+    "t14b_bpe_stream_prod" -> ((s, dir) =>
+      graft.ops.Bpe.trainStreamBatched(docs(s, dir), "text",
+        rounds = 8, window = 48, batchCap = 16)),
 
     // Gopher-style repetition filter: duplicate-token fraction and
     // top-token dominance per doc, plus the drop verdict at the published
@@ -744,6 +755,8 @@ object TextDedup {
       rounds = 8, window = 48, batchCap = 16),
     "t14_bpe_stream" -> graft.ops.Bpe.oracleSqlStreams(
       rounds = 4, window = 32, batchCap = 12),
+    "t14b_bpe_stream_prod" -> graft.ops.Bpe.oracleSqlStreams(
+      rounds = 8, window = 48, batchCap = 16),
     "t9_gopher_repetition" ->
       s"""WITH $toksSrc,
          |m AS (

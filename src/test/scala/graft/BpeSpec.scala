@@ -75,6 +75,30 @@ class BpeSpec extends AnyFunSuite {
     assert(streams == counts)
   }
 
+  test("vocab-join tokenCounts equals the per-occurrence fold path") {
+    val docs = Seq((1L, "the cat and the hat sat"),
+      (2L, "band bandana ban banana"), (3L, "Mixed CASE, with 123 digits!"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", merges = 8)
+    val join = Bpe.tokenCounts(docs, "text", merges)
+      .as[(Long, Int, Int)].collect().toSet
+    val fold = Bpe.tokenCountsFold(docs, "text", merges)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(join == fold)
+  }
+
+  test("vocab-join tokenStreams equals the doc-level fold path exactly") {
+    val docs = Seq((1L, "the cat and the hat sat on a mat"),
+      (2L, "band bandana ban banana"), (3L, "... 42 ..."),
+      (4L, "Repeat repeat REPEAT")).toDF("doc_id", "text")
+    val merges = Bpe.trainBatched(docs, "text", rounds = 4, window = 16, batchCap = 6)
+    val join = Bpe.tokenStreams(docs, "text", merges)
+      .as[(Long, Int, Int, String)].collect().toSet
+    val fold = Bpe.tokenStreamsFold(docs, "text", merges)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(join == fold)
+  }
+
   test("trainBatched with batchCap=1 reduces to sequential train") {
     val docs = Seq((1L, "aaab aaab"), (2L, "aab")).toDF("doc_id", "text")
     val seq = Bpe.train(docs, "text", merges = 3)
