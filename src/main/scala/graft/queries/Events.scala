@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.engine.Session
 import graft.ops.EventWindows
 import Tables.{t, events => eventsT}
 
@@ -14,24 +15,21 @@ object Events {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** File-stream read of the events table (streaming queries can't use the
-    * batch reader's nanos rewrite, so ts arrives as raw nanos LONG and is
-    * truncated to µs here, same as Tables.events).
+  /** File-stream read of the events table. A file stream needs an explicit
+    * schema, and the physical ts type varies by testdata generation (raw
+    * nanos LONG vs native timestamp — see Tables.events), so derive the
+    * stream schema from a batch read of the same footer and apply the same
+    * ts canonicalization.
     */
   private def rawEventStream(s: SparkSession, dir: String): DataFrame = {
-    Tables.events(s, dir) // ensures nanosAsLong conf is set
-    import org.apache.spark.sql.types._
-    s.readStream
-      .schema(StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("ts", LongType),
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType),
-        StructField("props", StringType))))
-      .option("pathGlobFilter", "events.parquet") // stream source needs a dir
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Session.prepare(s)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    Tables.normalizeTs(
+      s.readStream
+        .schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet") // stream source needs a dir
+        .parquet(dir))
   }
 
   val queries: Map[String, Q] = Map(

@@ -26,14 +26,32 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos as long and truncate to microseconds (exactly what
-    * DuckDB's reader does, so oracle timestamps agree bit-for-bit).
+  /** events.parquet's physical ts type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark only reads as a raw LONG
+    * under nanosAsLong), native timestamp[us] without UTC adjustment
+    * (read as TIMESTAMP_NTZ), or a UTC-adjusted timestamp. Probe the read
+    * schema and normalize every variant to one canonical TimestampType in
+    * the UTC session (micros-preserving in all three cases, so the DuckDB
+    * oracle — which truncates nanos / reads naive micros — agrees
+    * bit-for-bit regardless of generation).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     Session.prepare(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Canonicalize an events frame's ts column to TimestampType (see
+    * events()). Shared with the streaming reader in queries/Events, which
+    * must apply the identical rewrite to the file-stream schema.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }
