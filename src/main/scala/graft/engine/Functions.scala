@@ -74,6 +74,11 @@ object Functions {
         exprs(2).eval(null).asInstanceOf[Int]),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_residual",
+      exprs => graft.functions.PqResidualExpr(exprs(0), exprs(1), exprs(2)),
+      "built-in"
+    )
     // Spark's internal runtime-filter kernels, exposed as callable
     // functions for the explicit BloomPrune operator.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

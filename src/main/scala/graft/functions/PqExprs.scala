@@ -110,11 +110,32 @@ object PqExprs {
     new GenericArrayData(out)
   }
 
+  /** Residual of `v` against centroid `cell` of the flattened codebook:
+    * out[i] = v[i] − cb[cell·dim + i]. The IVFADC build/query kernel
+    * (Jégou et al. 2011 §IV): PQ codes over residuals, not raw vectors —
+    * residual energy is a fraction of vector energy, so the same code
+    * budget quantizes much finer. Plain IEEE subtraction, no rounding:
+    * bit-identical in any engine that subtracts the same doubles.
+    */
+  def residual(v: ArrayData, cb: ArrayData, cell: Int): ArrayData = {
+    val dim = v.numElements()
+    if (dim == 0 || cb.numElements() == 0 || cb.numElements() % dim != 0) return null
+    if (cell < 0 || cell >= cb.numElements() / dim) return null
+    val base = cell * dim
+    val out = new Array[Any](dim)
+    var i = 0
+    while (i < dim) { out(i) = v.getDouble(i) - cb.getDouble(base + i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   def encodeColumn(v: Column, cb: Column, m: Int): Column =
     call_function("graft_pq_encode", v, cb, lit(m))
 
   def distTableColumn(v: Column, cb: Column, m: Int): Column =
     call_function("graft_pq_dist_table", v, cb, lit(m))
+
+  def residualColumn(v: Column, cb: Column, cell: Column): Column =
+    call_function("graft_pq_residual", v, cb, cell)
 
   private[functions] def checkArgs(v: Expression, cb: Expression,
       name: String): TypeCheckResult = {
@@ -170,4 +191,35 @@ case class PqDistTableExpr(left: Expression, right: Expression, m: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqDistTableExpr =
     copy(left = newLeft, right = newRight)
+}
+
+case class PqResidualExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqExprs.checkArgs(first, second, prettyName) match {
+      case TypeCheckResult.TypeCheckSuccess if third.dataType == IntegerType =>
+        TypeCheckResult.TypeCheckSuccess
+      case TypeCheckResult.TypeCheckSuccess =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName cell must be INT, got ${third.dataType}")
+      case fail => fail
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_residual"
+
+  override def nullSafeEval(v: Any, cb: Any, cell: Any): Any =
+    PqExprs.residual(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb, cell) => s"""
+      ${ev.value} = graft.functions.PqExprs.residual($v, $cb, $cell);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PqResidualExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

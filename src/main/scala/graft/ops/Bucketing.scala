@@ -55,6 +55,48 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Has `batchId` already been folded into the store this ledger guards? */
+  def isCommitted(ledgerDir: java.io.File, batchId: Long): Boolean =
+    new java.io.File(ledgerDir, s"batch-$batchId").exists()
+
+  /** Record `batchId` as committed: write-then-atomic-rename so a marker is
+    * either fully present or absent — a crash mid-write can't leave a
+    * half-marker that a replay would misread as committed.
+    */
+  def commit(ledgerDir: java.io.File, batchId: Long, note: String): Unit = {
+    ledgerDir.mkdirs()
+    val tmp = new java.io.File(ledgerDir, s".batch-$batchId.tmp").toPath
+    java.nio.file.Files.writeString(tmp, note)
+    java.nio.file.Files.move(tmp,
+      new java.io.File(ledgerDir, s"batch-$batchId").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** [[appendBucketed]] guarded by a committed-batchId ledger — the
+    * idempotent-sink contract a `foreachBatch` append needs: Structured
+    * Streaming redelivers the in-flight micro-batch (same batchId, same
+    * rows) after any restart, and an unguarded append would double every
+    * row of the replayed batch into the store. Check-append-commit: a
+    * batchId with a ledger marker is a no-op (returns false); otherwise
+    * append then atomically publish the marker.
+    *
+    * Honest boundary: if the process dies BETWEEN the append and the
+    * marker publish, the replay re-appends (at-least-once for that one
+    * window). Closing it on raw parquet requires an atomic multi-file
+    * publish, i.e. a transactional table format (Delta/Iceberg/Hive ACID)
+    * whose commit protocol subsumes this ledger; at 100 TB that is the
+    * deployment answer, and this ledger is exactly the batchId-dedup the
+    * format's `txnAppId`/snapshot commit implements internally.
+    */
+  def appendBucketedExactlyOnce(df: DataFrame, table: String, nBuckets: Int,
+      keys: Seq[String], ledgerDir: java.io.File, batchId: Long): Boolean =
+    if (isCommitted(ledgerDir, batchId)) false
+    else {
+      appendBucketed(df, table, nBuckets, keys)
+      commit(ledgerDir, batchId, s"table=$table buckets=$nBuckets")
+      true
+    }
+
   /** Compact an appended bucketed table back to one file per bucket,
     * restoring the Sort-free scan that [[appendBucketed]] defers. Reads the
     * table's files RAW (`spark.read.parquet`), not through the bucketed

@@ -432,10 +432,31 @@ object Similarity {
     */
   def ivfTrainedTop1(vecs: DataFrame, k: Int, iters: Int, nprobe: Int,
       nQueries: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
+    val v = prepV(vecs)
+    top1By(ivfScoredPairsOn(v, cbFrameOf(fitOn(v, k, iters)), nprobe,
+      nQueries), "d2")
+  }
+
+  private def prepV(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cbF = cbFrameOf(fitOn(v, k, iters))
+
+  /** Per-query argmax by (lowest score, lowest c_id) — a map-side-combined
+    * max(struct), never a window sort over the candidate set.
+    */
+  private def top1By(pairs: DataFrame, score: String): DataFrame =
+    pairs.groupBy("q_id")
+      .agg(max(struct((-col(score)).as("ns"), (-col("c_id")).as("nc"),
+        col("c_id"), col(score))).as("m"))
+      .select(col("q_id"), col("m.c_id").as("nn_id"),
+        col(s"m.$score").as(score))
+
+  /** Trained-IVF candidate pairs (the v12 core): probe the nprobe nearest
+    * trained cells per query, exact rounded-6dp pair distance inside them.
+    * Returns (q_id, c_id, d2) — one row per (query, probed candidate).
+    */
+  private def ivfScoredPairsOn(v: DataFrame, cbF: DataFrame, nprobe: Int,
+      nQueries: Int): DataFrame = {
     // Inverted lists: every vector in exactly one trained cell.
     val members = assignByCodebook(v, cbF)
       .select(col("cluster").as("cell"), col("vec_id").as("c_id"),
@@ -457,10 +478,7 @@ object Similarity {
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("d2", round(dot(col("qv"), col("qv"))
         + dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), 6))
-      .groupBy("q_id")
-      .agg(max(struct((-col("d2")).as("nd"), (-col("c_id")).as("nc"),
-        col("c_id"), col("d2"))).as("m"))
-      .select(col("q_id"), col("m.c_id").as("nn_id"), col("m.d2").as("d2"))
+      .select(col("q_id"), col("c_id"), col("d2"))
   }
 
   /** IVF-PQ — the COMPLETE trained ANN index (the FAISS IVFPQ shape,
@@ -479,10 +497,22 @@ object Similarity {
     */
   def ivfPqTop1(vecs: DataFrame, k: Int, iters: Int, m: Int, nprobe: Int,
       nQueries: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cbF = cbFrameOf(fitOn(v, k, iters))
+    val v = prepV(vecs)
+    top1By(ivfPqAdcPairsOn(v, cbFrameOf(fitOn(v, k, iters)), m, nprobe,
+      nQueries), "adist")
+  }
+
+  /** Σ_s tbl[codes[s]·m + s] in s order, rounded like every scored output. */
+  private def adcSum(tbl: Column, codes: Column, m: Int): Column =
+    round((0 until m).map(s =>
+      element_at(tbl, element_at(codes, s + 1) * m + s + 1))
+      .reduce(_ + _), 6)
+
+  /** IVF-PQ ADC candidate pairs (the v13 core): codes over RAW vectors,
+    * one m-subspace ADC table per query. Returns (q_id, c_id, adist).
+    */
+  private def ivfPqAdcPairsOn(v: DataFrame, cbF: DataFrame, m: Int,
+      nprobe: Int, nQueries: Int): DataFrame = {
     // Index build: cell (full-dim argmin) + m codes, one pass, zero shuffle.
     val members = v.crossJoin(broadcast(cbF))
       .withColumn("tbl1", graft.functions.PqExprs.distTableColumn(
@@ -505,18 +535,158 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("cd2"), col("cell"))))
       .filter(col("crk") <= nprobe)
       .select(col("q_id"), col("tbl"), col("cell"))
-    // Σ_s tbl[codes[s]·m + s] in s order, rounded like every scored output.
-    val adist = round((0 until m).map(s =>
-      element_at(col("tbl"), element_at(col("codes"), s + 1) * m + s + 1))
-      .reduce(_ + _), 6)
     qs.join(members, "cell")
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("adist", adist)
-      .groupBy("q_id")
-      .agg(max(struct((-col("adist")).as("na"), (-col("c_id")).as("nc"),
-        col("c_id"), col("adist"))).as("mx"))
-      .select(col("q_id"), col("mx.c_id").as("nn_id"),
-        col("mx.adist").as("adist"))
+      .select(col("q_id"), col("c_id"),
+        adcSum(col("tbl"), col("codes"), m).as("adist"))
+  }
+
+  /** RESIDUAL-encoded IVF-PQ ADC pairs — the full FAISS IVFADC shape
+    * (Jégou et al. 2011 §IV): PQ codes quantize r = v − centroid(cell)
+    * instead of v, against a SECOND Lloyd-trained codebook fit on the
+    * residuals. Residual energy is a small fraction of vector energy, so
+    * the same m×k code budget lands much closer to the true vector —
+    * higher recall at identical index size (v15 measures the gap). The
+    * query's ADC table is rebuilt per PROBED CELL from q − centroid(cell)
+    * (nprobe small tables per query, not one), which is exactly why FAISS
+    * defaults to residual encoding for IVF indexes. Scale shape is
+    * unchanged from the raw path: both codebooks are one-row broadcasts,
+    * build is one corpus pass, probe is the keyed cell join.
+    */
+  private def residualAdcPairsOn(v: DataFrame, cbF: DataFrame, k2: Int,
+      iters2: Int, m: Int, nprobe: Int, nQueries: Int): DataFrame = {
+    // Build: cell assignment + residual in one codegen'd pass (the native
+    // graft_pq_residual kernel keeps the corpus scan out of interpreted
+    // HOF territory), then the residual codebook trains on r-space.
+    val withCell = v.crossJoin(broadcast(cbF))
+      .withColumn("tbl1", graft.functions.PqExprs.distTableColumn(
+        col("dv"), col("cb"), 1))
+      .withColumn("cell",
+        (array_position(col("tbl1"), array_min(col("tbl1"))) - 1)
+          .cast("int"))
+      .withColumn("rv", graft.functions.PqExprs.residualColumn(
+        col("dv"), col("cb"), col("cell")))
+      .select(col("vec_id"), col("cell"), col("rv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rcbF = cbFrameOf(fitOn(
+      withCell.select(col("vec_id"), col("rv").as("dv")), k2, iters2))
+      .select(col("cb").as("rcb"))
+    val members = withCell.crossJoin(broadcast(rcbF))
+      .select(col("vec_id").as("c_id"), col("cell"),
+        graft.functions.PqExprs.encodeColumn(col("rv"), col("rcb"), m)
+          .getField("codes").as("codes"))
+    // Query side: nprobe cells by full-dim coarse distance, then one
+    // residual ADC table per (query, probed cell).
+    val qs = v.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cbF))
+      .select(col("vec_id").as("q_id"), col("dv").as("qv"), col("cb"),
+        posexplode(graft.functions.PqExprs.distTableColumn(
+          col("dv"), col("cb"), 1)).as(Seq("cell", "cd2")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cd2"), col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .withColumn("qrv", graft.functions.PqExprs.residualColumn(
+        col("qv"), col("cb"), col("cell")))
+      .crossJoin(broadcast(rcbF))
+      .withColumn("rtbl", graft.functions.PqExprs.distTableColumn(
+        col("qrv"), col("rcb"), m))
+      .select(col("q_id"), col("cell"), col("rtbl"))
+    qs.join(members, "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        adcSum(col("rtbl"), col("codes"), m).as("adist"))
+  }
+
+  /** Per-query ADC top-`n` shortlist by (adist, c_id) — bounded at
+    * nQueries × candidates, partitioned per query.
+    */
+  private def shortlistBy(pairs: DataFrame, score: String, n: Int): DataFrame =
+    pairs.withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col(score), col("c_id"))))
+      .filter(col("rk") <= n)
+      .select(col("q_id"), col("c_id"), col(score))
+
+  /** v14: residual IVF-PQ search with EXACT RE-RANK — the production
+    * two-stage ANN search: the compressed index (residual codes) proposes
+    * a `shortlist`-deep ADC candidate list, then ONLY those
+    * nQueries × shortlist rows rejoin the raw vectors for an exact
+    * rounded-6dp distance, and the best exact candidate wins. The re-rank
+    * join is bounded by the shortlist (never the corpus), so the raw
+    * vectors stay out of the search hot path — at 100 TB the exact pass
+    * touches thousandths of a percent of the data.
+    */
+  def ivfPqResidualRerank(vecs: DataFrame, k: Int, iters: Int, m: Int,
+      nprobe: Int, nQueries: Int, shortlist: Int): DataFrame = {
+    val v = prepV(vecs)
+    val pairs = residualAdcPairsOn(v, cbFrameOf(fitOn(v, k, iters)),
+      k, iters, m, nprobe, nQueries)
+    val short = shortlistBy(pairs, "adist", shortlist)
+    val q = v.select(col("vec_id").as("q_id"), col("dv").as("qv"))
+    val c = v.select(col("vec_id").as("c_id"), col("dv").as("cv"))
+    top1By(
+      short.join(q, "q_id").join(c, "c_id")
+        .withColumn("d2", round(dot(col("qv"), col("qv"))
+          + dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), 6))
+        .select(col("q_id"), col("c_id"), col("d2")),
+      "d2")
+  }
+
+  /** v15: recall@`kAt` report over the three trained-index search paths —
+    * exact-scored IVF (v12), raw-code IVF-PQ (v13), and residual-code
+    * IVF-PQ (v14's first stage) — against the exact L2 top-`kAt` ground
+    * truth. One row per query with the hit counts, recall fractions, and
+    * a disagreement witness (the lowest true neighbor each PQ path
+    * missed; −1 = none). The ground-truth side is the bounded
+    * nQueries × corpus scan (never corpus × corpus); every index side
+    * reuses the keyed-cell-join cores. This is the eval a pipeline runs
+    * before trusting an index config — and the residual ≥ raw recall
+    * ordering is the measurable payoff of residual encoding.
+    */
+  def annRecallAtK(vecs: DataFrame, k: Int, iters: Int, m: Int, nprobe: Int,
+      nQueries: Int, kAt: Int): DataFrame = {
+    val v = prepV(vecs)
+    val cbF = cbFrameOf(fitOn(v, k, iters))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("dv").as("qv"))
+    val c = v.select(col("vec_id").as("c_id"), col("dv").as("cv"))
+    val exact = shortlistBy(
+      q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+        .withColumn("d2", round(dot(col("qv"), col("qv"))
+          + dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), 6))
+        .select(col("q_id"), col("c_id"), col("d2")),
+      "d2", kAt).select("q_id", "c_id")
+    val ivf = shortlistBy(ivfScoredPairsOn(v, cbF, nprobe, nQueries),
+      "d2", kAt).select("q_id", "c_id")
+    val praw = shortlistBy(ivfPqAdcPairsOn(v, cbF, m, nprobe, nQueries),
+      "adist", kAt).select("q_id", "c_id")
+    val pres = shortlistBy(
+      residualAdcPairsOn(v, cbF, k, iters, m, nprobe, nQueries),
+      "adist", kAt).select("q_id", "c_id")
+    def hitsOf(t: DataFrame, nm: String): DataFrame =
+      exact.join(t, Seq("q_id", "c_id"))
+        .groupBy("q_id").agg(count(lit(1)).as(nm))
+    def missedOf(t: DataFrame, nm: String): DataFrame =
+      exact.join(t, Seq("q_id", "c_id"), "left_anti")
+        .groupBy("q_id").agg(min("c_id").as(nm))
+    val base = exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+    base
+      .join(hitsOf(ivf, "h_ivf"), Seq("q_id"), "left")
+      .join(hitsOf(praw, "h_pq"), Seq("q_id"), "left")
+      .join(hitsOf(pres, "h_rpq"), Seq("q_id"), "left")
+      .join(missedOf(praw, "m_pq"), Seq("q_id"), "left")
+      .join(missedOf(pres, "m_rpq"), Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("h_ivf"), lit(0L)).as("hits_ivf"),
+        coalesce(col("h_pq"), lit(0L)).as("hits_pq"),
+        coalesce(col("h_rpq"), lit(0L)).as("hits_rpq"),
+        round(coalesce(col("h_ivf"), lit(0L)) / lit(kAt.toDouble), 3)
+          .as("recall_ivf"),
+        round(coalesce(col("h_pq"), lit(0L)) / lit(kAt.toDouble), 3)
+          .as("recall_pq"),
+        round(coalesce(col("h_rpq"), lit(0L)) / lit(kAt.toDouble), 3)
+          .as("recall_rpq"),
+        coalesce(col("m_pq"), lit(-1L)).as("missed_pq"),
+        coalesce(col("m_rpq"), lit(-1L)).as("missed_rpq"))
   }
 
   /** Per-label centroid norm: posexplode → per-dimension mean → L2 norm.

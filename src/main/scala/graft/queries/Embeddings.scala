@@ -121,12 +121,35 @@ object Embeddings {
     "v13_ivf_pq" -> ((s, dir) =>
       Similarity.ivfPqTop1(t(s, dir, "embeddings"), k = KmeansK,
         iters = KmeansIters, m = PqM, nprobe = IvfNprobe,
-        nQueries = NQueries))
+        nQueries = NQueries)),
+
+    // RESIDUAL IVF-PQ + exact re-rank — the full FAISS IVFADC search
+    // (Jégou et al. 2011 §IV): codes quantize v − centroid(cell) against
+    // a second Lloyd-trained codebook, the ADC pass proposes a
+    // shortlist-deep candidate list, and only those rows rejoin the raw
+    // vectors for the exact winner. The re-rank join is bounded by
+    // nQueries × shortlist — the raw corpus stays out of the search path.
+    "v14_ivf_pq_residual" -> ((s, dir) =>
+      Similarity.ivfPqResidualRerank(t(s, dir, "embeddings"), k = KmeansK,
+        iters = KmeansIters, m = PqM, nprobe = IvfNprobe,
+        nQueries = NQueries, shortlist = Shortlist)),
+
+    // recall@10 EVAL across the three trained-index search paths (v12
+    // exact-in-cell, v13 raw-code ADC, v14 residual-code ADC) against the
+    // exact L2 top-10 — hit counts, recall fractions, and lowest-missed
+    // witnesses per query. The measurable claim: residual codes recall at
+    // least as much as raw codes at identical index size.
+    "v15_recall_at_k" -> ((s, dir) =>
+      Similarity.annRecallAtK(t(s, dir, "embeddings"), k = KmeansK,
+        iters = KmeansIters, m = PqM, nprobe = IvfNprobe,
+        nQueries = NQueries, kAt = RecallAt))
   )
 
   val KmeansK = 8
   val KmeansIters = 3
   val IvfNprobe = 2
+  val Shortlist = 5
+  val RecallAt = 10
 
   private val vSrc =
     """v AS (SELECT vec_id, label,
@@ -211,51 +234,59 @@ object Embeddings {
     "round(list_dot_product(v.dv, v.dv) + list_dot_product(c.c, c.c)" +
       " - 2 * list_dot_product(v.dv, c.c), 6)"
 
-  /** The shared Lloyd-chain CTE prefix (through the trained centroids
-    * `c$iters` and the final assignment `fin`) of the v10 and v12 oracles.
+  /** One Lloyd chain as CTEs `${p}c0 … ${p}c$iters, ${p}fin`, reading
+    * (vec_id, dv) rows from the CTE `src` — parameterized so the v14/v15
+    * oracles can run a SECOND chain over the residual vectors (prefix
+    * "r") in the same statement without name collisions.
     */
-  private def kmeansStages(k: Int, iters: Int): String = {
+  private def kmeansChain(k: Int, iters: Int, src: String, p: String): String = {
     val sb = new StringBuilder
-    // c0 = the k LOWEST vec_ids with ORDINAL labels — the same ranked-list
-    // derivation as the engine's init, so parity holds for non-contiguous
-    // or non-zero-based ids (a `vec_id < k` filter would silently diverge).
-    sb ++= s"""WITH $vSrc,
-              |c0 AS MATERIALIZED (
+    // ${p}c0 = the k LOWEST vec_ids with ORDINAL labels — the same
+    // ranked-list derivation as the engine's init, so parity holds for
+    // non-contiguous or non-zero-based ids (a `vec_id < k` filter would
+    // silently diverge).
+    sb ++= s"""${p}c0 AS MATERIALIZED (
               |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, dv AS c
-              |  FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT $k)),
+              |  FROM (SELECT vec_id, dv FROM $src ORDER BY vec_id LIMIT $k)),
               |""".stripMargin
     for (i <- 1 to iters) {
-      sb ++= s"""a$i AS (
+      sb ++= s"""${p}a$i AS (
                 |  SELECT vec_id, cl FROM (
                 |    SELECT v.vec_id, c.cl,
                 |      row_number() OVER (PARTITION BY v.vec_id
                 |                         ORDER BY $kmD2, c.cl) AS rk
-                |    FROM v CROSS JOIN c${i - 1} c)
+                |    FROM $src v CROSS JOIN ${p}c${i - 1} c)
                 |  WHERE rk = 1),
-                |m$i AS (
+                |${p}m$i AS (
                 |  SELECT cl, list(m ORDER BY j) AS c FROM (
                 |    SELECT a.cl, st.j, round(avg(st.x), 9) AS m
-                |    FROM a$i a JOIN (
+                |    FROM ${p}a$i a JOIN (
                 |      SELECT vec_id, unnest(range(1, len(dv) + 1)) AS j,
-                |        unnest(dv) AS x FROM v) st USING (vec_id)
+                |        unnest(dv) AS x FROM $src) st USING (vec_id)
                 |    GROUP BY a.cl, st.j)
                 |  GROUP BY cl),
-                |c$i AS MATERIALIZED (
-                |  SELECT * FROM m$i
+                |${p}c$i AS MATERIALIZED (
+                |  SELECT * FROM ${p}m$i
                 |  UNION ALL
-                |  SELECT cl, c FROM c${i - 1}
-                |  WHERE cl NOT IN (SELECT cl FROM m$i)),
+                |  SELECT cl, c FROM ${p}c${i - 1}
+                |  WHERE cl NOT IN (SELECT cl FROM ${p}m$i)),
                 |""".stripMargin
     }
-    sb ++= s"""fin AS (
+    sb ++= s"""${p}fin AS (
               |  SELECT vec_id, cl, d2 FROM (
               |    SELECT v.vec_id, c.cl, $kmD2 AS d2,
               |      row_number() OVER (PARTITION BY v.vec_id
               |                         ORDER BY $kmD2, c.cl) AS rk
-              |    FROM v CROSS JOIN c$iters c)
+              |    FROM $src v CROSS JOIN ${p}c$iters c)
               |  WHERE rk = 1)""".stripMargin
     sb.toString
   }
+
+  /** The shared Lloyd-chain CTE prefix (through the trained centroids
+    * `c$iters` and the final assignment `fin`) of the v10 and v12 oracles.
+    */
+  private def kmeansStages(k: Int, iters: Int): String =
+    s"WITH $vSrc,\n" + kmeansChain(k, iters, "v", "")
 
   private def kmeansOracle(k: Int, iters: Int): String =
     s"""${kmeansStages(k, iters)}
@@ -310,6 +341,189 @@ object Embeddings {
        |WHERE rk = 1""".stripMargin
   }
 
+  private def fullD2(a: String, b: String): String =
+    s"round(list_dot_product($a, $a) + list_dot_product($b, $b)" +
+      s" - 2 * list_dot_product($a, $b), 6)"
+
+  private def sliceD2(a: String, b: String, sub: Int): String =
+    s"""round(list_dot_product($a[s.s*$sub+1:(s.s+1)*$sub], $a[s.s*$sub+1:(s.s+1)*$sub])
+       |        + list_dot_product($b[s.s*$sub+1:(s.s+1)*$sub], $b[s.s*$sub+1:(s.s+1)*$sub])
+       |        - 2 * list_dot_product($a[s.s*$sub+1:(s.s+1)*$sub], $b[s.s*$sub+1:(s.s+1)*$sub]), 6)""".stripMargin
+
+  /** Residual-IVF-PQ CTE block, appended after `kmeansStages`: residual
+    * vectors vs the trained cells, a SECOND Lloyd chain over residuals
+    * (prefix "r"), residual codes, the probe-cell set `qc`, the
+    * per-(query, probed-cell) residual ADC tables, and the candidate
+    * `rpairs` — mirroring Similarity.residualAdcPairsOn step for step.
+    */
+  private def residualPrelude(k: Int, iters: Int, m: Int, nprobe: Int,
+      nQueries: Int): String = {
+    val sub = 64 / m
+    s"""cent2 AS (SELECT cl AS cell, c AS cv FROM c$iters),
+       |vst AS (SELECT vec_id, unnest(range(1, len(dv) + 1)) AS j, unnest(dv) AS x FROM v),
+       |cst AS (SELECT cell, unnest(range(1, len(cv) + 1)) AS j, unnest(cv) AS cx FROM cent2),
+       |resid AS (
+       |  SELECT f.vec_id, list(st.x - cs.cx ORDER BY st.j) AS dv
+       |  FROM fin f JOIN vst st USING (vec_id)
+       |  JOIN cst cs ON cs.cell = f.cl AND cs.j = st.j
+       |  GROUP BY f.vec_id),
+       |${kmeansChain(k, iters, "resid", "r")},
+       |rcent AS (SELECT cl AS cell, c AS cv FROM rc$iters),
+       |subs AS (SELECT unnest(range($m)) AS s),
+       |rpd AS (
+       |  SELECT v.vec_id, c.cell, s.s,
+       |    ${sliceD2("v.dv", "c.cv", sub)} AS d2
+       |  FROM resid v CROSS JOIN rcent c CROSS JOIN subs s),
+       |rcodes AS (
+       |  SELECT vec_id, s, cell AS code FROM (
+       |    SELECT vec_id, s, cell,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cell) AS rk
+       |    FROM rpd)
+       |  WHERE rk = 1),
+       |qc AS (
+       |  SELECT vec_id AS q_id, cl FROM (
+       |    SELECT v.vec_id, c.cl,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |                         ORDER BY $kmD2, c.cl) AS crk
+       |    FROM v CROSS JOIN c$iters c
+       |    WHERE v.vec_id < $nQueries)
+       |  WHERE crk <= $nprobe),
+       |qresid AS (
+       |  SELECT qc.q_id, qc.cl AS cell, list(st.x - cs.cx ORDER BY st.j) AS rv
+       |  FROM qc JOIN vst st ON st.vec_id = qc.q_id
+       |  JOIN cst cs ON cs.cell = qc.cl AND cs.j = st.j
+       |  GROUP BY qc.q_id, qc.cl),
+       |qrd AS (
+       |  SELECT q.q_id, q.cell, c.cell AS l, s.s,
+       |    ${sliceD2("q.rv", "c.cv", sub)} AS d2
+       |  FROM qresid q CROSS JOIN rcent c CROSS JOIN subs s),
+       |rpairs AS (
+       |  SELECT qc.q_id, f.vec_id AS c_id,
+       |    round(list_sum(list(q.d2 ORDER BY q.s)), 6) AS adist
+       |  FROM qc JOIN fin f USING (cl)
+       |  JOIN rcodes rc2 ON rc2.vec_id = f.vec_id
+       |  JOIN qrd q ON q.q_id = qc.q_id AND q.cell = qc.cl
+       |    AND q.l = rc2.code AND q.s = rc2.s
+       |  WHERE f.vec_id <> qc.q_id
+       |  GROUP BY qc.q_id, f.vec_id)""".stripMargin
+  }
+
+  /** v14 oracle: residual chain → ADC shortlist (rk ≤ shortlist by
+    * (adist, c_id)) → exact rounded-d2 re-rank of the shortlist.
+    */
+  private def ivfPqResidualOracle(k: Int, iters: Int, m: Int, nprobe: Int,
+      nQueries: Int, shortlist: Int): String =
+    s"""${kmeansStages(k, iters)},
+       |${residualPrelude(k, iters, m, nprobe, nQueries)},
+       |short AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rk
+       |    FROM rpairs)
+       |  WHERE rk <= $shortlist),
+       |rr AS (
+       |  SELECT s.q_id, s.c_id, ${fullD2("a.dv", "b.dv")} AS d2
+       |  FROM short s JOIN v a ON a.vec_id = s.q_id
+       |  JOIN v b ON b.vec_id = s.c_id)
+       |SELECT q_id, c_id AS nn_id, d2 FROM (
+       |  SELECT q_id, c_id, d2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rk
+       |  FROM rr)
+       |WHERE rk = 1""".stripMargin
+
+  /** v15 oracle: exact L2 top-kAt ground truth vs the three index paths'
+    * top-kAt lists (v12 exact-in-cell, v13 raw ADC, v14 residual ADC),
+    * rolled up per query with hit counts, recall fractions, and the
+    * lowest-missed-neighbor witnesses.
+    */
+  private def recallAtKOracle(k: Int, iters: Int, m: Int, nprobe: Int,
+      nQueries: Int, kAt: Int): String = {
+    val sub = 64 / m
+    s"""${kmeansStages(k, iters)},
+       |${residualPrelude(k, iters, m, nprobe, nQueries)},
+       |pd2 AS (
+       |  SELECT v.vec_id, c.cell, s.s,
+       |    ${sliceD2("v.dv", "c.cv", sub)} AS d2
+       |  FROM v CROSS JOIN cent2 c CROSS JOIN subs s),
+       |codes AS (
+       |  SELECT vec_id, s, cell AS code FROM (
+       |    SELECT vec_id, s, cell,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cell) AS rk
+       |    FROM pd2)
+       |  WHERE rk = 1),
+       |qd AS (SELECT vec_id AS q_id, cell, s, d2 FROM pd2 WHERE vec_id < $nQueries),
+       |pqpairs AS (
+       |  SELECT qc.q_id, f.vec_id AS c_id,
+       |    round(list_sum(list(q.d2 ORDER BY q.s)), 6) AS adist
+       |  FROM qc JOIN fin f USING (cl)
+       |  JOIN codes c ON c.vec_id = f.vec_id
+       |  JOIN qd q ON q.q_id = qc.q_id AND q.cell = c.code AND q.s = c.s
+       |  WHERE f.vec_id <> qc.q_id
+       |  GROUP BY qc.q_id, f.vec_id),
+       |iscored AS (
+       |  SELECT qc.q_id, f.vec_id AS c_id, ${fullD2("a.dv", "b.dv")} AS d2
+       |  FROM qc JOIN fin f USING (cl)
+       |  JOIN v a ON a.vec_id = qc.q_id
+       |  JOIN v b ON b.vec_id = f.vec_id
+       |  WHERE f.vec_id <> qc.q_id),
+       |ex AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${fullD2("a.dv", "b.dv")}, b.vec_id) AS rk
+       |    FROM v a CROSS JOIN v b
+       |    WHERE a.vec_id < $nQueries AND b.vec_id <> a.vec_id)
+       |  WHERE rk <= $kAt),
+       |tivf AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rk
+       |    FROM iscored)
+       |  WHERE rk <= $kAt),
+       |tpq AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rk
+       |    FROM pqpairs)
+       |  WHERE rk <= $kAt),
+       |trpq AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rk
+       |    FROM rpairs)
+       |  WHERE rk <= $kAt),
+       |base AS (SELECT q_id, count(*) AS n_exact FROM ex GROUP BY q_id),
+       |hivf AS (SELECT e.q_id, count(*) AS h FROM ex e JOIN tivf t
+       |  ON t.q_id = e.q_id AND t.c_id = e.c_id GROUP BY e.q_id),
+       |hpq AS (SELECT e.q_id, count(*) AS h FROM ex e JOIN tpq t
+       |  ON t.q_id = e.q_id AND t.c_id = e.c_id GROUP BY e.q_id),
+       |hrpq AS (SELECT e.q_id, count(*) AS h FROM ex e JOIN trpq t
+       |  ON t.q_id = e.q_id AND t.c_id = e.c_id GROUP BY e.q_id),
+       |mpq AS (SELECT q_id, min(c_id) AS mw FROM ex e
+       |  WHERE NOT EXISTS (SELECT 1 FROM tpq t
+       |    WHERE t.q_id = e.q_id AND t.c_id = e.c_id)
+       |  GROUP BY q_id),
+       |mrpq AS (SELECT q_id, min(c_id) AS mw FROM ex e
+       |  WHERE NOT EXISTS (SELECT 1 FROM trpq t
+       |    WHERE t.q_id = e.q_id AND t.c_id = e.c_id)
+       |  GROUP BY q_id)
+       |SELECT b.q_id, b.n_exact,
+       |  COALESCE(h1.h, CAST(0 AS BIGINT)) AS hits_ivf,
+       |  COALESCE(h2.h, CAST(0 AS BIGINT)) AS hits_pq,
+       |  COALESCE(h3.h, CAST(0 AS BIGINT)) AS hits_rpq,
+       |  round(COALESCE(h1.h, 0) / CAST($kAt AS DOUBLE), 3) AS recall_ivf,
+       |  round(COALESCE(h2.h, 0) / CAST($kAt AS DOUBLE), 3) AS recall_pq,
+       |  round(COALESCE(h3.h, 0) / CAST($kAt AS DOUBLE), 3) AS recall_rpq,
+       |  COALESCE(m1.mw, CAST(-1 AS BIGINT)) AS missed_pq,
+       |  COALESCE(m2.mw, CAST(-1 AS BIGINT)) AS missed_rpq
+       |FROM base b
+       |LEFT JOIN hivf h1 ON h1.q_id = b.q_id
+       |LEFT JOIN hpq h2 ON h2.q_id = b.q_id
+       |LEFT JOIN hrpq h3 ON h3.q_id = b.q_id
+       |LEFT JOIN mpq m1 ON m1.q_id = b.q_id
+       |LEFT JOIN mrpq m2 ON m2.q_id = b.q_id""".stripMargin
+  }
+
   /** v12 oracle: the trained centroid chain, then the IVF probe — per
     * query the nprobe nearest cells by the same rounded distance, the
     * probed cells' inverted-list members as candidates, exact rounded
@@ -346,6 +560,12 @@ object Embeddings {
       ivfTrainedOracle(KmeansK, KmeansIters, IvfNprobe, NQueries),
     "v13_ivf_pq" ->
       ivfPqOracle(KmeansK, KmeansIters, PqM, IvfNprobe, NQueries),
+    "v14_ivf_pq_residual" ->
+      ivfPqResidualOracle(KmeansK, KmeansIters, PqM, IvfNprobe, NQueries,
+        Shortlist),
+    "v15_recall_at_k" ->
+      recallAtKOracle(KmeansK, KmeansIters, PqM, IvfNprobe, NQueries,
+        RecallAt),
     "v8_pq_encode" ->
       s"""WITH $vSrc,
          |$pqD2,

@@ -511,6 +511,49 @@ object TextDedup {
           sum("band_key").as("sum_keys"))
     }),
 
+    // e11 hardened to EXACTLY-ONCE under micro-batch replay. Structured
+    // Streaming's contract after a restart is redelivery of the in-flight
+    // micro-batch — same batchId, same rows — so an unguarded foreachBatch
+    // append doubles the replayed batch. Here every append goes through the
+    // committed-batchId ledger (Bucketing.appendBucketedExactlyOnce), and
+    // the gate REPLAYS the stream's final micro-batch explicitly: the
+    // ledger must turn the redelivery into a no-op, or the rollup below
+    // double-counts every row of batch 0 and hash-misses the single-append
+    // oracle (same oracle as d21/e11 — a full-corpus rebuild).
+    "e12_exactly_once_append" -> ((s, dir) => {
+      val db = "graft_sigstore_e12"
+      buildSigStore(s, dir, db)
+      val ledger = new java.io.File(Tables.scratch(db + "_ledger"))
+      // Bench/Verify invoke each query more than once and buildSigStore
+      // resets the store each time — the ledger must reset with it or the
+      // second invocation's batch 0 would be wrongly skipped.
+      Option(ledger.listFiles()).foreach(_.foreach(_.delete()))
+      val delta = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") < 50)
+      val seenBatches = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def append(batch: DataFrame, id: Long): Boolean =
+        graft.ops.Bucketing.appendBucketedExactlyOnce(
+          Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(batch))),
+          s"$db.sig_bkt", nBuckets = 8, keys = Seq("band", "band_key"),
+          ledgerDir = ledger, batchId = id)
+      graft.streaming.StreamingWindows.runForeachBatch(delta, "e12") {
+        (batch, id) => seenBatches += id; append(batch, id); ()
+      }
+      // Redeliver the last micro-batch (the restart-replay shape): the
+      // returned false is the ledger skipping the duplicate append.
+      val replayed = append(
+        docs(s, dir).filter(col("doc_id") < 50), seenBatches.last)
+      require(!replayed, "ledger failed to suppress a replayed micro-batch")
+      s.catalog.refreshTable(s"$db.sig_bkt")
+      s.table(s"$db.sig_bkt")
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("doc_id").as("n_docs"),
+          sum("band_key").as("sum_keys"))
+    }),
+
     // The FULL multi-batch lifecycle — e9/d20/d21 each gate one leg; this
     // gates the loop closing: ingest batch 1 (doc_id in [100,200)) probes
     // the standing store (doc_id >= 200), its bucket rows are d21-appended
@@ -1009,6 +1052,7 @@ object TextDedup {
     // Batch append and streaming append must leave the store in the SAME
     // state as a full rebuild.
     "e11_stream_append" -> storeRollupOracle,
+    "e12_exactly_once_append" -> storeRollupOracle,
     "d8_dup_clusters" ->
       s"""WITH RECURSIVE $minhashChain,
          |edges AS (

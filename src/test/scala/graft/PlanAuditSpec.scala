@@ -29,7 +29,18 @@ class PlanAuditSpec extends AnyFunSuite {
     "v8_pq_encode" -> 1,       // one-row broadcast codebook
     "v9_pq_adc" -> 3,          // codebook x2 (encode + tables), bounded query set
     "v12_ivf_trained" -> 2,    // one-row trained codebook, invert + query sides
-    "v13_ivf_pq" -> 2)         // one-row trained codebook, build + query sides
+    "v13_ivf_pq" -> 2,         // one-row trained codebook, build + query sides
+    "v14_ivf_pq_residual" -> 5, // one-row coarse codebook (build + query) +
+                               // one-row RESIDUAL codebook (encode + query
+                               // ADC) + the persisted assign pass feeding
+                               // residual training — every side a one-row
+                               // broadcast against the corpus scan
+    "v15_recall_at_k" -> 22)   // union of the v12/v13/v14 probe paths over
+                               // the SHARED codebooks (each path re-plans
+                               // its one-row broadcast joins) + the
+                               // bounded 20-query exact ground-truth scan;
+                               // all broadcast sides are one-row codebooks
+                               // or the 20-row query set
 
   // Queries allowed to carry an interpreted-lambda Project (HOF exprs are
   // CodegenFallback, so a per-element lambda drops its Project out of

@@ -61,4 +61,31 @@ class PqSpec extends AnyFunSuite {
         col("dv"), array(lit(1.0), lit(2.0), lit(3.0)), 2).as("z"))
     assert(bad.collect().head.isNullAt(0))
   }
+
+  test("graft_pq_residual subtracts the selected centroid; null out of range") {
+    // codebook: cell 0 = [1,2], cell 1 = [10,20]
+    val cb = array(lit(1.0), lit(2.0), lit(10.0), lit(20.0))
+    val df = Seq((0L, Array(11.0, 22.0))).toDF("vec_id", "dv")
+    val r1 = df.select(graft.functions.PqExprs.residualColumn(
+      col("dv"), cb, lit(1)).as("r")).collect().head.getSeq[Double](0)
+    assert(r1 == Seq(1.0, 2.0))
+    val r0 = df.select(graft.functions.PqExprs.residualColumn(
+      col("dv"), cb, lit(0)).as("r")).collect().head.getSeq[Double](0)
+    assert(r0 == Seq(10.0, 20.0))
+    val bad = df.select(graft.functions.PqExprs.residualColumn(
+      col("dv"), cb, lit(7)).as("r")).collect().head
+    assert(bad.isNullAt(0))
+  }
+
+  test("ivfPqResidualRerank returns the exact neighbor when the shortlist covers the cell") {
+    // With a shortlist as deep as any probed cell, the exact re-rank must
+    // recover the true in-cell nearest neighbor regardless of code quality.
+    val out = Similarity.ivfPqResidualRerank(vecs, k = 2, iters = 1, m = 2,
+      nprobe = 2, nQueries = 1, shortlist = 4).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 0L)
+    // vec 1 is identical to vec 0 -> exact d2 = 0 after re-rank
+    assert(r.getLong(1) == 1L && r.getDouble(2) == 0.0)
+  }
 }
