@@ -52,6 +52,7 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       warmupDt(name) = (System.nanoTime() - t0) / 1e9
+      graft.engine.Caches.releaseAll()
       spark.catalog.clearCache()
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -80,6 +81,9 @@ object Bench {
         // Operators persist intermediates for intra-query reuse; dropping
         // them between queries keeps sequential runs from accumulating
         // cached blocks and squeezing later queries' execution memory.
+        // (releaseAll = the caller-owned Caches contract; clearCache
+        // sweeps anything registered outside it.)
+        graft.engine.Caches.releaseAll()
         spark.catalog.clearCache()
         (dt, ok)
       }

@@ -32,7 +32,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Drop intra-query persisted intermediates so 75 sequential dumps
-      // don't accumulate cached blocks (same hygiene as Bench).
+      // don't accumulate cached blocks (same hygiene as Bench). releaseAll
+      // is the caller-owned half of the Caches contract: it also empties
+      // the registry so tracked handles don't accumulate across the sweep.
+      graft.engine.Caches.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
+import graft.engine.Caches.Registered
+
 /** Real BPE vocabulary learning + application (Sennrich et al. 2016 train
   * loop, not just the pre-tokenizer count t8 reports): iteratively merge the
   * most frequent adjacent symbol pair, starting from characters.
@@ -68,7 +70,7 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, merges: Int): Seq[(String, String)] = {
     val vocab = freqVocab(docs, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var cur = vocab
     var done = false
@@ -115,7 +117,7 @@ object Bpe {
   def trainBatched(docs: DataFrame, textCol: String, rounds: Int,
       window: Int, batchCap: Int): Seq[(String, String)] = {
     val vocab = freqVocab(docs, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var cur = vocab
     var done = false
@@ -150,16 +152,55 @@ object Bpe {
     * per-row replaces (the difference between minutes and days at
     * M = 32k on 100 TB).
     */
-  private def encodedVocab(words: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
-    val enc = merges.foldLeft(charEncode(col("w"))) {
-      case (c, (a, b)) => applyMerge(c, a, b)
+  /** Merges folded per plan stage before the expression tree is cut. One
+    * nested replace per merge means expression DEPTH M: past a few
+    * thousand merges Catalyst's analyzer/optimizer recursion and Janino's
+    * method-size limits become the wall (production vocabularies are
+    * 32k–100k merges). Chunking caps the depth at this constant; a
+    * sequence of plain `select`s would NOT (CollapseProject folds adjacent
+    * projections right back into one M-deep expression), so each chunk
+    * boundary is a `localCheckpoint` — an eager plan cut over the DISTINCT
+    * VOCABULARY frame (small by construction), with the previous chunk's
+    * blocks released as soon as the next stage lands. The final stage's
+    * blocks back the returned frame and are ContextCleaner-owned.
+    */
+  private[graft] val MergeChunk = 256
+
+  /** Apply `merges` to pre-encoded (w, enc) rows, chunked per
+    * [[MergeChunk]]. Single-chunk tables (every current gate) take the
+    * plain fold — zero materialization, identical plan to the unchunked
+    * original.
+    */
+  private def foldMerges(base: DataFrame,
+      merges: Seq[(String, String)], chunk: Int): DataFrame = {
+    def fold(df: DataFrame, ms: Seq[(String, String)]): DataFrame =
+      df.select(col("w"), ms.foldLeft(col("enc")) {
+        case (c, (a, b)) => applyMerge(c, a, b)
+      }.as("enc"))
+    if (merges.sizeIs <= chunk) fold(base, merges)
+    else {
+      var cur = base
+      var prev: DataFrame = null
+      merges.grouped(chunk).foreach { ms =>
+        val ck = fold(cur, ms).localCheckpoint()
+        if (prev != null) prev.unpersist(false)
+        prev = ck
+        cur = ck
+      }
+      cur
     }
+  }
+
+  private def encodedVocab(words: DataFrame, merges: Seq[(String, String)],
+      chunk: Int = MergeChunk): DataFrame = {
     def rep(c: Column, from: String, to: String): Column =
       call_function("replace", c, lit(from), lit(to))
-    words.select(col("w")).distinct()
-      .select(col("w"), tokenCount(enc).as("toks"),
-        rep(rep(rep(enc, ")(", "|"), "(", ""), ")", "").as("tw"))
+    foldMerges(
+      words.select(col("w")).distinct()
+        .select(col("w"), charEncode(col("w")).as("enc")),
+      merges, chunk)
+      .select(col("w"), tokenCount(col("enc")).as("toks"),
+        rep(rep(rep(col("enc"), ")(", "|"), "(", ""), ")", "").as("tw"))
   }
 
   /** Re-tokenize the corpus under a trained merge table: per doc, the
@@ -172,9 +213,10 @@ object Bpe {
     * `wd JOIN tc USING (w) GROUP BY doc_id` shape exactly.
     */
   def tokenCounts(docs: DataFrame, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      chunk: Int = MergeChunk): DataFrame = {
     val wp = wordsOf(docs, textCol)
-    wp.join(encodedVocab(wp, merges), "w")
+    wp.join(encodedVocab(wp, merges, chunk), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_words"),
         sum("toks").cast("int").as("n_bpe"))

@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.functions.Hashing
 
+import graft.engine.Caches.Registered
+
 /** Deduplication operators for LLM-scale corpora over `documents`:
   * exact (hash-group), MinHash+LSH near-dup (shingle → K minhashes → banded
   * buckets → bucket-join — never all-pairs), SimHash, and exact n-gram
@@ -87,6 +89,27 @@ object Dedup {
       .agg(count(col("band")).as("n_bands"))
   }
 
+  /** [[candidatePairs]] through the EXPLICIT salted join — the known-skew
+    * escape hatch for the LSH chain: one viral span (boilerplate footer,
+    * licence block) shared by a large slice of the corpus collapses those
+    * docs into the same (band, band_key) buckets, and the plain self-join
+    * then lands the whole hot bucket on one task. Salting spreads each
+    * hot bucket's probe side over `salts` tasks while the build side
+    * replicates per salt; every pair still meets exactly once, so the
+    * result is row-identical to [[candidatePairs]] (the d22 gate). AQE's
+    * runtime skew-split handles moderate skew without this; the explicit
+    * form is for skew known at plan time — at 100 TB, the difference
+    * between a straggler task holding 30% of the corpus and S even ones.
+    */
+  def candidatePairsSalted(buckets: DataFrame, salts: Int): DataFrame = {
+    val a = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    Skew.saltedJoin(a, b, Seq("band", "band_key"), salts)
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(col("band")).as("n_bands"))
+  }
+
   /** Estimated Jaccard from signature agreement for candidate pairs. */
   def estimatedJaccard(pairs: DataFrame, sig: DataFrame): DataFrame = {
     val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
@@ -104,8 +127,8 @@ object Dedup {
     * estimate join — without it Spark recomputes the shingle pipeline 4×.
     */
   def minhashLsh(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(shingleHashes(docs))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.engine.Caches.persisted(
+      minhashSignatures(shingleHashes(docs)))
     estimatedJaccard(candidatePairs(lshBuckets(sig)), sig)
   }
 
@@ -347,7 +370,7 @@ object Dedup {
         explode(graft.functions.PolyShinglesExpr.column(
           lower(col("text")), n)).as("h"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val shared = sh.groupBy("h")
       .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("h")
     sh.join(shared, "h")
@@ -369,7 +392,7 @@ object Dedup {
         explode(graft.functions.MultiShinglesExpr.column(
           lower(col("text")), ns)).as("nh"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val shared = sh.groupBy("nh")
       .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("nh")
     sh.join(shared, "nh")
@@ -462,7 +485,7 @@ object Dedup {
     val occ = docs.select(col("doc_id"),
         posexplode(graft.functions.PolyShinglesExpr.column(
           lower(col("text")), n)).as(Seq("pos", "h")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // Shared spans (>= 2 occurrences, within- OR cross-doc) and their
     // canonical keeper occurrence — min (doc_id, pos), matching d17's
     // example-occurrence choice.
@@ -601,7 +624,7 @@ object Dedup {
     // positives at the 4x4 banding operating point.
     val cand = candidatePairs(lshBuckets(minhashSignatures(shingleHashes(docs))))
       .filter(col("n_bands") >= minBands).select("doc_a", "doc_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // Verify only against the shingles of docs that survived candidate
     // generation (a semi-join): persisting the FULL corpus shingle frame
     // costs more than one recompute at bench scale, and at 100 TB caching
@@ -614,7 +637,7 @@ object Dedup {
     // so the second pass is proportional to the candidate slice, not the
     // corpus.
     val sh = shingleHashes(docs.join(candDocs, Seq("doc_id"), "left_semi"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")

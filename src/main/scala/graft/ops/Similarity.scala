@@ -4,6 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
+import graft.engine.Caches.Registered
+
 /** Similarity search over an embedding column (`Array[Float]`):
   * brute-force cosine top-k as the correctness baseline, and a sign-LSH
   * bucketed variant as the scale path (candidates meet only inside their
@@ -159,7 +161,7 @@ object Similarity {
         col("cell"), col("dv"), col("dn"))).as("m"))
       .select(col("vec_id"), col("m.cell").as("cell"),
         col("m.dv").as("dv"), col("m.dn").as("dn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
   }
 
   def ivfTopK(vecs: DataFrame): DataFrame = {
@@ -260,7 +262,7 @@ object Similarity {
     // crossJoins below (candidate encode + query distance tables); without
     // the persist the full-scan aggregate executes twice per run.
     val cb = pqCodebook(vecs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val cand = vecs.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("dv"))
       .crossJoin(broadcast(cb))
       .select(col("c_id"),
@@ -304,7 +306,7 @@ object Similarity {
     */
   def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // Init = the k LOWEST vec_ids (a bounded sort, NOT `vec_id < k`: ids
     // need not be 0-based or contiguous), cluster-labeled by ordinal rank
     // in that id order — the oracle derives its labels from the same
@@ -358,7 +360,7 @@ object Similarity {
     */
   def kmeansBroadcast(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     assignByCodebook(v, cbFrameOf(fitOn(v, k, iters)))
       .select(col("vec_id"), col("cluster"), col("d2"))
   }
@@ -368,7 +370,7 @@ object Similarity {
     */
   def kmeansFit(vecs: DataFrame, k: Int, iters: Int): DataFrame =
     fitOn(vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), k, iters)
+      .persistTracked(), k, iters)
 
   /** The Lloyd loop of [[kmeansBroadcast]] over a pre-projected (vec_id,
     * dv) frame. Init = ordinal labels over the k lowest ids (the
@@ -439,7 +441,7 @@ object Similarity {
 
   private def prepV(vecs: DataFrame): DataFrame =
     vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
 
   /** Per-query argmax by (lowest score, lowest c_id) — a map-side-combined
     * max(struct), never a window sort over the candidate set.
@@ -567,7 +569,7 @@ object Similarity {
       .withColumn("rv", graft.functions.PqExprs.residualColumn(
         col("dv"), col("cb"), col("cell")))
       .select(col("vec_id"), col("cell"), col("rv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val rcbF = cbFrameOf(fitOn(
       withCell.select(col("vec_id"), col("rv").as("dv")), k2, iters2))
       .select(col("cb").as("rcb"))

@@ -24,11 +24,23 @@ object Skew {
     * salt the big side's rows randomly-but-deterministically, join on
     * (key, salt). One hot key's rows land on S tasks instead of one.
     */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
-    val saltedBig = big.withColumn("_salt", pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame =
+    saltedJoin(big, small, Seq(key), salts)
+
+  /** Composite-key form of [[saltedJoin]] — the LSH hot-bucket case, where
+    * the join key is (band, band_key) and one viral span makes a single
+    * bucket carry a large fraction of the corpus. Each big-side row takes
+    * ONE deterministic-per-row salt, the replicated side covers all S
+    * salts, so every matching pair still meets exactly once — result
+    * identity with the plain join is the d22 gate.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salts)))
     val explodedSmall = small.withColumn("_salt",
       explode(array((0 until salts).map(lit(_)): _*)))
-    saltedBig.join(explodedSmall, Seq(key, "_salt")).drop("_salt")
+    saltedBig.join(explodedSmall, keys :+ "_salt").drop("_salt")
   }
 
   /** Isolate hot keys: split the frame into (hot, rest) by a key-frequency

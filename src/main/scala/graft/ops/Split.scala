@@ -6,6 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.functions.Hashing
 
+import graft.engine.Caches.Registered
+
 /** O1: shuffled train/test split (feature_extractor.py:128-172). The
   * reference shuffles indices and slices at `int(N * 0.8)` — an *exact-count*
   * split, not Bernoulli sampling.
@@ -50,7 +52,7 @@ object Split {
     // without it the input chain and range shuffle run three times.
     val ranged = df.repartitionByRange(parts, col(shufKey), col(tieBreak))
       .withColumn("_part", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val w = Window.partitionBy("_part").orderBy(col(shufKey), col(tieBreak))
     val numbered = ranged.withColumn("_prn", row_number().over(w))
     val offsets = numbered.groupBy("_part").agg(count(lit(1)).as("_pcnt"))
@@ -78,7 +80,7 @@ object Split {
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(parts, col(orderCol), col(tieBreak))
       .withColumn("_part", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val w = Window.partitionBy("_part").orderBy(col(orderCol), col(tieBreak))
       .rowsBetween(Window.unboundedPreceding, 0)
     val summed = ranged.withColumn("_psum", sum(col(valCol)).over(w))

@@ -7,6 +7,8 @@ import graft.functions.Hashing
 import graft.ops.{Dedup, TextOps}
 import Tables.t
 
+import graft.engine.Caches.Registered
+
 /** Text-analysis + dedup query surface over `documents`, with generated
   * DuckDB oracles that replicate the exact hash arithmetic (PolyHash / LCG /
   * minhash permutations are engine-agnostic integer math — see Hashing).
@@ -139,7 +141,7 @@ object TextDedup {
     "t5_freq_tokens" -> ((s, dir) => {
       val toks = docs(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked()
       val exact = toks.groupBy("w").agg(count(lit(1)).as("n"))
       val report = toks
         .agg(graft.functions.FreqItemsAgg.column(col("w"), 20).as("top"))
@@ -224,7 +226,7 @@ object TextDedup {
     "t6_unigram_logprob" -> ((s, dir) => {
       val toks = docs(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked()
       val freq = toks.groupBy("w").agg(count(lit(1)).as("wn"))
       val total = toks.agg(count(lit(1)).as("_n"))
       toks.join(freq, "w")
@@ -554,6 +556,26 @@ object TextDedup {
           sum("band_key").as("sum_keys"))
     }),
 
+    // SKEW-HARDENED dedup — the LSH chain under a deliberately viral span:
+    // 30% of the corpus is REPLACED by one shared boilerplate block, so
+    // those docs' signatures agree in every band and each band's hot
+    // (band, band_key) bucket holds 30% of the corpus — the worst-case
+    // hot-bucket shape a licence footer produces at 100 TB. The pair join
+    // runs through the EXPLICIT salted path (Skew.saltedJoin on the
+    // composite bucket key, engaged at plan time, not left to AQE), and
+    // the oracle is the PLAIN join over the same skewed corpus — hash
+    // equality proves salting changes the task layout, never the result.
+    "d22_skewed_dedup" -> ((s, dir) => {
+      val skewed = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 10 < 3, lit(Boilerplate)).otherwise(col("text")))
+      Dedup.candidatePairsSalted(
+          Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(skewed))),
+          salts = 8)
+        .groupBy("doc_a")
+        .agg(count(lit(1)).as("n_pairs"), sum("doc_b").as("sum_b"),
+          max("n_bands").as("max_bands"))
+    }),
+
     // The FULL multi-batch lifecycle — e9/d20/d21 each gate one leg; this
     // gates the loop closing: ingest batch 1 (doc_id in [100,200)) probes
     // the standing store (doc_id >= 200), its bucket rows are d21-appended
@@ -710,7 +732,10 @@ object TextDedup {
 
   private val wsSql = """string_split_regex(lower(text), '\s+')"""
 
-  private val toksSrc = s"toks AS (SELECT doc_id, $wsSql AS ws FROM documents)"
+  private def toksSrcFrom(src: String): String =
+    s"toks AS (SELECT doc_id, $wsSql AS ws FROM $src)"
+
+  private val toksSrc = toksSrcFrom("documents")
 
   /** Word-3-gram shingles per doc (non-distinct; empty below 3 tokens). */
   private val shSrc =
@@ -751,6 +776,17 @@ object TextDedup {
 
   private val minhashChain =
     s"$toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $pairsSrc"
+
+  /** The d22 viral span: all-lowercase, whitespace-only tokens (survives
+    * the ws tokenizer identically in both engines), long enough to carry
+    * a full shingle set of its own.
+    */
+  private[queries] val Boilerplate =
+    "this content is provided as is without warranty of any kind express " +
+      "or implied subscribe to our newsletter for the latest updates " +
+      "terms of service apply to all visitors copyright all rights " +
+      "reserved do not reproduce or redistribute without prior written " +
+      "permission from the publisher"
 
   /** Shared d21/e11 oracle: the full-corpus band rollup the post-append
     * store must hash-equal.
@@ -1049,6 +1085,15 @@ object TextDedup {
          |   OR (a.doc_id < 100 AND b.doc_id >= 100)
          |GROUP BY 1, 2""".stripMargin,
     "d21_store_append" -> storeRollupOracle,
+    "d22_skewed_dedup" ->
+      s"""WITH skdocs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 3 THEN '$Boilerplate' ELSE text END AS text
+         |  FROM documents),
+         |${toksSrcFrom("skdocs")}, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $pairsSrc
+         |SELECT doc_a, count(*) AS n_pairs, sum(doc_b) AS sum_b,
+         |  max(n_bands) AS max_bands
+         |FROM pairs GROUP BY doc_a""".stripMargin,
     // Batch append and streaming append must leave the store in the SAME
     // state as a full rebuild.
     "e11_stream_append" -> storeRollupOracle,

@@ -87,6 +87,30 @@ class BpeSpec extends AnyFunSuite {
     assert(join == fold)
   }
 
+  test("chunked merge application equals the single-fold path across chunk boundaries") {
+    // A merge table far past the chunk size: the real trained merges are
+    // padded with inert pairs (symbols absent from the corpus — their
+    // replaces are no-ops but still deepen the fold), so the chunked path
+    // runs several localCheckpoint stages. Chunk sizes straddling the
+    // table length (including chunk=1, every merge its own stage) must all
+    // reproduce the plain fold bit-for-bit — the order of application is
+    // the BPE semantics, and a chunk boundary must never reorder it.
+    val docs = Seq((1L, "the cat and the hat sat"),
+      (2L, "band bandana ban banana")).toDF("doc_id", "text")
+    val real = Bpe.train(docs, "text", merges = 6)
+    val padded = real ++ (0 until 40).map { i =>
+      val t = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+      (s"zq$t", s"xj$t") // letter-only inert symbols, absent from the corpus
+    }
+    val fold = Bpe.tokenCountsFold(docs, "text", padded)
+      .as[(Long, Int, Int)].collect().toSet
+    for (chunk <- Seq(1, 7, 40, 1000)) {
+      val chunked = Bpe.tokenCounts(docs, "text", padded, chunk = chunk)
+        .as[(Long, Int, Int)].collect().toSet
+      assert(chunked == fold, s"chunk=$chunk diverged")
+    }
+  }
+
   test("vocab-join tokenStreams equals the doc-level fold path exactly") {
     val docs = Seq((1L, "the cat and the hat sat on a mat"),
       (2L, "band bandana ban banana"), (3L, "... 42 ..."),

@@ -93,6 +93,30 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("composite-key salted self-join spreads the hot bucket and keeps the pair set") {
+    // A hot composite bucket: 200 rows in (band=1, key=42), tail elsewhere —
+    // the LSH viral-span shape behind d22.
+    val buckets = ((1 to 200).map(i => (1, 42L, i.toLong)) ++
+      (1 to 50).map(i => (i % 4, 1000L + i, 500L + i)))
+      .toDF("band", "band_key", "doc_id").repartition(8)
+    val a = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    val plain = a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val salted = Skew.saltedJoin(a, b, Seq("band", "band_key"), salts = 8)
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(salted == plain)
+    // Salting must actually ENGAGE: the hot bucket's probe rows land on
+    // more than one salt (else it degenerates to the plain layout).
+    val spread = a.withColumn("_salt",
+        pmod(hash(col("band"), col("band_key"), monotonically_increasing_id()), lit(8)))
+      .filter(col("band") === 1 && col("band_key") === 42L)
+      .select(countDistinct("_salt")).as[Long].collect().head
+    assert(spread > 1, s"hot bucket stayed on $spread salt(s)")
+  }
+
   test("splitHotKeys partitions rows exactly") {
     val (hot, rest) = Skew.splitHotKeys(skewed, "k", threshold = 500)
     assert(hot.count() == 900)
