@@ -23,6 +23,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failed queries are recorded in verify_errors.json alongside the
+    // dumps: a query that errors must be visibly red in the artifact, not
+    // silently absent (a missing dump reads as "not declared", and a
+    // correctness report built only from present dumps overstates health).
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -30,6 +35,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
       // Drop intra-query persisted intermediates so 75 sequential dumps
       // don't accumulate cached blocks (same hygiene as Bench). releaseAll
@@ -54,6 +60,9 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v.take(300))}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

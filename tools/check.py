@@ -33,7 +33,18 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     passed, failed = [], []
+    # Queries that ERRORED in Verify are explicit FAIL rows, not silent
+    # absences — the artifact must be self-contained (ADVICE r10).
+    try:
+        for name, msg in sorted(json.load(
+                open(f"{out_dir}/verify_errors.json")).items()):
+            failed.append((name, f"verify error: {msg[:200]}"))
+    except FileNotFoundError:
+        pass
+    errored = {name for name, _ in failed}
     for name, sql in sorted(oracle.items()):
+        if name in errored:
+            continue
         try:
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = got_rel.columns
