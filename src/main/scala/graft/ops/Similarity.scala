@@ -372,6 +372,22 @@ object Similarity {
     fitOn(vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
       .persistTracked(), k, iters)
 
+  /** Assign vectors to the cells of an ALREADY-TRAINED model
+    * ([[kmeansFit]]'s (cl, c) frame) — the ingest half of a standing IVF
+    * index: new vectors route into existing inverted lists WITHOUT
+    * retraining (retraining would re-cell the whole standing corpus; an
+    * index ingests deltas against a pinned model and retrains on its own
+    * cadence). One broadcast of the k-row codebook, a codegen'd argmin
+    * map, zero shuffle — per micro-batch this is a pure narrow pass, the
+    * e13 streaming-ingest shape. Output: (vec_id, cell, d2), d2 the
+    * rounded-6dp squared L2 to the winning centroid.
+    */
+  def assignWithModel(vecs: DataFrame, model: DataFrame): DataFrame =
+    assignByCodebook(
+      vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv")),
+      cbFrameOf(model))
+      .select(col("vec_id"), col("cluster").as("cell"), col("d2"))
+
   /** The Lloyd loop of [[kmeansBroadcast]] over a pre-projected (vec_id,
     * dv) frame. Init = ordinal labels over the k lowest ids (the
     * single-partition window is bounded at k rows — the limit(k) output,

@@ -134,6 +134,52 @@ object Embeddings {
         iters = KmeansIters, m = PqM, nprobe = IvfNprobe,
         nQueries = NQueries, shortlist = Shortlist)),
 
+    // STREAMING ANN INDEX INGEST — the vector-side analog of e11/e12's
+    // signature-store lifecycle, closing the operational loop around the
+    // v12/v13/v14 search paths: a standing IVF index (cells trained on the
+    // standing corpus, assignments persisted bucketed BY CELL — the search
+    // key, so probes stay Exchange-free) ingests a stream of new vectors.
+    // Each micro-batch routes through the PINNED model (broadcast k-row
+    // codebook, codegen'd argmin, zero shuffle — no retraining on the hot
+    // path) and folds into the store through the e12 committed-batchId
+    // ledger; the gate REPLAYS the final micro-batch (must be a no-op) and
+    // the per-cell rollup must hash-equal a full-corpus assignment rebuild.
+    "e13_stream_ann_ingest" -> ((s, dir) => {
+      val db = "graft_annstore_e13"
+      val dbLoc = Tables.scratch(db + "_db")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
+      graft.ops.Bucketing.reset(s, s"$db.cells",
+        new java.io.File(dbLoc, "cells"))
+      val all = t(s, dir, "embeddings")
+      val standing = all.filter(col("vec_id") >= StandingMin)
+      val model = Similarity.kmeansFit(standing, KmeansK, KmeansIters)
+      graft.ops.Bucketing.writeBucketed(
+        Similarity.assignWithModel(standing, model),
+        s"$db.cells", nBuckets = 4, keys = Seq("cell"))
+      val ledger = new java.io.File(Tables.scratch(db + "_ledger"))
+      Option(ledger.listFiles()).foreach(_.foreach(_.delete()))
+      val delta = s.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") < StandingMin)
+      val seenBatches = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def append(batch: DataFrame, id: Long): Boolean =
+        graft.ops.Bucketing.appendBucketedExactlyOnce(
+          Similarity.assignWithModel(batch, model), s"$db.cells",
+          nBuckets = 4, keys = Seq("cell"), ledgerDir = ledger, batchId = id)
+      graft.streaming.StreamingWindows.runForeachBatch(delta, "e13") {
+        (batch, id) => seenBatches += id; append(batch, id); ()
+      }
+      val replayed = append(
+        all.filter(col("vec_id") < StandingMin), seenBatches.last)
+      require(!replayed, "ledger failed to suppress a replayed micro-batch")
+      s.catalog.refreshTable(s"$db.cells")
+      s.table(s"$db.cells")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("sum_ids"),
+          max("d2").as("max_d2"))
+    }),
+
     // recall@10 EVAL across the three trained-index search paths (v12
     // exact-in-cell, v13 raw-code ADC, v14 residual-code ADC) against the
     // exact L2 top-10 — hit counts, recall fractions, and lowest-missed
@@ -150,6 +196,7 @@ object Embeddings {
   val IvfNprobe = 2
   val Shortlist = 5
   val RecallAt = 10
+  val StandingMin = 100L // e13: standing corpus = vec_id >= 100, delta below
 
   private val vSrc =
     """v AS (SELECT vec_id, label,
@@ -566,6 +613,23 @@ object Embeddings {
     "v15_recall_at_k" ->
       recallAtKOracle(KmeansK, KmeansIters, PqM, IvfNprobe, NQueries,
         RecallAt),
+    // e13 oracle: train the Lloyd chain on the STANDING subset only, then
+    // assign the FULL corpus (standing + streamed delta) to those pinned
+    // centroids — the per-cell rollup the post-ingest store must equal.
+    "e13_stream_ann_ingest" ->
+      s"""WITH $vSrc,
+         |vs AS (SELECT vec_id, dv FROM v WHERE vec_id >= $StandingMin),
+         |${kmeansChain(KmeansK, KmeansIters, "vs", "")},
+         |asg AS (
+         |  SELECT vec_id, cl AS cell, d2 FROM (
+         |    SELECT v.vec_id, c.cl, $kmD2 AS d2,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |                         ORDER BY $kmD2, c.cl) AS rk
+         |    FROM v CROSS JOIN c$KmeansIters c)
+         |  WHERE rk = 1)
+         |SELECT cell, count(*) AS n_vecs, sum(vec_id) AS sum_ids,
+         |  max(d2) AS max_d2
+         |FROM asg GROUP BY cell""".stripMargin,
     "v8_pq_encode" ->
       s"""WITH $vSrc,
          |$pqD2,
