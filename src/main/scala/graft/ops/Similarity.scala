@@ -489,14 +489,17 @@ object Similarity {
       .withColumn("crk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cd2"), col("cell"))))
       .filter(col("crk") <= nprobe)
-      .select(col("q_id"), col("qv"), col("cell"))
+      .select(col("q_id"), col("qv"), col("cell"), col("crk"))
     // Probe: keyed join on cell; exact rounded-6dp pair distance in the
     // same aa + cc − 2·ac form as the PqExprs kernel and the oracle.
+    // crk (the candidate's cell's probe rank for this query) rides along
+    // so recallByNprobe can evaluate several nprobe settings from ONE
+    // probe pass — a plain filter on crk recovers any tighter setting.
     qcells.join(members, "cell")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("d2", round(dot(col("qv"), col("qv"))
         + dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), 6))
-      .select(col("q_id"), col("c_id"), col("d2"))
+      .select(col("q_id"), col("c_id"), col("crk"), col("d2"))
   }
 
   /** IVF-PQ — the COMPLETE trained ANN index (the FAISS IVFPQ shape,
@@ -705,6 +708,42 @@ object Similarity {
           .as("recall_rpq"),
         coalesce(col("m_pq"), lit(-1L)).as("missed_pq"),
         coalesce(col("m_rpq"), lit(-1L)).as("missed_rpq"))
+  }
+
+  /** v16: recall@kAt as a FUNCTION OF nprobe — the operating-point sweep
+    * a pipeline runs to pick the IVF probe width (recall rises with
+    * nprobe, so does probe cost; the knee is the production setting).
+    * ONE probe pass at max(nprobes) carries each candidate's cell rank
+    * (crk); every tighter setting is recovered by a plain crk filter —
+    * the sweep costs one search, not |nprobes| searches. Output: one row
+    * per nprobe with total hits over the query set and the recall
+    * fraction against the exact L2 top-kAt ground truth.
+    */
+  def recallByNprobe(vecs: DataFrame, k: Int, iters: Int, nQueries: Int,
+      kAt: Int, nprobes: Seq[Int]): DataFrame = {
+    val v = prepV(vecs)
+    val cbF = cbFrameOf(fitOn(v, k, iters))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("dv").as("qv"))
+    val c = v.select(col("vec_id").as("c_id"), col("dv").as("cv"))
+    val exact = shortlistBy(
+      q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+        .withColumn("d2", round(dot(col("qv"), col("qv"))
+          + dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), 6))
+        .select(col("q_id"), col("c_id"), col("d2")),
+      "d2", kAt).select("q_id", "c_id")
+    val pairs = graft.engine.Caches.persisted(
+      ivfScoredPairsOn(v, cbF, nprobes.max, nQueries))
+    nprobes.sorted.map { np =>
+      val top = shortlistBy(
+          pairs.filter(col("crk") <= np).select("q_id", "c_id", "d2"),
+          "d2", kAt)
+        .select("q_id", "c_id")
+      exact.join(top, Seq("q_id", "c_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np).as("nprobe"), col("hits"),
+          round(col("hits") / lit((nQueries * kAt).toDouble), 3).as("recall"))
+    }.reduce(_ union _)
   }
 
   /** Per-label centroid norm: posexplode → per-dimension mean → L2 norm.

@@ -188,7 +188,16 @@ object Embeddings {
     "v15_recall_at_k" -> ((s, dir) =>
       Similarity.annRecallAtK(t(s, dir, "embeddings"), k = KmeansK,
         iters = KmeansIters, m = PqM, nprobe = IvfNprobe,
-        nQueries = NQueries, kAt = RecallAt))
+        nQueries = NQueries, kAt = RecallAt)),
+
+    // recall@10 vs nprobe SWEEP — the operating-point tuning report for
+    // the IVF probe width. One search at max(nprobe) carries the cell
+    // rank; tighter settings are crk filters, so the sweep costs one
+    // probe pass, not one per setting.
+    "v16_recall_nprobe" -> ((s, dir) =>
+      Similarity.recallByNprobe(t(s, dir, "embeddings"), k = KmeansK,
+        iters = KmeansIters, nQueries = NQueries, kAt = RecallAt,
+        nprobes = NprobeSweep))
   )
 
   val KmeansK = 8
@@ -197,6 +206,7 @@ object Embeddings {
   val Shortlist = 5
   val RecallAt = 10
   val StandingMin = 100L // e13: standing corpus = vec_id >= 100, delta below
+  val NprobeSweep = Seq(1, 2, 4, 8) // v16: probe widths (8 = every cell)
 
   private val vSrc =
     """v AS (SELECT vec_id, label,
@@ -571,6 +581,54 @@ object Embeddings {
        |LEFT JOIN mrpq m2 ON m2.q_id = b.q_id""".stripMargin
   }
 
+  /** v16 oracle: one probe pass at max(nprobes) with the cell rank kept;
+    * per sweep setting, a crk filter + top-kAt + hit count against the
+    * exact ground truth (the v15 `ex` shape), one output row per nprobe.
+    */
+  private def recallByNprobeOracle(k: Int, iters: Int, nQueries: Int,
+      kAt: Int, nprobes: Seq[Int]): String = {
+    val maxNp = nprobes.max
+    val perNp = nprobes.sorted.map { np =>
+      s"""SELECT CAST($np AS INT) AS nprobe,
+         |  (SELECT count(*) FROM ex e JOIN (
+         |     SELECT q_id, c_id FROM (
+         |       SELECT q_id, c_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rk
+         |       FROM scored WHERE crk <= $np)
+         |     WHERE rk <= $kAt) t
+         |   ON t.q_id = e.q_id AND t.c_id = e.c_id) AS hits""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""${kmeansStages(k, iters)},
+       |qc AS (
+       |  SELECT vec_id AS q_id, cl, crk FROM (
+       |    SELECT v.vec_id, c.cl,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |                         ORDER BY $kmD2, c.cl) AS crk
+       |    FROM v CROSS JOIN c$iters c
+       |    WHERE v.vec_id < $nQueries)
+       |  WHERE crk <= $maxNp),
+       |scored AS (
+       |  SELECT qc.q_id, f.vec_id AS c_id, qc.crk,
+       |    ${fullD2("a.dv", "b.dv")} AS d2
+       |  FROM qc JOIN fin f USING (cl)
+       |  JOIN v a ON a.vec_id = qc.q_id
+       |  JOIN v b ON b.vec_id = f.vec_id
+       |  WHERE f.vec_id <> qc.q_id),
+       |ex AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${fullD2("a.dv", "b.dv")}, b.vec_id) AS rk
+       |    FROM v a CROSS JOIN v b
+       |    WHERE a.vec_id < $nQueries AND b.vec_id <> a.vec_id)
+       |  WHERE rk <= $kAt),
+       |sweep AS (
+       |$perNp)
+       |SELECT nprobe, hits,
+       |  round(hits / CAST(${nQueries * kAt} AS DOUBLE), 3) AS recall
+       |FROM sweep""".stripMargin
+  }
+
   /** v12 oracle: the trained centroid chain, then the IVF probe — per
     * query the nprobe nearest cells by the same rounded distance, the
     * probed cells' inverted-list members as candidates, exact rounded
@@ -613,6 +671,9 @@ object Embeddings {
     "v15_recall_at_k" ->
       recallAtKOracle(KmeansK, KmeansIters, PqM, IvfNprobe, NQueries,
         RecallAt),
+    "v16_recall_nprobe" ->
+      recallByNprobeOracle(KmeansK, KmeansIters, NQueries, RecallAt,
+        NprobeSweep),
     // e13 oracle: train the Lloyd chain on the STANDING subset only, then
     // assign the FULL corpus (standing + streamed delta) to those pinned
     // centroids — the per-cell rollup the post-ingest store must equal.

@@ -35,6 +35,11 @@ class PlanAuditSpec extends AnyFunSuite {
                                // ADC) + the persisted assign pass feeding
                                // residual training — every side a one-row
                                // broadcast against the corpus scan
+    "v16_recall_nprobe" -> 12, // one-row codebook (invert + query sides) ×
+                               // the per-nprobe union branches + the
+                               // bounded 20-query exact ground-truth scan
+                               // — every broadcast side a one-row codebook
+                               // or the query set
     "v15_recall_at_k" -> 22)   // union of the v12/v13/v14 probe paths over
                                // the SHARED codebooks (each path re-plans
                                // its one-row broadcast joins) + the
