@@ -562,6 +562,52 @@ object Similarity {
         adcSum(col("tbl"), col("codes"), m).as("adist"))
   }
 
+  /** v17: ADC search over a PERSISTED on-disk IVF-PQ index — the read
+    * side of the index lifecycle (e13 gates the write side). Build: the
+    * exact v13 construction (cell assignment + m codes in one pass), but
+    * written `partitionBy(cell)` — one DIRECTORY per inverted list, the
+    * on-disk spelling of IVF. Search: the probe-cell set (a broadcast
+    * one-row codebook against the bounded query set) joins the store
+    * scan on the PARTITION column, so Dynamic Partition Pruning skips
+    * every unprobed cell's directory at listing time — at 100 TB the
+    * search reads nprobe/k of the index from storage, not a fraction of
+    * a scan. Output is bit-identical to the in-memory v13 search (same
+    * codes, same tables, same rounding), which is the gate: persisting
+    * the index and pruning the scan must not move a single distance.
+    */
+  def ivfPqStoreSearch(vecs: DataFrame, storePath: String, k: Int,
+      iters: Int, m: Int, nprobe: Int, nQueries: Int): DataFrame = {
+    val v = prepV(vecs)
+    val cbF = cbFrameOf(fitOn(v, k, iters))
+    v.crossJoin(broadcast(cbF))
+      .withColumn("tbl1", graft.functions.PqExprs.distTableColumn(
+        col("dv"), col("cb"), 1))
+      .select(col("vec_id").as("c_id"),
+        (array_position(col("tbl1"), array_min(col("tbl1"))) - 1)
+          .cast("int").as("cell"),
+        graft.functions.PqExprs.encodeColumn(col("dv"), col("cb"), m)
+          .getField("codes").as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(storePath)
+    val store = v.sparkSession.read.parquet(storePath)
+    val qs = v.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cbF))
+      .withColumn("tbl", graft.functions.PqExprs.distTableColumn(
+        col("dv"), col("cb"), m))
+      .select(col("vec_id").as("q_id"), col("tbl"),
+        posexplode(graft.functions.PqExprs.distTableColumn(
+          col("dv"), col("cb"), 1)).as(Seq("cell", "cd2")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cd2"), col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("tbl"), col("cell"))
+    top1By(
+      qs.join(store, "cell")
+        .filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          adcSum(col("tbl"), col("codes"), m).as("adist")),
+      "adist")
+  }
+
   /** RESIDUAL-encoded IVF-PQ ADC pairs — the full FAISS IVFADC shape
     * (Jégou et al. 2011 §IV): PQ codes quantize r = v − centroid(cell)
     * instead of v, against a SECOND Lloyd-trained codebook fit on the

@@ -190,6 +190,19 @@ object Embeddings {
         iters = KmeansIters, m = PqM, nprobe = IvfNprobe,
         nQueries = NQueries, kAt = RecallAt)),
 
+    // Search over the PERSISTED on-disk IVF-PQ index — the read side of
+    // the lifecycle (e13 writes, this searches): the index written
+    // partitionBy(cell) (one directory per inverted list), the probe join
+    // keyed on the partition column so Dynamic Partition Pruning skips
+    // every unprobed cell's directory at listing time. Same construction,
+    // codes, and rounding as v13 — and exactly v13's oracle: persisting
+    // the index and pruning the scan must not move a single distance.
+    "v17_ivf_store_search" -> ((s, dir) =>
+      Similarity.ivfPqStoreSearch(t(s, dir, "embeddings"),
+        storePath = Tables.scratch("graft_v17_store"), k = KmeansK,
+        iters = KmeansIters, m = PqM, nprobe = IvfNprobe,
+        nQueries = NQueries)),
+
     // recall@10 vs nprobe SWEEP — the operating-point tuning report for
     // the IVF probe width. One search at max(nprobe) carries the cell
     // rank; tighter settings are crk filters, so the sweep costs one
@@ -674,6 +687,9 @@ object Embeddings {
     "v16_recall_nprobe" ->
       recallByNprobeOracle(KmeansK, KmeansIters, NQueries, RecallAt,
         NprobeSweep),
+    // v17 = v13 through the persisted partition-pruned index: same oracle.
+    "v17_ivf_store_search" ->
+      ivfPqOracle(KmeansK, KmeansIters, PqM, IvfNprobe, NQueries),
     // e13 oracle: train the Lloyd chain on the STANDING subset only, then
     // assign the FULL corpus (standing + streamed delta) to those pinned
     // centroids — the per-cell rollup the post-ingest store must equal.

@@ -35,6 +35,10 @@ class PlanAuditSpec extends AnyFunSuite {
                                // ADC) + the persisted assign pass feeding
                                // residual training — every side a one-row
                                // broadcast against the corpus scan
+    "v17_ivf_store_search" -> 2, // one-row trained codebook: index build
+                               // (write side) + query-table side; the
+                               // search itself is a keyed partition-
+                               // pruned join on cell
     "v16_recall_nprobe" -> 12, // one-row codebook (invert + query sides) ×
                                // the per-nprobe union branches + the
                                // bounded 20-query exact ground-truth scan
