@@ -756,6 +756,49 @@ object Similarity {
         coalesce(col("m_rpq"), lit(-1L)).as("missed_rpq"))
   }
 
+  /** v18: FILTERED ANN — a metadata predicate composed WITH the vector
+    * search (the "same-language nearest neighbor" / "same-tenant docs
+    * only" production shape). The filter applies to the inverted-list
+    * members BEFORE scoring (pre-filtering, not search-then-drop), so a
+    * selective predicate cannot empty the result by post-filtering a
+    * top-k that was computed over the whole corpus — the standard
+    * filtered-ANN failure mode. Scale shape unchanged: the predicate
+    * rides the keyed cell join as an ordinary join filter, the label
+    * column lives beside the vectors in the index. Queries whose probed
+    * cells hold no matching candidate drop out (inner semantics), which
+    * the oracle reproduces.
+    */
+  def ivfFilteredTop1(vecs: DataFrame, k: Int, iters: Int, nprobe: Int,
+      nQueries: Int): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("dv"))
+      .persistTracked()
+    val cbF = cbFrameOf(fitOn(v.select(col("vec_id"), col("dv")), k, iters))
+    // assignByCodebook passes extra columns through — label stays with
+    // the member rows, becoming an index column beside the codes.
+    val members = assignByCodebook(v, cbF)
+      .select(col("cluster").as("cell"), col("vec_id").as("c_id"),
+        col("label").as("c_label"), col("dv").as("cv"))
+    val qcells = v.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cbF))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("dv").as("qv"),
+        posexplode(graft.functions.PqExprs.distTableColumn(
+          col("dv"), col("cb"), 1)).as(Seq("cell", "cd2")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cd2"), col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_label"), col("qv"), col("cell"))
+    top1By(
+      qcells.join(members, "cell")
+        .filter(col("q_id") =!= col("c_id") &&
+          col("c_label") === col("q_label"))
+        .withColumn("d2", round(dot(col("qv"), col("qv"))
+          + dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), 6))
+        .select(col("q_id"), col("c_id"), col("d2")),
+      "d2")
+  }
+
   /** v16: recall@kAt as a FUNCTION OF nprobe — the operating-point sweep
     * a pipeline runs to pick the IVF probe width (recall rises with
     * nprobe, so does probe cost; the knee is the production setting).

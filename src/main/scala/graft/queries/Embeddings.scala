@@ -203,6 +203,15 @@ object Embeddings {
         iters = KmeansIters, m = PqM, nprobe = IvfNprobe,
         nQueries = NQueries)),
 
+    // FILTERED ANN — metadata predicate composed with the vector search
+    // (same-label nearest neighbor): the predicate pre-filters the
+    // inverted-list members BEFORE scoring, riding the keyed cell join as
+    // an ordinary join filter — never a post-filter of an unfiltered
+    // top-k (the standard filtered-ANN failure mode).
+    "v18_filtered_ann" -> ((s, dir) =>
+      Similarity.ivfFilteredTop1(t(s, dir, "embeddings"), k = KmeansK,
+        iters = KmeansIters, nprobe = IvfNprobe, nQueries = NQueries)),
+
     // recall@10 vs nprobe SWEEP — the operating-point tuning report for
     // the IVF probe width. One search at max(nprobe) carries the cell
     // rank; tighter settings are crk filters, so the sweep costs one
@@ -690,6 +699,29 @@ object Embeddings {
     // v17 = v13 through the persisted partition-pruned index: same oracle.
     "v17_ivf_store_search" ->
       ivfPqOracle(KmeansK, KmeansIters, PqM, IvfNprobe, NQueries),
+    // v18 = v12's probe with the same-label predicate applied to the
+    // member side before scoring (queries with no match drop out).
+    "v18_filtered_ann" ->
+      s"""${kmeansStages(KmeansK, KmeansIters)},
+         |qc AS (
+         |  SELECT vec_id AS q_id, cl FROM (
+         |    SELECT v.vec_id, c.cl,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |                         ORDER BY $kmD2, c.cl) AS crk
+         |    FROM v CROSS JOIN c$KmeansIters c
+         |    WHERE v.vec_id < $NQueries)
+         |  WHERE crk <= $IvfNprobe),
+         |scored AS (
+         |  SELECT qc.q_id, f.vec_id AS c_id, ${fullD2("a.dv", "b.dv")} AS d2
+         |  FROM qc JOIN fin f USING (cl)
+         |  JOIN v a ON a.vec_id = qc.q_id
+         |  JOIN v b ON b.vec_id = f.vec_id
+         |  WHERE f.vec_id <> qc.q_id AND b.label = a.label)
+         |SELECT q_id, c_id AS nn_id, d2 FROM (
+         |  SELECT q_id, c_id, d2,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rk
+         |  FROM scored)
+         |WHERE rk = 1""".stripMargin,
     // e13 oracle: train the Lloyd chain on the STANDING subset only, then
     // assign the FULL corpus (standing + streamed delta) to those pinned
     // centroids — the per-cell rollup the post-ingest store must equal.

@@ -35,6 +35,9 @@ class PlanAuditSpec extends AnyFunSuite {
                                // ADC) + the persisted assign pass feeding
                                // residual training — every side a one-row
                                // broadcast against the corpus scan
+    "v18_filtered_ann" -> 2,   // one-row trained codebook: member invert
+                               // + query sides; the label predicate rides
+                               // the keyed cell join
     "v17_ivf_store_search" -> 2, // one-row trained codebook: index build
                                // (write side) + query-table side; the
                                // search itself is a keyed partition-
