@@ -34,9 +34,13 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      // plan_id annotations are unique per occurrence — strip them before
+      // grouping or every AQE-annotated Exchange line counts as distinct
+      // and the multiplicity rollup degenerates to a flood of "1x" rows.
       val joins = plan.linesIterator.filter(l =>
         l.contains("Join") || l.contains("Cartesian") || l.contains("Exchange"))
-        .map(_.trim.takeWhile(_ != '(')).toSeq
+        .map(_.trim.takeWhile(_ != '(')
+          .replaceAll(",? \\[plan_id=\\d+\\]", "")).toSeq
       val pushed = plan.linesIterator.filter(_.contains("PushedFilters: [")).flatMap(l =>
         Option(l.substring(l.indexOf("PushedFilters:")).take(80))).toSeq.distinct
       println(s"== $name")
