@@ -72,6 +72,23 @@ object Bucketing {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Retention for the committed-batchId ledger: drop markers for batches
+    * below `upToBatchId`. Structured Streaming replays only the IN-FLIGHT
+    * micro-batch after a restart — once the checkpoint's committed offset
+    * has moved past a batch, its marker can never be consulted again — so
+    * a maintenance cadence of `pruneLedger(ledger, lastBatchId - N)` for
+    * any N ≥ 1 bounds the ledger at N+1 files instead of one file per
+    * batch forever.
+    */
+  def pruneLedger(ledgerDir: java.io.File, upToBatchId: Long): Unit =
+    Option(ledgerDir.listFiles()).foreach(_.foreach { f =>
+      val n = f.getName
+      if (n.startsWith("batch-") &&
+          n.stripPrefix("batch-").toLongOption.exists(_ < upToBatchId)) {
+        f.delete(); ()
+      }
+    })
+
   /** [[appendBucketed]] guarded by a committed-batchId ledger — the
     * idempotent-sink contract a `foreachBatch` append needs: Structured
     * Streaming redelivers the in-flight micro-batch (same batchId, same

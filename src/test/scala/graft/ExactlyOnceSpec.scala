@@ -54,4 +54,13 @@ class ExactlyOnceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bucketing.isCommitted(ledger, 0L) && Bucketing.isCommitted(ledger, 1L))
     assert(!Bucketing.isCommitted(ledger, 2L))
   }
+
+  test("pruneLedger drops only markers below the horizon") {
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft-eo-prune").toFile
+    (0L to 5L).foreach(Bucketing.commit(ledger, _, "t"))
+    Bucketing.pruneLedger(ledger, upToBatchId = 4L)
+    assert((0L to 3L).forall(!Bucketing.isCommitted(ledger, _)))
+    assert(Bucketing.isCommitted(ledger, 4L) && Bucketing.isCommitted(ledger, 5L))
+  }
 }
