@@ -65,6 +65,37 @@ object Split {
       .drop("_part", "_prn", "_offset")
   }
 
+  /** o14: LENGTH-BUCKETED BATCHING — group similar-length documents into
+    * fixed-size batches so per-batch padding (every sequence padded to
+    * the batch max) wastes as little compute as possible; random batching
+    * pads most sequences to the corpus tail. Shape: the scalable
+    * [[globalRowNumber]] in (length, tiebreak) order, then pure integer
+    * arithmetic — bucket = (rn−1)·nb div N, batch = offset-from-bucket-
+    * start div batchSize — so batch ids are bit-reproducible in any
+    * engine and NO per-bucket window is needed (the one-row count is the
+    * only broadcast, the o1 pattern). Output: per (bucket, batch) the doc
+    * count, total/max length, padded cost, and packing efficiency.
+    */
+  def lengthBucketedBatches(docs: DataFrame, lenCol: String,
+      tieBreak: String, nBuckets: Int, batchSize: Int): DataFrame = {
+    val numbered = globalRowNumber(docs, lenCol, tieBreak)
+    val total = numbered.agg(count(lit(1)).as("_n"))
+    numbered.crossJoin(broadcast(total))
+      .withColumn("bucket",
+        expr(s"(rn - 1) * $nBuckets div _n").cast("int"))
+      // Closed-form bucket start: the smallest 0-based index m with
+      // (m·nb) div N = b is ceil(b·N/nb) — integer-only, oracle-exact.
+      .withColumn("_bstart",
+        expr(s"(bucket * _n + ${nBuckets - 1}) div $nBuckets"))
+      .withColumn("batch",
+        expr(s"((rn - 1) - _bstart) div $batchSize").cast("int"))
+      .groupBy("bucket", "batch")
+      .agg(count(lit(1)).as("n_docs"), sum(col(lenCol)).as("sum_len"),
+        max(col(lenCol)).as("max_len"))
+      .withColumn("padded", col("max_len") * col("n_docs"))
+      .withColumn("efficiency", round(col("sum_len") / col("padded"), 6))
+  }
+
   /** Global running SUM of `valCol` in ascending (orderCol, tieBreak)
     * order, without a single-partition window — [[globalRowNumber]]'s
     * range-partition + per-partition-offset machinery with the offsets

@@ -329,6 +329,16 @@ object TextDedup {
     // scalable form of `sum() OVER (ORDER BY ...)`, which would otherwise
     // be a one-task window over the corpus). Budget 15000 cuts a real
     // prefix at every SF.
+    // LENGTH-BUCKETED BATCHING — the trainer-side op between packing (o8)
+    // and export (o12): similar-length docs batched together so per-batch
+    // padding-to-max wastes minimal compute. Scalable global row number in
+    // length order + pure integer bucket/batch arithmetic (no per-bucket
+    // window); gate hashes every batch's count/total/max/padded/efficiency.
+    "o14_length_batching" -> ((s, dir) =>
+      graft.ops.Split.lengthBucketedBatches(docs(s, dir),
+        lenCol = "n_chars", tieBreak = "doc_id", nBuckets = 8,
+        batchSize = 16)),
+
     "o13_token_budget" -> ((s, dir) => {
       val ws = TextOps.tokens(col("text"))
       val d = docs(s, dir).select(col("doc_id"),
@@ -1330,6 +1340,23 @@ object TextDedup {
          |SELECT doc_id, count(*) AS n_shared
          |FROM tr JOIN ev USING (h)
          |GROUP BY doc_id HAVING count(*) >= 3""".stripMargin,
+    "o14_length_batching" ->
+      """WITH num AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM documents),
+        |b AS (SELECT *, CAST(((rn - 1) * 8) // n AS INT) AS bucket FROM num),
+        |bb AS (SELECT *, (bucket * n + 7) // 8 AS bstart FROM b),
+        |x AS (SELECT bucket,
+        |    CAST(((rn - 1) - bstart) // 16 AS INT) AS batch, n_chars
+        |  FROM bb)
+        |SELECT bucket, batch, count(*) AS n_docs,
+        |  sum(n_chars) AS sum_len, max(n_chars) AS max_len,
+        |  max(n_chars) * count(*) AS padded,
+        |  round(sum(n_chars) / CAST(max(n_chars) * count(*) AS DOUBLE), 6)
+        |    AS efficiency
+        |FROM x GROUP BY bucket, batch""".stripMargin,
     "o13_token_budget" ->
       s"""WITH $toksSrc,
          |m AS (SELECT doc_id,
