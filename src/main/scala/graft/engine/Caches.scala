@@ -27,6 +27,16 @@ import org.apache.spark.storage.StorageLevel
   * unpersist inside the loop) and model-sized `localCheckpoint`s (k-row
   * centroid frames, whose blocks the ContextCleaner reclaims when the
   * plan is garbage-collected) stay OUT of this registry by design.
+  *
+  * CONCURRENCY CONTRACT: the registry is process-global and [[releaseAll]]
+  * drops EVERY tracked intermediate, so it assumes the single-threaded
+  * sweep the Verify/Bench/spec harnesses run — one query materialized,
+  * then released, before the next starts. Two concurrently-executing
+  * queries would stay CORRECT under a cross-release (Spark recomputes an
+  * unpersisted plan), but each would silently lose the reuse its persist
+  * exists for. A concurrent harness should scope releases to its own
+  * handles (`Caches.persisted` returns the Dataset — unpersist that)
+  * rather than calling the global [[releaseAll]].
   */
 object Caches {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]

@@ -24,8 +24,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * (TypedImperativeAggregate), so it composes with partial/final codegen
   * aggregation for free.
   *
+  * Each element accumulates as a DOUBLE-DOUBLE (hi + compensation) pair via
+  * Knuth/Møller two-sum, so the evaluated sum carries ~106 bits of
+  * precision and is independent of accumulation ORDER for all practical
+  * purposes. Plain `+=` would make the result depend on shuffle-block
+  * arrival order at the final merge — nondeterministic run to run (and
+  * across task retries), which downstream roundings then amplify into
+  * visible result flips (the e13 hash-flake class). FP aggregation in a
+  * distributed engine must be reassociation-stable to be reproducible;
+  * the extra add/sub ops are noise next to shuffle cost.
+  *
   * Ragged inputs are tolerated (buffer grows to the longest seen; missing
   * tail elements contribute 0); nulls are skipped. Empty group → null.
+  * Buffer layout: interleaved [hi0, c0, hi1, c1, …].
   */
 case class VectorSumAgg(
     child: Expression,
@@ -48,15 +59,32 @@ case class VectorSumAgg(
   private def grow(buf: Array[Double], n: Int): Array[Double] =
     if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
 
+  /** Add `x` (+ carry `xlo`) into the dd pair at buf(i2), buf(i2+1):
+    * branch-free Knuth two-sum on the high parts, low parts folded into
+    * the error term, then a quick-two-sum RENORMALIZATION so the pair
+    * stays canonical (|lo| ≤ ulp(hi)/2). Without the renormalize the
+    * compensation term accumulates its own naive-FP error and order
+    * independence degrades back to ~1 ulp of the result.
+    */
+  private def addAt(buf: Array[Double], i2: Int, x: Double, xlo: Double): Unit = {
+    val hi = buf(i2)
+    val s = hi + x
+    val bv = s - hi
+    val e = (hi - (s - bv)) + (x - bv) + buf(i2 + 1) + xlo
+    val hi2 = s + e
+    buf(i2) = hi2
+    buf(i2 + 1) = e - (hi2 - s)
+  }
+
   override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
     val v = child.eval(input)
     if (v == null) return buffer
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val out = grow(buffer, n)
+    val out = grow(buffer, 2 * n)
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) out(i) += arr.getDouble(i)
+      if (!arr.isNullAt(i)) addAt(out, 2 * i, arr.getDouble(i), 0.0)
       i += 1
     }
     out
@@ -65,12 +93,21 @@ case class VectorSumAgg(
   override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
     val out = grow(buffer, other.length)
     var i = 0
-    while (i < other.length) { out(i) += other(i); i += 1 }
+    while (i < other.length) {
+      addAt(out, i, other(i), other(i + 1))
+      i += 2
+    }
     out
   }
 
   override def eval(buffer: Array[Double]): Any =
-    if (buffer.isEmpty) null else new GenericArrayData(buffer)
+    if (buffer.isEmpty) null
+    else {
+      val out = new Array[Any](buffer.length / 2)
+      var i = 0
+      while (i < out.length) { out(i) = buffer(2 * i) + buffer(2 * i + 1); i += 1 }
+      new GenericArrayData(out)
+    }
 
   override def serialize(buffer: Array[Double]): Array[Byte] = {
     val bb = ByteBuffer.allocate(buffer.length * 8)

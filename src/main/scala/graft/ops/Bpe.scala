@@ -166,6 +166,22 @@ object Bpe {
     */
   private[graft] val MergeChunk = 256
 
+  /** Release the storage blocks behind a `localCheckpoint()`'d frame.
+    * `Dataset.unpersist` is a NO-OP here — it only uncaches
+    * CacheManager-registered plans, while a local checkpoint's blocks
+    * belong to the internal checkpointed RDD (otherwise freed only when
+    * the ContextCleaner eventually GCs it). The checkpointed RDD is the
+    * `LogicalRDD` leaf the eager checkpoint left as the frame's whole
+    * plan; unpersist THAT. At 32k–100k merges this is the difference
+    * between 2 live chunk frames and hundreds awaiting GC.
+    */
+  private def releaseCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
+
   /** Apply `merges` to pre-encoded (w, enc) rows, chunked per
     * [[MergeChunk]]. Single-chunk tables (every current gate) take the
     * plain fold — zero materialization, identical plan to the unchunked
@@ -183,7 +199,7 @@ object Bpe {
       var prev: DataFrame = null
       merges.grouped(chunk).foreach { ms =>
         val ck = fold(cur, ms).localCheckpoint()
-        if (prev != null) prev.unpersist(false)
+        if (prev != null) releaseCheckpointBlocks(prev)
         prev = ck
         cur = ck
       }

@@ -59,17 +59,35 @@ object Bucketing {
   def isCommitted(ledgerDir: java.io.File, batchId: Long): Boolean =
     new java.io.File(ledgerDir, s"batch-$batchId").exists()
 
-  /** Record `batchId` as committed: write-then-atomic-rename so a marker is
-    * either fully present or absent — a crash mid-write can't leave a
-    * half-marker that a replay would misread as committed.
+  /** Record `batchId` as committed: write-fsync-atomic-rename-fsync so a
+    * marker is either fully present or absent — a crash mid-write can't
+    * leave a half-marker that a replay would misread as committed, and a
+    * POWER LOSS after return can't lose a published marker while the
+    * appended parquet data survives (which would re-widen the at-least-once
+    * window past the documented append-to-publish gap): the file channel is
+    * force()d before the rename and the DIRECTORY is fsynced after it, the
+    * same marker-durability discipline as Spark's own
+    * HDFSMetadataLog/CheckpointFileManager rename commits.
     */
   def commit(ledgerDir: java.io.File, batchId: Long, note: String): Unit = {
+    import java.nio.file.StandardOpenOption._
     ledgerDir.mkdirs()
     val tmp = new java.io.File(ledgerDir, s".batch-$batchId.tmp").toPath
-    java.nio.file.Files.writeString(tmp, note)
+    val ch = java.nio.channels.FileChannel.open(tmp, CREATE, WRITE,
+      TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(
+        note.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
     java.nio.file.Files.move(tmp,
       new java.io.File(ledgerDir, s"batch-$batchId").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // Durable rename: fsync the parent directory entry (POSIX requires it
+    // for the rename itself to survive power loss).
+    val dch = java.nio.channels.FileChannel.open(ledgerDir.toPath,
+      java.nio.file.StandardOpenOption.READ)
+    try dch.force(true) finally dch.close()
   }
 
   /** Retention for the committed-batchId ledger: drop markers for batches

@@ -14,11 +14,29 @@ object Skew {
     * (key, salt ∈ [0,S)) so one hot key spreads over S reducers; phase 2
     * merges the S partials. Correct for any commutative re-aggregable pair
     * (partial, merge) — e.g. (count, sum), (sum, sum), (min, min).
+    *
+    * The salt is [[contentSalt]] over the WHOLE row — a pure function of
+    * row content, so a map-task retry or stage recompute re-derives the
+    * same salt and the row lands in the same reducer partition
+    * (`monotonically_increasing_id`/`rand` here would be the classic
+    * nondeterministic-shuffle-key correctness hazard, cf. SPARK-23207).
+    * Rows identical in every column share a salt; any distinct column
+    * (an id, a payload) spreads the hot key.
     */
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
-    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
+    df.withColumn("_salt", contentSalt(df.columns.map(col), salts))
       .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_partial"))
       .groupBy(col(key)).agg(sum("_partial").as("n"))
+
+  /** Deterministic per-row salt in [0,S): a hash of the given columns.
+    * Layout-independent — the same row content yields the same salt on
+    * any partitioning, any retry, any recompute. The seed offset keeps
+    * the salt decorrelated from Spark's own `hash`-partitioning of the
+    * same columns (identical hash would send salt s only to reducers
+    * ≡ s, defeating the spread).
+    */
+  def contentSalt(cols: Seq[Column], salts: Int): Column =
+    pmod(hash(cols :+ lit(0x5a17ed): _*), lit(salts))
 
   /** Salted join: replicate the small side S times (one copy per salt),
     * salt the big side's rows randomly-but-deterministically, join on
@@ -30,14 +48,18 @@ object Skew {
   /** Composite-key form of [[saltedJoin]] — the LSH hot-bucket case, where
     * the join key is (band, band_key) and one viral span makes a single
     * bucket carry a large fraction of the corpus. Each big-side row takes
-    * ONE deterministic-per-row salt, the replicated side covers all S
-    * salts, so every matching pair still meets exactly once — result
-    * identity with the plain join is the d22 gate.
+    * ONE salt — [[contentSalt]] over the whole row, so the non-key columns
+    * (a doc_id, a payload) spread the hot key while a retried/recomputed
+    * task re-derives the SAME salt (a `monotonically_increasing_id` salt
+    * here re-evaluates differently across retries and can drop or
+    * double-count a pair mid-shuffle — SPARK-23207) — the replicated side
+    * covers all S salts, so every matching pair still meets exactly once;
+    * result identity with the plain join is the d22 gate.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       salts: Int): DataFrame = {
     val saltedBig = big.withColumn("_salt",
-      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salts)))
+      contentSalt(big.columns.map(col), salts))
     val explodedSmall = small.withColumn("_salt",
       explode(array((0 until salts).map(lit(_)): _*)))
     saltedBig.join(explodedSmall, keys :+ "_salt").drop("_salt")

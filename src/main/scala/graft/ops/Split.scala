@@ -75,6 +75,13 @@ object Split {
     * engine and NO per-bucket window is needed (the one-row count is the
     * only broadcast, the o1 pattern). Output: per (bucket, batch) the doc
     * count, total/max length, padded cost, and packing efficiency.
+    *
+    * `efficiency` is defined as floor(sum_len·10⁶ / padded) / 10⁶ —
+    * integer division first, ONE exact double division after — so the
+    * value is bit-reproducible in any engine (a `round(sum/padded, 6)`
+    * double sits on rounding-tie boundaries where Spark's BigDecimal
+    * HALF_UP and DuckDB's scaled-double round disagree by one ulp; see
+    * COVERAGE.md "Oracle pinning").
     */
   def lengthBucketedBatches(docs: DataFrame, lenCol: String,
       tieBreak: String, nBuckets: Int, batchSize: Int): DataFrame = {
@@ -93,7 +100,8 @@ object Split {
       .agg(count(lit(1)).as("n_docs"), sum(col(lenCol)).as("sum_len"),
         max(col(lenCol)).as("max_len"))
       .withColumn("padded", col("max_len") * col("n_docs"))
-      .withColumn("efficiency", round(col("sum_len") / col("padded"), 6))
+      .withColumn("efficiency",
+        expr("(sum_len * 1000000) div padded").cast("double") / 1e6)
   }
 
   /** Global running SUM of `valCol` in ascending (orderCol, tieBreak)

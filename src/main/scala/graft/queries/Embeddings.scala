@@ -170,6 +170,10 @@ object Embeddings {
       graft.streaming.StreamingWindows.runForeachBatch(delta, "e13") {
         (batch, id) => seenBatches += id; append(batch, id); ()
       }
+      // nonEmpty guard: a glob matching no files yields zero micro-batches;
+      // fail with the data-layout cause, not .last's NoSuchElementException.
+      require(seenBatches.nonEmpty, "stream produced no micro-batches " +
+        "(pathGlobFilter matched no files?)")
       val replayed = append(
         all.filter(col("vec_id") < StandingMin), seenBatches.last)
       require(!replayed, "ledger failed to suppress a replayed micro-batch")

@@ -555,6 +555,11 @@ object TextDedup {
       }
       // Redeliver the last micro-batch (the restart-replay shape): the
       // returned false is the ledger skipping the duplicate append.
+      // (nonEmpty guard: an AvailableNow stream whose glob matched nothing
+      // produces ZERO micro-batches — surface that as a named data-layout
+      // error, not an opaque NoSuchElementException.)
+      require(seenBatches.nonEmpty, "stream produced no micro-batches " +
+        "(pathGlobFilter matched no files?)")
       val replayed = append(
         docs(s, dir).filter(col("doc_id") < 50), seenBatches.last)
       require(!replayed, "ledger failed to suppress a replayed micro-batch")
@@ -1354,8 +1359,8 @@ object TextDedup {
         |SELECT bucket, batch, count(*) AS n_docs,
         |  sum(n_chars) AS sum_len, max(n_chars) AS max_len,
         |  max(n_chars) * count(*) AS padded,
-        |  round(sum(n_chars) / CAST(max(n_chars) * count(*) AS DOUBLE), 6)
-        |    AS efficiency
+        |  CAST((sum(n_chars) * 1000000) // (max(n_chars) * count(*)) AS DOUBLE)
+        |    / 1000000.0 AS efficiency
         |FROM x GROUP BY bucket, batch""".stripMargin,
     "o13_token_budget" ->
       s"""WITH $toksSrc,

@@ -109,12 +109,32 @@ class SkewSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(salted == plain)
     // Salting must actually ENGAGE: the hot bucket's probe rows land on
-    // more than one salt (else it degenerates to the plain layout).
+    // more than one salt (else it degenerates to the plain layout). The
+    // production salt is content-derived (Skew.contentSalt over the whole
+    // row), so the hot bucket spreads via its distinct doc_a values.
     val spread = a.withColumn("_salt",
-        pmod(hash(col("band"), col("band_key"), monotonically_increasing_id()), lit(8)))
+        Skew.contentSalt(a.columns.toSeq.map(col), 8))
       .filter(col("band") === 1 && col("band_key") === 42L)
       .select(countDistinct("_salt")).as[Long].collect().head
     assert(spread > 1, s"hot bucket stayed on $spread salt(s)")
+  }
+
+  // The class of bug behind SPARK-23207: a shuffle key derived from a
+  // nondeterministic expression (monotonically_increasing_id, rand) is
+  // re-evaluated DIFFERENTLY when a map task retries, silently dropping or
+  // double-counting rows mid-join. The content salt must be a pure
+  // function of row values — identical under any partitioning, ordering,
+  // or recomputation of the input.
+  test("content salt is layout-independent (retry/recompute-safe)") {
+    val base = skewed
+    def salts(df: org.apache.spark.sql.DataFrame): Map[(String, Int), Int] =
+      df.withColumn("_salt", Skew.contentSalt(Seq(col("k"), col("v")), 16))
+        .select("k", "v", "_salt").as[(String, Int, Int)]
+        .collect().map { case (k, v, s) => (k, v) -> s }.toMap
+    val a = salts(base)
+    val b = salts(base.repartition(3, col("v"))) // different layout
+    val c = salts(base.orderBy(desc("v")))       // different order
+    assert(a == b && a == c, "salt varied with physical layout")
   }
 
   test("splitHotKeys partitions rows exactly") {

@@ -56,6 +56,47 @@ class VectorAggsSpec extends AnyFunSuite {
     assert(run(1) === run(32))
   }
 
+  // Reproducibility contract: the double-double accumulation makes the sum
+  // independent of accumulation ORDER — bit-identical under any partition
+  // layout, row order, or shuffle-merge arrival order. Plain += would make
+  // the 15th digit depend on shuffle-block arrival, which downstream
+  // round(…, n) calls amplify into visible result flips on rounding-tie
+  // values (the e13 hash-flake class). The values below are chosen so
+  // naive left-to-right vs reversed summation DO differ in the last ulp.
+  test("vec_sum is bit-identical under any accumulation order") {
+    val n = 2000
+    // Mixed magnitudes: 1e16, many 1.x values, and tiny terms — classic
+    // cancellation fodder where naive FP summation is order-dependent.
+    val rows = (0 until n).map { i =>
+      val x = i % 5 match {
+        case 0 => 1e16
+        case 1 => -1e16
+        case 2 => 1.0 + i.toDouble / 1e7
+        case 3 => 1e-8 * i
+        case _ => math.Pi * (i + 1)
+      }
+      (i, Seq(x, -x / 3.0))
+    }
+    val df = rows.toDF("i", "v")
+    def run(prep: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      prep(df).agg(VectorSumAgg.column($"v".cast("array<double>")).as("s"))
+        .as[Seq[Double]].collect().head
+    val a = run(identity)
+    val b = run(_.repartition(32))
+    val c = run(_.orderBy(desc("i")).repartition(7, col("i")))
+    // doubleToRawLongBits: BIT equality, not ==-with-tolerance.
+    def bits(xs: Seq[Double]) = xs.map(java.lang.Double.doubleToRawLongBits)
+    assert(bits(a) == bits(b) && bits(a) == bits(c),
+      s"sum depended on accumulation order: $a / $b / $c")
+    // And the compensated result is the EXACT sum (computable here with
+    // BigDecimal), not merely a stable wrong answer.
+    val exact = rows.map(_._2).foldLeft(
+      (BigDecimal(0), BigDecimal(0))) { case ((s0, s1), v) =>
+      (s0 + BigDecimal(v.head), s1 + BigDecimal(v(1)))
+    }
+    assert(a.head == exact._1.toDouble && a(1) == exact._2.toDouble)
+  }
+
   test("centroidsAgg matches the posexplode centroids") {
     val vecs = spark.range(200).select(
       col("id").as("vec_id"),
