@@ -414,6 +414,43 @@ object Dedup {
     spanDupCountsSweep(docs, ladder)
       .groupBy("doc_id").agg(max("n").as("max_dup_n"))
 
+  /** Data-driven minRun for [[cutLongSpans]]: the smallest [[maxDupSpan]]
+    * ladder width whose affected-doc share is at most 1/fracDen of the
+    * corpus (none qualifying → the widest rung). Rationale: verbatim
+    * boilerplate is RARE by definition — if a threshold flags more than
+    * ~5% of documents, it is eating common idioms, not boilerplate — so
+    * the survey walks down the ladder until the affected share looks like
+    * boilerplate. The survey rollup is ≤ #ladder rows; collecting it is a
+    * model-sized driver decision (the kmeans-collect class), and the rule
+    * is pure integer arithmetic — reproducible in any engine.
+    */
+  def autoMinRun(docs: DataFrame, ladder: Seq[Int], fracDen: Long): Int = {
+    val nDocs = docs.count()
+    val byMax = maxDupSpan(docs, ladder).groupBy("max_dup_n")
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sortedLadder = ladder.sorted
+    sortedLadder.find(w =>
+        sortedLadder.filter(_ >= w).map(byMax.getOrElse(_, 0L)).sum
+          <= nDocs / fracDen)
+      .getOrElse(sortedLadder.last)
+  }
+
+  /** [[cutLongSpans]] at the [[autoMinRun]]-chosen operating point — the
+    * self-tuning form of the Lee et al. removal: one extra survey pass
+    * (the d15 ladder) picks minRun from the corpus's own verbatim-run
+    * mass instead of a hand-set constant; the removal itself is exactly
+    * the c4 kernel. Output adds the constant `min_run` column so the
+    * choice is part of the gated result.
+    */
+  def cutSpansAuto(docs: DataFrame, n: Int, ladder: Seq[Int],
+      fracDen: Long): DataFrame = {
+    require(ladder.nonEmpty && ladder.min >= n,
+      s"ladder rungs must be >= n=$n (runs shorter than a window are invisible)")
+    val chosen = autoMinRun(docs, ladder, fracDen)
+    cutLongSpans(docs, n, chosen).withColumn("min_run", lit(chosen))
+  }
+
   /** Exact-substring span REMOVAL — the end state of the Lee et al. 2022
     * deduplicate-text-datasets pipeline, not just its signal: emit a cleaned
     * corpus where every duplicated n-token span is cut from all-but-one

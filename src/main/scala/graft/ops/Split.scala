@@ -211,6 +211,97 @@ object Split {
       .drop("_srn")
   }
 
+  /** Temperature-smoothed domain mixing at α = 0.5 — the multilingual /
+    * multi-domain pretraining standard (exponential smoothing of domain
+    * proportions, as in XLM / mT5): domain d's sampling quota is
+    * ∝ n_d^α, which UP-samples small domains relative to proportional
+    * mixing so one giant web crawl can't drown the tails. Budget K =
+    * (N·budgetNum) div budgetDen rows total. Because a √-boosted tail
+    * quota can exceed the tail's own size, quotas are WEIGHTED
+    * WATER-FILLING with caps (the UniMax-style allocation, Chung et al.
+    * 2023, at a 1-epoch cap): quota_d = min(n_d, w_d·λ) with the level λ
+    * chosen so Σ quota = K exactly — saturated tails contribute every row
+    * they have and the surplus flows to the unsaturated domains, still
+    * ∝ w_d. The selection inside each domain is the deterministic seeded
+    * order of [[samplePerKey]].
+    *
+    * EXACT-ARITHMETIC allocation, closed form, no iteration: sort domains
+    * by capping priority n_d/w_d ascending (scaled-integer key); with
+    * prefix sums P(<d) of caps and suffix sums W(≥d) of weights, domain d
+    * saturates iff w_d·(K − P) ≥ n_d·W — an integer comparison; the
+    * saturated set is a prefix of the sort order, so ONE window pass
+    * decides it. The residual budget then splits over the unsaturated
+    * domains by integer division + largest remainder (ranked by the exact
+    * BIGINT remainder, ties → domain). n^0.5 itself is the integer square
+    * root of n·sqrtScale (double sqrt + one-step fixup — exact, since
+    * IEEE sqrt is within 1 ulp). No FP anywhere a quota could flip:
+    * bit-reproducible in any engine (COVERAGE.md "Oracle pinning").
+    * Pick sqrtScale so isqrt(maxN·sqrtScale)·K < 2⁶³ (default 10¹² is
+    * safe through ~10⁷-row domains at a 40% budget; lower it for larger
+    * corpora — quotas only need α-proportionality, not precision).
+    *
+    * Scale shape: one groupBy to the #domains-row count frame; every
+    * window after that is bounded by #domains (metadata cardinality) —
+    * never corpus-wide; the quota table broadcasts back; the per-domain
+    * selection is one window partitioned BY domain. The heavy path is
+    * exactly o6's sample-per-key shape.
+    */
+  def temperatureMix(df: DataFrame, domainCol: String, keyCol: String,
+      budgetNum: Long, budgetDen: Long, seed: Long,
+      sqrtScale: Long = 1000000000000L): DataFrame = {
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n"))
+    val x = col("n") * lit(sqrtScale)
+    val t0 = floor(sqrt(x.cast("double"))).cast("long")
+    val t1 = when(t0 * t0 > x, t0 - 1).otherwise(t0)
+    val isqrt = when((t1 + 1) * (t1 + 1) <= x, t1 + 1).otherwise(t1)
+    // N.B. Spark resolves column names case-insensitively: _stot, not _S.
+    val weighted = counts.withColumn("_s", isqrt)
+      .withColumn("_pri", expr("(n * 1000000) div _s"))
+    val tot = weighted.agg(sum("n").as("_ntot"))
+    // Windows below are bounded by the DOMAIN count (tens), never the
+    // corpus — the same bounded-global-window shape as the o1 offsets.
+    val ord = Window.orderBy(col("_pri"), col(domainCol))
+    // localCheckpoint (the model-frame discipline, as in kmeans fitOn):
+    // the saturation frame feeds THREE consumers (residual totals,
+    // leftover count, final quotas) — without the cut each consumer's
+    // plan re-embeds the whole subtree and the corpus-count groupBy
+    // executes once per copy (observed 7 one-row BNLJ attaches vs 3).
+    // The frame is #domains rows; its blocks are ContextCleaner-owned.
+    val scanned = weighted.crossJoin(broadcast(tot))
+      .withColumn("_K", expr(s"(_ntot * $budgetNum) div $budgetDen"))
+      .withColumn("_pc", coalesce(
+        sum("n").over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_ws",
+        sum("_s").over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("_sat",
+        col("_s") * (col("_K") - col("_pc")) >= col("n") * col("_ws"))
+      .localCheckpoint()
+    val res = scanned.agg(
+      (max("_K") - sum(when(col("_sat"), col("n")).otherwise(0L))).as("_R"),
+      sum(when(col("_sat"), 0L).otherwise(col("_s"))).as("_W"))
+    val based = scanned.crossJoin(broadcast(res))
+      .withColumn("_q0", when(col("_sat"), col("n"))
+        .otherwise(expr("(_s * _R) div _W")))
+      .withColumn("_rem", when(col("_sat"), lit(-1L))
+        .otherwise(col("_s") * col("_R") - col("_q0") * col("_W")))
+    val leftover = based.agg((max("_K") - sum("_q0")).as("_L"))
+    val rk = Window.orderBy(col("_rem").desc, col(domainCol))
+    val quotas = based.crossJoin(broadcast(leftover))
+      .withColumn("_rk", row_number().over(rk))
+      // least(…, n) is a SAFETY cap only: with the exact priority order
+      // the water-filling already keeps every share ≤ n.
+      .withColumn("quota", least(
+        col("_q0") + when(col("_rk") <= col("_L"), 1L).otherwise(0L),
+        col("n")))
+      .select(col(domainCol), col("n").as("n_domain"), col("quota"))
+    val ws = Window.partitionBy(domainCol)
+      .orderBy(shuffleKey(col(keyCol), seed), col(keyCol))
+    df.join(broadcast(quotas), domainCol)
+      .withColumn("_srn", row_number().over(ws))
+      .filter(col("_srn") <= col("quota"))
+      .drop("_srn")
+  }
+
   /** Sharded training export — the pipeline's final materialization: every
     * row gets a deterministic shard from its position in the seeded global
     * shuffle order (shard = (rn−1) % nShards), which gives exact ±1 shard

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Caches.Registered
 import graft.functions.Hashing
 
 /** Text-analysis operators for LLM-pipeline data curation over the
@@ -187,4 +188,53 @@ object TextOps {
     when(size(ws) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+
+  /** DSIR-style hashed-n-gram importance weights (Xie et al., NeurIPS 2023
+    * "Data Selection for Language Models via Importance Resampling"): per
+    * document, log w(x) = Σ_b tf_x[b] · (ln θ_target[b] − ln θ_raw[b]) over
+    * B hashed unigram buckets, where θ are Laplace-smoothed (+1) bucket
+    * unigram distributions of the TARGET slice (`targetPred`, e.g. a
+    * high-quality domain) and the RAW corpus. Selecting top-weight (or
+    * sampling ∝ w) documents steers a web-scale corpus toward the target
+    * distribution — the published cheap alternative to model-based quality
+    * scoring; compose the output with o13's token-budget cut or o7's
+    * weighted mix for the selection step.
+    *
+    * Scale shape: ONE pass over the exploded hashed tokens builds both
+    * bucket tables (conditional aggregates, map-side partial), the B-row
+    * log-ratio table is a broadcast, the per-doc rollup is one keyed
+    * groupBy — nothing corpus-sized is broadcast or collected, and the
+    * shuffle carries (doc_id, bucket) ints only.
+    *
+    * FP pinning (COVERAGE.md "Oracle pinning"): the per-bucket log ratio is
+    * round(…, 9) — ln agrees across engines to ~1 ulp, so the 9-dp value
+    * is stable — and the per-doc dot product rounds to 6 dp like t6's
+    * logprob sum.
+    */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, nBuckets: Int): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), targetPred.as("_tgt"),
+        explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol), col("_tgt"),
+        pmod(Hashing.polyHash(col("w")), lit(nBuckets)).as("bucket"))
+      .persistTracked()
+    val byBucket = hashed.groupBy("bucket").agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("tn"),
+      count(lit(1)).as("rn"))
+    val totals = hashed.agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("tt"),
+      count(lit(1)).as("rt"))
+    val logRatio = byBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log((col("tn") + 1).cast("double") / (col("tt") + nBuckets).cast("double"))
+          - log((col("rn") + 1).cast("double") / (col("rt") + nBuckets).cast("double")),
+          9).as("lr"))
+    val tf = hashed.groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(logRatio), "bucket")
+      .groupBy(col(idCol))
+      .agg(round(sum(col("tf").cast("double") * col("lr")), 6).as("log_w"),
+        sum("tf").as("n_tokens"))
+  }
 }

@@ -162,6 +162,16 @@ object TextDedup {
     "t12_hashed_tfvec" -> ((s, dir) =>
       TextOps.hashedTf(docs(s, dir), "doc_id", "text", nBuckets = 16)),
 
+    // DSIR hashed importance weights (Xie et al. 2023): steer the corpus
+    // toward a target slice (here lang='en' stands in for the curated
+    // domain) via per-doc log w = Σ tf[b]·(ln θ_tgt[b] − ln θ_raw[b]) over
+    // 64 hashed unigram buckets. One exploded-token pass builds both
+    // bucket LMs; the 64-row log-ratio table broadcasts; selection
+    // composes with o13/o7 downstream.
+    "t15_dsir_weights" -> ((s, dir) =>
+      TextOps.dsirLogWeights(docs(s, dir), "doc_id", "text",
+        targetPred = col("lang") === "en", nBuckets = 64)),
+
     // Fixed-token chunking with overlap (RAG/pretraining chunker): 32-token
     // windows every 24 tokens, final partial window kept. Pure generator +
     // slice/concat — zero shuffle, fully codegen'd; the chunk text itself
@@ -339,6 +349,21 @@ object TextDedup {
         lenCol = "n_chars", tieBreak = "doc_id", nBuckets = 8,
         batchSize = 16)),
 
+    // TEMPERATURE-SMOOTHED DOMAIN MIX (α = 0.5, the XLM/mT5 exponential
+    // smoothing): per-source quotas ∝ √n_d to a 40% budget via capped
+    // WATER-FILLING (the UniMax-style allocation — a tail whose √-boosted
+    // share exceeds its size contributes all of itself, surplus flows to
+    // unsaturated domains, Σ quota = K exactly) — then the deterministic
+    // seeded per-domain selection. All-integer allocation (integer sqrt,
+    // BIGINT saturation scan + remainders): bit-reproducible anywhere.
+    "o15_temperature_mix" -> ((s, dir) =>
+      graft.ops.Split.temperatureMix(
+          docs(s, dir).select("doc_id", "source"), "source", "doc_id",
+          budgetNum = 2, budgetDen = 5, seed = 13L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sel"), max("quota").as("quota"),
+          max("n_domain").as("n_domain"), sum("doc_id").as("sum_ids"))),
+
     "o13_token_budget" -> ((s, dir) => {
       val ws = TextOps.tokens(col("text"))
       val d = docs(s, dir).select(col("doc_id"),
@@ -390,6 +415,18 @@ object TextDedup {
     // threshold; the kernel (CutSpansExpr min_run) does the interval union.
     "c4_cut_long_spans" -> ((s, dir) =>
       Dedup.cutLongSpans(docs(s, dir), n = 10, minRun = 30)),
+
+    // SELF-TUNING span removal — c4 with the minRun threshold chosen from
+    // the corpus itself: the d15 doubling ladder surveys verbatim-run
+    // mass, the smallest rung affecting <= 5% of docs becomes minRun
+    // (boilerplate is rare by definition; a rung eating more is cutting
+    // idioms), then the c4 kernel removes at that operating point. At
+    // sf0.01 the survey picks 40 (47/45/25 docs fire at 10/20/40 vs the
+    // 25-doc cap). The chosen rung rides along as `min_run` so the gate
+    // hashes the CHOICE as well as the cut.
+    "c5_cut_spans_auto" -> ((s, dir) =>
+      Dedup.cutSpansAuto(docs(s, dir), n = 10,
+        ladder = Seq(10, 20, 40, 80), fracDen = 20L)),
 
     // Multi-n sweep over the same corpus in ONE tokenize/char-hash pass:
     // the practical step from a fixed n toward exact-substring dedup — a
@@ -964,6 +1001,30 @@ object TextDedup {
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    // t15: hashing, smoothing, and rounding replicate the engine exactly —
+    // bucket = polyhash(w) % 64; θ = (cnt+1)/(total+64) double division of
+    // exact integers; per-bucket log-ratio round(…, 9); per-doc dot
+    // product round(…, 6) (the t6 discipline).
+    "t15_dsir_weights" ->
+      s"""WITH $toksSrc,
+         |toks2 AS (SELECT t.doc_id, d.lang = 'en' AS tgt, unnest(t.ws) AS w
+         |          FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+         |hashed AS (SELECT doc_id, tgt,
+         |  ${graft.functions.Hashing.polyHashSql("w")} % 64 AS bucket FROM toks2),
+         |br AS (SELECT bucket,
+         |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tn, count(*) AS rn
+         |  FROM hashed GROUP BY bucket),
+         |tot AS (SELECT sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tt,
+         |    count(*) AS rt FROM hashed),
+         |lr AS (SELECT bucket,
+         |    round(ln(CAST(tn + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))
+         |        - ln(CAST(rn + 1 AS DOUBLE) / CAST(rt + 64 AS DOUBLE)), 9) AS lr
+         |  FROM br CROSS JOIN tot),
+         |tf AS (SELECT doc_id, bucket, count(*) AS tf
+         |       FROM hashed GROUP BY doc_id, bucket)
+         |SELECT doc_id, round(sum(tf * lr), 6) AS log_w,
+         |  CAST(sum(tf) AS BIGINT) AS n_tokens
+         |FROM tf JOIN lr USING (bucket) GROUP BY doc_id""".stripMargin,
     "t6_unigram_logprob" ->
       s"""WITH $toksSrc,
          |toks2 AS (SELECT doc_id, unnest(ws) AS w FROM toks),
@@ -1338,6 +1399,71 @@ object TextDedup {
          |FROM toks t
          |  LEFT JOIN fin f USING (doc_id)
          |  LEFT JOIN ncuts nc USING (doc_id)""".stripMargin,
+    // c5 = the c4 cut body with the threshold a SCALAR SUBQUERY over the
+    // d15 ladder survey: chosen = min rung whose >=rung doc count is at
+    // most N // 20 (else the widest rung). Same integer rule as
+    // Dedup.autoMinRun; same sweep CTEs as the passing d15 oracle.
+    "c5_cut_spans_auto" ->
+      s"""WITH $toksSrc,
+         |sw AS (
+         |  SELECT doc_id, n,
+         |    unnest(list_transform(range(1, greatest(len(ws) - n + 2, 1)),
+         |      i -> array_to_string(ws[i:i+n-1], ' '))) AS shingle
+         |  FROM toks CROSS JOIN (VALUES (10), (20), (40), (80)) AS nn(n)),
+         |hh AS (SELECT DISTINCT doc_id, n,
+         |        ${graft.functions.Hashing.polyHashSql("shingle")} AS h FROM sw),
+         |sh2 AS (SELECT n, h FROM hh GROUP BY n, h HAVING count(*) >= 2),
+         |md AS (SELECT doc_id, max(n) AS mx
+         |       FROM hh JOIN sh2 USING (n, h) GROUP BY doc_id),
+         |chosen AS (
+         |  SELECT coalesce(min(w), 80) AS w
+         |  FROM (VALUES (10), (20), (40), (80)) AS lw(w)
+         |  WHERE (SELECT count(*) FROM md WHERE mx >= w)
+         |        <= (SELECT count(*) FROM documents) // 20),
+         |st AS (SELECT doc_id, ws,
+         |  unnest(range(1, greatest(len(ws) - 8, 1))) AS i FROM toks),
+         |occ AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |  ${graft.functions.Hashing.polyHashSql("array_to_string(ws[i:i+9], ' ')")} AS h
+         |  FROM st),
+         |agg AS (
+         |  SELECT h, min(struct_pack(d := doc_id, p := pos)) AS first
+         |  FROM occ GROUP BY h HAVING count(*) >= 2),
+         |cuts AS (
+         |  SELECT o.doc_id, o.pos FROM occ o JOIN agg a USING (h)
+         |  WHERE NOT (o.doc_id = a.first.d AND o.pos = a.first.p)),
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos > coalesce(max(pos + 10) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |    THEN 1 ELSE 0 END AS b
+         |  FROM cuts),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+         |  FROM brk),
+         |runs AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + 10 AS e
+         |  FROM isl GROUP BY doc_id, gid
+         |  HAVING max(pos) + 10 - min(pos) >= (SELECT w FROM chosen)),
+         |ncuts AS (SELECT doc_id, count(*) AS n_cuts FROM runs GROUP BY doc_id),
+         |tok AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks),
+         |kept AS (
+         |  SELECT t.doc_id, t.i, t.ws[t.i] AS w FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM runs r
+         |    WHERE r.doc_id = t.doc_id AND r.s <= t.i - 1 AND t.i - 1 < r.e)),
+         |fin AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(w, ' ' ORDER BY i) AS cleaned_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_tokens,
+         |  CAST(coalesce(f.n_kept, 0) AS INT) AS n_kept,
+         |  CAST(coalesce(nc.n_cuts, 0) AS INT) AS n_cuts,
+         |  coalesce(f.cleaned_text, '') AS cleaned_text,
+         |  CAST((SELECT w FROM chosen) AS INT) AS min_run
+         |FROM toks t
+         |  LEFT JOIN fin f USING (doc_id)
+         |  LEFT JOIN ncuts nc USING (doc_id)""".stripMargin,
     "d12_contamination" ->
       s"""WITH $toksSrc, $shSrc, $hashedSrc,
          |ev AS (SELECT DISTINCT h FROM hashed WHERE doc_id < 50),
@@ -1362,6 +1488,50 @@ object TextDedup {
         |  CAST((sum(n_chars) * 1000000) // (max(n_chars) * count(*)) AS DOUBLE)
         |    / 1000000.0 AS efficiency
         |FROM x GROUP BY bucket, batch""".stripMargin,
+    // o15: all-integer capped water-filling mirrors the engine exactly —
+    // integer sqrt of n·10¹² (double sqrt + one-step fixup), saturation
+    // scan via prefix/suffix sums in the n/s priority order, BIGINT
+    // shares / remainders, largest-remainder rank (ties → source), LCG
+    // selection order. No FP anywhere a quota could flip.
+    "o15_temperature_mix" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |w AS (SELECT source, n,
+         |    t1 + CASE WHEN (t1+1)*(t1+1) <= x THEN 1 ELSE 0 END AS s
+         |  FROM (SELECT source, n, x,
+         |      t0 - CASE WHEN t0*t0 > x THEN 1 ELSE 0 END AS t1
+         |    FROM (SELECT source, n, CAST(n AS BIGINT) * 1000000000000 AS x,
+         |        CAST(floor(sqrt(CAST(CAST(n AS BIGINT) * 1000000000000 AS DOUBLE))) AS BIGINT) AS t0
+         |      FROM c))),
+         |w2 AS (SELECT source, n, s, (n * 1000000) // s AS pri FROM w),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM w2),
+         |sc AS (SELECT source, n, s, (tn * 2) // 5 AS k,
+         |    CAST(COALESCE(sum(n) OVER (ORDER BY pri, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pc,
+         |    CAST(sum(s) OVER (ORDER BY pri, source
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS ws
+         |  FROM w2 CROSS JOIN tot),
+         |sc2 AS (SELECT *, s * (k - pc) >= n * ws AS sat FROM sc),
+         |res AS (SELECT
+         |    CAST(max(k) - sum(CASE WHEN sat THEN n ELSE 0 END) AS BIGINT) AS r,
+         |    CAST(sum(CASE WHEN sat THEN 0 ELSE s END) AS BIGINT) AS wsum
+         |  FROM sc2),
+         |b AS (SELECT source, n, k,
+         |    CASE WHEN sat THEN n ELSE (s * r) // wsum END AS q0,
+         |    CASE WHEN sat THEN -1
+         |         ELSE s * r - ((s * r) // wsum) * wsum END AS rem
+         |  FROM sc2 CROSS JOIN res),
+         |l AS (SELECT CAST(max(k) - sum(q0) AS BIGINT) AS lv FROM b),
+         |q AS (SELECT source, n,
+         |    least(q0 + CASE WHEN rk <= lv THEN 1 ELSE 0 END, n) AS quota
+         |  FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+         |        FROM b) CROSS JOIN l),
+         |sel AS (SELECT d.source, d.doc_id, q.quota, q.n,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY ${graft.functions.Hashing.lcgSql("d.doc_id", 13L, graft.functions.Hashing.LcgM)}, d.doc_id) AS srn
+         |  FROM documents d JOIN q USING (source))
+         |SELECT source, count(*) AS n_sel, CAST(max(quota) AS BIGINT) AS quota,
+         |  CAST(max(n) AS BIGINT) AS n_domain, sum(doc_id) AS sum_ids
+         |FROM sel WHERE srn <= quota GROUP BY source""".stripMargin,
     "o13_token_budget" ->
       s"""WITH $toksSrc,
          |m AS (SELECT doc_id,

@@ -344,6 +344,38 @@ class DedupTextSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("autoMinRun walks the ladder to the <=1/fracDen rung; cutSpansAuto cuts there") {
+    // 40 docs: 8 share short 4-token phrases pairwise (fire at rung 4
+    // only), 2 share a 10-token run (fires through rung 8). At
+    // fracDen = 20 the cap is 40/20 = 2 docs: rung 4 affects 10 docs
+    // (> 2), rung 8 affects exactly the 2 long-run docs (<= 2) → 8.
+    val longRun = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val rows =
+      (0 until 4).flatMap { p =>
+        Seq((100L + 2 * p, s"a$p b$p c$p d$p x${2 * p} pad filler word"),
+          (101L + 2 * p, s"a$p b$p c$p d$p y${2 * p} other filler word"))
+      } ++ Seq(
+        (1L, s"$longRun tail one"),
+        (2L, s"head $longRun two")) ++
+        (200L until 230L).map(i => (i, s"unique u$i v$i w$i z$i q$i"))
+    val docs = rows.toDF("doc_id", "text")
+    assert(docs.count() == 40)
+    val ladder = Seq(4, 8)
+    assert(graft.ops.Dedup.autoMinRun(docs, ladder, fracDen = 20L) == 8)
+    // and a cap nobody meets falls back to the widest rung
+    assert(graft.ops.Dedup.autoMinRun(docs, ladder, fracDen = 41L) == 8)
+    // a permissive cap accepts the narrowest rung
+    assert(graft.ops.Dedup.autoMinRun(docs, ladder, fracDen = 1L) == 4)
+    val out = Dedup.cutSpansAuto(docs, n = 4, ladder = ladder, fracDen = 20L)
+      .select("doc_id", "n_cuts", "min_run", "cleaned_text")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    // the chosen rung rides along; the long run is cut from the
+    // non-canonical doc; the short shared phrases survive everywhere
+    assert(out(1L)._3 == 8 && out(1L)._2 == 0)
+    assert(out(2L) == ((2L, 1, 8, "head two")))
+    assert(out(102L)._2 == 0 && out(103L)._2 == 0)
+  }
+
   test("redactPii scrubs emails, IPv4s, and phones; counts audit the hits") {
     val df = Seq(Tuple1(
       "mail Bob.Smith+x@Corp.Example.ORG then 192.168.0.1 and 10.0.0.255, " +

@@ -23,6 +23,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "t5_freq_tokens" -> 1,     // one-row token-total aggregate
     "t6_unigram_logprob" -> 1, // one-row token-total aggregate
     "t7_tfidf_top_term" -> 1,  // one-row doc-count aggregate
+    "t15_dsir_weights" -> 1,   // one-row target/raw-total aggregate (the
+                               // 64-row log-ratio table is a keyed join)
+    "o15_temperature_mix" -> 3, // one-row corpus-count / residual-budget /
+                               // leftover aggregates attached to the
+                               // #domains-row quota frame — every BNLJ
+                               // side is one row, the corpus join is keyed
     "v1_cosine_topk" -> 1,     // bounded 20-vector query set (baseline)
     "v4_ivf_topk" -> 2,        // broadcast centroid table, probe + assign
     "v11_ann_recall" -> 3,     // v1's bounded query set + v4's centroid
