@@ -250,13 +250,40 @@ object Split {
       budgetNum: Long, budgetDen: Long, seed: Long,
       sqrtScale: Long = 1000000000000L): DataFrame = {
     val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n"))
-    val x = col("n") * lit(sqrtScale)
+    val quotas = waterFillQuotas(
+      counts.withColumn("_s", isqrtCol(col("n"), sqrtScale)),
+      domainCol, budgetNum, budgetDen)
+    val ws = Window.partitionBy(domainCol)
+      .orderBy(shuffleKey(col(keyCol), seed), col(keyCol))
+    df.join(broadcast(quotas), domainCol)
+      .withColumn("_srn", row_number().over(ws))
+      .filter(col("_srn") <= col("quota"))
+      .drop("_srn")
+  }
+
+  /** Exact integer square root of n·scale as a Column: IEEE double sqrt is
+    * within 1 ulp, so floor of it is off by at most one — one integer
+    * fixup in each direction makes it exact for any input.
+    */
+  def isqrtCol(n: Column, scale: Long): Column = {
+    val x = n * lit(scale)
     val t0 = floor(sqrt(x.cast("double"))).cast("long")
     val t1 = when(t0 * t0 > x, t0 - 1).otherwise(t0)
-    val isqrt = when((t1 + 1) * (t1 + 1) <= x, t1 + 1).otherwise(t1)
+    when((t1 + 1) * (t1 + 1) <= x, t1 + 1).otherwise(t1)
+  }
+
+  /** The exact-integer capped water-filling allocator shared by
+    * [[temperatureMix]] (caps = doc counts) and [[tokenBudgetMix]]
+    * (caps = token masses): input is a #domains-row frame with columns
+    * (domainCol, `n` = cap, `_s` = weight); output (domainCol, n_domain,
+    * quota) with quota_d = min(n_d, w_d·λ), λ the level spending
+    * K = (Σn·budgetNum) div budgetDen exactly. See [[temperatureMix]]'s
+    * scaladoc for the closed-form saturation scan.
+    */
+  private[ops] def waterFillQuotas(weighted0: DataFrame, domainCol: String,
+      budgetNum: Long, budgetDen: Long): DataFrame = {
     // N.B. Spark resolves column names case-insensitively: _stot, not _S.
-    val weighted = counts.withColumn("_s", isqrt)
-      .withColumn("_pri", expr("(n * 1000000) div _s"))
+    val weighted = weighted0.withColumn("_pri", expr("(n * 1000000) div _s"))
     val tot = weighted.agg(sum("n").as("_ntot"))
     // Windows below are bounded by the DOMAIN count (tens), never the
     // corpus — the same bounded-global-window shape as the o1 offsets.
@@ -286,7 +313,7 @@ object Split {
         .otherwise(col("_s") * col("_R") - col("_q0") * col("_W")))
     val leftover = based.agg((max("_K") - sum("_q0")).as("_L"))
     val rk = Window.orderBy(col("_rem").desc, col(domainCol))
-    val quotas = based.crossJoin(broadcast(leftover))
+    based.crossJoin(broadcast(leftover))
       .withColumn("_rk", row_number().over(rk))
       // least(…, n) is a SAFETY cap only: with the exact priority order
       // the water-filling already keeps every share ≤ n.
@@ -294,12 +321,41 @@ object Split {
         col("_q0") + when(col("_rk") <= col("_L"), 1L).otherwise(0L),
         col("n")))
       .select(col(domainCol), col("n").as("n_domain"), col("quota"))
-    val ws = Window.partitionBy(domainCol)
-      .orderBy(shuffleKey(col(keyCol), seed), col(keyCol))
-    df.join(broadcast(quotas), domainCol)
-      .withColumn("_srn", row_number().over(ws))
-      .filter(col("_srn") <= col("quota"))
-      .drop("_srn")
+  }
+
+  /** TOKEN-budget domain mixing — [[temperatureMix]] with the budget in
+    * the unit pretraining mixtures are actually specified in: each domain
+    * gets a TOKEN budget ∝ √(its token mass) (α = 0.5 smoothing, capped
+    * water-filling — a tail domain whose √-boosted budget exceeds its
+    * own token mass contributes everything, surplus flows on, Σ budgets
+    * = K tokens exactly), and fills it GREEDILY BY QUALITY: docs ordered
+    * (ordCol asc, tieCol) inside each domain, kept while the running
+    * token total fits the budget — o13's token-budget cut, per domain.
+    * Documents are atomic, so a domain may undershoot its budget by at
+    * most one document's tokens.
+    *
+    * sqrtScale trade-off: weights are isqrt(tokens·scale); pick scale so
+    * isqrt(maxDomainTokens·scale)·K < 2⁶³ — the 10⁶ default is safe to
+    * ~10¹²-token domains at a 40% budget (quotas need α-proportionality,
+    * not absolute precision). Scale shape: allocation on the
+    * #domains-row frame (bounded windows); the corpus-scale work is one
+    * keyed broadcast join + one per-domain running-sum window.
+    */
+  def tokenBudgetMix(df: DataFrame, domainCol: String, tokCol: String,
+      ordCol: String, tieCol: String, budgetNum: Long, budgetDen: Long,
+      sqrtScale: Long = 1000000L): DataFrame = {
+    val caps = df.groupBy(domainCol).agg(sum(col(tokCol)).as("n"))
+    val quotas = waterFillQuotas(
+      caps.withColumn("_s", isqrtCol(col("n"), sqrtScale)),
+      domainCol, budgetNum, budgetDen)
+    val w = Window.partitionBy(domainCol).orderBy(col(ordCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.join(broadcast(quotas.withColumnRenamed("n_domain", "tok_domain")),
+        domainCol)
+      .withColumn("_cum", sum(col(tokCol)).over(w))
+      .filter(col("_cum") <= col("quota"))
+      .withColumnRenamed("quota", "tok_budget")
+      .drop("_cum")
   }
 
   /** Sharded training export — the pipeline's final materialization: every

@@ -364,6 +364,25 @@ object TextDedup {
         .agg(count(lit(1)).as("n_sel"), max("quota").as("quota"),
           max("n_domain").as("n_domain"), sum("doc_id").as("sum_ids"))),
 
+    // TOKEN-budget domain mix — o15's water-filling in the unit mixtures
+    // are actually specified in: per-source TOKEN budgets ∝ √(token
+    // mass) to a 40% global token budget, each budget filled greedily by
+    // quality (o13's cut, per domain). The curation endgame: how many
+    // tokens of each domain, and WHICH documents carry them.
+    "o16_token_domain_mix" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+          size(ws).cast("long").as("n_tokens"),
+          round(TextOps.qualityScore(ws), 6).as("quality"))
+        .withColumn("_ord", -col("quality"))
+      graft.ops.Split.tokenBudgetMix(d, "source", "n_tokens", "_ord",
+          "doc_id", budgetNum = 2, budgetDen = 5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_sel"), sum("n_tokens").as("tok_sel"),
+          max("tok_budget").as("tok_budget"),
+          max("tok_domain").as("tok_domain"))
+    }),
+
     "o13_token_budget" -> ((s, dir) => {
       val ws = TextOps.tokens(col("text"))
       val d = docs(s, dir).select(col("doc_id"),
@@ -1532,6 +1551,60 @@ object TextDedup {
          |SELECT source, count(*) AS n_sel, CAST(max(quota) AS BIGINT) AS quota,
          |  CAST(max(n) AS BIGINT) AS n_domain, sum(doc_id) AS sum_ids
          |FROM sel WHERE srn <= quota GROUP BY source""".stripMargin,
+    // o16: o15's integer water-filling (caps/weights in TOKENS, sqrt
+    // scale 10^6) + o13's quality derivation, the greedy fill a running
+    // per-domain token sum ordered (quality DESC, doc_id).
+    "o16_token_domain_mix" ->
+      s"""WITH $toksSrc,
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS DOUBLE) / len(ws) AS stop_ratio,
+         |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS awl,
+         |  len(ws) AS n FROM toks),
+         |qd AS (SELECT m.doc_id, d.source, CAST(n AS BIGINT) AS n_tokens,
+         |  round(0.5 * stop_ratio + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0)
+         |        + 0.2 * (awl / 10.0), 6) AS quality
+         |  FROM m JOIN documents d ON m.doc_id = d.doc_id),
+         |caps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n
+         |         FROM qd GROUP BY source),
+         |w AS (SELECT source, n,
+         |    t1 + CASE WHEN (t1+1)*(t1+1) <= x THEN 1 ELSE 0 END AS s
+         |  FROM (SELECT source, n, x,
+         |      t0 - CASE WHEN t0*t0 > x THEN 1 ELSE 0 END AS t1
+         |    FROM (SELECT source, n, n * 1000000 AS x,
+         |        CAST(floor(sqrt(CAST(n * 1000000 AS DOUBLE))) AS BIGINT) AS t0
+         |      FROM caps))),
+         |w2 AS (SELECT source, n, s, (n * 1000000) // s AS pri FROM w),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM w2),
+         |sc AS (SELECT source, n, s, (tn * 2) // 5 AS k,
+         |    CAST(COALESCE(sum(n) OVER (ORDER BY pri, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pc,
+         |    CAST(sum(s) OVER (ORDER BY pri, source
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS ws
+         |  FROM w2 CROSS JOIN tot),
+         |sc2 AS (SELECT *, s * (k - pc) >= n * ws AS sat FROM sc),
+         |res AS (SELECT
+         |    CAST(max(k) - sum(CASE WHEN sat THEN n ELSE 0 END) AS BIGINT) AS r,
+         |    CAST(sum(CASE WHEN sat THEN 0 ELSE s END) AS BIGINT) AS wsum
+         |  FROM sc2),
+         |b AS (SELECT source, n, k,
+         |    CASE WHEN sat THEN n ELSE (s * r) // wsum END AS q0,
+         |    CASE WHEN sat THEN -1
+         |         ELSE s * r - ((s * r) // wsum) * wsum END AS rem
+         |  FROM sc2 CROSS JOIN res),
+         |l AS (SELECT CAST(max(k) - sum(q0) AS BIGINT) AS lv FROM b),
+         |qt AS (SELECT source, n,
+         |    least(q0 + CASE WHEN rk <= lv THEN 1 ELSE 0 END, n) AS quota
+         |  FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+         |        FROM b) CROSS JOIN l),
+         |sel AS (SELECT qd.source, qd.n_tokens, qt.quota, qt.n AS cap,
+         |    sum(qd.n_tokens) OVER (PARTITION BY qd.source
+         |      ORDER BY qd.quality DESC, qd.doc_id) AS cum
+         |  FROM qd JOIN qt USING (source))
+         |SELECT source, count(*) AS n_docs_sel,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tok_sel,
+         |  CAST(max(quota) AS BIGINT) AS tok_budget,
+         |  CAST(max(cap) AS BIGINT) AS tok_domain
+         |FROM sel WHERE cum <= quota GROUP BY source""".stripMargin,
     "o13_token_budget" ->
       s"""WITH $toksSrc,
          |m AS (SELECT doc_id,

@@ -125,6 +125,29 @@ class MixDsirSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("tokenBudgetMix fills each domain's token budget best-first") {
+    // two domains with token masses 900 and 100 (docs of 100/50 tokens);
+    // √-weights 30:10, K = 400 tokens → budgets (300, 100) — the tail
+    // saturates (√ share 100 = its whole mass). ordCol sorts ASCENDING
+    // (= quality best-first when ord = −quality); ord = doc_id here, so
+    // selection must be the lowest-id prefix per domain.
+    val df = ((1 to 9).map(i => (i.toLong, "big", 100L, i.toDouble)) ++
+      (11 to 12).map(i => (i.toLong, "small", 50L, i.toDouble)))
+      .toDF("doc_id", "source", "n_tokens", "ord")
+    val sel = Split.tokenBudgetMix(df, "source", "n_tokens", "ord",
+      "doc_id", budgetNum = 2, budgetDen = 5)
+    val bySrc = sel.groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("toks"),
+        max("tok_budget").as("b"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(bySrc("big") == ((3L, 300L, 300L)))
+    assert(bySrc("small") == ((2L, 100L, 100L)))
+    // best-first: the kept docs are exactly the lowest ids
+    assert(sel.filter(col("source") === "big").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("integer sqrt in the quota path is exact (incl. perfect squares)") {
     // Exercise the fixup through the public op: a domain of n rows gets
     // s = isqrt(n·10^12); verify s² ≤ n·10^12 < (s+1)² by reconstructing

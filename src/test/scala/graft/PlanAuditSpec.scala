@@ -29,6 +29,9 @@ class PlanAuditSpec extends AnyFunSuite {
                                // leftover aggregates attached to the
                                // #domains-row quota frame — every BNLJ
                                // side is one row, the corpus join is keyed
+    "o16_token_domain_mix" -> 3, // the same water-filling one-row attaches
+                               // (caps/weights in tokens); selection is a
+                               // keyed broadcast join + per-domain window
     "v1_cosine_topk" -> 1,     // bounded 20-vector query set (baseline)
     "v4_ivf_topk" -> 2,        // broadcast centroid table, probe + assign
     "v11_ann_recall" -> 3,     // v1's bounded query set + v4's centroid
