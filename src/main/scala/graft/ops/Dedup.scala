@@ -110,6 +110,24 @@ object Dedup {
       .agg(count(col("band")).as("n_bands"))
   }
 
+  /** [[candidatePairsSalted]] through the HOT-ONLY salted path
+    * ([[Skew.saltedJoinHot]]) — the 100 TB form: the bucket histogram
+    * (one aggregate over the bucket frame) routes only buckets holding
+    * more than `threshold` rows through salting; the long tail takes the
+    * plain keyed join. Build-side replication shrinks from S × corpus to
+    * S × hot-slice — proportional to the skew, not the data — and the
+    * result stays row-identical to the plain join (the d23 gate).
+    */
+  def candidatePairsSaltedHot(buckets: DataFrame, salts: Int,
+      threshold: Long): DataFrame = {
+    val a = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    Skew.saltedJoinHot(a, b, Seq("band", "band_key"), salts, threshold)
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(col("band")).as("n_bands"))
+  }
+
   /** Estimated Jaccard from signature agreement for candidate pairs. */
   def estimatedJaccard(pairs: DataFrame, sig: DataFrame): DataFrame = {
     val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)

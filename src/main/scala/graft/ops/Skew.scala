@@ -75,4 +75,36 @@ object Skew {
     (df.join(broadcast(hot), Seq(key), "left_semi"),
      df.join(broadcast(hot), Seq(key), "left_anti"))
   }
+
+  /** HOT-ONLY salted join — the production composition of [[saltedJoin]]
+    * and [[splitHotKeys]]: [[saltedJoin]] replicates the WHOLE build side
+    * S times, which at 100 TB multiplies the dominant shuffle by S to fix
+    * a skew that lives in a handful of keys. Here the build side's key
+    * histogram (one aggregate over the SMALLER side) splits both inputs:
+    * keys above `threshold` rows take the salted path, the long tail
+    * takes the plain keyed join, and the union is row-identical to the
+    * plain join over everything. Build-side replication drops from
+    * S × |small| to S × |small_hot| — proportional to the skew itself,
+    * not the corpus. The hot-key set must be broadcastable (it is BY
+    * DEFINITION small — keys exceeding a row threshold are bounded by
+    * |small| / threshold).
+    */
+  def saltedJoinHot(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int, threshold: Long): DataFrame = {
+    // localCheckpoint: the hot-key set feeds FOUR semi/anti joins —
+    // without the cut each would re-run the histogram aggregate over the
+    // full small side. The frame itself is tiny (≤ |small| / threshold
+    // keys); blocks are ContextCleaner-owned (model-frame discipline).
+    val hot = small.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > threshold)
+      .select(keys.map(col): _*)
+      .localCheckpoint()
+    val bigHot = big.join(broadcast(hot), keys, "left_semi")
+    val bigCold = big.join(broadcast(hot), keys, "left_anti")
+    val smallHot = small.join(broadcast(hot), keys, "left_semi")
+    val smallCold = small.join(broadcast(hot), keys, "left_anti")
+    saltedJoin(bigHot, smallHot, keys, salts)
+      .unionByName(bigCold.join(smallCold, keys))
+  }
 }

@@ -647,6 +647,23 @@ object TextDedup {
           max("n_bands").as("max_bands"))
     }),
 
+    // d22's skew scenario through the HOT-ONLY salted path — the 100 TB
+    // form: the bucket histogram routes only the viral buckets (> 50
+    // rows here; each holds 30% of the corpus) through salting, the long
+    // tail takes the plain keyed join, and the union must STILL
+    // hash-equal the plain join over everything. Build-side replication
+    // shrinks from salts × corpus to salts × hot-slice.
+    "d23_salted_hot" -> ((s, dir) => {
+      val skewed = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 10 < 3, lit(Boilerplate)).otherwise(col("text")))
+      val buckets = graft.engine.Caches.persisted(
+        Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(skewed))))
+      Dedup.candidatePairsSaltedHot(buckets, salts = 8, threshold = 50)
+        .groupBy("doc_a")
+        .agg(count(lit(1)).as("n_pairs"), sum("doc_b").as("sum_b"),
+          max("n_bands").as("max_bands"))
+    }),
+
     // The FULL multi-batch lifecycle — e9/d20/d21 each gate one leg; this
     // gates the loop closing: ingest batch 1 (doc_id in [100,200)) probes
     // the standing store (doc_id >= 200), its bucket rows are d21-appended
@@ -1181,6 +1198,17 @@ object TextDedup {
          |GROUP BY 1, 2""".stripMargin,
     "d21_store_append" -> storeRollupOracle,
     "d22_skewed_dedup" ->
+      s"""WITH skdocs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 3 THEN '$Boilerplate' ELSE text END AS text
+         |  FROM documents),
+         |${toksSrcFrom("skdocs")}, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $pairsSrc
+         |SELECT doc_a, count(*) AS n_pairs, sum(doc_b) AS sum_b,
+         |  max(n_bands) AS max_bands
+         |FROM pairs GROUP BY doc_a""".stripMargin,
+    // d23: hot-only salting must not change a single pair — the oracle is
+    // the SAME plain join over the same skewed corpus as d22.
+    "d23_salted_hot" ->
       s"""WITH skdocs AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 10 < 3 THEN '$Boilerplate' ELSE text END AS text

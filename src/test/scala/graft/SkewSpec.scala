@@ -119,6 +119,30 @@ class SkewSpec extends AnyFunSuite {
     assert(spread > 1, s"hot bucket stayed on $spread salt(s)")
   }
 
+  test("hot-only salted join equals the plain join; tail skips salting") {
+    val buckets = ((1 to 200).map(i => (1, 42L, i.toLong)) ++
+      (1 to 50).map(i => (i % 4, 1000L + i, 500L + i)))
+      .toDF("band", "band_key", "doc_id").repartition(8)
+    val a = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    val plain = a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // threshold 100: only the 200-row viral bucket salts; the ≤1-row
+    // tail buckets take the plain keyed path — result identical.
+    val hotSalted = Skew.saltedJoinHot(a, b, Seq("band", "band_key"),
+        salts = 8, threshold = 100)
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(hotSalted == plain)
+    // a threshold nothing exceeds degenerates to exactly the plain join
+    val noneHot = Skew.saltedJoinHot(a, b, Seq("band", "band_key"),
+        salts = 8, threshold = 1000)
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(noneHot == plain)
+  }
+
   // The class of bug behind SPARK-23207: a shuffle key derived from a
   // nondeterministic expression (monotonically_increasing_id, rand) is
   // re-evaluated DIFFERENTLY when a map task retries, silently dropping or
