@@ -705,4 +705,41 @@ object Dedup {
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
   }
+
+  /** d24: CROSS-SOURCE OVERLAP MATRIX — the corpus-observability readout
+    * over the verified near-dup pairs: for every (source, source) pair
+    * (unordered, lexicographic), how many verified duplicate pairs link
+    * them, how similar they are on average, and a deterministic witness
+    * pair. This is the "which crawl snapshots / vendors duplicate each
+    * other" report that decides what a pipeline ingests at all — dedup
+    * tells you WHAT to drop; this tells you WHERE the duplication comes
+    * from.
+    *
+    * Scale shape: rides [[ngramJaccard]]'s banded-LSH + semi-joined
+    * verify chain (never all-pairs), then two keyed joins tag the pair
+    * endpoints with their sources (shuffle carries (doc_id, source)
+    * only) and one groupBy of the tagged pairs builds the matrix —
+    * output is |sources|², independent of corpus size. The witness
+    * columns are independent min aggregates (min doc_a, min doc_b — not
+    * necessarily the same pair, but each deterministic); avg(jaccard)
+    * follows the t6 round(…, 6) discipline over 6-dp inputs.
+    */
+  def sourceOverlap(docs: DataFrame, srcCol: String, minJaccard: Double,
+      minBands: Int = 2): DataFrame = {
+    val pairs = ngramJaccard(docs, minBands)
+      .filter(col("jaccard") >= minJaccard)
+    val srcs = docs.select(col("doc_id"), col(srcCol))
+    pairs
+      .join(srcs.select(col("doc_id").as("doc_a"), col(srcCol).as("sa")),
+        "doc_a")
+      .join(srcs.select(col("doc_id").as("doc_b"), col(srcCol).as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        col("doc_a"), col("doc_b"), col("jaccard"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("jaccard"), 6).as("avg_jaccard"),
+        min("doc_a").as("min_doc_a"), min("doc_b").as("min_doc_b"))
+  }
 }

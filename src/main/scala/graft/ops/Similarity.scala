@@ -365,6 +365,37 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("d2"))
   }
 
+  /** v19: SSL-PROTOTYPE PRUNING (Sorscher et al., NeurIPS 2022 "Beyond
+    * neural scaling laws"): k-means the embedding space, score each
+    * example by its distance to its cluster centroid (prototypicality),
+    * and — in the abundant-data regime — KEEP the hardest `keepFrac` of
+    * every cluster (farthest from the prototype), dropping the easy
+    * redundant core. Per-cluster quotas (⌈keepFrac·n_c⌉) preserve
+    * coverage of the embedding space, where a global distance cut would
+    * empty small clusters. The published embedding-side complement of
+    * SemDedup (d16 drops near-duplicates; this drops the over-represented
+    * easy mass).
+    *
+    * Scale shape: the Lloyd fit is the broadcast-codebook path, the rank
+    * is a window PARTITIONED BY cluster (parallel across clusters; for
+    * tiny k over a huge corpus swap the exact rank for a per-cluster
+    * approx-quantile d2 threshold — same selection up to boundary ties),
+    * and the quota join broadcasts the k-row count table. Ties in the
+    * rounded d2 are pinned by vec_id (DeterminismAuditSpec class).
+    */
+  def prototypePrune(vecs: DataFrame, k: Int, iters: Int,
+      keepFrac: Double): DataFrame = {
+    val assigned = kmeansBroadcast(vecs, k, iters).persistTracked()
+    val counts = assigned.groupBy("cluster").agg(count(lit(1)).as("nc"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("d2").desc, col("vec_id"))
+    assigned.withColumn("proto_rank", row_number().over(w))
+      .join(broadcast(counts), "cluster")
+      .filter(col("proto_rank") <= ceil(lit(keepFrac) * col("nc")))
+      .select(col("vec_id"), col("cluster"), col("d2"),
+        col("proto_rank"), col("nc").as("cluster_size"))
+  }
+
   /** Trained-quantizer fit: the final (cl, c) centroid frame of the
     * broadcast Lloyd loop — the model [[ivfTrainedTop1]] probes against.
     */

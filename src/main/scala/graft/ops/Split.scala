@@ -145,6 +145,35 @@ object Split {
     globalRowNumber(keyed, "_shuf", keyCol).drop("_shuf")
   }
 
+  /** IMPORTANCE RESAMPLING via seeded Gumbel top-k — the selection leg of
+    * DSIR (Xie et al. 2023 §2.2 sample documents ∝ w(x) WITHOUT
+    * replacement; Efraimidis & Spirakis 2006 / the Gumbel-top-k trick:
+    * that distribution is exactly the top-n of log w(x) + G_x with G_x
+    * i.i.d. Gumbel(0,1)). Composes with [[graft.ops.TextOps.dsirLogWeights]]:
+    * weights in, the resampled corpus slice out.
+    *
+    * The Gumbel draw is G = −ln(−ln(u)) with u from the per-row LCG stream
+    * ((lcg(id)+0.5)/2^31 — exactly representable, engine-agnostic,
+    * partition-layout-independent), so the selected SET is reproducible
+    * across engines and reruns — `rand(seed)` or sampleBy would be neither
+    * retry-safe nor oracle-checkable (DeterminismAuditSpec class).
+    *
+    * Scale shape: one narrow map adds the key, then a global top-n via
+    * sort+limit = TakeOrderedAndProject — each partition keeps its own
+    * top-n heap and the driver merges #partitions heads; the corpus is
+    * never shuffled or globally sorted. FP pinning: ln agrees across
+    * engines to ~1 ulp; the key rounds to 6 dp (COVERAGE.md conventions).
+    */
+  def gumbelTopK(weighted: DataFrame, idCol: String, logWCol: String,
+      n: Int, seed: Long): DataFrame = {
+    val u = (Hashing.lcg(col(idCol), seed, Hashing.LcgM).cast("double")
+      + lit(0.5)) / lit(Hashing.LcgM.toDouble)
+    weighted
+      .withColumn("gumbel_key", round(col(logWCol) - log(-log(u)), 6))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Exact-count deterministic split: rows with rn ≤ ⌊f·N⌋ are train. Adds
     * column `is_train`. `key` must be integral and unique per row.
     *

@@ -189,6 +189,50 @@ object TextOps {
       .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
 
+  /** Gopher-style quality RULE GATE (Rae et al. 2021, Appendix A1) — the
+    * hard-threshold document filter that complements t2's continuous
+    * quality score and t9's repetition verdict: a doc survives only if it
+    * passes EVERY rule, and each rule's flag is emitted so the filter
+    * funnel is auditable per doc. Published rule family, thresholds set
+    * to this corpus's operating point (word count 25–90 vs Gopher's
+    * 50–100k, mean word length 3.5–5.0 vs 3–10, ≥2 stopword hits,
+    * distinct-token ratio ≥ 0.35 standing in for the duplicate-line
+    * fraction, ≥80% of words containing an alphabetic character).
+    *
+    * Scale shape: a narrow per-row map — tokenStats/repStats are one-pass
+    * native expressions and the alpha-word count is a single regex scan
+    * of the text (each whitespace-bounded word with a letter matches
+    * exactly once: matches must start at a boundary and cannot cross
+    * whitespace), so the whole projection stays in whole-stage codegen —
+    * a `filter(ws, _.rlike(…))` HOF here would be an interpreted
+    * per-token lambda, the PlanAuditSpec hot-path class. All rule
+    * arithmetic is exact
+    * integer ratios (int/int double division), so the boolean flags are
+    * bit-identical across engines — no FP-boundary pinning needed; the
+    * two reported ratios follow the round(…, 6) convention.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = tokens(col(textCol))
+    val n = size(ws)
+    val mwl = avgWordLen(ws)
+    val stops = tokenStats(ws).getField("stop_hits")
+    val dr = distinctRatio(ws)
+    val alphaRatio =
+      size(regexp_extract_all(lower(col(textCol)),
+        lit("(?:^|\\s)[^\\sa-z]*[a-z]"), lit(0))).cast("double") / n
+    val okWords = n.between(25, 90)
+    val okMwl = mwl >= 3.5 && mwl <= 5.0
+    val okStop = stops >= 2
+    val okRep = dr >= 0.35
+    val okAlpha = alphaRatio >= 0.8
+    docs.select(col(idCol), n.as("n_words"),
+      round(mwl, 6).as("mean_word_len"), stops.as("stop_hits"),
+      round(dr, 6).as("distinct_ratio"),
+      okWords.as("ok_words"), okMwl.as("ok_mwl"), okStop.as("ok_stop"),
+      okRep.as("ok_rep"), okAlpha.as("ok_alpha"),
+      (okWords && okMwl && okStop && okRep && okAlpha).as("pass"))
+  }
+
   /** DSIR-style hashed-n-gram importance weights (Xie et al., NeurIPS 2023
     * "Data Selection for Language Models via Importance Resampling"): per
     * document, log w(x) = Σ_b tf_x[b] · (ln θ_target[b] − ln θ_raw[b]) over

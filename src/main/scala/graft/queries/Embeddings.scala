@@ -103,6 +103,15 @@ object Embeddings {
     "v10_kmeans" -> ((s, dir) =>
       Similarity.kmeans(t(s, dir, "embeddings"), k = KmeansK, iters = KmeansIters)),
 
+    // SSL-prototype pruning (Sorscher et al. 2022): k-means prototypes,
+    // per-example prototypicality = d2 to its centroid, keep the hardest
+    // half of EVERY cluster (per-cluster ⌈0.5·n_c⌉ quota — a global cut
+    // would empty small clusters). One wrong centroid, rank tie, or
+    // quota ceil flips the kept set and the hash.
+    "v19_prototype_prune" -> ((s, dir) =>
+      Similarity.prototypePrune(t(s, dir, "embeddings"), k = KmeansK,
+        iters = KmeansIters, keepFrac = 0.5)),
+
     // TRAINED IVF — the production ANN index closing the v10→v4 gap: the
     // Lloyd-trained codebook (not label means) partitions the corpus into
     // inverted lists, each query probes its nprobe nearest trained cells,
@@ -687,6 +696,19 @@ object Embeddings {
 
   val oracle: Map[String, String] = Map(
     "v10_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
+    // v19: the v10 Lloyd chain, then the per-cluster hardest-half quota —
+    // rank by d2 DESC (ties → vec_id), keep prk ≤ ceil(0.5·n_c).
+    "v19_prototype_prune" ->
+      s"""${kmeansStages(KmeansK, KmeansIters)},
+         |cnt AS (SELECT cl, count(*) AS nc FROM fin GROUP BY cl),
+         |rk AS (SELECT vec_id, cl, d2,
+         |    row_number() OVER (PARTITION BY cl ORDER BY d2 DESC, vec_id)
+         |      AS prk
+         |  FROM fin)
+         |SELECT r.vec_id, CAST(r.cl AS INT) AS cluster, r.d2,
+         |  CAST(r.prk AS INT) AS proto_rank, c.nc AS cluster_size
+         |FROM rk r JOIN cnt c USING (cl)
+         |WHERE r.prk <= ceil(0.5 * c.nc)""".stripMargin,
     "v12_ivf_trained" ->
       ivfTrainedOracle(KmeansK, KmeansIters, IvfNprobe, NQueries),
     "v13_ivf_pq" ->

@@ -172,6 +172,24 @@ object TextDedup {
       TextOps.dsirLogWeights(docs(s, dir), "doc_id", "text",
         targetPred = col("lang") === "en", nBuckets = 64)),
 
+    // Gopher-style RULE GATE (Rae et al. 2021 A1): the hard-threshold
+    // pass/fail filter with every rule's flag emitted — the auditable
+    // complement of t2's continuous score. All flags are exact integer
+    // ratios, so the booleans are engine-exact; one wrong threshold
+    // comparison anywhere flips a flag and the hash.
+    "t16_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(docs(s, dir), "doc_id", "text")),
+
+    // DSIR's selection leg: importance-RESAMPLE 64 docs ∝ w(x) without
+    // replacement via the seeded Gumbel-top-k identity over t15's log
+    // weights — the published two-step (weight, then resample) closed
+    // end-to-end. TakeOrderedAndProject, never a global sort.
+    "o17_importance_resample" -> ((s, dir) =>
+      graft.ops.Split.gumbelTopK(
+        TextOps.dsirLogWeights(docs(s, dir), "doc_id", "text",
+          targetPred = col("lang") === "en", nBuckets = 64),
+        "doc_id", "log_w", n = 64, seed = 41L)),
+
     // Fixed-token chunking with overlap (RAG/pretraining chunker): 32-token
     // windows every 24 tokens, final partial window kept. Pure generator +
     // slice/concat — zero shuffle, fully codegen'd; the chunk text itself
@@ -293,6 +311,13 @@ object TextDedup {
 
     // exact n-gram Jaccard verification of LSH candidates.
     "d5_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
+
+    // Cross-source overlap matrix: verified near-dup pairs (the d5 chain
+    // at jaccard ≥ 0.35) rolled up per unordered source pair — the
+    // "where does the duplication come from" ingest report. Output is
+    // |sources|², corpus-size-independent.
+    "d24_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(docs(s, dir), "source", minJaccard = 0.35)),
 
     // connected components over the LSH candidate graph: every near-dup
     // doc mapped to its cluster keeper (min doc_id in the component).
@@ -865,6 +890,31 @@ object TextDedup {
   private val minhashChain =
     s"$toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $pairsSrc"
 
+  /** t15's DSIR weight chain (hashing, +1 smoothing, round(lr, 9), per-doc
+    * dot round(…, 6) — replicates dsirLogWeights exactly), ending in
+    * `dsirw(doc_id, log_w, n_tokens)`; shared by t15 and o17.
+    */
+  private val dsirChain =
+    s"""$toksSrc,
+       |dtoks AS (SELECT t.doc_id, d.lang = 'en' AS tgt, unnest(t.ws) AS w
+       |          FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+       |dhashed AS (SELECT doc_id, tgt,
+       |  ${Hashing.polyHashSql("w")} % 64 AS bucket FROM dtoks),
+       |dbr AS (SELECT bucket,
+       |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tn, count(*) AS rn
+       |  FROM dhashed GROUP BY bucket),
+       |dtot AS (SELECT sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tt,
+       |    count(*) AS rt FROM dhashed),
+       |dlr AS (SELECT bucket,
+       |    round(ln(CAST(tn + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))
+       |        - ln(CAST(rn + 1 AS DOUBLE) / CAST(rt + 64 AS DOUBLE)), 9) AS lr
+       |  FROM dbr CROSS JOIN dtot),
+       |dtf AS (SELECT doc_id, bucket, count(*) AS tf
+       |       FROM dhashed GROUP BY doc_id, bucket),
+       |dsirw AS (SELECT doc_id, round(sum(tf * lr), 6) AS log_w,
+       |    CAST(sum(tf) AS BIGINT) AS n_tokens
+       |  FROM dtf JOIN dlr USING (bucket) GROUP BY doc_id)""".stripMargin
+
   /** The d22 viral span: all-lowercase, whitespace-only tokens (survives
     * the ws tokenizer identically in both engines), long enough to carry
     * a full shingle set of its own.
@@ -1042,25 +1092,43 @@ object TextDedup {
     // exact integers; per-bucket log-ratio round(…, 9); per-doc dot
     // product round(…, 6) (the t6 discipline).
     "t15_dsir_weights" ->
+      s"""WITH $dsirChain
+         |SELECT doc_id, log_w, n_tokens FROM dsirw""".stripMargin,
+    // o17: t15's chain, then the Gumbel-top-k selection — u from the same
+    // LCG stream as the engine ((lcg+0.5)/2^31 is exact in double: the
+    // numerator is a 31-bit int + 0.5 and the divisor a power of two), so
+    // only ln contributes FP noise (~1 ulp; key rounds to 6 dp).
+    "o17_importance_resample" -> {
+      val u = s"((${Hashing.lcgSql("doc_id", 41L, Hashing.LcgM)}) + 0.5)" +
+        s" / ${Hashing.LcgM}.0"
+      s"""WITH $dsirChain,
+         |sel AS (SELECT doc_id, log_w, n_tokens,
+         |    round(log_w - ln(-ln($u)), 6) AS gumbel_key
+         |  FROM dsirw)
+         |SELECT * FROM sel ORDER BY gumbel_key DESC, doc_id LIMIT 64""".stripMargin
+    },
+    // t16: every rule is an exact integer ratio — int/int double division
+    // and integer comparisons agree bit-for-bit across engines, so the
+    // flags need no FP pinning; the two reported ratios round to 6 dp.
+    "t16_gopher_rules" ->
       s"""WITH $toksSrc,
-         |toks2 AS (SELECT t.doc_id, d.lang = 'en' AS tgt, unnest(t.ws) AS w
-         |          FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
-         |hashed AS (SELECT doc_id, tgt,
-         |  ${graft.functions.Hashing.polyHashSql("w")} % 64 AS bucket FROM toks2),
-         |br AS (SELECT bucket,
-         |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tn, count(*) AS rn
-         |  FROM hashed GROUP BY bucket),
-         |tot AS (SELECT sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tt,
-         |    count(*) AS rt FROM hashed),
-         |lr AS (SELECT bucket,
-         |    round(ln(CAST(tn + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))
-         |        - ln(CAST(rn + 1 AS DOUBLE) / CAST(rt + 64 AS DOUBLE)), 9) AS lr
-         |  FROM br CROSS JOIN tot),
-         |tf AS (SELECT doc_id, bucket, count(*) AS tf
-         |       FROM hashed GROUP BY doc_id, bucket)
-         |SELECT doc_id, round(sum(tf * lr), 6) AS log_w,
-         |  CAST(sum(tf) AS BIGINT) AS n_tokens
-         |FROM tf JOIN lr USING (bucket) GROUP BY doc_id""".stripMargin,
+         |m AS (SELECT doc_id, len(ws) AS n,
+         |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+         |    / len(ws) AS mwl,
+         |  len(list_filter(ws, w -> list_contains($stopList, w))) AS stops,
+         |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dr,
+         |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+         |    AS DOUBLE) / len(ws) AS ar
+         |  FROM toks)
+         |SELECT doc_id, CAST(n AS INT) AS n_words,
+         |  round(mwl, 6) AS mean_word_len, CAST(stops AS INT) AS stop_hits,
+         |  round(dr, 6) AS distinct_ratio,
+         |  (n BETWEEN 25 AND 90) AS ok_words,
+         |  (mwl >= 3.5 AND mwl <= 5.0) AS ok_mwl,
+         |  stops >= 2 AS ok_stop, dr >= 0.35 AS ok_rep, ar >= 0.8 AS ok_alpha,
+         |  ((n BETWEEN 25 AND 90) AND mwl >= 3.5 AND mwl <= 5.0
+         |    AND stops >= 2 AND dr >= 0.35 AND ar >= 0.8) AS pass
+         |FROM m""".stripMargin,
     "t6_unigram_logprob" ->
       s"""WITH $toksSrc,
          |toks2 AS (SELECT doc_id, unnest(ws) AS w FROM toks),
@@ -1709,7 +1777,37 @@ object TextDedup {
          |  round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
          |FROM inter i
          |  JOIN counts ca ON ca.doc_id = i.doc_a
-         |  JOIN counts cb ON cb.doc_id = i.doc_b""".stripMargin
+         |  JOIN counts cb ON cb.doc_id = i.doc_b""".stripMargin,
+    // d24: the d5 verify chain, jaccard-thresholded, endpoint sources
+    // tagged, one rollup per unordered source pair.
+    "d24_source_overlap" ->
+      s"""WITH $minhashChain,
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |  FROM pairs p
+         |    JOIN hashed a ON a.doc_id = p.doc_a
+         |    JOIN hashed b ON b.doc_id = p.doc_b AND b.h = a.h
+         |  WHERE p.n_bands >= 2
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+         |  FROM inter i
+         |    JOIN counts ca ON ca.doc_id = i.doc_a
+         |    JOIN counts cb ON cb.doc_id = i.doc_b),
+         |lab AS (
+         |  SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b,
+         |    j.doc_a, j.doc_b, j.jaccard
+         |  FROM jac j
+         |    JOIN documents da ON da.doc_id = j.doc_a
+         |    JOIN documents db ON db.doc_id = j.doc_b
+         |  WHERE j.jaccard >= 0.35)
+         |SELECT src_a, src_b, count(*) AS n_pairs,
+         |  round(avg(jaccard), 6) AS avg_jaccard,
+         |  min(doc_a) AS min_doc_a, min(doc_b) AS min_doc_b
+         |FROM lab GROUP BY src_a, src_b""".stripMargin
   )
 
   private lazy val simhashSql: String = {

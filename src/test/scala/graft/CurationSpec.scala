@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Similarity, Split, TextOps}
+
+/** Round-12 curation additions: the Gopher rule gate (t16), Gumbel-top-k
+  * importance resampling (o17), SSL-prototype pruning (v19), and the
+  * cross-source overlap matrix (d24).
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- t16 gopherRules ----------------------------------------------------
+
+  private def ruleRow(id: Long, text: String) =
+    TextOps.gopherRules(Seq((id, text)).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+
+  test("gopherRules: a healthy doc passes every rule") {
+    val good = (1 to 12).flatMap(i => Seq("the", s"word$i", "of", s"item$i"))
+      .mkString(" ")
+    val r = ruleRow(1L, good)
+    assert(Seq("ok_words", "ok_mwl", "ok_stop", "ok_rep", "ok_alpha")
+      .forall(f => r.getAs[Boolean](f)), r.toString)
+    assert(r.getAs[Boolean]("pass"))
+  }
+
+  test("gopherRules: each rule fails on its own pathology") {
+    // too short (10 words)
+    assert(!ruleRow(1L, Seq.fill(10)("the word").mkString(" "))
+      .getAs[Boolean]("ok_words"))
+    // mean word length out of band (all 1-char words)
+    assert(!ruleRow(2L, (1 to 30).map(i => ('a' + i % 26).toChar.toString)
+      .mkString(" ")).getAs[Boolean]("ok_mwl"))
+    // no stopwords
+    assert(!ruleRow(3L, (1 to 30).map(i => s"word$i").mkString(" "))
+      .getAs[Boolean]("ok_stop"))
+    // one token repeated (distinct ratio 1/30)
+    val rep = ruleRow(4L, Seq.fill(30)("spam").mkString(" "))
+    assert(!rep.getAs[Boolean]("ok_rep"))
+    assert(!rep.getAs[Boolean]("pass"))
+    // numeric soup: words with no letters
+    assert(!ruleRow(5L, (1 to 30).map(i => s"$i$i").mkString(" "))
+      .getAs[Boolean]("ok_alpha"))
+  }
+
+  // ---- o17 gumbelTopK -----------------------------------------------------
+
+  private lazy val weighted =
+    (1L to 500L).map(i => (i, (i % 13).toDouble / 3.0)).toDF("doc_id", "log_w")
+
+  test("gumbelTopK: selected set is partition-layout-invariant") {
+    val a = Split.gumbelTopK(weighted.repartition(1), "doc_id", "log_w",
+      n = 50, seed = 41L).select("doc_id").as[Long].collect().toSet
+    val b = Split.gumbelTopK(weighted.repartition(17), "doc_id", "log_w",
+      n = 50, seed = 41L).select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.size == 50)
+  }
+
+  test("gumbelTopK: selection is biased toward high weights") {
+    val sel = Split.gumbelTopK(weighted, "doc_id", "log_w", n = 100,
+      seed = 7L).agg(avg("log_w")).as[Double].collect().head
+    val all = weighted.agg(avg("log_w")).as[Double].collect().head
+    assert(sel > all, s"selected mean $sel should exceed corpus mean $all")
+  }
+
+  // ---- v19 prototypePrune -------------------------------------------------
+
+  test("prototypePrune: per-cluster ceil quota of the FARTHEST rows") {
+    // two well-separated clusters of unequal size around (0,0) and (10,10)
+    val vecs = ((1 to 9).map(i => (i.toLong, Seq(0.1f * i, 0f))) ++
+      (11 to 14).map(i => (i.toLong, Seq(10f + 0.1f * i, 10f))))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.prototypePrune(vecs, k = 2, iters = 3,
+      keepFrac = 0.5)
+    val byCluster = kept.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), max("proto_rank").as("maxrk"))
+      .as[(Int, Long, Int)].collect().toSeq.sortBy(_._1)
+    // quotas: ceil(0.5*9)=5 and ceil(0.5*4)=2 (order depends on init)
+    assert(byCluster.map(_._2).sorted == Seq(2L, 5L), byCluster.toString)
+    // ranks are contiguous from 1 (the hardest)
+    assert(byCluster.forall { case (_, n, maxrk) => maxrk == n })
+    // kept rows are the per-cluster max-d2 rows: the minimum kept d2 must
+    // be >= the maximum dropped d2 within each cluster
+    val all = Similarity.kmeansBroadcast(vecs, 2, 3)
+      .select("vec_id", "cluster", "d2").as[(Long, Int, Double)].collect()
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    for (cl <- all.map(_._2).distinct) {
+      val (in, out) = all.filter(_._2 == cl).partition(r => keptIds(r._1))
+      if (out.nonEmpty)
+        assert(in.map(_._3).min >= out.map(_._3).max)
+    }
+  }
+
+  // ---- d24 sourceOverlap --------------------------------------------------
+
+  test("sourceOverlap: normalized matrix matches the verified pairs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base, "sA"), (2L, base + " extra", "sB"), // near-dup across A,B
+      (3L, base + " other", "sB"), // near-dup within B (vs 2) and vs 1
+      (4L, "completely different words " + (1 to 20).map("w" + _).mkString(" "), "sC"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlap(docs, "source", minJaccard = 0.5)
+      .collect()
+    // every row normalized src_a <= src_b
+    assert(m.forall(r => r.getString(0) <= r.getString(1)))
+    val total = m.map(_.getAs[Long]("n_pairs")).sum
+    val verified = Dedup.ngramJaccard(docs)
+      .filter(col("jaccard") >= 0.5).count()
+    assert(total == verified && total >= 2, s"total=$total verified=$verified")
+  }
+}

@@ -25,6 +25,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "t7_tfidf_top_term" -> 1,  // one-row doc-count aggregate
     "t15_dsir_weights" -> 1,   // one-row target/raw-total aggregate (the
                                // 64-row log-ratio table is a keyed join)
+    "o17_importance_resample" -> 1, // t15's one-row total aggregate; the
+                               // Gumbel selection itself is map + top-n
+    "v19_prototype_prune" -> 2, // one-row trained codebook on the assign
+                               // side (the v12 pattern); the quota join
+                               // is a keyed broadcast of k count rows
     "o15_temperature_mix" -> 3, // one-row corpus-count / residual-budget /
                                // leftover aggregates attached to the
                                // #domains-row quota frame — every BNLJ
