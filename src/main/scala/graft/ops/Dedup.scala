@@ -706,6 +706,35 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
   }
 
+  /** o18: NEAR-DUP-SAFE SPLIT — train/test assignment where every
+    * near-duplicate CLUSTER lands entirely in one split, closing the
+    * leakage channel o11's group split (same source → same split) does
+    * not: near-identical documents from DIFFERENT sources still leak a
+    * test answer into train if split independently (the published
+    * dedup-before-split concern, e.g. Lee et al. 2022 §6 train/test
+    * overlap). Every doc gets its connected-component id ([[dupClusters]]
+    * min-label; singletons are their own cluster), and the split is a
+    * deterministic LCG bucket of the CLUSTER id — one hash decides for
+    * all members.
+    *
+    * Scale shape: the CC chain's per-round keyed shuffles (never
+    * all-pairs, no driver adjacency) + one left join of the corpus
+    * against the cluster map (clustered docs only — at web scale a few
+    * percent of the corpus) + a narrow map for the bucket. Same LCG
+    * stream as every split op — layout- and retry-invariant.
+    */
+  def clusterSafeSplit(docs: DataFrame, seed: Long, nBuckets: Int,
+      trainBuckets: Int): DataFrame = {
+    val cl = dupClusters(docs)
+    docs.select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("keep_id"), col("doc_id")))
+      .withColumn("split",
+        when(graft.functions.Hashing.lcg(col("cluster_id"), seed,
+          nBuckets) < trainBuckets, "train").otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
+
   /** d24: CROSS-SOURCE OVERLAP MATRIX — the corpus-observability readout
     * over the verified near-dup pairs: for every (source, source) pair
     * (unordered, lexicographic), how many verified duplicate pairs link

@@ -800,7 +800,34 @@ object Similarity {
     * the oracle reproduces.
     */
   def ivfFilteredTop1(vecs: DataFrame, k: Int, iters: Int, nprobe: Int,
-      nQueries: Int): DataFrame = {
+      nQueries: Int): DataFrame =
+    top1By(labeledCellPairs(vecs, k, iters, nprobe, nQueries,
+      sameLabel = true), "d2")
+
+  /** v20: HARD-NEGATIVE MINING — for each query, the `kNeg` nearest
+    * neighbors whose label DIFFERS (the contrastive / metric-learning
+    * training-data op: negatives that are close in embedding space are
+    * the informative ones; random negatives are trivially separable).
+    * Exactly v18's pre-filtered IVF search with the label predicate
+    * inverted and the per-query keep widened from top-1 to a ranked
+    * top-kNeg. Same scale shape: the predicate rides the keyed cell
+    * join, the rank window is per-query over probed-cell candidates
+    * only.
+    */
+  def ivfHardNegatives(vecs: DataFrame, k: Int, iters: Int, nprobe: Int,
+      nQueries: Int, kNeg: Int): DataFrame =
+    labeledCellPairs(vecs, k, iters, nprobe, nQueries, sameLabel = false)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))))
+      .filter(col("rank") <= kNeg)
+      .select(col("q_id"), col("rank"), col("c_id").as("neg_id"), col("d2"))
+
+  /** Shared core of v18/v20: scored (q_id, c_id, d2) pairs from the
+    * trained-IVF probe, label-predicated BEFORE scoring (`sameLabel`
+    * picks the v18 same-label or the v20 different-label composition).
+    */
+  private def labeledCellPairs(vecs: DataFrame, k: Int, iters: Int,
+      nprobe: Int, nQueries: Int, sameLabel: Boolean): DataFrame = {
     val v = vecs.select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("dv"))
       .persistTracked()
@@ -820,14 +847,13 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("cd2"), col("cell"))))
       .filter(col("crk") <= nprobe)
       .select(col("q_id"), col("q_label"), col("qv"), col("cell"))
-    top1By(
-      qcells.join(members, "cell")
-        .filter(col("q_id") =!= col("c_id") &&
-          col("c_label") === col("q_label"))
-        .withColumn("d2", round(dot(col("qv"), col("qv"))
-          + dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), 6))
-        .select(col("q_id"), col("c_id"), col("d2")),
-      "d2")
+    val labelPred = if (sameLabel) col("c_label") === col("q_label")
+      else col("c_label") =!= col("q_label")
+    qcells.join(members, "cell")
+      .filter(col("q_id") =!= col("c_id") && labelPred)
+      .withColumn("d2", round(dot(col("qv"), col("qv"))
+        + dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), 6))
+      .select(col("q_id"), col("c_id"), col("d2"))
   }
 
   /** v16: recall@kAt as a FUNCTION OF nprobe — the operating-point sweep

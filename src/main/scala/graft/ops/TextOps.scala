@@ -213,24 +213,65 @@ object TextOps {
     */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = tokens(col(textCol))
+    val f = gopherFlags(col(textCol))
+    docs.select(col(idCol), size(ws).as("n_words"),
+      round(avgWordLen(ws), 6).as("mean_word_len"),
+      tokenStats(ws).getField("stop_hits").as("stop_hits"),
+      round(distinctRatio(ws), 6).as("distinct_ratio"),
+      f("ok_words").as("ok_words"), f("ok_mwl").as("ok_mwl"),
+      f("ok_stop").as("ok_stop"), f("ok_rep").as("ok_rep"),
+      f("ok_alpha").as("ok_alpha"), gopherPass(col(textCol)).as("pass"))
+  }
+
+  /** The five rule flags of [[gopherRules]], shared with [[gopherPass]]
+    * so thresholds live in exactly one place.
+    */
+  private def gopherFlags(text: Column): Map[String, Column] = {
+    val ws = tokens(text)
     val n = size(ws)
     val mwl = avgWordLen(ws)
-    val stops = tokenStats(ws).getField("stop_hits")
-    val dr = distinctRatio(ws)
-    val alphaRatio =
-      size(regexp_extract_all(lower(col(textCol)),
-        lit("(?:^|\\s)[^\\sa-z]*[a-z]"), lit(0))).cast("double") / n
-    val okWords = n.between(25, 90)
-    val okMwl = mwl >= 3.5 && mwl <= 5.0
-    val okStop = stops >= 2
-    val okRep = dr >= 0.35
-    val okAlpha = alphaRatio >= 0.8
-    docs.select(col(idCol), n.as("n_words"),
-      round(mwl, 6).as("mean_word_len"), stops.as("stop_hits"),
-      round(dr, 6).as("distinct_ratio"),
-      okWords.as("ok_words"), okMwl.as("ok_mwl"), okStop.as("ok_stop"),
-      okRep.as("ok_rep"), okAlpha.as("ok_alpha"),
-      (okWords && okMwl && okStop && okRep && okAlpha).as("pass"))
+    val alphaRatio = size(regexp_extract_all(lower(text),
+      lit("(?:^|\\s)[^\\sa-z]*[a-z]"), lit(0))).cast("double") / n
+    Map(
+      "ok_words" -> n.between(25, 90),
+      "ok_mwl" -> (mwl >= 3.5 && mwl <= 5.0),
+      "ok_stop" -> (tokenStats(ws).getField("stop_hits") >= 2),
+      "ok_rep" -> (distinctRatio(ws) >= 0.35),
+      "ok_alpha" -> (alphaRatio >= 0.8))
+  }
+
+  /** The all-rules conjunction of [[gopherRules]] as one Column. */
+  def gopherPass(text: Column): Column =
+    gopherFlags(text).values.reduce(_ && _)
+
+  /** t17: PER-SOURCE CORPUS REPORT CARD — the health rollup a pipeline
+    * publishes per ingest source/snapshot: volume (docs, whitespace +
+    * BPE-budget tokens), quality (mean t2 score, Gopher-gate pass
+    * count), and exact-dup pressure (distinct normalized fingerprints vs
+    * docs). The observability complement of d24's cross-source matrix —
+    * d24 says who duplicates whom, this says which sources are worth
+    * ingesting at all.
+    *
+    * Scale shape: one narrow codegen'd projection per row, then ONE
+    * groupBy(source) with map-side partials (count-distinct on the
+    * 64-bit fingerprint included) — output is |sources| rows. The mean
+    * quality averages the per-doc 6-dp-rounded score (identical inputs
+    * on both engines) and re-rounds to 6 dp, the t6 discipline.
+    */
+  def corpusReport(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val ws = tokens(col(textCol))
+    docs.select(col(srcCol),
+        size(ws).as("nw"), bpeTokenCount(col(textCol)).as("nb"),
+        round(qualityScore(ws), 6).as("q"),
+        fingerprint(col(textCol)).as("fp"),
+        gopherPass(col(textCol)).cast("int").as("p"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nw").as("n_tokens"),
+        sum("nb").as("n_bpe_tokens"),
+        round(avg("q"), 6).as("mean_quality"),
+        countDistinct(col("fp")).as("n_unique_texts"),
+        sum("p").as("n_gopher_pass"))
   }
 
   /** DSIR-style hashed-n-gram importance weights (Xie et al., NeurIPS 2023

@@ -225,6 +225,16 @@ object Embeddings {
       Similarity.ivfFilteredTop1(t(s, dir, "embeddings"), k = KmeansK,
         iters = KmeansIters, nprobe = IvfNprobe, nQueries = NQueries)),
 
+    // HARD-NEGATIVE MINING — v18's pre-filtered IVF search with the
+    // label predicate inverted and top-1 widened to a ranked top-3: per
+    // query, the 3 nearest DIFFERENT-label neighbors (the contrastive-
+    // training negatives worth mining; random negatives are trivially
+    // separable).
+    "v20_hard_negatives" -> ((s, dir) =>
+      Similarity.ivfHardNegatives(t(s, dir, "embeddings"), k = KmeansK,
+        iters = KmeansIters, nprobe = IvfNprobe, nQueries = NQueries,
+        kNeg = 3)),
+
     // recall@10 vs nprobe SWEEP — the operating-point tuning report for
     // the IVF probe width. One search at max(nprobe) carries the cell
     // rank; tighter settings are crk filters, so the sweep costs one
@@ -748,6 +758,29 @@ object Embeddings {
          |    row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rk
          |  FROM scored)
          |WHERE rk = 1""".stripMargin,
+    // v20: v18's probe/score chain with the label predicate inverted and
+    // the per-query keep at rk <= 3 (rank emitted).
+    "v20_hard_negatives" ->
+      s"""${kmeansStages(KmeansK, KmeansIters)},
+         |qc AS (
+         |  SELECT vec_id AS q_id, cl FROM (
+         |    SELECT v.vec_id, c.cl,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |                         ORDER BY $kmD2, c.cl) AS crk
+         |    FROM v CROSS JOIN c$KmeansIters c
+         |    WHERE v.vec_id < $NQueries)
+         |  WHERE crk <= $IvfNprobe),
+         |scored AS (
+         |  SELECT qc.q_id, f.vec_id AS c_id, ${fullD2("a.dv", "b.dv")} AS d2
+         |  FROM qc JOIN fin f USING (cl)
+         |  JOIN v a ON a.vec_id = qc.q_id
+         |  JOIN v b ON b.vec_id = f.vec_id
+         |  WHERE f.vec_id <> qc.q_id AND b.label <> a.label)
+         |SELECT q_id, CAST(rk AS INT) AS rank, c_id AS neg_id, d2 FROM (
+         |  SELECT q_id, c_id, d2,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= 3""".stripMargin,
     // e13 oracle: train the Lloyd chain on the STANDING subset only, then
     // assign the FULL corpus (standing + streamed delta) to those pinned
     // centroids — the per-cell rollup the post-ingest store must equal.

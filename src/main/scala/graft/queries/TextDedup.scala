@@ -180,6 +180,19 @@ object TextDedup {
     "t16_gopher_rules" -> ((s, dir) =>
       TextOps.gopherRules(docs(s, dir), "doc_id", "text")),
 
+    // Per-source corpus report card: volume, mean quality, Gopher pass
+    // count, and exact-dup pressure per ingest source — one narrow
+    // projection + one groupBy(source), |sources| output rows.
+    "t17_corpus_report" -> ((s, dir) =>
+      TextOps.corpusReport(docs(s, dir), "source", "text")),
+
+    // Near-dup-safe split: every LSH/CC duplicate cluster lands whole in
+    // one split (the dedup-before-split leakage fix; o11 only guards
+    // same-SOURCE leakage). Split = LCG bucket of the cluster id.
+    "o18_cluster_split" -> ((s, dir) =>
+      Dedup.clusterSafeSplit(docs(s, dir), seed = 13L, nBuckets = 10,
+        trainBuckets = 8)),
+
     // DSIR's selection leg: importance-RESAMPLE 64 docs ∝ w(x) without
     // replacement via the seeded Gumbel-top-k identity over t15's log
     // weights — the published two-step (weight, then resample) closed
@@ -1107,6 +1120,54 @@ object TextDedup {
          |  FROM dsirw)
          |SELECT * FROM sel ORDER BY gumbel_key DESC, doc_id LIMIT 64""".stripMargin
     },
+    // t17: per-doc metrics are the t2/t4/t8/t16 oracle fragments joined
+    // in one scan; the rollup re-rounds avg(6-dp quality) to 6 dp.
+    "t17_corpus_report" ->
+      s"""WITH $toksSrc,
+         |m AS (SELECT t.doc_id, d.source, len(ws) AS nw,
+         |  len(regexp_extract_all(lower(d.text),
+         |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS nb,
+         |  round(
+         |    0.5 * (CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS DOUBLE) / len(ws))
+         |    + 0.3 * least(1.0, CAST(len(ws) AS DOUBLE) / 100.0)
+         |    + 0.2 * ((CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)) / 10.0),
+         |    6) AS q,
+         |  ${Hashing.polyHashSql("trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))")} AS fp,
+         |  CASE WHEN (len(ws) BETWEEN 25 AND 90)
+         |    AND (CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)) >= 3.5
+         |    AND (CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)) <= 5.0
+         |    AND len(list_filter(ws, w -> list_contains($stopList, w))) >= 2
+         |    AND (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) >= 0.35
+         |    AND (CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws)) >= 0.8
+         |    THEN 1 ELSE 0 END AS p
+         |  FROM toks t JOIN documents d USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+         |  round(avg(q), 6) AS mean_quality,
+         |  count(DISTINCT fp) AS n_unique_texts,
+         |  CAST(sum(p) AS BIGINT) AS n_gopher_pass
+         |FROM m GROUP BY source""".stripMargin,
+    // o18: d8's reach closure for the cluster map, singletons = own id,
+    // split = the engine's exact LCG bucket of the cluster id.
+    "o18_cluster_split" ->
+      s"""WITH RECURSIVE $minhashChain,
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT doc_a AS id, doc_a AS label FROM edges
+         |  UNION
+         |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON e.doc_b = r.id),
+         |comp AS (SELECT id AS doc_id, min(label) AS keep_id
+         |         FROM reach GROUP BY id),
+         |cl AS (SELECT d.doc_id,
+         |    coalesce(c.keep_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ${Hashing.lcgSql("cluster_id", 13L, 10L)} < 8
+         |    THEN 'train' ELSE 'test' END AS split
+         |FROM cl""".stripMargin,
     // t16: every rule is an exact integer ratio — int/int double division
     // and integer comparisons agree bit-for-bit across engines, so the
     // flags need no FP pinning; the two reported ratios round to 6 dp.

@@ -96,6 +96,80 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---- o18 clusterSafeSplit -----------------------------------------------
+
+  test("clusterSafeSplit: no near-dup cluster spans splits; singletons keep own id") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = ((1L to 6L).map(i => (i, base + s" tail$i", s"s$i")) ++
+      (7L to 26L).map(i =>
+        (i, s"unique$i " + (1 to 20).map(j => s"w$i-$j").mkString(" "), s"s$i")))
+      .toDF("doc_id", "text", "source")
+    val split = graft.ops.Dedup.clusterSafeSplit(docs, seed = 13L,
+      nBuckets = 10, trainBuckets = 8)
+      .as[(Long, Long, String)].collect()
+    assert(split.length == 26)
+    // cohesion: one split value per cluster_id
+    val perCluster = split.groupBy(_._2).values
+    assert(perCluster.forall(_.map(_._3).distinct.size == 1))
+    // the 6 near-dup docs share one cluster; the 20 unique docs are
+    // singletons labeled with their own id
+    val dupCluster = split.filter(_._1 <= 6L).map(_._2).distinct
+    assert(dupCluster.length == 1 && dupCluster.head == 1L)
+    assert(split.filter(_._1 > 6L).forall(r => r._2 == r._1))
+  }
+
+  // ---- v20 ivfHardNegatives -----------------------------------------------
+
+  test("ivfHardNegatives: different-label only, ranked by distance") {
+    // 3 labels in 3 well-separated regions; queries are vec_id < 4
+    val vecs = (0 until 30).map { i =>
+      val label = i % 3
+      (i.toLong, Seq(label * 10f + 0.1f * i, 0.5f * label), label)
+    }.toDF("vec_id", "embedding", "label")
+    val negs = Similarity.ivfHardNegatives(vecs, k = 3, iters = 3,
+      nprobe = 3, nQueries = 4, kNeg = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    val labels = vecs.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    assert(negs.nonEmpty)
+    // every mined negative has a different label than its query
+    assert(negs.forall { case (q, _, n, _) => labels(q) != labels(n) })
+    // per query: ranks contiguous from 1, d2 non-decreasing with rank
+    for ((_, rows) <- negs.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(0)._4 <= p(1)._4))
+    }
+  }
+
+  // ---- t17 corpusReport ---------------------------------------------------
+
+  test("corpusReport: per-source rollup is consistent with the per-doc ops") {
+    val good = (1 to 12).flatMap(i => Seq("the", s"word$i", "of", s"item$i"))
+      .mkString(" ")
+    val docs = Seq(
+      (1L, good, "sA"), (2L, good, "sA"), // exact dups: 1 unique text
+      (3L, "tiny doc", "sA"),
+      (4L, good + " extra", "sB"))
+      .toDF("doc_id", "text", "source")
+    val rep = TextOps.corpusReport(docs, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Long, Long)].collect()
+    val Seq(a, b) = rep.toSeq
+    assert(a._1 == "sA" && a._2 == 3 && a._6 == 2) // 3 docs, 2 unique texts
+    assert(b._1 == "sB" && b._2 == 1 && b._6 == 1)
+    // gopher pass counts match the per-doc gate
+    val passes = TextOps.gopherRules(docs, "doc_id", "text")
+      .filter(col("pass")).count()
+    assert(rep.map(_._7).sum == passes)
+    // token totals match the per-doc tokenizer
+    val tok = docs.select(size(TextOps.tokens(col("text")))).as[Int]
+      .collect().sum
+    assert(rep.map(_._3).sum == tok)
+  }
+
   // ---- d24 sourceOverlap --------------------------------------------------
 
   test("sourceOverlap: normalized matrix matches the verified pairs") {

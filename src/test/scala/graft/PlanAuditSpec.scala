@@ -54,6 +54,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "v18_filtered_ann" -> 2,   // one-row trained codebook: member invert
                                // + query sides; the label predicate rides
                                // the keyed cell join
+    "v20_hard_negatives" -> 2, // the same v18 chain (shared core) with
+                               // the label predicate inverted
     "v17_ivf_store_search" -> 2, // one-row trained codebook: index build
                                // (write side) + query-table side; the
                                // search itself is a keyed partition-
