@@ -665,6 +665,70 @@ object TextDedup {
           sum("band_key").as("sum_keys"))
     }),
 
+    // THE PRODUCTION LOOP, composed end-to-end as ONE stream: each
+    // micro-batch of arriving documents is quality-GATED (t16's Gopher
+    // conjunction), dedup-PROBED against the standing signature store
+    // (d20's criterion — ≥ 2 agreeing LSH bands against any standing
+    // doc; intra-delta dups are the periodic batch fold's job, as in
+    // d20/e9), and the survivors land in a curated doc store through
+    // the exactly-once ledger (e12's replay suppression, re-proven here
+    // by an explicit redelivery of the final micro-batch). Gate: the
+    // curated store's per-lang rollup must hash-equal the batch
+    // expression of the same policy — one doc wrongly gated, wrongly
+    // matched, lost, or double-appended flips the rollup. Integer
+    // columns only, so the gate needs no FP pinning.
+    "e14_stream_curation" -> ((s, dir) => {
+      val db = "graft_sigstore_e14"
+      val store = buildSigStore(s, dir, db)
+      val cur = "graft_curated_e14"
+      val curLoc = Tables.scratch(cur + "_db")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $cur LOCATION '$curLoc'")
+      graft.ops.Bucketing.reset(s, s"$cur.docs_bkt",
+        new java.io.File(curLoc, "docs_bkt"))
+      // Bootstrap the curated table's bucket layout with an empty slice so
+      // every micro-batch append validates against one standing spec.
+      graft.ops.Bucketing.writeBucketed(
+        docs(s, dir).select("doc_id", "lang", "n_chars").limit(0),
+        s"$cur.docs_bkt", nBuckets = 8, keys = Seq("doc_id"))
+      val ledger = new java.io.File(Tables.scratch(cur + "_ledger"))
+      Option(ledger.listFiles()).foreach(_.foreach(_.delete()))
+      // The per-batch policy: Gopher gate, then the stateless store probe
+      // (the e9 shape — band keys are a pure function of the text).
+      def curate(batch: DataFrame): DataFrame = {
+        val passed = batch.filter(TextOps.gopherPass(col("text")))
+        val bands = passed.select(col("doc_id"),
+          posexplode(Dedup.lshBandsPerRow(col("text")))
+            .as(Seq("band", "band_key")))
+        val dup = bands.join(store, Seq("band", "band_key"))
+          .groupBy("doc_id", "doc_old").agg(count(lit(1)).as("nb"))
+          .filter(col("nb") >= 2).select("doc_id").distinct()
+        passed.join(dup, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+      }
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def append(b: DataFrame, id: Long): Boolean =
+        graft.ops.Bucketing.appendBucketedExactlyOnce(curate(b),
+          s"$cur.docs_bkt", nBuckets = 8, keys = Seq("doc_id"),
+          ledgerDir = ledger, batchId = id)
+      val delta = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") < 50)
+      graft.streaming.StreamingWindows.runForeachBatch(delta, "e14") {
+        (batch, id) => seen += id; append(batch, id); ()
+      }
+      require(seen.nonEmpty, "stream produced no micro-batches " +
+        "(pathGlobFilter matched no files?)")
+      val replayed = append(
+        docs(s, dir).filter(col("doc_id") < 50), seen.last)
+      require(!replayed, "ledger failed to suppress a replayed micro-batch")
+      s.catalog.refreshTable(s"$cur.docs_bkt")
+      s.table(s"$cur.docs_bkt")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum("n_chars").as("sum_chars"))
+    }),
+
     // SKEW-HARDENED dedup — the LSH chain under a deliberately viral span:
     // 30% of the corpus is REPLACED by one shared boilerplate block, so
     // those docs' signatures agree in every band and each band's hot
@@ -963,6 +1027,20 @@ object TextDedup {
        |GROUP BY 1, 2""".stripMargin
 
   private val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** SQL form of [[TextOps.gopherPass]]'s all-rules conjunction over a
+    * token-list expression `ws` — shared by the t16/t17/e14 oracles so
+    * the thresholds live in one place on the oracle side too.
+    */
+  private def gopherPassSql(ws: String): String = {
+    val mwl = s"(CAST(list_sum(list_transform($ws, w -> len(w))) AS DOUBLE) / len($ws))"
+    s"(len($ws) BETWEEN 25 AND 90)" +
+      s" AND $mwl >= 3.5 AND $mwl <= 5.0" +
+      s" AND len(list_filter($ws, w -> list_contains($stopList, w))) >= 2" +
+      s" AND (CAST(len(list_distinct($ws)) AS DOUBLE) / len($ws)) >= 0.35" +
+      s" AND (CAST(len(list_filter($ws, w -> regexp_matches(w, '[a-z]')))" +
+      s" AS DOUBLE) / len($ws)) >= 0.8"
+  }
   private def markerList(l: String) =
     TextOps.LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
   private def hitsSql(l: String) =
@@ -1133,13 +1211,7 @@ object TextDedup {
          |    + 0.2 * ((CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)) / 10.0),
          |    6) AS q,
          |  ${Hashing.polyHashSql("trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))")} AS fp,
-         |  CASE WHEN (len(ws) BETWEEN 25 AND 90)
-         |    AND (CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)) >= 3.5
-         |    AND (CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)) <= 5.0
-         |    AND len(list_filter(ws, w -> list_contains($stopList, w))) >= 2
-         |    AND (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) >= 0.35
-         |    AND (CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws)) >= 0.8
-         |    THEN 1 ELSE 0 END AS p
+         |  CASE WHEN ${gopherPassSql("ws")} THEN 1 ELSE 0 END AS p
          |  FROM toks t JOIN documents d USING (doc_id))
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(nw) AS BIGINT) AS n_tokens,
@@ -1310,6 +1382,27 @@ object TextDedup {
          |JOIN q USING (doc_id) JOIN pr USING (doc_id)""".stripMargin,
     "d20_incremental_dedup" -> incrementalOracle,
     "e9_stream_incremental" -> incrementalOracle,
+    // e14: the batch expression of the streaming curation policy — the
+    // Gopher conjunction AND no ≥2-band match into the standing (≥ 50)
+    // corpus, rolled up per lang over the surviving delta (< 50) docs.
+    "e14_stream_curation" ->
+      s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc,
+         |dup AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT a.doc_id, b.doc_id AS o, count(*) AS nb
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |  WHERE a.doc_id < 50 AND b.doc_id >= 50
+         |  GROUP BY 1, 2) WHERE nb >= 2),
+         |surv AS (
+         |  SELECT d.doc_id, d.lang, d.n_chars
+         |  FROM documents d JOIN toks t USING (doc_id)
+         |  WHERE d.doc_id < 50
+         |    AND ${gopherPassSql("t.ws")}
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM dup))
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM surv GROUP BY lang""".stripMargin,
     // The lifecycle union: batch 1 ([100,200)) against the standing corpus
     // (>= 200) it probed, plus batch 2 (< 100) against standing ∪ batch 1
     // (>= 100) — the second disjunct's batch1 rows exist only via the

@@ -170,6 +170,34 @@ class CurationSpec extends AnyFunSuite {
     assert(rep.map(_._3).sum == tok)
   }
 
+  // ---- e14 streaming curation loop ----------------------------------------
+
+  test("e14: streamed curation equals the batch expression of the policy") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.SparkEntry.queries("e14_stream_curation")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // batch policy: delta (< 50), Gopher pass, no >= 2-band match into
+    // the standing (>= 50) corpus
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+    val buckets = graft.ops.Dedup.lshBuckets(
+      graft.ops.Dedup.minhashSignatures(
+        graft.ops.Dedup.shingleHashes(docs)))
+    val dup = buckets.filter(col("doc_id") < 50)
+      .join(buckets.filter(col("doc_id") >= 50)
+          .select(col("band"), col("band_key"), col("doc_id").as("o")),
+        Seq("band", "band_key"))
+      .groupBy("doc_id", "o").agg(count(lit(1)).as("nb"))
+      .filter(col("nb") >= 2).select("doc_id").distinct()
+    val batch = docs.filter(col("doc_id") < 50)
+      .filter(TextOps.gopherPass(col("text")))
+      .join(dup, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+        sum("n_chars").as("sum_chars"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   // ---- d24 sourceOverlap --------------------------------------------------
 
   test("sourceOverlap: normalized matrix matches the verified pairs") {
