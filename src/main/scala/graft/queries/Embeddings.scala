@@ -154,7 +154,7 @@ object Embeddings {
     // ledger; the gate REPLAYS the final micro-batch (must be a no-op) and
     // the per-cell rollup must hash-equal a full-corpus assignment rebuild.
     "e13_stream_ann_ingest" -> ((s, dir) => {
-      val db = "graft_annstore_e13"
+      val db = "graft_annstore_e13_" + Tables.dirTag(dir)
       val dbLoc = Tables.scratch(db + "_db")
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
       graft.ops.Bucketing.reset(s, s"$db.cells",
@@ -212,7 +212,7 @@ object Embeddings {
     // the index and pruning the scan must not move a single distance.
     "v17_ivf_store_search" -> ((s, dir) =>
       Similarity.ivfPqStoreSearch(t(s, dir, "embeddings"),
-        storePath = Tables.scratch("graft_v17_store"), k = KmeansK,
+        storePath = Tables.scratch("graft_v17_store_" + Tables.dirTag(dir)), k = KmeansK,
         iters = KmeansIters, m = PqM, nprobe = IvfNprobe,
         nQueries = NQueries)),
 

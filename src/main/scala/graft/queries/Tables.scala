@@ -21,6 +21,17 @@ object Tables {
     d.getAbsolutePath
   }
 
+  /** Short deterministic tag of the sf dir, appended to every stateful
+    * query's scratch database/ledger/store name: a query invoked against
+    * two DIFFERENT data dirs (a spec at sf0.001 while a Verify sweep runs
+    * sf0.1) must not share — and reset — the same standing stores. Within
+    * one dir the name stays fixed, preserving the overwrite-don't-leak
+    * contract of [[scratch]]. (Java String.hashCode is specified, so the
+    * tag is stable across JVMs — oracle SQL never sees these names.)
+    */
+  def dirTag(dir: String): String =
+    java.lang.Integer.toHexString(dir.hashCode)
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     Session.prepare(spark)
     spark.read.parquet(s"$dir/$name.parquet")

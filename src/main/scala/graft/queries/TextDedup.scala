@@ -521,7 +521,7 @@ object TextDedup {
     // store's bucketing (PlanAudit/PlanAuditSpec prove the plan shape).
     // Gate split: docs >= 50 are the standing corpus, docs < 50 the batch.
     "d20_incremental_dedup" -> ((s, dir) => {
-      val store = buildSigStore(s, dir, "graft_sigstore")
+      val store = buildSigStore(s, dir, "graft_sigstore_d20_" + Tables.dirTag(dir))
       val deltaB = Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(
           docs(s, dir).filter(col("doc_id") < 50))))
         .select(col("band"), col("band_key"), col("doc_id").as("doc_new"))
@@ -539,7 +539,7 @@ object TextDedup {
     // land in the sink and one batch rollup produces exactly d20's output
     // (same oracle) — continuous-ingest dedup against the standing corpus.
     "e9_stream_incremental" -> ((s, dir) => {
-      val store = buildSigStore(s, dir, "graft_sigstore_e9")
+      val store = buildSigStore(s, dir, "graft_sigstore_e9_" + Tables.dirTag(dir))
       graft.streaming.StreamingWindows.withStatePartitions(s, 4) {
         val delta = s.readStream
           .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
@@ -569,7 +569,7 @@ object TextDedup {
     // identical band populations prove no row was lost, duplicated, or
     // mis-bucketed by the append path.
     "d21_store_append" -> ((s, dir) => {
-      val db = "graft_sigstore_d21"
+      val db = "graft_sigstore_d21_" + Tables.dirTag(dir)
       buildSigStore(s, dir, db)
       graft.ops.Bucketing.appendBucketed(
         Dedup.lshBuckets(Dedup.minhashSignatures(Dedup.shingleHashes(
@@ -591,7 +591,7 @@ object TextDedup {
     // oracle) — no row lost, duplicated, or mis-bucketed by the streaming
     // path either.
     "e11_stream_append" -> ((s, dir) => {
-      val db = "graft_sigstore_e11"
+      val db = "graft_sigstore_e11_" + Tables.dirTag(dir)
       buildSigStore(s, dir, db)
       val delta = s.readStream
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
@@ -627,7 +627,7 @@ object TextDedup {
     // double-counts every row of batch 0 and hash-misses the single-append
     // oracle (same oracle as d21/e11 — a full-corpus rebuild).
     "e12_exactly_once_append" -> ((s, dir) => {
-      val db = "graft_sigstore_e12"
+      val db = "graft_sigstore_e12_" + Tables.dirTag(dir)
       buildSigStore(s, dir, db)
       val ledger = new java.io.File(Tables.scratch(db + "_ledger"))
       // Bench/Verify invoke each query more than once and buildSigStore
@@ -678,9 +678,9 @@ object TextDedup {
     // matched, lost, or double-appended flips the rollup. Integer
     // columns only, so the gate needs no FP pinning.
     "e14_stream_curation" -> ((s, dir) => {
-      val db = "graft_sigstore_e14"
+      val db = "graft_sigstore_e14_" + Tables.dirTag(dir)
       val store = buildSigStore(s, dir, db)
-      val cur = "graft_curated_e14"
+      val cur = "graft_curated_e14_" + Tables.dirTag(dir)
       val curLoc = Tables.scratch(cur + "_db")
       s.sql(s"CREATE DATABASE IF NOT EXISTS $cur LOCATION '$curLoc'")
       graft.ops.Bucketing.reset(s, s"$cur.docs_bkt",
@@ -778,7 +778,7 @@ object TextDedup {
     // stateless stream-static shape; the final union is band-level rows
     // from both probes rolled up once.
     "e10_multibatch_lifecycle" -> ((s, dir) => {
-      val db = "graft_sigstore_e10"
+      val db = "graft_sigstore_e10_" + Tables.dirTag(dir)
       buildSigStore(s, dir, db, minDocId = 200)
       def probe(lo: Long, hi: Long): DataFrame =
         graft.streaming.StreamingWindows.withStatePartitions(s, 4) {

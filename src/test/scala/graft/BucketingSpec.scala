@@ -93,6 +93,10 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("d21 store append equals a full rebuild and stays bucket-aligned") {
     val sf = "/root/testdata/sf0.001"
+    // The d21 store name is tagged by the data dir (concurrent sweeps over
+    // different dirs must not share standing stores) — derive it the same
+    // way the query does.
+    val d21db = "graft_sigstore_d21_" + graft.queries.Tables.dirTag(sf)
     val out = SparkEntry.queries("d21_store_append")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     // Rollup parity with a from-scratch rebuild over the whole corpus: the
@@ -117,7 +121,7 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // Force the shuffled path (at real store scale broadcast is off the
       // table anyway) so the assertion exercises bucket alignment.
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val plan = spark.table("graft_sigstore_d21.sig_bkt")
+      val plan = spark.table(s"$d21db.sig_bkt")
         .join(probe, Seq("band", "band_key"))
         .queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"), plan.take(2000))
@@ -131,14 +135,14 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // Compaction closes the lifecycle: rewriting the appended store with
       // writeBucketed restores one-file-per-bucket, so the probe join
       // reclaims the Sort-free store scan the fresh build had.
-      Bucketing.reset(spark, "graft_sigstore_d21.sig_cmp",
-        new java.io.File(graft.queries.Tables.scratch("graft_sigstore_d21_db"), "sig_cmp"))
+      Bucketing.reset(spark, s"$d21db.sig_cmp",
+        new java.io.File(graft.queries.Tables.scratch(d21db + "_db"), "sig_cmp"))
       Bucketing.compactBucketed(spark,
-        new java.io.File(graft.queries.Tables.scratch("graft_sigstore_d21_db"), "sig_bkt").toString,
-        "graft_sigstore_d21.sig_cmp", nBuckets = 8, keys = Seq("band", "band_key"))
-      assert(spark.table("graft_sigstore_d21.sig_cmp").count() ==
-        spark.table("graft_sigstore_d21.sig_bkt").count())
-      val compacted = spark.table("graft_sigstore_d21.sig_cmp")
+        new java.io.File(graft.queries.Tables.scratch(d21db + "_db"), "sig_bkt").toString,
+        s"$d21db.sig_cmp", nBuckets = 8, keys = Seq("band", "band_key"))
+      assert(spark.table(s"$d21db.sig_cmp").count() ==
+        spark.table(s"$d21db.sig_bkt").count())
+      val compacted = spark.table(s"$d21db.sig_cmp")
         .join(probe, Seq("band", "band_key"))
         .queryExecution.executedPlan.toString
       assert(compacted.contains("Bucketed: true"), compacted.take(2000))
