@@ -259,6 +259,39 @@ object Bpe {
   def trainApply(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
     tokenCounts(docs, textCol, train(docs, textCol, nMerges))
 
+  /** t18: TOKENIZER FERTILITY REPORT — per source, under a trained merge
+    * table: fertility (tokens per word) and compression (alpha chars per
+    * token), the standard tokenizer-eval numbers (cf. the fertility
+    * metric of Rust et al., ACL 2021 "How good is your tokenizer?") a
+    * pipeline publishes per corpus slice before committing to a vocab —
+    * a slice whose fertility is an outlier is being tokenized badly
+    * (wrong language/domain for the learned merges), and its token
+    * BUDGET (what training bills by) inflates accordingly.
+    *
+    * Scale shape: [[tokenCounts]]' vocab-join chain (encode each DISTINCT
+    * word once, hash-join back to occurrences), one per-doc rollup, one
+    * |sources|-row rollup. The ratios are exact-integer divisions rounded
+    * 6 dp — engine-exact cross-engine.
+    */
+  def fertilityBySource(docs: DataFrame, textCol: String, srcCol: String,
+      merges: Seq[(String, String)], chunk: Int = MergeChunk): DataFrame = {
+    val wp = wordsOf(docs, textCol)
+    val perDoc = wp.join(encodedVocab(wp, merges, chunk), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("toks").as("n_bpe"),
+        sum(length(col("w"))).as("n_chars"))
+    perDoc.join(docs.select(col("doc_id"), col(srcCol)), "doc_id")
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        round(sum("n_bpe").cast("double") / sum("n_words"), 6)
+          .as("fertility"),
+        round(sum("n_chars").cast("double") / sum("n_bpe"), 6)
+          .as("chars_per_token"))
+  }
+
   /** Batched train-then-apply (the t13b gate shape). */
   def trainApplyBatched(docs: DataFrame, textCol: String, rounds: Int,
       window: Int, batchCap: Int): DataFrame =
@@ -326,9 +359,33 @@ object Bpe {
     * deterministic argmax → literal replace. Generated, not hand-written,
     * so the merge count stays a parameter.
     */
-  def oracleSql(nMerges: Int): String = {
+  def oracleSql(nMerges: Int): String =
+    prefixStages() + mergeStages(nMerges) + finalStages(nMerges)
+
+  /** [[oracleSql]]'s merge chain then [[fertilityBySource]]'s per-source
+    * rollup instead of the per-doc one.
+    */
+  def oracleSqlFertility(nMerges: Int): String =
+    prefixStages() + mergeStages(nMerges) +
+      s"""tc AS (
+         |  SELECT replace(replace(enc, '(', ''), ')', '') AS w,
+         |    CAST(len(enc) - len(replace(enc, '(', '')) AS INT) AS toks
+         |  FROM e$nMerges),
+         |pd AS (
+         |  SELECT doc_id, count(*) AS n_words, sum(toks) AS n_bpe,
+         |    sum(len(wd.w)) AS n_chars
+         |  FROM wd JOIN tc USING (w) GROUP BY doc_id)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(pd.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(pd.n_bpe) AS BIGINT) AS n_tokens,
+         |  CAST(sum(pd.n_chars) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(pd.n_bpe) AS DOUBLE) / sum(pd.n_words), 6) AS fertility,
+         |  round(CAST(sum(pd.n_chars) AS DOUBLE) / sum(pd.n_bpe), 6) AS chars_per_token
+         |FROM pd JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin
+
+  private def mergeStages(nMerges: Int): String = {
     val sb = new StringBuilder
-    sb ++= prefixStages()
     for (i <- 1 to nMerges) {
       sb ++= s"""p$i AS (
                 |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(n) AS cnt FROM (
@@ -342,7 +399,6 @@ object Bpe {
                 |  FROM e${i - 1} LEFT JOIN b$i ON TRUE),
                 |""".stripMargin
     }
-    sb ++= finalStages(nMerges)
     sb.toString
   }
 

@@ -396,6 +396,28 @@ object Similarity {
         col("proto_rank"), col("nc").as("cluster_size"))
   }
 
+  /** v21: IVF INDEX-HEALTH REPORT — the occupancy summary an index
+    * maintainer watches to decide when to RETRAIN/REBALANCE: inverted-list
+    * sizes (min/max), the imbalance factor max_cell / (n/k) (search cost
+    * is dominated by the largest probed list — an imbalance of i means
+    * worst-case probes scan i× the balanced cost; FAISS's
+    * imbalance_factor), and the trained-but-empty cell count (wasted
+    * codebook capacity; k-means collapse symptom). Drift in this report
+    * is the signal that the e13 ingest stream has shifted distribution
+    * past the pinned model and the index wants its retraining cadence.
+    *
+    * Scale shape: the Lloyd fit + one keyed per-cell count + one
+    * all-to-one rollup of k rows. One output row; exact-integer ratios
+    * rounded 6 dp.
+    */
+  def ivfHealthReport(vecs: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansBroadcast(vecs, k, iters)
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(lit(k).as("k"), sum("n").as("n_vecs"),
+        min("n").as("min_cell"), max("n").as("max_cell"),
+        round(max("n").cast("double") * k / sum("n"), 6).as("imbalance"),
+        (lit(k) - count(lit(1))).cast("int").as("n_empty"))
+
   /** Trained-quantizer fit: the final (cl, c) centroid frame of the
     * broadcast Lloyd loop — the model [[ivfTrainedTop1]] probes against.
     */

@@ -103,6 +103,14 @@ object Embeddings {
     "v10_kmeans" -> ((s, dir) =>
       Similarity.kmeans(t(s, dir, "embeddings"), k = KmeansK, iters = KmeansIters)),
 
+    // IVF index-health report: inverted-list occupancy (min/max), FAISS's
+    // imbalance factor max/(n/k), trained-but-empty cell count — the
+    // retrain/rebalance trigger an index maintainer watches as the e13
+    // ingest stream drifts from the pinned model.
+    "v21_ivf_health" -> ((s, dir) =>
+      Similarity.ivfHealthReport(t(s, dir, "embeddings"), k = KmeansK,
+        iters = KmeansIters)),
+
     // SSL-prototype pruning (Sorscher et al. 2022): k-means prototypes,
     // per-example prototypicality = d2 to its centroid, keep the hardest
     // half of EVERY cluster (per-cluster ⌈0.5·n_c⌉ quota — a global cut
@@ -706,6 +714,17 @@ object Embeddings {
 
   val oracle: Map[String, String] = Map(
     "v10_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
+    // v21: the v10 Lloyd chain, then the one-row occupancy rollup.
+    "v21_ivf_health" ->
+      s"""${kmeansStages(KmeansK, KmeansIters)},
+         |occ AS (SELECT cl, count(*) AS n FROM fin GROUP BY cl)
+         |SELECT CAST($KmeansK AS INT) AS k,
+         |  CAST(sum(n) AS BIGINT) AS n_vecs,
+         |  CAST(min(n) AS BIGINT) AS min_cell,
+         |  CAST(max(n) AS BIGINT) AS max_cell,
+         |  round(CAST(max(n) AS DOUBLE) * $KmeansK / sum(n), 6) AS imbalance,
+         |  CAST($KmeansK - count(*) AS INT) AS n_empty
+         |FROM occ""".stripMargin,
     // v19: the v10 Lloyd chain, then the per-cluster hardest-half quota —
     // rank by d2 DESC (ties → vec_id), keep prk ≤ ceil(0.5·n_c).
     "v19_prototype_prune" ->

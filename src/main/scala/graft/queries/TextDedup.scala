@@ -42,6 +42,14 @@ object TextDedup {
     "t13_bpe_train" -> ((s, dir) =>
       graft.ops.Bpe.trainApply(docs(s, dir), "text", nMerges = 8)),
 
+    // Tokenizer FERTILITY report per source under the t13-trained vocab
+    // (Rust et al. 2021): tokens/word and chars/token — the eval a
+    // pipeline publishes per corpus slice before committing to a vocab;
+    // an outlier slice is tokenized badly and its token budget inflates.
+    "t18_fertility" -> ((s, dir) =>
+      graft.ops.Bpe.fertilityBySource(docs(s, dir), "text", "source",
+        graft.ops.Bpe.train(docs(s, dir), "text", merges = 8))),
+
     // BATCHED BPE training — the production-vocab round shape (VERDICT
     // r07: one argmax job per merge makes a 32k vocab ~32k sequential
     // jobs): per round, greedy first-fit over the top-48 ranked pairs
@@ -1059,6 +1067,7 @@ object TextDedup {
         |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INT) AS n_bpe
         |FROM documents""".stripMargin,
     "t13_bpe_train" -> graft.ops.Bpe.oracleSql(nMerges = 8),
+    "t18_fertility" -> graft.ops.Bpe.oracleSqlFertility(nMerges = 8),
     "t13b_bpe_batched" -> graft.ops.Bpe.oracleSqlBatched(
       rounds = 8, window = 48, batchCap = 16),
     "t14_bpe_stream" -> graft.ops.Bpe.oracleSqlStreams(

@@ -170,6 +170,47 @@ class CurationSpec extends AnyFunSuite {
     assert(rep.map(_._3).sum == tok)
   }
 
+  // ---- t18 fertility report -----------------------------------------------
+
+  test("fertilityBySource: totals match tokenCounts; more merges lower fertility") {
+    val docs = Seq(
+      (1L, "lower lower newest newest lowest", "sA"),
+      (2L, "newest widest lowest lower", "sA"),
+      (3L, "widest widest newest", "sB")).toDF("doc_id", "text", "source")
+    val m8 = graft.ops.Bpe.train(docs, "text", 8)
+    val rep = graft.ops.Bpe.fertilityBySource(docs, "text", "source", m8)
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().sortBy(_._1)
+    val perDoc = graft.ops.Bpe.tokenCounts(docs, "text", m8)
+      .agg(sum("n_words"), sum("n_bpe")).as[(Long, Long)].collect().head
+    assert(rep.map(_._3).sum == perDoc._1 && rep.map(_._4).sum == perDoc._2)
+    // fertility = tokens/words per source, exactly
+    rep.foreach { r =>
+      assert(math.abs(r._6 - r._4.toDouble / r._3) < 1e-6, r.toString)
+    }
+    // an untrained tokenizer (0 merges) is char-level: strictly higher
+    // fertility than the 8-merge vocab on every source
+    val rep0 = graft.ops.Bpe.fertilityBySource(docs, "text", "source", Nil)
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().sortBy(_._1)
+    rep.zip(rep0).foreach { case (m, z) => assert(m._6 < z._6) }
+  }
+
+  // ---- v21 IVF health report ----------------------------------------------
+
+  test("ivfHealthReport: occupancy summary is consistent with the assignment") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq((i % 4) * 10f, 0.01f * i))).toDF("vec_id", "embedding")
+    val r = Similarity.ivfHealthReport(vecs, k = 4, iters = 3)
+      .as[(Int, Long, Long, Long, Double, Int)].collect().head
+    val occ = Similarity.kmeansBroadcast(vecs, 4, 3)
+      .groupBy("cluster").count().as[(Int, Long)].collect().toMap
+    assert(r._1 == 4 && r._2 == 40)
+    assert(r._3 == occ.values.min && r._4 == occ.values.max)
+    assert(math.abs(r._5 - occ.values.max * 4.0 / 40) < 1e-6)
+    assert(r._6 == 4 - occ.size)
+  }
+
   // ---- e14 streaming curation loop ----------------------------------------
 
   test("e14: streamed curation equals the batch expression of the policy") {

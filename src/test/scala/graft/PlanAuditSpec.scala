@@ -56,6 +56,9 @@ class PlanAuditSpec extends AnyFunSuite {
                                // the keyed cell join
     "v20_hard_negatives" -> 2, // the same v18 chain (shared core) with
                                // the label predicate inverted
+    "v21_ivf_health" -> 1,     // one-row trained codebook on the assign
+                               // side (the v12 pattern); the rollup is
+                               // an all-to-one aggregate of k rows
     "v17_ivf_store_search" -> 2, // one-row trained codebook: index build
                                // (write side) + query-table side; the
                                // search itself is a keyed partition-
