@@ -230,12 +230,21 @@ object Bpe {
     */
   def tokenCounts(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)],
-      chunk: Int = MergeChunk): DataFrame = {
-    val wp = wordsOf(docs, textCol)
-    wp.join(encodedVocab(wp, merges, chunk), "w")
+      chunk: Int = MergeChunk): DataFrame =
+    occurrencesWithTokens(docs, textCol, merges, chunk)
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_words"),
         sum("toks").cast("int").as("n_bpe"))
+
+  /** Shared occurrence×vocab join of [[tokenCounts]] and
+    * [[fertilityBySource]]: each DISTINCT word encoded once, hash-joined
+    * back to its (doc_id, w) occurrences with the token count attached —
+    * one definition, so the two consumers cannot drift.
+    */
+  private def occurrencesWithTokens(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)], chunk: Int): DataFrame = {
+    val wp = wordsOf(docs, textCol)
+    wp.join(encodedVocab(wp, merges, chunk), "w")
   }
 
   /** The superseded per-occurrence application: folds all M replaces over
@@ -275,8 +284,7 @@ object Bpe {
     */
   def fertilityBySource(docs: DataFrame, textCol: String, srcCol: String,
       merges: Seq[(String, String)], chunk: Int = MergeChunk): DataFrame = {
-    val wp = wordsOf(docs, textCol)
-    val perDoc = wp.join(encodedVocab(wp, merges, chunk), "w")
+    val perDoc = occurrencesWithTokens(docs, textCol, merges, chunk)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("toks").as("n_bpe"),
         sum(length(col("w"))).as("n_chars"))

@@ -724,8 +724,17 @@ object Dedup {
     * stream as every split op — layout- and retry-invariant.
     */
   def clusterSafeSplit(docs: DataFrame, seed: Long, nBuckets: Int,
-      trainBuckets: Int): DataFrame = {
-    val cl = dupClusters(docs)
+      trainBuckets: Int, minBands: Int = 2): DataFrame = {
+    // Cluster on VERIFIED candidates only (>= minBands agreeing bands —
+    // the d5 pruning convention): single-band collisions are
+    // overwhelmingly false positives, and connected components chain
+    // false edges transitively — an unverified edge set could merge a
+    // large corpus fraction into one cluster, and the single
+    // cluster-level coin would then send that whole fraction to one
+    // split (an intended 80/20 becomes arbitrary).
+    val cl = connectedComponents(
+      candidatePairs(lshBuckets(minhashSignatures(shingleHashes(docs))))
+        .filter(col("n_bands") >= minBands).select("doc_a", "doc_b"))
     docs.select(col("doc_id"))
       .join(cl, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("keep_id"), col("doc_id")))
@@ -749,9 +758,11 @@ object Dedup {
     * endpoints with their sources (shuffle carries (doc_id, source)
     * only) and one groupBy of the tagged pairs builds the matrix —
     * output is |sources|², independent of corpus size. The witness
-    * columns are independent min aggregates (min doc_a, min doc_b — not
-    * necessarily the same pair, but each deterministic); avg(jaccard)
-    * follows the t6 round(…, 6) discipline over 6-dp inputs.
+    * columns are independent min aggregates over the SIDE-ALIGNED doc
+    * ids (min_doc_a always belongs to src_a — not necessarily the same
+    * pair as min_doc_b, but each deterministic and source-correct);
+    * avg(jaccard) follows the t6 round(…, 6) discipline over 6-dp
+    * inputs.
     */
   def sourceOverlap(docs: DataFrame, srcCol: String, minJaccard: Double,
       minBands: Int = 2): DataFrame = {
@@ -765,10 +776,18 @@ object Dedup {
         "doc_b")
       .select(least(col("sa"), col("sb")).as("src_a"),
         greatest(col("sa"), col("sb")).as("src_b"),
-        col("doc_a"), col("doc_b"), col("jaccard"))
+        // witness docs SWAP WITH their sources: when the pair normalizes
+        // to (sb, sa), doc_b is the src_a-side doc — without the swap a
+        // consumer dereferencing min_doc_a would fetch a document from
+        // the WRONG source.
+        when(col("sa") <= col("sb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("wit_a"),
+        when(col("sa") <= col("sb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("wit_b"),
+        col("jaccard"))
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n_pairs"),
         round(avg("jaccard"), 6).as("avg_jaccard"),
-        min("doc_a").as("min_doc_a"), min("doc_b").as("min_doc_b"))
+        min("wit_a").as("min_doc_a"), min("wit_b").as("min_doc_b"))
   }
 }

@@ -152,11 +152,16 @@ object Split {
     * i.i.d. Gumbel(0,1)). Composes with [[graft.ops.TextOps.dsirLogWeights]]:
     * weights in, the resampled corpus slice out.
     *
-    * The Gumbel draw is G = −ln(−ln(u)) with u from the per-row LCG stream
-    * ((lcg(id)+0.5)/2^31 — exactly representable, engine-agnostic,
-    * partition-layout-independent), so the selected SET is reproducible
-    * across engines and reruns — `rand(seed)` or sampleBy would be neither
-    * retry-safe nor oracle-checkable (DeterminismAuditSpec class).
+    * The Gumbel draw is G = −ln(−ln(u)) with u = (polyhash(seed ++
+    * digits(id)) + 0.5) / p — a per-row polynomial STRING hash, not a
+    * single LCG step: one affine step would make consecutive ids'
+    * uniforms an arithmetic lattice (u_{i+1} − u_i ≡ a/m for every i),
+    * visibly correlating which neighbors get selected, while the
+    * digit-decomposed rolling hash is nonlinear in the id. Engine-
+    * agnostic integer arithmetic, partition-layout-independent, so the
+    * selected SET is reproducible across engines and reruns —
+    * `rand(seed)` or sampleBy would be neither retry-safe nor
+    * oracle-checkable (DeterminismAuditSpec class).
     *
     * Scale shape: one narrow map adds the key, then a global top-n via
     * sort+limit = TakeOrderedAndProject — each partition keeps its own
@@ -166,8 +171,9 @@ object Split {
     */
   def gumbelTopK(weighted: DataFrame, idCol: String, logWCol: String,
       n: Int, seed: Long): DataFrame = {
-    val u = (Hashing.lcg(col(idCol), seed, Hashing.LcgM).cast("double")
-      + lit(0.5)) / lit(Hashing.LcgM.toDouble)
+    val h = Hashing.polyHash(
+      concat(lit(s"$seed-"), col(idCol).cast("string")))
+    val u = (h.cast("double") + lit(0.5)) / lit(Hashing.PolyMod.toDouble)
     weighted
       .withColumn("gumbel_key", round(col(logWCol) - log(-log(u)), 6))
       .orderBy(col("gumbel_key").desc, col(idCol))

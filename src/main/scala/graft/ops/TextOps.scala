@@ -25,6 +25,14 @@ object TextOps {
   /** Whitespace tokens of the lowercased text. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** [[tokens]] of the whitespace-TRIMMED text: split(\s+) keeps a
+    * phantom "" token per leading/trailing whitespace run, and `trim()`
+    * strips SPACES only — a trailing newline (near-universal in web
+    * text) survives it — so the trim here is a regexp over \s.
+    */
+  def trimmedTokens(text: Column): Column =
+    tokens(regexp_replace(text, "^\\s+|\\s+$", ""))
+
   /** BPE-ish subword segment count: alnum runs. */
   def subwordCount(text: Column): Column =
     regexp_count(lower(text), lit("[a-z]+[0-9]*"))
@@ -212,7 +220,11 @@ object TextOps {
     * two reported ratios follow the round(…, 6) convention.
     */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = tokens(col(textCol))
+    // trim BEFORE tokenizing: split(\s+) keeps a phantom "" token for
+    // leading/trailing whitespace (a trailing newline is near-universal
+    // in web text), which would inflate every per-token ratio's
+    // denominator and silently misclassify docs near a threshold.
+    val ws = trimmedTokens(col(textCol))
     val f = gopherFlags(col(textCol))
     docs.select(col(idCol), size(ws).as("n_words"),
       round(avgWordLen(ws), 6).as("mean_word_len"),
@@ -224,10 +236,12 @@ object TextOps {
   }
 
   /** The five rule flags of [[gopherRules]], shared with [[gopherPass]]
-    * so thresholds live in exactly one place.
+    * so thresholds live in exactly one place. Tokenizes the TRIMMED
+    * text (see [[gopherRules]] — phantom empty tokens from edge
+    * whitespace would skew every ratio).
     */
   private def gopherFlags(text: Column): Map[String, Column] = {
-    val ws = tokens(text)
+    val ws = trimmedTokens(text)
     val n = size(ws)
     val mwl = avgWordLen(ws)
     val alphaRatio = size(regexp_extract_all(lower(text),
@@ -259,7 +273,9 @@ object TextOps {
     * on both engines) and re-rounds to 6 dp, the t6 discipline.
     */
   def corpusReport(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
-    val ws = tokens(col(textCol))
+    // trimmed tokenization, as in gopherRules — edge whitespace must not
+    // inflate the volume or deflate the quality numbers.
+    val ws = trimmedTokens(col(textCol))
     docs.select(col(srcCol),
         size(ws).as("nw"), bpeTokenCount(col(textCol)).as("nb"),
         round(qualityScore(ws), 6).as("q"),

@@ -21,16 +21,18 @@ object Tables {
     d.getAbsolutePath
   }
 
-  /** Short deterministic tag of the sf dir, appended to every stateful
-    * query's scratch database/ledger/store name: a query invoked against
-    * two DIFFERENT data dirs (a spec at sf0.001 while a Verify sweep runs
-    * sf0.1) must not share — and reset — the same standing stores. Within
-    * one dir the name stays fixed, preserving the overwrite-don't-leak
-    * contract of [[scratch]]. (Java String.hashCode is specified, so the
-    * tag is stable across JVMs — oracle SQL never sees these names.)
+  /** Deterministic tag of the sf dir, appended to every stateful query's
+    * scratch database/ledger/store name: a query invoked against two
+    * DIFFERENT data dirs (a spec at sf0.001 while a Verify sweep runs
+    * sf0.1) must not share — and reset — the same standing stores.
+    * Within one dir the name stays fixed, preserving the
+    * overwrite-don't-leak contract of [[scratch]]. The tag is the
+    * sanitized path itself, not a hash — distinct dirs can NEVER
+    * collide (a 32-bit hash would merely make the cross-sweep clobber
+    * rare instead of impossible).
     */
   def dirTag(dir: String): String =
-    java.lang.Integer.toHexString(dir.hashCode)
+    dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     Session.prepare(spark)

@@ -703,7 +703,12 @@ object TextDedup {
       // The per-batch policy: Gopher gate, then the stateless store probe
       // (the e9 shape — band keys are a pure function of the text).
       def curate(batch: DataFrame): DataFrame = {
+        // localCheckpoint: 'passed' feeds both the band derivation and
+        // the anti-join — without it each micro-batch's files are
+        // re-scanned and the gate re-evaluated twice per append. Eager
+        // and lineage-cutting; blocks are ContextCleaner-owned.
         val passed = batch.filter(TextOps.gopherPass(col("text")))
+          .localCheckpoint()
         val bands = passed.select(col("doc_id"),
           posexplode(Dedup.lshBandsPerRow(col("text")))
             .as(Seq("band", "band_key")))
@@ -934,6 +939,16 @@ object TextDedup {
     s"toks AS (SELECT doc_id, $wsSql AS ws FROM $src)"
 
   private val toksSrc = toksSrcFrom("documents")
+
+  /** Tokens of the TRIMMED text — the t16/t17/e14 tokenization (edge
+    * whitespace would add phantom "" tokens to every ratio denominator;
+    * see TextOps.gopherRules).
+    */
+  private val trimToksSrc =
+    """ttoks AS (SELECT doc_id,
+      |  string_split_regex(
+      |    regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws
+      |  FROM documents)""".stripMargin
 
   /** Word-3-gram shingles per doc (non-distinct; empty below 3 tokens). */
   private val shSrc =
@@ -1195,12 +1210,14 @@ object TextDedup {
       s"""WITH $dsirChain
          |SELECT doc_id, log_w, n_tokens FROM dsirw""".stripMargin,
     // o17: t15's chain, then the Gumbel-top-k selection — u from the same
-    // LCG stream as the engine ((lcg+0.5)/2^31 is exact in double: the
-    // numerator is a 31-bit int + 0.5 and the divisor a power of two), so
-    // only ln contributes FP noise (~1 ulp; key rounds to 6 dp).
+    // seed-prefixed polynomial id hash as the engine (digit-nonlinear: a
+    // single LCG step would lattice-correlate consecutive ids' draws).
+    // The (h + 0.5)/p division is the same IEEE operation on identical
+    // exact inputs in both engines, so only ln contributes FP noise
+    // (~1 ulp; key rounds to 6 dp).
     "o17_importance_resample" -> {
-      val u = s"((${Hashing.lcgSql("doc_id", 41L, Hashing.LcgM)}) + 0.5)" +
-        s" / ${Hashing.LcgM}.0"
+      val u = s"((${Hashing.polyHashSql("'41-' || CAST(doc_id AS VARCHAR)")})" +
+        s" + 0.5) / ${Hashing.PolyMod}.0"
       s"""WITH $dsirChain,
          |sel AS (SELECT doc_id, log_w, n_tokens,
          |    round(log_w - ln(-ln($u)), 6) AS gumbel_key
@@ -1210,7 +1227,7 @@ object TextDedup {
     // t17: per-doc metrics are the t2/t4/t8/t16 oracle fragments joined
     // in one scan; the rollup re-rounds avg(6-dp quality) to 6 dp.
     "t17_corpus_report" ->
-      s"""WITH $toksSrc,
+      s"""WITH $trimToksSrc,
          |m AS (SELECT t.doc_id, d.source, len(ws) AS nw,
          |  len(regexp_extract_all(lower(d.text),
          |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS nb,
@@ -1221,7 +1238,7 @@ object TextDedup {
          |    6) AS q,
          |  ${Hashing.polyHashSql("trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))")} AS fp,
          |  CASE WHEN ${gopherPassSql("ws")} THEN 1 ELSE 0 END AS p
-         |  FROM toks t JOIN documents d USING (doc_id))
+         |  FROM ttoks t JOIN documents d USING (doc_id))
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(nw) AS BIGINT) AS n_tokens,
          |  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
@@ -1233,9 +1250,10 @@ object TextDedup {
     // split = the engine's exact LCG bucket of the cluster id.
     "o18_cluster_split" ->
       s"""WITH RECURSIVE $minhashChain,
+         |vp AS (SELECT doc_a, doc_b FROM pairs WHERE n_bands >= 2),
          |edges AS (
-         |  SELECT doc_a, doc_b FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |  SELECT doc_a, doc_b FROM vp
+         |  UNION SELECT doc_b, doc_a FROM vp),
          |reach(id, label) AS (
          |  SELECT doc_a AS id, doc_a AS label FROM edges
          |  UNION
@@ -1253,7 +1271,7 @@ object TextDedup {
     // and integer comparisons agree bit-for-bit across engines, so the
     // flags need no FP pinning; the two reported ratios round to 6 dp.
     "t16_gopher_rules" ->
-      s"""WITH $toksSrc,
+      s"""WITH $trimToksSrc,
          |m AS (SELECT doc_id, len(ws) AS n,
          |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
          |    / len(ws) AS mwl,
@@ -1261,7 +1279,7 @@ object TextDedup {
          |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dr,
          |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
          |    AS DOUBLE) / len(ws) AS ar
-         |  FROM toks)
+         |  FROM ttoks)
          |SELECT doc_id, CAST(n AS INT) AS n_words,
          |  round(mwl, 6) AS mean_word_len, CAST(stops AS INT) AS stop_hits,
          |  round(dr, 6) AS distinct_ratio,
@@ -1395,7 +1413,7 @@ object TextDedup {
     // Gopher conjunction AND no ≥2-band match into the standing (≥ 50)
     // corpus, rolled up per lang over the surviving delta (< 50) docs.
     "e14_stream_curation" ->
-      s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc,
+      s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $trimToksSrc,
          |dup AS (SELECT DISTINCT doc_id FROM (
          |  SELECT a.doc_id, b.doc_id AS o, count(*) AS nb
          |  FROM buckets a JOIN buckets b
@@ -1404,7 +1422,7 @@ object TextDedup {
          |  GROUP BY 1, 2) WHERE nb >= 2),
          |surv AS (
          |  SELECT d.doc_id, d.lang, d.n_chars
-         |  FROM documents d JOIN toks t USING (doc_id)
+         |  FROM documents d JOIN ttoks t USING (doc_id)
          |  WHERE d.doc_id < 50
          |    AND ${gopherPassSql("t.ws")}
          |    AND d.doc_id NOT IN (SELECT doc_id FROM dup))
@@ -1962,14 +1980,16 @@ object TextDedup {
          |lab AS (
          |  SELECT least(da.source, db.source) AS src_a,
          |    greatest(da.source, db.source) AS src_b,
-         |    j.doc_a, j.doc_b, j.jaccard
+         |    CASE WHEN da.source <= db.source THEN j.doc_a ELSE j.doc_b END AS wit_a,
+         |    CASE WHEN da.source <= db.source THEN j.doc_b ELSE j.doc_a END AS wit_b,
+         |    j.jaccard
          |  FROM jac j
          |    JOIN documents da ON da.doc_id = j.doc_a
          |    JOIN documents db ON db.doc_id = j.doc_b
          |  WHERE j.jaccard >= 0.35)
          |SELECT src_a, src_b, count(*) AS n_pairs,
          |  round(avg(jaccard), 6) AS avg_jaccard,
-         |  min(doc_a) AS min_doc_a, min(doc_b) AS min_doc_b
+         |  min(wit_a) AS min_doc_a, min(wit_b) AS min_doc_b
          |FROM lab GROUP BY src_a, src_b""".stripMargin
   )
 

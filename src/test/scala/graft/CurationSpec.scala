@@ -26,6 +26,12 @@ class CurationSpec extends AnyFunSuite {
     assert(Seq("ok_words", "ok_mwl", "ok_stop", "ok_rep", "ok_alpha")
       .forall(f => r.getAs[Boolean](f)), r.toString)
     assert(r.getAs[Boolean]("pass"))
+    // edge whitespace must not change any number or flag: split(\s+)
+    // would otherwise count a phantom "" token per edge and skew every
+    // ratio's denominator (trailing newlines are near-universal in web
+    // text)
+    assert(ruleRow(2L, "\n " + good + " \n\n").toSeq.drop(1) ==
+      r.toSeq.drop(1))
   }
 
   test("gopherRules: each rule fails on its own pathology") {
