@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Landsat.queries ++
       graft.queries.Events.queries ++
       graft.queries.TextDedup.queries ++
-      graft.queries.Embeddings.queries
+      graft.queries.Embeddings.queries ++
+      graft.queries.Lexical.queries
 
   /** DuckDB-equivalent SQL per query (driver hash-compares at sf0.01). */
   def oracleSql: Map[String, String] =
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.Landsat.oracle ++
       graft.queries.Events.oracle ++
       graft.queries.TextDedup.oracle ++
-      graft.queries.Embeddings.oracle
+      graft.queries.Embeddings.oracle ++
+      graft.queries.Lexical.oracle
 }

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.engine.Caches.Registered
+
+/** Lexical (BM25) retrieval over the `documents` corpus — the sparse
+  * complement of the dense-ANN family (`ops/Similarity.scala`): eval-set
+  * decontamination lookups, lexical hard-negative mining, and
+  * "find the training docs that answer this query" audits all key on it.
+  *
+  * Scale shape: the corpus side is an inverted index — per-(term, doc)
+  * postings with tf and doc length — built with ONE (doc, term) shuffle and
+  * reusable across every query batch. The query side is tiny by definition
+  * (a query batch is human-scale), so every query-side join broadcasts and
+  * the only per-query-batch cost is a semi-join-shrunk probe of the
+  * postings. For a standing corpus, [[buildPostingStore]] persists the
+  * index bucketed by term: probes then bucket-prune the term filter at
+  * listing time and pay ZERO corpus shuffle (the j8/d21 lever, applied to
+  * text search).
+  *
+  * Float discipline (COVERAGE.md "Oracle pinning"): the per-(term, doc)
+  * BM25 contribution is one fixed-shape double expression, floor-scaled to
+  * an e9 integer; per-(query, doc) scores are exact BIGINT sums of those —
+  * reassociation-stable under any partition layout, rankable without FP
+  * ties.
+  */
+object Retrieval {
+
+  /** Inverted-index postings: one row per (doc_id, term) with the term
+    * frequency and the doc's token length. One shuffle (the tf groupBy);
+    * dl rides the group key (functionally dependent on doc_id).
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = TextOps.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), size(ws).as("dl"),
+        explode(ws).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .select("doc_id", "term", "tf", "dl")
+  }
+
+  /** Corpus stats the BM25 weight needs: one row (n_docs, total_tokens). */
+  def corpusStats(postings: DataFrame): DataFrame =
+    postings.groupBy("doc_id").agg(max(col("dl")).as("_dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("_dl").as("total_tokens"))
+
+  /** Per-term document frequency from the postings (postings are already
+    * distinct per (doc, term), so df is a plain count).
+    */
+  def documentFrequencies(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** The BM25 (k1, b) contribution of one posting against one query term,
+    * floor-scaled to an e9 BIGINT. EXACT expression shape shared with the
+    * SQL oracle:
+    *   idf    = ln(1.0 + (nDocs − df + 0.5) / (df + 0.5))
+    *   tfNorm = (tf · (k1+1)) / (tf + k1 · ((1−b) + b · (dl / avgdl)))
+    *   e9     = floor(idf · tfNorm · 1e9)
+    * with avgdl = totalTokens / nDocs (one double division). All literals
+    * appear as the same decimal text in the oracle so both engines parse
+    * the same nearest-double.
+    */
+  def contribE9(tf: Column, dl: Column, df: Column, nDocs: Column,
+      totalTokens: Column, k1: Double, b: Double): Column = {
+    val avgdl = totalTokens.cast("double") / nDocs.cast("double")
+    val idf = log(lit(1.0) +
+      (nDocs.cast("double") - df.cast("double") + lit(0.5)) /
+        (df.cast("double") + lit(0.5)))
+    val tfNorm = (tf.cast("double") * lit(k1 + 1)) /
+      (tf.cast("double") + lit(k1) *
+        (lit(1 - b) + lit(b) * (dl.cast("double") / avgdl)))
+    floor(idf * tfNorm * lit(1e9)).cast("long")
+  }
+
+  /** BM25 top-k: score every corpus doc against every query (a query is a
+    * bag of distinct terms) and keep the k best per query by exact integer
+    * score, ties to the smaller doc_id.
+    *
+    * Join order is the scale story: the broadcast query-term probe shrinks
+    * the postings to query-relevant rows FIRST, so the df join that
+    * follows touches |qterms| terms, not the vocabulary, and broadcasts.
+    * The final rank partitions by query_id — parallel across the query
+    * batch, never a global sort.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(docs, idCol, textCol).persistTracked()
+    val stats = corpusStats(post)
+    val dfreq = documentFrequencies(post)
+    val qterms = queries.select(col("query_id"), col("term")).distinct()
+    val hits = post.join(broadcast(qterms), "term")
+      .join(broadcast(dfreq.join(broadcast(qterms.select("term").distinct()),
+        "term")), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("c_e9", contribE9(col("tf"), col("dl"), col("df"),
+        col("n_docs"), col("total_tokens"), k1, b))
+    val scored = hits.groupBy("query_id", "doc_id")
+      .agg(sum("c_e9").as("score_e9"), count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_e9").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_e9", "n_terms_hit")
+  }
+
+  /** Queries-from-docs helper: each doc with `pred` becomes a query whose
+    * terms are its own distinct tokens (the contamination-lookup shape —
+    * "which training docs does this eval item retrieve").
+    */
+  def queriesFromDocs(docs: DataFrame, idCol: String, textCol: String,
+      pred: Column): DataFrame =
+    docs.filter(pred)
+      .select(col(idCol).as("query_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .distinct()
+
+  /** Persist the inverted index as a STANDING STORE: postings bucketed +
+    * sorted by term (`<db>.postings`), per-term df bucketed by term
+    * (`<db>.term_stats`), corpus totals as one row (`<db>.corpus_stats`).
+    * The corpus-side shuffle is paid once here; every subsequent probe
+    * joins on term against an already-hash-distributed layout, and an
+    * equality/IN term predicate bucket-prunes the scan at listing time
+    * (RetrievalSpec asserts SelectedBucketsCount < numBuckets).
+    */
+  def buildPostingStore(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, db: String, dbLoc: String, nBuckets: Int): Unit = {
+    // Pinned DB location + per-table reset: a FRESH session's in-memory
+    // catalog does not know tables a previous session left in the
+    // warehouse, and saveAsTable then fails on the stale LOCATION — the
+    // buildSigStore discipline (drop-if-exists + rm the directory).
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
+    val post = postings(docs, idCol, textCol).persistTracked()
+    for (tbl <- Seq("postings", "term_stats", "corpus_stats"))
+      Bucketing.reset(spark, s"$db.$tbl", new java.io.File(dbLoc, tbl))
+    Bucketing.writeBucketed(post, s"$db.postings", nBuckets, Seq("term"))
+    Bucketing.writeBucketed(documentFrequencies(post), s"$db.term_stats",
+      nBuckets, Seq("term"))
+    corpusStats(post).write.mode("overwrite").format("parquet")
+      .saveAsTable(s"$db.corpus_stats")
+  }
+
+  /** BM25 top-k against a [[buildPostingStore]] store. The query terms are
+    * collected to the driver (bounded: a query batch's distinct vocabulary,
+    * the d12 broadcast-set discipline) and pushed as an IN predicate over
+    * the bucket column, so the postings scan reads only the buckets that
+    * can hold a query term — at 100 TB the probe cost tracks the query
+    * batch, not the corpus.
+    */
+  def bm25FromStore(spark: SparkSession, db: String, queries: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col("query_id"), col("term")).distinct()
+      .persistTracked()
+    val termList = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).sorted
+    val post = spark.table(s"$db.postings")
+      .filter(col("term").isin(termList: _*))
+    val dfreq = spark.table(s"$db.term_stats")
+      .filter(col("term").isin(termList: _*))
+    val stats = spark.table(s"$db.corpus_stats")
+    val hits = post.join(dfreq, "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("c_e9", contribE9(col("tf"), col("dl"), col("df"),
+        col("n_docs"), col("total_tokens"), k1, b))
+    val scored = hits.groupBy("query_id", "doc_id")
+      .agg(sum("c_e9").as("score_e9"), count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_e9").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_e9", "n_terms_hit")
+  }
+}

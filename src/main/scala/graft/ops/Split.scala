@@ -39,21 +39,29 @@ object Split {
     * parallel; the offsets aggregate is O(#partitions).
     */
   def globalRowNumber(df: DataFrame, shufKey: String, tieBreak: String,
-                      numParts: Int = -1): DataFrame = {
+                      numParts: Int = -1): DataFrame =
+    globalRowNumber(df, Seq(col(shufKey), col(tieBreak)), numParts)
+
+  /** Multi-column form of [[globalRowNumber]]: global row number in
+    * ascending `sortCols` order (the last column should be a unique
+    * tie-break so the order — and therefore the numbering — is total).
+    */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                      numParts: Int): DataFrame = {
     // Default the range-partition count to the session's shuffle
     // parallelism: a hardcoded constant caps the sort at N/const rows per
     // task no matter how big the cluster is. The numbering itself is
-    // partitioning-independent (global (shufKey, tieBreak) order), so the
+    // partitioning-independent (global sortCols order), so the
     // result is bit-identical at any count.
     val parts = if (numParts > 0) numParts
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // Persisted: the numbered frame feeds three consumers (the split
     // count, the per-partition offsets subquery, and the main path) —
     // without it the input chain and range shuffle run three times.
-    val ranged = df.repartitionByRange(parts, col(shufKey), col(tieBreak))
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("_part", spark_partition_id())
       .persistTracked()
-    val w = Window.partitionBy("_part").orderBy(col(shufKey), col(tieBreak))
+    val w = Window.partitionBy("_part").orderBy(sortCols: _*)
     val numbered = ranged.withColumn("_prn", row_number().over(w))
     val offsets = numbered.groupBy("_part").agg(count(lit(1)).as("_pcnt"))
       .withColumn("_offset",
@@ -102,6 +110,34 @@ object Split {
       .withColumn("padded", col("max_len") * col("n_docs"))
       .withColumn("efficiency",
         expr("(sum_len * 1000000) div padded").cast("double") / 1e6)
+  }
+
+  /** PER-GROUP equal-frequency rank buckets (the CCNet head/middle/tail
+    * split shape: per language, tertile the corpus by LM score): adds
+    * `grank` (1-based rank of the row within its group in ascending
+    * (orderCol, tieBreak) order) and `bucket` = ((grank−1)·nBuckets) div
+    * group_count — pure integer arithmetic, bit-reproducible in any
+    * engine.
+    *
+    * Scale shape: ONE [[globalRowNumber]] pass over the composite
+    * (group, order, tieBreak) sort key — groups land contiguous in the
+    * global order, so per-group rank is `rn − min(rn in group) + 1` via a
+    * broadcast of the per-group offsets (O(#groups) rows; a per-group
+    * `Window.partitionBy(group)` would instead put EVERY row of the
+    * largest group in one task — the classic skew wall when one language
+    * is 60 % of the corpus).
+    */
+  def rankBuckets(df: DataFrame, grpCol: String, orderCol: String,
+      tieBreak: String, nBuckets: Int): DataFrame = {
+    val numbered = globalRowNumber(df,
+      Seq(col(grpCol), col(orderCol), col(tieBreak)), -1)
+    val offsets = numbered.groupBy(grpCol)
+      .agg(min("rn").as("_gmin"), count(lit(1)).as("_gcnt"))
+    numbered.join(broadcast(offsets), grpCol)
+      .withColumn("grank", col("rn") - col("_gmin") + lit(1L))
+      .withColumn("bucket",
+        expr(s"((grank - 1) * $nBuckets) div _gcnt").cast("int"))
+      .drop("rn", "_gmin", "_gcnt")
   }
 
   /** Global running SUM of `valCol` in ascending (orderCol, tieBreak)

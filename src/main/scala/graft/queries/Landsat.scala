@@ -248,6 +248,32 @@ object Landsat {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
 
+    // Z-ORDERED layout: events re-laid-out on the Morton interleaving of
+    // (user_id, event hour), then hit with a conjunctive 2-D predicate —
+    // the "one user cohort, one time window" audit query. s10's
+    // single-column sort prunes on ONE dimension and scatters the other;
+    // the Morton key keeps row-group min/max narrow on BOTH, so the scan
+    // skips on either predicate (ZorderSpec proves the scan fraction).
+    // The z-value is layout-only — correctness gates on the read-back
+    // rows matching the original table (oracle reads `events` directly).
+    "s12_zorder_pruning" -> ((s, dir) => {
+      val out = Tables.scratch("s12_zorder")
+      val ev = t(s, dir, "events")
+      // hour index relative to 2024-01-01T00:00:00Z (events epoch);
+      // 10 bits cover ~42 days — out-of-range hours wrap (layout quality
+      // only, never correctness).
+      val hourIdx = floor((unix_timestamp(col("ts")) - lit(1704067200L))
+        / lit(3600L)).cast("long")
+      graft.ops.Zorder.writeZordered(ev, col("user_id"), hourIdx,
+        bits = 10, numFiles = 8, out)
+      s.read.parquet(out)
+        .filter(col("user_id").between(40, 59) &&
+          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+    }),
+
     // P2+F1: scene-id split/substring/cast date parse.
     "p2_scene_date" -> ((s, _) => {
       Features.withSceneDate(scenesDf(fx(s)).select("scene_id"))
@@ -908,6 +934,13 @@ object Landsat {
     "s10_sorted_pruning" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE n_chars >= 400 GROUP BY lang""".stripMargin,
+    "s12_zorder_pruning" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 3) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 59
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type""".stripMargin,
     "s11_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // recomputed from the base table: gen 1 = even keys carrying price,

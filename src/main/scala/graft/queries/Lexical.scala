@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.Caches.Registered
+import graft.ops.{Retrieval, Split, TextOps}
+import Tables.t
+
+/** Lexical-retrieval + LM-scored curation surface over `documents`:
+  * BM25 top-k search (the sparse complement of the v-family's dense ANN),
+  * the standing bucketed posting store, and CCNet-style per-language
+  * perplexity tertiles. Float discipline: scores and logprobs gate as
+  * floor-scaled e9 BIGINTs (COVERAGE.md "Oracle pinning") so ranking and
+  * hashing never sit on FP reassociation ties.
+  */
+object Lexical {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  val queries: Map[String, Q] = Map(
+    // BM25 top-k retrieval: docs 0–7 are the query batch (each query = its
+    // own distinct token bag — the eval-decontamination lookup shape), the
+    // full corpus is the index. One corpus shuffle builds the postings;
+    // the query side broadcasts everywhere; the rank partitions by
+    // query_id (parallel across the batch, never a global sort).
+    "b1_bm25_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = Retrieval.queriesFromDocs(d, "doc_id", "text", col("doc_id") < 8)
+      Retrieval.bm25TopK(d, "doc_id", "text", q, k = 5)
+    }),
+
+    // The same retrieval against a STANDING posting store (term-bucketed
+    // inverted index, the j8/d21 lever applied to text search): the
+    // corpus-side shuffle was paid at store-build time; the probe's term
+    // IN-list bucket-prunes the postings scan at listing time
+    // (RetrievalSpec asserts SelectedBucketsCount), and the postings ⋈
+    // term_stats join runs Exchange-free on the shared bucketing. At
+    // 100 TB the per-query-batch cost tracks the batch's vocabulary, not
+    // the corpus.
+    "b2_bm25_store" -> ((s, dir) => {
+      val db = "graft_bm25_" + Tables.dirTag(dir)
+      val d = docs(s, dir)
+      Retrieval.buildPostingStore(s, d, "doc_id", "text", db,
+        Tables.scratch(db + "_db"), nBuckets = 8)
+      val q = Retrieval.queriesFromDocs(d, "doc_id", "text",
+        col("doc_id") >= 8 && col("doc_id") < 13)
+      Retrieval.bm25FromStore(s, db, q, k = 5)
+    }),
+
+    // CCNet-style head/middle/tail: per LANGUAGE, tertile the corpus by
+    // unigram-LM score (t6's model, integer-pinned) — the published
+    // curation split that keeps "head" (most-fluent) slices for training.
+    // The per-lang rank is Split.rankBuckets — one composite-key
+    // globalRowNumber pass + an O(#langs) broadcast, never a
+    // one-task-per-language window.
+    "t19_ppl_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w")).persistTracked()
+      val freq = toks.groupBy("w").agg(count(lit(1)).as("wn"))
+      val total = toks.agg(count(lit(1)).as("_n"))
+      val perDoc = toks.join(freq, "w")
+        .crossJoin(broadcast(total))
+        .withColumn("c_e9",
+          floor(-log(col("wn").cast("double") / col("_n")) * lit(1e9))
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(sum("c_e9").as("sum_e9"), count(lit(1)).as("n_tokens"))
+        .withColumn("ppl_e9", expr("sum_e9 div n_tokens"))
+      val withLang = perDoc.join(d.select("doc_id", "lang"), "doc_id")
+      Split.rankBuckets(withLang, "lang", "ppl_e9", "doc_id", nBuckets = 3)
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          min("ppl_e9").as("min_ppl_e9"), max("ppl_e9").as("max_ppl_e9"))
+    }))
+
+  // ---- oracle ------------------------------------------------------------
+
+  /** Shared BM25 CTE chain; `qpred` selects the query docs. The float
+    * contribution mirrors [[Retrieval.contribE9]] SHAPE-exACTLY — same
+    * parenthesization, same cast points, constants folded by the engine
+    * itself (`(1.2 + 1)` mirrors `lit(k1 + 1)`: both engines run the same
+    * IEEE add, so the folded double is identical even where the decimal
+    * literal `2.2` would not be).
+    */
+  private def bm25Sql(qpred: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+       |  FROM documents),
+       |tl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term
+       |  FROM toks),
+       |post AS (SELECT doc_id, term, dl, count(*) AS tf FROM tl GROUP BY 1, 2, 3),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens
+       |  FROM (SELECT doc_id, max(dl) AS dl FROM post GROUP BY 1)),
+       |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tl WHERE $qpred),
+       |hits AS (SELECT qt.query_id, p.doc_id,
+       |    CAST(floor(
+       |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |          / (CAST(df AS DOUBLE) + 0.5))
+       |      * ((CAST(tf AS DOUBLE) * (1.2 + 1))
+       |          / (CAST(tf AS DOUBLE) + 1.2 * ((1 - 0.75) + 0.75
+       |              * (CAST(dl AS DOUBLE)
+       |                  / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       |      * 1e9) AS BIGINT) AS c_e9
+       |  FROM post p JOIN qt USING (term) JOIN dfreq USING (term)
+       |  CROSS JOIN stats),
+       |scored AS (SELECT query_id, doc_id,
+       |    CAST(sum(c_e9) AS BIGINT) AS score_e9, count(*) AS n_terms_hit
+       |  FROM hits GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY score_e9 DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_e9, n_terms_hit
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "b1_bm25_topk" -> bm25Sql("doc_id < 8"),
+    "b2_bm25_store" -> bm25Sql("doc_id >= 8 AND doc_id < 13"),
+    "t19_ppl_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |  FROM documents),
+         |toks2 AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+         |freq AS (SELECT w, count(*) AS wn FROM toks2 GROUP BY w),
+         |tot AS (SELECT count(*) AS n FROM toks2),
+         |perdoc AS (SELECT doc_id,
+         |    CAST(sum(CAST(floor(-ln(CAST(wn AS DOUBLE) / n) * 1e9) AS BIGINT))
+         |      AS BIGINT) AS sum_e9,
+         |    count(*) AS n_tokens
+         |  FROM toks2 JOIN freq USING (w) CROSS JOIN tot GROUP BY doc_id),
+         |pl AS (SELECT p.doc_id, CAST(sum_e9 // n_tokens AS BIGINT) AS ppl_e9,
+         |    n_tokens, lang
+         |  FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id),
+         |r AS (SELECT *, row_number() OVER
+         |      (PARTITION BY lang ORDER BY ppl_e9, doc_id) AS grank,
+         |    count(*) OVER (PARTITION BY lang) AS gcnt
+         |  FROM pl),
+         |b AS (SELECT *, CAST((grank - 1) * 3 // gcnt AS INT) AS bucket FROM r)
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  min(ppl_e9) AS min_ppl_e9, max(ppl_e9) AS max_ppl_e9
+         |FROM b GROUP BY 1, 2""".stripMargin)
+}

@@ -22,6 +22,13 @@ class PlanAuditSpec extends AnyFunSuite {
                                // split-point pattern)
     "t5_freq_tokens" -> 1,     // one-row token-total aggregate
     "t6_unigram_logprob" -> 1, // one-row token-total aggregate
+    "t19_ppl_buckets" -> 4,    // t6's one-row token-total aggregate; the
+                               // plan text reprints it under each cached-
+                               // subtree consumer (rank + offset branches)
+    "b1_bm25_topk" -> 1,       // one-row corpus-stats (N, total_tokens)
+                               // broadcast attached to the scored postings
+    "b2_bm25_store" -> 1,      // the same one-row corpus_stats table read
+                               // from the store
     "t7_tfidf_top_term" -> 1,  // one-row doc-count aggregate
     "t15_dsir_weights" -> 1,   // one-row target/raw-total aggregate (the
                                // 64-row log-ratio table is a keyed join)

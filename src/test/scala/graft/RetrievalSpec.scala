@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Retrieval
+
+/** BM25 retrieval: scoring correctness against hand arithmetic, integer
+  * determinism of the e9 gate, and the standing-store probe's scan-side
+  * levers (bucket pruning on the term IN-list, exchange-free postings ⋈
+  * term_stats).
+  */
+class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val db = "graft_retrieval_spec"
+
+  override def afterAll(): Unit = {
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
+  private def tinyDocs = Seq(
+    (0L, "apple banana apple"),
+    (1L, "banana cherry"),
+    (2L, "apple cherry cherry date")).toDF("doc_id", "text")
+
+  test("bm25 contribution matches hand arithmetic exactly (e9 integers)") {
+    val q = Seq((100L, "apple")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopK(tinyDocs, "doc_id", "text", q, k = 10)
+      .orderBy("rank").collect()
+
+    // Corpus: n_docs=3, total_tokens=3+2+4=9, avgdl=3.0; df(apple)=2.
+    def contrib(tf: Double, dl: Double): Long = {
+      val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+      val tfNorm = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / 3.0)))
+      math.floor(idf * tfNorm * 1e9).toLong
+    }
+    // doc0: tf=2, dl=3; doc2: tf=1, dl=4. doc1 has no hit.
+    assert(got.map(_.getLong(2)).toSeq == Seq(0L, 2L))
+    assert(got(0).getLong(3) == contrib(2.0, 3.0))
+    assert(got(1).getLong(3) == contrib(1.0, 4.0))
+  }
+
+  test("ranking ties break to the smaller doc_id") {
+    // Two identical docs score identically against any query.
+    val d = Seq((5L, "kiwi kiwi"), (3L, "kiwi kiwi"), (9L, "mango"))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "kiwi")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopK(d, "doc_id", "text", q, k = 2)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(3L, 5L))
+    assert(got(0).getLong(3) == got(1).getLong(3))
+  }
+
+  test("store probe bucket-prunes the term filter and matches the direct path") {
+    // 200 docs over a 100-term vocabulary so one query term maps to a
+    // strict subset of the 8 term-buckets.
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat_ws(" ", expr("concat('term', id % 100)"),
+        expr("concat('term', (id + 1) % 100)"),
+        expr("concat('term', (id * 7) % 100)")).as("text"))
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '/tmp/$db'")
+    Retrieval.buildPostingStore(spark, docs, "doc_id", "text", db,
+      s"/tmp/$db", nBuckets = 8)
+
+    val q = Seq((7L, "term42"), (7L, "term43")).toDF("query_id", "term")
+    val fromStore = Retrieval.bm25FromStore(spark, db, q, k = 5)
+
+    val qe = org.apache.spark.sql.classic.GraftBridge.queryExecution(fromStore)
+    val rows = fromStore.collect()
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    // AQE wraps completed stages in QueryStageExec nodes whose subtrees
+    // plain collect() does not enter — recurse through them.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p.collect { case s: FileSourceScanExec => s }
+      val staged = p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      }.flatten
+      here ++ staged
+    }
+    val pruned = scans(plan).flatMap(_.optionalBucketSet)
+    assert(pruned.nonEmpty, s"expected bucket-pruned scans, plan:\n$plan")
+    pruned.foreach(bs => assert(bs.cardinality() < 8,
+      s"term IN-list should select a strict bucket subset, got ${bs.cardinality()}"))
+
+    // The store path must agree with the direct (index-on-the-fly) path.
+    val direct = Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 5)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows.map(_.toSeq).sortBy(_.toString).toSeq == direct.toSeq)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Zorder
+
+/** Morton-key correctness and the 2-D pruning proof: a conjunctive box
+  * predicate over a z-ordered layout skips most of the corpus at the scan,
+  * while a single-column-sorted layout can only prune on its one sort
+  * dimension and a round-robin layout prunes nothing.
+  */
+class ZorderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+    val qe = org.apache.spark.sql.classic.GraftBridge.queryExecution(df)
+    df.collect()
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    plan.collectLeaves().collect {
+      case s: FileSourceScanExec => s.metrics("numOutputRows").value
+    }.sum
+  }
+
+  test("mortonKey interleaves bits (a odd positions, b even)") {
+    val got = Seq((5L, 3L)).toDF("a", "b")
+      .select(Zorder.mortonKey(col("a"), col("b"), 3).as("z"))
+      .collect().head.getLong(0)
+    // a=101b -> bits at 5,1 set (positions 2i+1): 100010b = 34
+    // b=011b -> bits at 2,0 set (positions 2i):   000101b =  5
+    assert(got == 39L)
+    // Bijective on the masked domain: 16x16 grid -> 256 distinct keys.
+    val grid = spark.range(16).select(col("id").as("a"))
+      .crossJoin(spark.range(16).select(col("id").as("b")))
+    val distinct = grid.select(Zorder.mortonKey(col("a"), col("b"), 4).as("z"))
+      .distinct().count()
+    assert(distinct == 256L)
+  }
+
+  test("2-D box predicate prunes z-ordered layout; round-robin scans all") {
+    // 65536 points on a 256x256 grid, one row per (x, y).
+    val src = spark.range(65536).select(
+      (col("id") % 256).as("x"), floor(col("id") / 256).as("y"),
+      col("id").as("payload"))
+    val zDir = graft.queries.Tables.scratch("zorder-spec-z")
+    val rrDir = graft.queries.Tables.scratch("zorder-spec-rr")
+    Zorder.writeZordered(src, col("x"), col("y"), bits = 8, numFiles = 16, zDir)
+    src.repartition(16).write.mode("overwrite").parquet(rrDir)
+
+    // First-quadrant box: 1/16 of the plane, a contiguous Morton range.
+    val pred = col("x") < 64 && col("y") < 64
+    val zScan = scanRows(spark.read.parquet(zDir).filter(pred))
+    val rrScan = scanRows(spark.read.parquet(rrDir).filter(pred))
+
+    assert(spark.read.parquet(zDir).filter(pred).count() == 4096L)
+    assert(spark.read.parquet(rrDir).filter(pred).count() == 4096L)
+    assert(rrScan == 65536L,
+      s"round-robin layout cannot prune, got $rrScan")
+    assert(zScan <= 16384L,
+      s"z-ordered layout should skip most files on a 2-D box, got $zScan")
+  }
+}
