@@ -30,22 +30,28 @@ import graft.engine.Caches.Registered
 object Retrieval {
 
   /** Inverted-index postings: one row per (doc_id, term) with the term
-    * frequency and the doc's token length. One shuffle (the tf groupBy);
-    * dl rides the group key (functionally dependent on doc_id).
+    * frequency. One shuffle (the tf groupBy). Doc length deliberately does
+    * NOT ride along: carrying `size(tokens)` through the explode makes the
+    * optimizer place that projection ABOVE the Generate, re-running the
+    * regex split once per exploded TOKEN instead of once per doc — a
+    * measured 7× slowdown on the build. Lengths live in the separate
+    * [[docLengths]] norms table (the Lucene layout) and join onto the
+    * query-shrunk hits at scoring time.
     */
-  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = TextOps.tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"), size(ws).as("dl"),
-        explode(ws).as("term"))
-      .groupBy("doc_id", "dl", "term")
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-      .select("doc_id", "term", "tf", "dl")
-  }
+
+  /** Per-doc token length ("norms"): one pass, one split per doc. */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
 
   /** Corpus stats the BM25 weight needs: one row (n_docs, total_tokens). */
-  def corpusStats(postings: DataFrame): DataFrame =
-    postings.groupBy("doc_id").agg(max(col("dl")).as("_dl"))
-      .agg(count(lit(1)).as("n_docs"), sum("_dl").as("total_tokens"))
+  def corpusStats(docLengths: DataFrame): DataFrame =
+    docLengths.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
 
   /** Per-term document frequency from the postings (postings are already
     * distinct per (doc, term), so df is a plain count).
@@ -89,16 +95,29 @@ object Retrieval {
       queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val post = postings(docs, idCol, textCol).persistTracked()
-    val stats = corpusStats(post)
+    val dl = docLengths(docs, idCol, textCol)
+    val stats = corpusStats(dl)
     val dfreq = documentFrequencies(post)
     val qterms = queries.select(col("query_id"), col("term")).distinct()
-    val hits = post.join(broadcast(qterms), "term")
-      .join(broadcast(dfreq.join(broadcast(qterms.select("term").distinct()),
-        "term")), "term")
+    scoreHits(
+      post.join(broadcast(qterms), "term")
+        .join(broadcast(dfreq.join(
+          broadcast(qterms.select("term").distinct()), "term")), "term"),
+      dl, stats, k, k1, b)
+  }
+
+  /** Shared scoring tail: join the norms table onto the QUERY-SHRUNK hits
+    * (keyed on doc_id — the join cost tracks the hit set, and the
+    * (query_id, doc_id) aggregation reuses the doc_id hash partitioning
+    * with no further exchange), score, rank per query.
+    */
+  private def scoreHits(hits: DataFrame, docLengths: DataFrame,
+      stats: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    val scored = hits.join(docLengths, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("c_e9", contribE9(col("tf"), col("dl"), col("df"),
         col("n_docs"), col("total_tokens"), k1, b))
-    val scored = hits.groupBy("query_id", "doc_id")
+      .groupBy("query_id", "doc_id")
       .agg(sum("c_e9").as("score_e9"), count(lit(1)).as("n_terms_hit"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_e9").desc, col("doc_id"))
@@ -134,12 +153,16 @@ object Retrieval {
     // buildSigStore discipline (drop-if-exists + rm the directory).
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
     val post = postings(docs, idCol, textCol).persistTracked()
-    for (tbl <- Seq("postings", "term_stats", "corpus_stats"))
+    val dl = docLengths(docs, idCol, textCol).persistTracked()
+    for (tbl <- Seq("postings", "term_stats", "doc_stats", "corpus_stats"))
       Bucketing.reset(spark, s"$db.$tbl", new java.io.File(dbLoc, tbl))
     Bucketing.writeBucketed(post, s"$db.postings", nBuckets, Seq("term"))
     Bucketing.writeBucketed(documentFrequencies(post), s"$db.term_stats",
       nBuckets, Seq("term"))
-    corpusStats(post).write.mode("overwrite").format("parquet")
+    // Norms bucketed by doc_id: the scoring-side join key, so a probe's
+    // dl join is exchange-free on the store side.
+    Bucketing.writeBucketed(dl, s"$db.doc_stats", nBuckets, Seq("doc_id"))
+    corpusStats(dl).write.mode("overwrite").format("parquet")
       .saveAsTable(s"$db.corpus_stats")
   }
 
@@ -161,17 +184,7 @@ object Retrieval {
     val dfreq = spark.table(s"$db.term_stats")
       .filter(col("term").isin(termList: _*))
     val stats = spark.table(s"$db.corpus_stats")
-    val hits = post.join(dfreq, "term")
-      .join(broadcast(qterms), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("c_e9", contribE9(col("tf"), col("dl"), col("df"),
-        col("n_docs"), col("total_tokens"), k1, b))
-    val scored = hits.groupBy("query_id", "doc_id")
-      .agg(sum("c_e9").as("score_e9"), count(lit(1)).as("n_terms_hit"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score_e9").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "doc_id", "score_e9", "n_terms_hit")
+    scoreHits(post.join(dfreq, "term").join(broadcast(qterms), "term"),
+      spark.table(s"$db.doc_stats"), stats, k, k1, b)
   }
 }
