@@ -43,6 +43,33 @@ object Dedup {
         explode(graft.functions.PolyShinglesExpr.column(lower(col("text")), ShingleN)).as("h"))
       .distinct()
 
+  /** WINNOWING fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003):
+    * from the ORDERED shingle-hash sequence, take the min of every window
+    * of `w` consecutive hashes and distinct the picks. The guarantee: any
+    * shared run of ≥ w+n−1 tokens between two documents shares at least
+    * one fingerprint, at ~2/(w+1) the density of the full shingle set —
+    * the classic sparse-but-sound local fingerprinting for
+    * plagiarism/contamination scans (MOSS). Positions are dropped (the
+    * common set-based simplification); the value set still carries the
+    * guarantee.
+    *
+    * Pure per-row array arithmetic — no explode, no shuffle: at 100 TB
+    * the fingerprint extraction is a map-only pass. Callers aggregate or
+    * join the `array<long>` as needed. The shingle array is aliased in
+    * its own projection so the (non-cheap) kernel is never inlined into
+    * the per-window lambda.
+    */
+  def winnowedFingerprints(docs: DataFrame, w: Int): DataFrame =
+    docs
+      .select(col("*"),
+        graft.functions.PolyShinglesExpr.column(lower(col("text")), ShingleN).as("_hs"))
+      .filter(size(col("_hs")) >= w)
+      .withColumn("fps", array_distinct(transform(
+        sequence(lit(0), size(col("_hs")) - lit(w)),
+        i => array_min(slice(col("_hs"), i + lit(1), lit(w))))))
+      .withColumn("n_shingles", size(col("_hs")))
+      .drop("_hs")
+
   /** K-column minhash signature per doc: one groupBy with K min-aggregates
     * (map-side partial aggregation keeps shuffle width at K longs per doc).
     */

@@ -76,7 +76,23 @@ object Lexical {
         .groupBy("lang", "bucket")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
           min("ppl_e9").as("min_ppl_e9"), max("ppl_e9").as("max_ppl_e9"))
-    }))
+    }),
+
+    // WINNOWING fingerprints (Schleimer et al. 2003, window w=4 over the
+    // word-3-gram hash sequence): the sparse-but-sound local fingerprint
+    // set — any shared ≥6-token run between two docs shares a fingerprint
+    // at ~2/(w+1) the density of full shingling. Pure per-row array
+    // arithmetic (no explode, no shuffle — a map-only pass at 100 TB);
+    // the per-doc gate hashes the set cardinality, its XOR (an exact
+    // order-independent set digest), and the e6-integer density.
+    "t20_winnowing" -> ((s, dir) =>
+      graft.ops.Dedup.winnowedFingerprints(docs(s, dir), w = 4)
+        .select(col("doc_id"), col("n_shingles"),
+          size(col("fps")).as("n_fp"),
+          expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a ^ x)")
+            .as("xor_fp"),
+          expr("(CAST(size(fps) AS BIGINT) * 1000000) div n_shingles")
+            .as("density_e6"))))
 
   // ---- oracle ------------------------------------------------------------
 
@@ -142,5 +158,22 @@ object Lexical {
          |SELECT lang, bucket, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  min(ppl_e9) AS min_ppl_e9, max(ppl_e9) AS max_ppl_e9
-         |FROM b GROUP BY 1, 2""".stripMargin)
+         |FROM b GROUP BY 1, 2""".stripMargin,
+    "t20_winnowing" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |  FROM documents),
+         |sh AS (SELECT doc_id,
+         |    list_transform(range(1, greatest(len(ws) - 1, 1)),
+         |      i -> ${graft.functions.Hashing.polyHashSql(
+               "(ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])")}) AS hs
+         |  FROM toks),
+         |fp AS (SELECT doc_id, CAST(len(hs) AS INT) AS n_shingles,
+         |    list_distinct(list_transform(range(0, len(hs) - 4 + 1),
+         |      i -> list_min(hs[i + 1 : i + 4]))) AS fps
+         |  FROM sh WHERE len(hs) >= 4)
+         |SELECT doc_id, n_shingles, CAST(len(fps) AS INT) AS n_fp,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+         |    (a, b) -> xor(a, b)) AS BIGINT) AS xor_fp,
+         |  (CAST(len(fps) AS BIGINT) * 1000000) // n_shingles AS density_e6
+         |FROM fp""".stripMargin)
 }
