@@ -769,19 +769,24 @@ object Similarity {
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("dv").as("qv"))
     val c = v.select(col("vec_id").as("c_id"), col("dv").as("cv"))
+    // The ground-truth shortlist feeds SIX consumers (three hit joins, two
+    // miss joins, the per-query base count) and each of praw/pres feeds
+    // two — without the persists the 20×N exact cross join and both ADC
+    // chains would recompute per consumer (v15 was the most expensive
+    // bench query for exactly this reason).
     val exact = shortlistBy(
       q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
         .withColumn("d2", round(dot(col("qv"), col("qv"))
           + dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), 6))
         .select(col("q_id"), col("c_id"), col("d2")),
-      "d2", kAt).select("q_id", "c_id")
+      "d2", kAt).select("q_id", "c_id").persistTracked()
     val ivf = shortlistBy(ivfScoredPairsOn(v, cbF, nprobe, nQueries),
       "d2", kAt).select("q_id", "c_id")
     val praw = shortlistBy(ivfPqAdcPairsOn(v, cbF, m, nprobe, nQueries),
-      "adist", kAt).select("q_id", "c_id")
+      "adist", kAt).select("q_id", "c_id").persistTracked()
     val pres = shortlistBy(
       residualAdcPairsOn(v, cbF, k, iters, m, nprobe, nQueries),
-      "adist", kAt).select("q_id", "c_id")
+      "adist", kAt).select("q_id", "c_id").persistTracked()
     def hitsOf(t: DataFrame, nm: String): DataFrame =
       exact.join(t, Seq("q_id", "c_id"))
         .groupBy("q_id").agg(count(lit(1)).as(nm))
