@@ -42,6 +42,20 @@ object Functions {
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow",
+      exprs => graft.functions.WinnowExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow_stats",
+      exprs => graft.functions.WinnowStatsExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_multi_shingle_hashes",
       exprs => graft.functions.MultiShinglesExpr(exprs.head,
         exprs(1).eval(null).toString.split(",").toSeq.map(_.trim.toInt)),

@@ -36,6 +36,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => PolyShinglesExpr(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "distinct winnowed fingerprints (sliding-window minima) of word-n-gram hashes"),
+      (exprs: Seq[Expression]) => graft.functions.WinnowExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_stats"),
+      info("graft_winnow_stats", "per-doc winnowing gate stats: n_shingles, n_fp, xor_fp"),
+      (exprs: Seq[Expression]) => graft.functions.WinnowStatsExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       info("graft_bloom_agg", "Bloom filter aggregate over join keys (runtime-filter kernel)"),
       (exprs: Seq[Expression]) => new org.apache.spark.sql.catalyst.expressions

@@ -53,22 +53,21 @@ object Dedup {
     * common set-based simplification); the value set still carries the
     * guarantee.
     *
-    * Pure per-row array arithmetic — no explode, no shuffle: at 100 TB
-    * the fingerprint extraction is a map-only pass. Callers aggregate or
-    * join the `array<long>` as needed. The shingle array is aliased in
-    * its own projection so the (non-cheap) kernel is never inlined into
-    * the per-window lambda.
+    * Pure per-row kernel work — no explode, no shuffle: at 100 TB the
+    * fingerprint extraction is a map-only pass. The extraction is the
+    * native `graft_winnow` monotonic-deque kernel (O(len) per doc inside
+    * whole-stage codegen); the HOF spelling
+    * (`transform(sequence, i -> array_min(slice))`) evaluates an
+    * interpreted lambda per window with an O(w) slice each.
     */
   def winnowedFingerprints(docs: DataFrame, w: Int): DataFrame =
     docs
       .select(col("*"),
-        graft.functions.PolyShinglesExpr.column(lower(col("text")), ShingleN).as("_hs"))
-      .filter(size(col("_hs")) >= w)
-      .withColumn("fps", array_distinct(transform(
-        sequence(lit(0), size(col("_hs")) - lit(w)),
-        i => array_min(slice(col("_hs"), i + lit(1), lit(w))))))
-      .withColumn("n_shingles", size(col("_hs")))
-      .drop("_hs")
+        size(graft.functions.PolyShinglesExpr.column(lower(col("text")), ShingleN))
+          .as("n_shingles"),
+        graft.functions.WinnowExpr.column(lower(col("text")), ShingleN, w)
+          .as("fps"))
+      .filter(col("n_shingles") >= w)
 
   /** K-column minhash signature per doc: one groupBy with K min-aggregates
     * (map-side partial aggregation keeps shuffle width at K longs per doc).

@@ -140,6 +140,38 @@ object Split {
       .drop("rn", "_gmin", "_gcnt")
   }
 
+  /** CURRICULUM SHARDS (quality-staged pretraining order): split the
+    * corpus into `nPhases` contiguous phases by DESCENDING `scoreCol`
+    * (phase 0 = the highest-quality tranche trained first, the
+    * anneal-down schedule), then cut each phase into fixed-size shards in
+    * a seeded-shuffled order (training wants phase-internal randomness,
+    * equal shard sizes, and bit-reproducible assignment).
+    *
+    * Two [[globalRowNumber]] passes — phase from the (−score, tie) rank,
+    * shard from the (phase, lcg-shuffle, tie) rank minus the closed-form
+    * phase start ceil(phase·N/nPhases) (the o14 bucket-start identity) —
+    * so every derived id is pure integer arithmetic on parallel stages:
+    * no per-phase window, no RNG state, reproducible from the row alone.
+    */
+  def curriculumShards(df: DataFrame, scoreCol: String, tieBreak: String,
+      nPhases: Int, shardSize: Int, seed: Long): DataFrame = {
+    val byScore = globalRowNumber(
+      df.withColumn("_ord", -col(scoreCol)),
+      Seq(col("_ord"), col(tieBreak)), -1)
+    val total = byScore.agg(count(lit(1)).as("_n"))
+    val phased = byScore.crossJoin(broadcast(total))
+      .withColumn("phase", expr(s"(rn - 1) * $nPhases div _n").cast("int"))
+      .withColumn("_shuf", shuffleKey(col(tieBreak), seed))
+      .drop("rn", "_ord")
+    globalRowNumber(phased,
+      Seq(col("phase"), col("_shuf"), col(tieBreak)), -1)
+      .withColumn("_pstart",
+        expr(s"(phase * _n + ${nPhases - 1}) div $nPhases"))
+      .withColumn("shard",
+        expr(s"((rn - 1) - _pstart) div $shardSize").cast("int"))
+      .drop("rn", "_n", "_pstart", "_shuf")
+  }
+
   /** Global running SUM of `valCol` in ascending (orderCol, tieBreak)
     * order, without a single-partition window — [[globalRowNumber]]'s
     * range-partition + per-partition-offset machinery with the offsets

@@ -78,20 +78,42 @@ object Lexical {
           min("ppl_e9").as("min_ppl_e9"), max("ppl_e9").as("max_ppl_e9"))
     }),
 
+    // CURRICULUM SHARDS (quality-staged pretraining order): 4 phases by
+    // descending integer-pinned t2 quality (phase 0 = highest-quality
+    // tranche, the anneal-down schedule), 16-doc shards cut in a
+    // seeded-LCG shuffled order within each phase. Two globalRowNumber
+    // passes + closed-form phase starts — every id is integer arithmetic
+    // on parallel stages; the gate hashes the full (phase, shard) rollup.
+    "o19_curriculum" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val scored = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        floor(TextOps.qualityScore(ws) * lit(1e6)).cast("long").as("q_e6"))
+      Split.curriculumShards(scored, "q_e6", "doc_id",
+          nPhases = 4, shardSize = 16, seed = 11L)
+        .groupBy("phase", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("q_e6").as("min_q"), max("q_e6").as("max_q"))
+    }),
+
     // WINNOWING fingerprints (Schleimer et al. 2003, window w=4 over the
     // word-3-gram hash sequence): the sparse-but-sound local fingerprint
     // set — any shared ≥6-token run between two docs shares a fingerprint
-    // at ~2/(w+1) the density of full shingling. Pure per-row array
-    // arithmetic (no explode, no shuffle — a map-only pass at 100 TB);
-    // the per-doc gate hashes the set cardinality, its XOR (an exact
-    // order-independent set digest), and the e6-integer density.
+    // at ~2/(w+1) the density of full shingling. One native
+    // `graft_winnow_stats` kernel call per row (monotonic-deque sliding
+    // min, O(len), whole-stage codegen — no explode, no shuffle, no
+    // interpreted lambda); the gate hashes the set cardinality, its XOR
+    // (an exact order-independent set digest), and the e6-integer density.
     "t20_winnowing" -> ((s, dir) =>
-      graft.ops.Dedup.winnowedFingerprints(docs(s, dir), w = 4)
-        .select(col("doc_id"), col("n_shingles"),
-          size(col("fps")).as("n_fp"),
-          expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a ^ x)")
-            .as("xor_fp"),
-          expr("(CAST(size(fps) AS BIGINT) * 1000000) div n_shingles")
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.WinnowExpr.statsColumn(lower(col("text")),
+            graft.ops.Dedup.ShingleN, 4).as("st"))
+        .filter(col("st.n_shingles") >= 4)
+        .select(col("doc_id"),
+          col("st.n_shingles").as("n_shingles"),
+          col("st.n_fp").as("n_fp"),
+          col("st.xor_fp").as("xor_fp"),
+          expr("(CAST(st.n_fp AS BIGINT) * 1000000) div st.n_shingles")
             .as("density_e6"))))
 
   // ---- oracle ------------------------------------------------------------
@@ -159,6 +181,34 @@ object Lexical {
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  min(ppl_e9) AS min_ppl_e9, max(ppl_e9) AS max_ppl_e9
          |FROM b GROUP BY 1, 2""".stripMargin,
+    "o19_curriculum" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(list_filter(ws, w -> list_contains(${
+               TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+             }, w))) AS DOUBLE) / len(ws) AS stop_ratio,
+         |    CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+         |      / len(ws) AS awl,
+         |    len(ws) AS n
+         |  FROM toks),
+         |q AS (SELECT d.doc_id, d.n_chars,
+         |    CAST(floor((0.5 * stop_ratio
+         |      + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0)
+         |      + 0.2 * (awl / 10.0)) * 1e6) AS BIGINT) AS q_e6
+         |  FROM m JOIN documents d USING (doc_id)),
+         |r1 AS (SELECT *, row_number() OVER (ORDER BY -q_e6, doc_id) AS rn,
+         |    count(*) OVER () AS n FROM q),
+         |p AS (SELECT *, CAST((rn - 1) * 4 // n AS INT) AS phase,
+         |    ${graft.functions.Hashing.lcgSql("doc_id", 11L,
+               graft.functions.Hashing.LcgM)} AS shuf
+         |  FROM r1),
+         |r2 AS (SELECT *, row_number() OVER
+         |    (PARTITION BY phase ORDER BY shuf, doc_id) AS prn FROM p)
+         |SELECT phase, CAST((prn - 1) // 16 AS INT) AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(q_e6) AS min_q, max(q_e6) AS max_q
+         |FROM r2 GROUP BY 1, 2""".stripMargin,
     "t20_winnowing" ->
       s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
          |  FROM documents),

@@ -34,6 +34,10 @@ class PlanAuditSpec extends AnyFunSuite {
                                // 64-row log-ratio table is a keyed join)
     "o17_importance_resample" -> 1, // t15's one-row total aggregate; the
                                // Gumbel selection itself is map + top-n
+    "o19_curriculum" -> 2,     // ONE one-row corpus-count aggregate (the
+                               // o14 pattern); the plan text reprints it
+                               // under the second rank pass's cached
+                               // subtree
     "v19_prototype_prune" -> 2, // one-row trained codebook on the assign
                                // side (the v12 pattern); the quota join
                                // is a keyed broadcast of k count rows

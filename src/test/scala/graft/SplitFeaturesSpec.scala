@@ -24,6 +24,40 @@ class SplitFeaturesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("curriculumShards: monotone phases, full shards, repartition-stable") {
+    val n = 403
+    val df = (1 to n).map(i => (i.toLong, (i * 37 % 101).toLong))
+      .toDF("doc_id", "q")
+    val out = Split.curriculumShards(df, "q", "doc_id",
+      nPhases = 4, shardSize = 16, seed = 3L).cache()
+    assert(out.count() == n)
+    // Descending-quality phases: everything in phase b scores >= phase b+1.
+    val bounds = out.groupBy("phase")
+      .agg(min("q").as("mn"), max("q").as("mx"), count(lit(1)).as("c"))
+      .orderBy("phase").collect()
+    assert(bounds.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    bounds.sliding(2).foreach { w =>
+      assert(w(0).getLong(1) >= w(1).getLong(2),
+        s"phase ${w(0).getInt(0)} min < phase ${w(1).getInt(0)} max")
+    }
+    // Shards are full (== shardSize) except possibly the last per phase.
+    val shardSizes = out.groupBy("phase", "shard")
+      .agg(count(lit(1)).as("c"), max("shard").as("s")).collect()
+    val lastShard = shardSizes.groupBy(_.getInt(0))
+      .view.mapValues(_.map(_.getInt(1)).max).toMap
+    shardSizes.foreach { r =>
+      if (r.getInt(1) != lastShard(r.getInt(0)))
+        assert(r.getLong(2) == 16L, s"non-final shard not full: $r")
+    }
+    // Bit-stable under any input partitioning.
+    val again = Split.curriculumShards(df.repartition(7), "q", "doc_id",
+      nPhases = 4, shardSize = 16, seed = 3L)
+      .select("doc_id", "phase", "shard").collect().map(_.toSeq).toSet
+    assert(out.select("doc_id", "phase", "shard")
+      .collect().map(_.toSeq).toSet == again)
+    out.unpersist()
+  }
+
   test("globalRowNumber is deterministic across repartitionings") {
     val df = (1 to 500).map(_.toLong).toDF("k")
     def run(parts: Int) = Split.exact(df.repartition(parts), "k", 0.8, 7L)

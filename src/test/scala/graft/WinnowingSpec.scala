@@ -67,20 +67,18 @@ class WinnowingSpec extends AnyFunSuite {
     assert(res.passed, s"shared-run guarantee violated: ${res.status}")
   }
 
-  test("the shingle kernel is evaluated once, not once per window") {
+  test("extraction is the native kernel — no interpreted lambdas in the plan") {
     // range-derived text: a LocalRelation would be constant-folded away.
     val src = spark.range(2).select(col("id").as("doc_id"),
       concat(lit("a b c d e f g h "), col("id")).as("text"))
     val plan = Dedup.winnowedFingerprints(src, W)
       .queryExecution.optimizedPlan
-    // The filter pushdown may legitimately duplicate the kernel (per-doc
-    // predicate); what must NOT happen is the kernel inside the per-window
-    // lambda — that re-runs it once per window element.
-    val offenders = plan.expressions.flatMap(_.collect {
-      case l: org.apache.spark.sql.catalyst.expressions.LambdaFunction
-          if l.find(_.isInstanceOf[graft.functions.PolyShinglesExpr]).isDefined => l
+    val lambdas = plan.expressions.flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.LambdaFunction => l
     })
-    assert(offenders.isEmpty,
-      s"shingle kernel inlined into a lambda (re-run per window):\n$plan")
+    assert(lambdas.isEmpty,
+      s"winnowing must run in the graft_winnow kernel, found lambdas:\n$plan")
+    assert(plan.toString.contains("graft_winnow"),
+      s"expected the graft_winnow kernel in the plan:\n$plan")
   }
 }
