@@ -189,6 +189,32 @@ object TextOps {
         col("m.tf").as("top_tf"), col("n_buckets"), col("l2"))
   }
 
+  /** FASTTEXT-STYLE LINEAR QUALITY GATE (the LLaMA/RedPajama/CCNet "keep
+    * what a linear classifier scores as reference-like" stage): per doc,
+    * logit = Σ_b tf[b] · w[b] over `nBuckets` hashed unigram features,
+    * keep when the logit clears zero. The weight table here is a
+    * deterministic LCG stand-in for trained weights (the container has no
+    * trainer) — the OPERATOR under test is the scoring topology: one
+    * exploded-token tf pass, an O(nBuckets)-row broadcast model join, an
+    * exact-integer dot product. Swapping real learned weights in changes
+    * the table contents, not the plan. Everything is BIGINT arithmetic —
+    * no FP in the gate, bit-identical in any engine.
+    */
+  def linearQualityGate(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int, seed: Long): DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol), pmod(Hashing.polyHash(col("w")), lit(nBuckets)).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
+    val weights = docs.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"),
+        (Hashing.lcg(col("id"), seed, 2001L) - lit(1000L)).as("wgt"))
+    tf.join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("wgt")).as("logit"))
+      .withColumn("kept", col("logit") > 0)
+  }
+
   /** Word n-gram shingles (space-joined), empty when fewer than n tokens.
     * 1-based element_at; guarded so Spark's sequence() never runs backwards.
     */

@@ -78,6 +78,16 @@ object Lexical {
           min("ppl_e9").as("min_ppl_e9"), max("ppl_e9").as("max_ppl_e9"))
     }),
 
+    // Fasttext-style LINEAR QUALITY GATE (the LLaMA/RedPajama "linear
+    // classifier over hashed features" keep/drop stage): 64 hashed
+    // unigram buckets, a broadcast 64-row weight table (deterministic LCG
+    // stand-in for trained weights — the operator under test is the
+    // scoring topology, not the model), exact-BIGINT dot product, keep on
+    // logit > 0. No FP anywhere in the gate.
+    "t21_classifier_gate" -> ((s, dir) =>
+      TextOps.linearQualityGate(docs(s, dir), "doc_id", "text",
+        nBuckets = 64, seed = 23L)),
+
     // CURRICULUM SHARDS (quality-staged pretraining order): 4 phases by
     // descending integer-pinned t2 quality (phase 0 = highest-quality
     // tranche, the anneal-down schedule), 16-doc shards cut in a
@@ -181,6 +191,23 @@ object Lexical {
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  min(ppl_e9) AS min_ppl_e9, max(ppl_e9) AS max_ppl_e9
          |FROM b GROUP BY 1, 2""".stripMargin,
+    "t21_classifier_gate" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |  FROM documents),
+         |tf AS (SELECT doc_id,
+         |    ${graft.functions.Hashing.polyHashSql("w")} % 64 AS bucket,
+         |    count(*) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |wts AS (SELECT CAST(range AS INT) AS bucket,
+         |    ${graft.functions.Hashing.lcgSql("range", 23L,
+               graft.functions.Hashing.LcgM)} % 2001 - 1000 AS wgt
+         |  FROM range(64))
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(tf * wgt) AS BIGINT) AS logit,
+         |  sum(tf * wgt) > 0 AS kept
+         |FROM tf JOIN wts USING (bucket)
+         |GROUP BY doc_id""".stripMargin,
     "o19_curriculum" ->
       s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
          |  FROM documents),
