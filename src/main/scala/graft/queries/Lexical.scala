@@ -78,6 +78,40 @@ object Lexical {
           min("ppl_e9").as("min_ppl_e9"), max("ppl_e9").as("max_ppl_e9"))
     }),
 
+    // HYBRID RETRIEVAL with reciprocal-rank fusion (Cormack et al. 2009;
+    // the modern lexical+dense standard): BM25 top-20 over the EMBEDDED
+    // subset of the corpus fused with cosine top-20 over the embeddings
+    // (doc_id = vec_id), rrf = Σ 1000000 div (60 + rank) — pure integer
+    // rank fusion, no FP tie anywhere in the fused score. A doc found by
+    // only one leg keeps that leg's contribution (full-outer fuse) — the
+    // point of hybrid: lexical catches what the embedding misses and
+    // vice versa.
+    "b3_hybrid_rrf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = docs(s, dir).join(
+        emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      val q = Retrieval.queriesFromDocs(corpus, "doc_id", "text",
+        col("doc_id") < 8)
+      val lex = Retrieval.bm25TopK(corpus, "doc_id", "text", q, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank").as("lrank"))
+      val den = graft.ops.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 8), emb, k = 20)
+        .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
+          col("rk").as("drank"))
+      val fused = lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_e6",
+          coalesce(expr("1000000 div (60 + lrank)"), lit(0L))
+            + coalesce(expr("1000000 div (60 + drank)"), lit(0L)))
+        .withColumn("lrank0", coalesce(col("lrank"), lit(0)))
+        .withColumn("drank0", coalesce(col("drank"), lit(0)))
+      import org.apache.spark.sql.expressions.Window
+      fused.withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("rrf_e6").desc, col("doc_id"))))
+        .filter(col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "rrf_e6", "lrank0", "drank0")
+    }),
+
     // Fasttext-style LINEAR QUALITY GATE (the LLaMA/RedPajama "linear
     // classifier over hashed features" keep/drop stage): 64 hashed
     // unigram buckets, a broadcast 64-row weight table (deterministic LCG
@@ -136,8 +170,17 @@ object Lexical {
     * literal `2.2` would not be).
     */
   private def bm25Sql(qpred: String): String =
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
-       |  FROM documents),
+    s"""WITH ${bm25Ctes(qpred, "documents")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_e9, n_terms_hit
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** The chain up to `ranked(query_id, doc_id, score_e9, n_terms_hit,
+    * rank)`; `src` is the corpus relation (b3 restricts it to the
+    * embedded subset).
+    */
+  private def bm25Ctes(qpred: String, src: String): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+       |  FROM $src),
        |tl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term
        |  FROM toks),
        |post AS (SELECT doc_id, term, dl, count(*) AS tf FROM tl GROUP BY 1, 2, 3),
@@ -161,13 +204,42 @@ object Lexical {
        |  FROM hits GROUP BY 1, 2),
        |ranked AS (SELECT *, row_number() OVER
        |    (PARTITION BY query_id ORDER BY score_e9 DESC, doc_id) AS rank
-       |  FROM scored)
-       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_e9, n_terms_hit
-       |FROM ranked WHERE rank <= 5""".stripMargin
+       |  FROM scored)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "b1_bm25_topk" -> bm25Sql("doc_id < 8"),
     "b2_bm25_store" -> bm25Sql("doc_id >= 8 AND doc_id < 13"),
+    "b3_hybrid_rrf" ->
+      s"""WITH ${bm25Ctes("doc_id < 8",
+           "(SELECT d.* FROM documents d WHERE d.doc_id IN (SELECT vec_id FROM embeddings))")},
+         |lex AS (SELECT query_id, doc_id, CAST(rank AS INT) AS lrank
+         |  FROM ranked WHERE rank <= 20),
+         |v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, dv AS qv FROM v WHERE vec_id < 8),
+         |dscored AS (SELECT q_id, vec_id AS c_id,
+         |    round(list_dot_product(qv, cv) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+         |  FROM q CROSS JOIN (SELECT vec_id, dv AS cv FROM v) c
+         |  WHERE c.vec_id <> q.q_id),
+         |den AS (SELECT q_id AS query_id, c_id AS doc_id, CAST(rk AS INT) AS drank
+         |  FROM (SELECT q_id, c_id, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM dscored)
+         |  WHERE rk <= 20),
+         |fused AS (SELECT
+         |    coalesce(l.query_id, dn.query_id) AS query_id,
+         |    coalesce(l.doc_id, dn.doc_id) AS doc_id,
+         |    CAST(coalesce(1000000 // (60 + l.lrank), 0)
+         |      + coalesce(1000000 // (60 + dn.drank), 0) AS BIGINT) AS rrf_e6,
+         |    coalesce(l.lrank, 0) AS lrank0, coalesce(dn.drank, 0) AS drank0
+         |  FROM lex l FULL OUTER JOIN den dn
+         |    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id),
+         |r AS (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id) AS rank
+         |  FROM fused)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_e6, lrank0, drank0
+         |FROM r WHERE rank <= 10""".stripMargin,
     "t19_ppl_buckets" ->
       s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
          |  FROM documents),

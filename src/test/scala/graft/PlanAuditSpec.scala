@@ -29,6 +29,10 @@ class PlanAuditSpec extends AnyFunSuite {
                                // broadcast attached to the scored postings
     "b2_bm25_store" -> 1,      // the same one-row corpus_stats table read
                                // from the store
+    "b3_hybrid_rrf" -> 2,      // b1's one-row corpus stats + v1's bounded
+                               // 8-query brute-force baseline (the dense
+                               // leg deliberately reuses the v1 exact
+                               // scorer; the scale path is the v2/v4 ANN)
     "t7_tfidf_top_term" -> 1,  // one-row doc-count aggregate
     "t15_dsir_weights" -> 1,   // one-row target/raw-total aggregate (the
                                // 64-row log-ratio table is a keyed join)
