@@ -86,30 +86,38 @@ object Lexical {
     // only one leg keeps that leg's contribution (full-outer fuse) — the
     // point of hybrid: lexical catches what the embedding misses and
     // vice versa.
-    "b3_hybrid_rrf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val corpus = docs(s, dir).join(
-        emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
-      val q = Retrieval.queriesFromDocs(corpus, "doc_id", "text",
-        col("doc_id") < 8)
-      val lex = Retrieval.bm25TopK(corpus, "doc_id", "text", q, k = 20)
-        .select(col("query_id"), col("doc_id"), col("rank").as("lrank"))
-      val den = graft.ops.Similarity.bruteForceTopK(
-          emb.filter(col("vec_id") < 8), emb, k = 20)
-        .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
-          col("rk").as("drank"))
-      val fused = lex.join(den, Seq("query_id", "doc_id"), "full_outer")
-        .withColumn("rrf_e6",
-          coalesce(expr("1000000 div (60 + lrank)"), lit(0L))
-            + coalesce(expr("1000000 div (60 + drank)"), lit(0L)))
-        .withColumn("lrank0", coalesce(col("lrank"), lit(0)))
-        .withColumn("drank0", coalesce(col("drank"), lit(0)))
-      import org.apache.spark.sql.expressions.Window
-      fused.withColumn("rank", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("rrf_e6").desc, col("doc_id"))))
+    "b3_hybrid_rrf" -> ((s, dir) =>
+      hybridFused(s, dir)._3
         .filter(col("rank") <= 10)
-        .select("query_id", "rank", "doc_id", "rrf_e6", "lrank0", "drank0")
+        .select("query_id", "rank", "doc_id", "rrf_e6", "lrank0", "drank0")),
+
+    // RETRIEVAL-QUALITY EVAL (MRR@10 against a same-label qrel, the
+    // b-family's counterpart of the v-family recall evals): per method —
+    // lexical, dense, hybrid — the mean reciprocal rank of the first
+    // SAME-LABEL neighbor in the top 10 (query excluded). Reciprocal
+    // ranks gate as 1000000 div rank integers, the mean as an exact
+    // integer division by the query count — no FP in the metric.
+    "b4_retrieval_mrr" -> ((s, dir) => {
+      val (lex, den, fused) = hybridFused(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val labels = emb.select(col("vec_id").as("doc_id"), col("label"))
+      val qlabels = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+      def mrrOf(ranks: DataFrame, rankCol: String, method: String): DataFrame =
+        ranks.filter(col(rankCol) <= 10)
+          .join(broadcast(qlabels), "query_id")
+          .join(labels, "doc_id")
+          .filter(col("label") === col("qlabel") &&
+            col("doc_id") =!= col("query_id"))
+          .groupBy("query_id")
+          .agg(min(col(rankCol).cast("int")).as("first_rel"))
+          .agg(count(lit(1)).as("n_hit"),
+            sum(expr("1000000 div first_rel")).as("sum_rr_e6"))
+          .select(lit(method).as("method"), col("n_hit"),
+            col("sum_rr_e6"), expr("sum_rr_e6 div 8").as("mrr_e6"))
+      mrrOf(lex, "lrank", "lex")
+        .unionByName(mrrOf(den, "drank", "dense"))
+        .unionByName(mrrOf(fused, "rank", "hybrid"))
     }),
 
     // Fasttext-style LINEAR QUALITY GATE (the LLaMA/RedPajama "linear
@@ -160,7 +168,68 @@ object Lexical {
           expr("(CAST(st.n_fp AS BIGINT) * 1000000) div st.n_shingles")
             .as("density_e6"))))
 
+  /** Shared b3/b4 construction: (lexical top-20 ranks, dense top-20
+    * ranks, RRF-fused ranked frame) over the embedded corpus subset.
+    */
+  private def hybridFused(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val emb = t(s, dir, "embeddings")
+    val corpus = docs(s, dir).join(
+      emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val q = Retrieval.queriesFromDocs(corpus, "doc_id", "text",
+      col("doc_id") < 8)
+    val lex = Retrieval.bm25TopK(corpus, "doc_id", "text", q, k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lrank"))
+    val den = graft.ops.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), emb, k = 20)
+      .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
+        col("rk").as("drank"))
+    val fused = lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(expr("1000000 div (60 + lrank)"), lit(0L))
+          + coalesce(expr("1000000 div (60 + drank)"), lit(0L)))
+      .withColumn("lrank0", coalesce(col("lrank"), lit(0)))
+      .withColumn("drank0", coalesce(col("drank"), lit(0)))
+    import org.apache.spark.sql.expressions.Window
+    (lex, den, fused.withColumn("rank", row_number().over(
+      Window.partitionBy("query_id")
+        .orderBy(col("rrf_e6").desc, col("doc_id")))))
+  }
+
   // ---- oracle ------------------------------------------------------------
+
+  /** Shared b3/b4 oracle chain: lexical top-20 (`lex`), dense top-20
+    * (`den`), RRF-fused ranked frame (`r`) — mirrors [[hybridFused]].
+    */
+  private lazy val hybridCtes: String =
+    s"""${bm25Ctes("doc_id < 8",
+         "(SELECT d.* FROM documents d WHERE d.doc_id IN (SELECT vec_id FROM embeddings))")},
+       |lex AS (SELECT query_id, doc_id, CAST(rank AS INT) AS lrank
+       |  FROM ranked WHERE rank <= 20),
+       |v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, dv AS qv FROM v WHERE vec_id < 8),
+       |dscored AS (SELECT q_id, vec_id AS c_id,
+       |    round(list_dot_product(qv, cv) /
+       |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+       |  FROM q CROSS JOIN (SELECT vec_id, dv AS cv FROM v) c
+       |  WHERE c.vec_id <> q.q_id),
+       |den AS (SELECT q_id AS query_id, c_id AS doc_id, CAST(rk AS INT) AS drank
+       |  FROM (SELECT q_id, c_id, row_number() OVER
+       |      (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM dscored)
+       |  WHERE rk <= 20),
+       |fused AS (SELECT
+       |    coalesce(l.query_id, dn.query_id) AS query_id,
+       |    coalesce(l.doc_id, dn.doc_id) AS doc_id,
+       |    CAST(coalesce(1000000 // (60 + l.lrank), 0)
+       |      + coalesce(1000000 // (60 + dn.drank), 0) AS BIGINT) AS rrf_e6,
+       |    coalesce(l.lrank, 0) AS lrank0, coalesce(dn.drank, 0) AS drank0
+       |  FROM lex l FULL OUTER JOIN den dn
+       |    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id),
+       |r AS (SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id) AS rank
+       |  FROM fused)""".stripMargin
 
   /** Shared BM25 CTE chain; `qpred` selects the query docs. The float
     * contribution mirrors [[Retrieval.contribE9]] SHAPE-exACTLY — same
@@ -210,36 +279,33 @@ object Lexical {
     "b1_bm25_topk" -> bm25Sql("doc_id < 8"),
     "b2_bm25_store" -> bm25Sql("doc_id >= 8 AND doc_id < 13"),
     "b3_hybrid_rrf" ->
-      s"""WITH ${bm25Ctes("doc_id < 8",
-           "(SELECT d.* FROM documents d WHERE d.doc_id IN (SELECT vec_id FROM embeddings))")},
-         |lex AS (SELECT query_id, doc_id, CAST(rank AS INT) AS lrank
-         |  FROM ranked WHERE rank <= 20),
-         |v AS (SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, dv AS qv FROM v WHERE vec_id < 8),
-         |dscored AS (SELECT q_id, vec_id AS c_id,
-         |    round(list_dot_product(qv, cv) /
-         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
-         |  FROM q CROSS JOIN (SELECT vec_id, dv AS cv FROM v) c
-         |  WHERE c.vec_id <> q.q_id),
-         |den AS (SELECT q_id AS query_id, c_id AS doc_id, CAST(rk AS INT) AS drank
-         |  FROM (SELECT q_id, c_id, row_number() OVER
-         |      (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM dscored)
-         |  WHERE rk <= 20),
-         |fused AS (SELECT
-         |    coalesce(l.query_id, dn.query_id) AS query_id,
-         |    coalesce(l.doc_id, dn.doc_id) AS doc_id,
-         |    CAST(coalesce(1000000 // (60 + l.lrank), 0)
-         |      + coalesce(1000000 // (60 + dn.drank), 0) AS BIGINT) AS rrf_e6,
-         |    coalesce(l.lrank, 0) AS lrank0, coalesce(dn.drank, 0) AS drank0
-         |  FROM lex l FULL OUTER JOIN den dn
-         |    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id),
-         |r AS (SELECT *, row_number() OVER
-         |    (PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id) AS rank
-         |  FROM fused)
+      s"""WITH $hybridCtes
          |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_e6, lrank0, drank0
          |FROM r WHERE rank <= 10""".stripMargin,
+    "b4_retrieval_mrr" ->
+      s"""WITH $hybridCtes,
+         |lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+         |qlab AS (SELECT vec_id AS query_id, label AS qlabel
+         |  FROM embeddings WHERE vec_id < 8),
+         |firsts AS (
+         |  SELECT 'lex' AS method, query_id, min(lrank) AS first_rel
+         |    FROM lex JOIN lab USING (doc_id) JOIN qlab USING (query_id)
+         |    WHERE lrank <= 10 AND label = qlabel AND doc_id <> query_id
+         |    GROUP BY query_id
+         |  UNION ALL
+         |  SELECT 'dense', query_id, min(drank)
+         |    FROM den JOIN lab USING (doc_id) JOIN qlab USING (query_id)
+         |    WHERE drank <= 10 AND label = qlabel AND doc_id <> query_id
+         |    GROUP BY query_id
+         |  UNION ALL
+         |  SELECT 'hybrid', query_id, CAST(min(rank) AS INT)
+         |    FROM r JOIN lab USING (doc_id) JOIN qlab USING (query_id)
+         |    WHERE rank <= 10 AND label = qlabel AND doc_id <> query_id
+         |    GROUP BY query_id)
+         |SELECT method, count(*) AS n_hit,
+         |  CAST(sum(1000000 // first_rel) AS BIGINT) AS sum_rr_e6,
+         |  CAST(sum(1000000 // first_rel) // 8 AS BIGINT) AS mrr_e6
+         |FROM firsts GROUP BY method""".stripMargin,
     "t19_ppl_buckets" ->
       s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
          |  FROM documents),

@@ -33,6 +33,9 @@ class PlanAuditSpec extends AnyFunSuite {
                                // 8-query brute-force baseline (the dense
                                // leg deliberately reuses the v1 exact
                                // scorer; the scale path is the v2/v4 ANN)
+    "b4_retrieval_mrr" -> 4,   // b3's two (stats + bounded query set),
+                               // reprinted once more in the plan text by
+                               // the lex/hybrid legs sharing one chain
     "t7_tfidf_top_term" -> 1,  // one-row doc-count aggregate
     "t15_dsir_weights" -> 1,   // one-row target/raw-total aggregate (the
                                // 64-row log-ratio table is a keyed join)
