@@ -178,12 +178,17 @@ object Lexical {
       emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
     val q = Retrieval.queriesFromDocs(corpus, "doc_id", "text",
       col("doc_id") < 8)
+    // Both legs feed the fuse AND (in b4) their own MRR rollups — the
+    // persists keep the 20×N dense cross join and the BM25 chain at one
+    // computation each.
     val lex = Retrieval.bm25TopK(corpus, "doc_id", "text", q, k = 20)
       .select(col("query_id"), col("doc_id"), col("rank").as("lrank"))
+      .persistTracked()
     val den = graft.ops.Similarity.bruteForceTopK(
         emb.filter(col("vec_id") < 8), emb, k = 20)
       .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
         col("rk").as("drank"))
+      .persistTracked()
     val fused = lex.join(den, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_e6",
         coalesce(expr("1000000 div (60 + lrank)"), lit(0L))
