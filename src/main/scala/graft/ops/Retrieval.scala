@@ -166,6 +166,32 @@ object Retrieval {
       .saveAsTable(s"$db.corpus_stats")
   }
 
+  /** Index MAINTENANCE: fold a delta corpus into a standing
+    * [[buildPostingStore]] store. Postings and norms append bucket-aligned
+    * (each delta row lands in the bucket layout the store was written
+    * with — no rewrite, the d21 discipline); the DERIVED tables are then
+    * rebuilt, because document frequency and the corpus totals are GLOBAL
+    * quantities an append invalidates — the classic inverted-index
+    * maintenance cost. The rebuild reads the bucketed postings, so its
+    * per-term groupBy plans with ZERO exchanges (the bucketing satisfies
+    * the aggregation's distribution; RetrievalSpec asserts it) — at
+    * 100 TB the maintenance pays the delta write plus a shuffle-free
+    * stats pass, never a corpus re-shuffle. Delta doc_ids must be
+    * disjoint from the standing corpus (append, not upsert).
+    */
+  def appendPostingStore(spark: SparkSession, delta: DataFrame, idCol: String,
+      textCol: String, db: String, nBuckets: Int): Unit = {
+    Bucketing.appendBucketed(postings(delta, idCol, textCol),
+      s"$db.postings", nBuckets, Seq("term"))
+    Bucketing.appendBucketed(docLengths(delta, idCol, textCol),
+      s"$db.doc_stats", nBuckets, Seq("doc_id"))
+    Bucketing.writeBucketed(documentFrequencies(spark.table(s"$db.postings")),
+      s"$db.term_stats", nBuckets, Seq("term"))
+    corpusStats(spark.table(s"$db.doc_stats"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"$db.corpus_stats")
+  }
+
   /** BM25 top-k against a [[buildPostingStore]] store. The query terms are
     * collected to the driver (bounded: a query batch's distinct vocabulary,
     * the d12 broadcast-set discipline) and pushed as an IN predicate over

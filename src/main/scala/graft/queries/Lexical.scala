@@ -78,6 +78,25 @@ object Lexical {
           min("ppl_e9").as("min_ppl_e9"), max("ppl_e9").as("max_ppl_e9"))
     }),
 
+    // INDEX-MAINTENANCE leg of the posting store (the d21 lifecycle
+    // applied to lexical search): standing index built on docs ≥ 50, the
+    // < 50 delta appended bucket-aligned, the GLOBAL derived tables (df,
+    // corpus totals) rebuilt from the bucketed postings with a
+    // zero-exchange groupBy. Gate: search over the appended store must
+    // hash-equal the full-corpus oracle — b2's exact SQL — so a lost,
+    // doubled, or mis-bucketed posting (or a stale df) flips the hash.
+    "b5_store_append" -> ((s, dir) => {
+      val db = "graft_bm25_b5_" + Tables.dirTag(dir)
+      val d = docs(s, dir)
+      Retrieval.buildPostingStore(s, d.filter(col("doc_id") >= 50),
+        "doc_id", "text", db, Tables.scratch(db + "_db"), nBuckets = 8)
+      Retrieval.appendPostingStore(s, d.filter(col("doc_id") < 50),
+        "doc_id", "text", db, nBuckets = 8)
+      Retrieval.bm25FromStore(s, db,
+        Retrieval.queriesFromDocs(d, "doc_id", "text",
+          col("doc_id") >= 8 && col("doc_id") < 13), k = 5)
+    }),
+
     // HYBRID RETRIEVAL with reciprocal-rank fusion (Cormack et al. 2009;
     // the modern lexical+dense standard): BM25 top-20 over the EMBEDDED
     // subset of the corpus fused with cosine top-20 over the embeddings
@@ -283,6 +302,9 @@ object Lexical {
   val oracle: Map[String, String] = Map(
     "b1_bm25_topk" -> bm25Sql("doc_id < 8"),
     "b2_bm25_store" -> bm25Sql("doc_id >= 8 AND doc_id < 13"),
+    // The append gate: the post-append store must equal the full-corpus
+    // build — b2's oracle verbatim (the d21/e11 shared-oracle pattern).
+    "b5_store_append" -> bm25Sql("doc_id >= 8 AND doc_id < 13"),
     "b3_hybrid_rrf" ->
       s"""WITH $hybridCtes
          |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_e6, lrank0, drank0

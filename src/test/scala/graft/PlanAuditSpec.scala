@@ -36,6 +36,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "b4_retrieval_mrr" -> 4,   // b3's two (stats + bounded query set),
                                // reprinted once more in the plan text by
                                // the lex/hybrid legs sharing one chain
+    "b5_store_append" -> 1,    // b2's one-row corpus_stats read, now from
+                               // the post-append store
     "t7_tfidf_top_term" -> 1,  // one-row doc-count aggregate
     "t15_dsir_weights" -> 1,   // one-row target/raw-total aggregate (the
                                // 64-row log-ratio table is a keyed join)

@@ -95,4 +95,45 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(rows.map(_.toSeq).sortBy(_.toString).toSeq == direct.toSeq)
   }
+
+  test("append + derived-stats rebuild equals a fresh full build, shuffle-free") {
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      concat_ws(" ", expr("concat('w', id % 40)"),
+        expr("concat('w', (id + 3) % 40)"),
+        expr("concat('w', (id * 11) % 40)")).as("text"))
+    val dbA = s"${db}_app"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbA LOCATION '/tmp/$dbA'")
+    Retrieval.buildPostingStore(spark, docs.filter(col("doc_id") >= 100),
+      "doc_id", "text", dbA, s"/tmp/$dbA", nBuckets = 8)
+    Retrieval.appendPostingStore(spark, docs.filter(col("doc_id") < 100),
+      "doc_id", "text", dbA, nBuckets = 8)
+
+    // The global-stats rebuild off the bucketed postings must not shuffle.
+    val rebuild = Retrieval.documentFrequencies(spark.table(s"$dbA.postings"))
+    val qe = org.apache.spark.sql.classic.GraftBridge.queryExecution(rebuild)
+    rebuild.collect()
+    val plan = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed df rebuild should be exchange-free:\n$plan")
+
+    // Appended store == fresh full build, table by table.
+    val dbB = s"${db}_full"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbB LOCATION '/tmp/$dbB'")
+    Retrieval.buildPostingStore(spark, docs, "doc_id", "text", dbB,
+      s"/tmp/$dbB", nBuckets = 8)
+    for (tbl <- Seq("postings", "term_stats", "doc_stats", "corpus_stats")) {
+      val a = spark.table(s"$dbA.$tbl").collect().map(_.toSeq).sortBy(_.toString)
+      val b = spark.table(s"$dbB.$tbl").collect().map(_.toSeq).sortBy(_.toString)
+      assert(a.toSeq == b.toSeq, s"$tbl differs between append and rebuild")
+    }
+    spark.sql(s"DROP DATABASE IF EXISTS $dbA CASCADE")
+    spark.sql(s"DROP DATABASE IF EXISTS $dbB CASCADE")
+  }
 }
