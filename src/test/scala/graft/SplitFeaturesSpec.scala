@@ -24,6 +24,31 @@ class SplitFeaturesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("rankBuckets matches the per-group window reference") {
+    val df = (1 to 250).map(i =>
+      (i.toLong, s"g${i % 3}", (i * 53 % 97).toLong)).toDF("id", "g", "v")
+    val got = Split.rankBuckets(df, "g", "v", "id", nBuckets = 3)
+      .select("id", "grank", "bucket").as[(Long, Long, Int)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // Reference: plain per-group window semantics.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy("v", "id")
+    val ref = df
+      .withColumn("grank", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
+      .select(col("id"), col("grank").cast("long"),
+        expr("CAST((grank - 1) * 3 div cnt AS INT)"))
+      .as[(Long, Long, Int)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == ref)
+    // Equal-frequency: per (g, bucket) sizes differ by at most 1 per group.
+    val sizes = Split.rankBuckets(df, "g", "v", "id", 3)
+      .groupBy("g", "bucket").agg(count(lit(1)).as("n"))
+      .select("g", "n").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    sizes.values.foreach(ns => assert(ns.max - ns.min <= 1, ns.toSeq))
+  }
+
   test("curriculumShards: monotone phases, full shards, repartition-stable") {
     val n = 403
     val df = (1 to n).map(i => (i.toLong, (i * 37 % 101).toLong))
