@@ -56,6 +56,12 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0).getLong(3) == got(1).getLong(3))
   }
 
+  test("a query with no corpus hits returns zero rows, no crash") {
+    val q = Seq((9L, "zzzznotaword")).toDF("query_id", "term")
+    assert(Retrieval.bm25TopK(tinyDocs, "doc_id", "text", q, k = 5)
+      .count() == 0L)
+  }
+
   test("store probe bucket-prunes the term filter and matches the direct path") {
     // 200 docs over a 100-term vocabulary so one query term maps to a
     // strict subset of the 8 term-buckets.

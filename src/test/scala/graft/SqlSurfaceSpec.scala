@@ -19,6 +19,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getLong(0) === graft.functions.PolyHashExpr.hash("abc"))
     assert(r.getDouble(1) === 11.0)
     assert(r.getInt(2) === 2) // two word-3-grams in four words
+
+    val wn = spark.sql(
+      """SELECT size(graft_winnow('a b c d e f g h', 3, 4)) AS n_fp,
+        |       graft_winnow_stats('a b c d e f g h', 3, 4) AS st
+        |""".stripMargin).collect().head
+    assert(wn.getInt(0) >= 1) // 6 shingles, 3 windows -> >=1 distinct min
+    val st = wn.getStruct(1)
+    assert(st.getInt(0) === 6 && st.getInt(1) === wn.getInt(0))
   }
 
   test("aggregates are callable from SQL with GROUP BY") {
