@@ -333,6 +333,48 @@ object TextDedup {
     // exact n-gram Jaccard verification of LSH candidates.
     "d5_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
 
+    // LSH OPERATING-POINT CALIBRATION (the band/row tuning report every
+    // LSH deployment runs before committing a threshold): on a BOUNDED
+    // sub-corpus (doc_id < 200 — the d10 bounded-gate discipline, where
+    // exact all-shared-shingle ground truth is tractable at every SF),
+    // per Jaccard threshold: how many TRUE pairs exist, how many the
+    // 4×4-band LSH candidate set catches (recall), and what fraction of
+    // candidates clear the bar (precision). All-integer: j_e6 is an
+    // exact scaled division, recall/precision gate through
+    // greatest(·, 1) so an empty band can never divide by zero.
+    "d25_lsh_calibration" -> ((s, dir) => {
+      val b = docs(s, dir).filter(col("doc_id") < 200)
+      val sh = Dedup.shingleHashes(b).persistTracked()
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val truth = sh.select(col("doc_id").as("doc_a"), col("h"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        .withColumn("j_e6",
+          expr("(inter * 1000000) div (n_a + n_b - inter)"))
+        .select("doc_a", "doc_b", "j_e6").persistTracked()
+      val candj = Dedup.candidatePairs(
+          Dedup.lshBuckets(Dedup.minhashSignatures(sh)))
+        .select("doc_a", "doc_b").distinct()
+        .join(truth, Seq("doc_a", "doc_b"), "left")
+        .withColumn("j_e6", coalesce(col("j_e6"), lit(0L)))
+      val ths = array(Seq(0L, 100000L, 500000L, 900000L).map(lit): _*)
+      val ta = truth.select(explode(ths).as("t_e6"), col("j_e6"))
+        .groupBy("t_e6")
+        .agg(count(when(col("j_e6") >= col("t_e6"), 1)).as("n_true"))
+      val ca = candj.select(explode(ths).as("t_e6"), col("j_e6"))
+        .groupBy("t_e6")
+        .agg(count(lit(1)).as("n_cand"),
+          count(when(col("j_e6") >= col("t_e6"), 1)).as("n_hit"))
+      ta.join(ca, "t_e6")
+        .withColumn("recall_e6",
+          expr("(n_hit * 1000000) div greatest(n_true, 1)"))
+        .withColumn("precision_e6",
+          expr("(n_hit * 1000000) div greatest(n_cand, 1)"))
+    }),
+
     // Cross-source overlap matrix: verified near-dup pairs (the d5 chain
     // at jaccard ≥ 0.35) rolled up per unordered source pair — the
     // "where does the duplication come from" ingest report. Output is
@@ -1959,6 +2001,30 @@ object TextDedup {
          |FROM inter i
          |  JOIN counts ca ON ca.doc_id = i.doc_a
          |  JOIN counts cb ON cb.doc_id = i.doc_b""".stripMargin,
+    "d25_lsh_calibration" ->
+      s"""WITH bdocs AS (SELECT * FROM documents WHERE doc_id < 200),
+         |${toksSrcFrom("bdocs")}, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $pairsSrc,
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY 1),
+         |itr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b,
+         |    CAST((inter * 1000000) // (ca.n_sh + cb.n_sh - inter) AS BIGINT) AS j_e6
+         |  FROM itr JOIN cnt ca ON itr.doc_a = ca.doc_id
+         |    JOIN cnt cb ON itr.doc_b = cb.doc_id),
+         |candj AS (SELECT c.doc_a, c.doc_b, coalesce(t.j_e6, 0) AS j_e6
+         |  FROM (SELECT DISTINCT doc_a, doc_b FROM pairs) c
+         |  LEFT JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+         |th AS (SELECT CAST(unnest([0, 100000, 500000, 900000]) AS BIGINT) AS t_e6),
+         |ta AS (SELECT t_e6, count(CASE WHEN j_e6 >= t_e6 THEN 1 END) AS n_true
+         |  FROM th CROSS JOIN truth GROUP BY 1),
+         |ca2 AS (SELECT t_e6, count(*) AS n_cand,
+         |    count(CASE WHEN j_e6 >= t_e6 THEN 1 END) AS n_hit
+         |  FROM th CROSS JOIN candj GROUP BY 1)
+         |SELECT t_e6, n_true, n_cand, n_hit,
+         |  CAST((n_hit * 1000000) // greatest(n_true, 1) AS BIGINT) AS recall_e6,
+         |  CAST((n_hit * 1000000) // greatest(n_cand, 1) AS BIGINT) AS precision_e6
+         |FROM ta JOIN ca2 USING (t_e6)""".stripMargin,
     // d24: the d5 verify chain, jaccard-thresholded, endpoint sources
     // tagged, one rollup per unordered source pair.
     "d24_source_overlap" ->
