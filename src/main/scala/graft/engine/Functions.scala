@@ -49,6 +49,13 @@ object Functions {
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow_fps",
+      exprs => graft.functions.WinnowFpsExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow_stats",
       exprs => graft.functions.WinnowStatsExpr(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int],

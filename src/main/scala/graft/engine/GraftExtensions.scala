@@ -42,6 +42,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier("graft_winnow_fps"),
+      info("graft_winnow_fps", "one-pass (n_shingles, winnowed fingerprints) struct"),
+      (exprs: Seq[Expression]) => graft.functions.WinnowFpsExpr(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier("graft_winnow_stats"),
       info("graft_winnow_stats", "per-doc winnowing gate stats: n_shingles, n_fp, xor_fp"),
       (exprs: Seq[Expression]) => graft.functions.WinnowStatsExpr(exprs.head,

@@ -28,9 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WinnowExpr(child: Expression, n: Int, w: Int)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_winnow requires a string argument, got ${child.dataType}")
+    WinnowExpr.checkArgs("graft_winnow", child, n, w)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow"
 
@@ -48,9 +46,7 @@ case class WinnowExpr(child: Expression, n: Int, w: Int)
 case class WinnowStatsExpr(child: Expression, n: Int, w: Int)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_winnow_stats requires a string argument, got ${child.dataType}")
+    WinnowExpr.checkArgs("graft_winnow_stats", child, n, w)
   override def dataType: DataType = WinnowExpr.statsType
   override def prettyName: String = "graft_winnow_stats"
 
@@ -65,12 +61,50 @@ case class WinnowStatsExpr(child: Expression, n: Int, w: Int)
     copy(child = newChild)
 }
 
+/** `graft_winnow_fps(text, n, w)` → `struct<n_shingles int,
+  * fps array<long>>`: one hash pass serving BOTH the shingle count and
+  * the fingerprint set (two separate kernel calls would tokenize + hash
+  * the text twice — the dominant per-row cost on a map-only corpus pass).
+  */
+case class WinnowFpsExpr(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    WinnowExpr.checkArgs("graft_winnow_fps", child, n, w)
+  override def dataType: DataType = WinnowExpr.fpsType
+  override def prettyName: String = "graft_winnow_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowExpr.fpsStruct(input.asInstanceOf[UTF8String].toString, n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WinnowExpr.fpsStruct($c.toString(), $n, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
+    copy(child = newChild)
+}
+
 object WinnowExpr {
+
+  private[functions] def checkArgs(name: String, child: Expression,
+      n: Int, w: Int): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$name requires a string argument, got ${child.dataType}")
+    else if (n < 1 || w < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"$name requires n >= 1 and w >= 1, got n=$n w=$w")
+    else TypeCheckResult.TypeCheckSuccess
 
   val statsType: StructType = StructType(Seq(
     StructField("n_shingles", IntegerType, nullable = false),
     StructField("n_fp", IntegerType, nullable = false),
     StructField("xor_fp", LongType, nullable = false)))
+
+  val fpsType: StructType = StructType(Seq(
+    StructField("n_shingles", IntegerType, nullable = false),
+    StructField("fps", ArrayType(LongType, containsNull = false),
+      nullable = false)))
 
   /** Distinct per-window minima of the shingle-hash sequence, O(len) via a
     * monotonic deque; empty when the doc has fewer than `w` shingles.
@@ -114,8 +148,17 @@ object WinnowExpr {
     new GenericInternalRow(Array[Any](hs.length, fps.length, x))
   }
 
+  /** (n_shingles, fps) from ONE hash pass — the [[WinnowFpsExpr]] kernel. */
+  def fpsStruct(s: String, n: Int, w: Int): InternalRow = {
+    val hs = hashesOf(s, n)
+    new GenericInternalRow(Array[Any](hs.length,
+      new GenericArrayData(winnowed(hs, w))))
+  }
+
   def column(c: Column, n: Int, w: Int): Column =
     call_function("graft_winnow", c, lit(n), lit(w))
   def statsColumn(c: Column, n: Int, w: Int): Column =
     call_function("graft_winnow_stats", c, lit(n), lit(w))
+  def fpsColumn(c: Column, n: Int, w: Int): Column =
+    call_function("graft_winnow_fps", c, lit(n), lit(w))
 }

@@ -154,10 +154,12 @@ object Bucketing {
     */
   def reset(spark: SparkSession, table: String, location: java.io.File): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(location)
+    clearDir(location)
+  }
+
+  /** Recursively delete a directory (idempotent; missing dir is a no-op). */
+  def clearDir(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(clearDir)); f.delete(); ()
   }
 
   /** Join two same-bucketing tables on their bucket keys — plans with zero

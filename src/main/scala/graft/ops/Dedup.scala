@@ -63,10 +63,11 @@ object Dedup {
   def winnowedFingerprints(docs: DataFrame, w: Int): DataFrame =
     docs
       .select(col("*"),
-        size(graft.functions.PolyShinglesExpr.column(lower(col("text")), ShingleN))
-          .as("n_shingles"),
-        graft.functions.WinnowExpr.column(lower(col("text")), ShingleN, w)
-          .as("fps"))
+        graft.functions.WinnowExpr.fpsColumn(lower(col("text")), ShingleN, w)
+          .as("_wn"))
+      .select(col("*"), col("_wn.n_shingles").as("n_shingles"),
+        col("_wn.fps").as("fps"))
+      .drop("_wn")
       .filter(col("n_shingles") >= w)
 
   /** K-column minhash signature per doc: one groupBy with K min-aggregates

@@ -95,14 +95,18 @@ object Retrieval {
       queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val post = postings(docs, idCol, textCol).persistTracked()
-    val dl = docLengths(docs, idCol, textCol)
+    // dl feeds two consumers (the one-row stats and the scoring join) —
+    // unpersisted, each would re-tokenize the corpus.
+    val dl = docLengths(docs, idCol, textCol).persistTracked()
     val stats = corpusStats(dl)
-    val dfreq = documentFrequencies(post)
     val qterms = queries.select(col("query_id"), col("term")).distinct()
+    // df is per-term, so computing it AFTER the query-term shrink yields
+    // identical values while aggregating |qterm-postings| rows instead of
+    // the whole vocabulary.
+    val qpost = post.join(broadcast(qterms.select("term").distinct()), "term")
+    val dfreq = documentFrequencies(qpost)
     scoreHits(
-      post.join(broadcast(qterms), "term")
-        .join(broadcast(dfreq.join(
-          broadcast(qterms.select("term").distinct()), "term")), "term"),
+      post.join(broadcast(qterms), "term").join(broadcast(dfreq), "term"),
       dl, stats, k, k1, b)
   }
 
@@ -156,6 +160,10 @@ object Retrieval {
     val dl = docLengths(docs, idCol, textCol).persistTracked()
     for (tbl <- Seq("postings", "term_stats", "doc_stats", "corpus_stats"))
       Bucketing.reset(spark, s"$db.$tbl", new java.io.File(dbLoc, tbl))
+    // A fresh build invalidates all append history: clear the batch
+    // ledger [[appendPostingStore]] publishes into, or a rebuilt store
+    // would suppress re-applied deltas as "already committed".
+    Bucketing.clearDir(appendLedger(dbLoc))
     Bucketing.writeBucketed(post, s"$db.postings", nBuckets, Seq("term"))
     Bucketing.writeBucketed(documentFrequencies(post), s"$db.term_stats",
       nBuckets, Seq("term"))
@@ -165,6 +173,10 @@ object Retrieval {
     corpusStats(dl).write.mode("overwrite").format("parquet")
       .saveAsTable(s"$db.corpus_stats")
   }
+
+  /** The append ledger's location inside a store's db directory. */
+  def appendLedger(dbLoc: String): java.io.File =
+    new java.io.File(dbLoc, "_append_ledger")
 
   /** Index MAINTENANCE: fold a delta corpus into a standing
     * [[buildPostingStore]] store. Postings and norms append bucket-aligned
@@ -180,7 +192,14 @@ object Retrieval {
     * disjoint from the standing corpus (append, not upsert).
     */
   def appendPostingStore(spark: SparkSession, delta: DataFrame, idCol: String,
-      textCol: String, db: String, nBuckets: Int): Unit = {
+      textCol: String, db: String, nBuckets: Int,
+      ledgerDir: java.io.File, batchId: Long): Unit = {
+    // REPLAY SAFETY (the d21/e12 committed-batchId discipline): a driver
+    // retry of an already-committed batch is suppressed entirely —
+    // re-appending would silently double every delta posting AND the
+    // rebuilt global stats. The marker publishes only after both appends
+    // and both stats rebuilds land.
+    if (Bucketing.isCommitted(ledgerDir, batchId)) return
     Bucketing.appendBucketed(postings(delta, idCol, textCol),
       s"$db.postings", nBuckets, Seq("term"))
     Bucketing.appendBucketed(docLengths(delta, idCol, textCol),
@@ -190,6 +209,7 @@ object Retrieval {
     corpusStats(spark.table(s"$db.doc_stats"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"$db.corpus_stats")
+    Bucketing.commit(ledgerDir, batchId, s"posting-store append into $db")
   }
 
   /** BM25 top-k against a [[buildPostingStore]] store. The query terms are

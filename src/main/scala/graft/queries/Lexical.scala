@@ -87,11 +87,17 @@ object Lexical {
     // doubled, or mis-bucketed posting (or a stale df) flips the hash.
     "b5_store_append" -> ((s, dir) => {
       val db = "graft_bm25_b5_" + Tables.dirTag(dir)
+      val dbLoc = Tables.scratch(db + "_db")
       val d = docs(s, dir)
       Retrieval.buildPostingStore(s, d.filter(col("doc_id") >= 50),
-        "doc_id", "text", db, Tables.scratch(db + "_db"), nBuckets = 8)
+        "doc_id", "text", db, dbLoc, nBuckets = 8)
+      val ledger = Retrieval.appendLedger(dbLoc)
       Retrieval.appendPostingStore(s, d.filter(col("doc_id") < 50),
-        "doc_id", "text", db, nBuckets = 8)
+        "doc_id", "text", db, nBuckets = 8, ledger, batchId = 1L)
+      // REPLAY the same batch: the ledger must suppress it — a second
+      // application would double the delta postings and flip the hash.
+      Retrieval.appendPostingStore(s, d.filter(col("doc_id") < 50),
+        "doc_id", "text", db, nBuckets = 8, ledger, batchId = 1L)
       Retrieval.bm25FromStore(s, db,
         Retrieval.queriesFromDocs(d, "doc_id", "text",
           col("doc_id") >= 8 && col("doc_id") < 13), k = 5)
@@ -132,6 +138,10 @@ object Lexical {
           .agg(min(col(rankCol).cast("int")).as("first_rel"))
           .agg(count(lit(1)).as("n_hit"),
             sum(expr("1000000 div first_rel")).as("sum_rr_e6"))
+          // A leg with zero hits contributes NO row (a global agg over
+          // empty input still emits one all-null row; the oracle's
+          // GROUP BY emits none — the engine must match the oracle).
+          .filter(col("n_hit") > 0)
           .select(lit(method).as("method"), col("n_hit"),
             col("sum_rr_e6"), expr("sum_rr_e6 div 8").as("mrr_e6"))
       mrrOf(lex, "lrank", "lex")

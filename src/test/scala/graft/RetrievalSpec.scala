@@ -111,8 +111,12 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbA LOCATION '/tmp/$dbA'")
     Retrieval.buildPostingStore(spark, docs.filter(col("doc_id") >= 100),
       "doc_id", "text", dbA, s"/tmp/$dbA", nBuckets = 8)
+    val ledger = Retrieval.appendLedger(s"/tmp/$dbA")
     Retrieval.appendPostingStore(spark, docs.filter(col("doc_id") < 100),
-      "doc_id", "text", dbA, nBuckets = 8)
+      "doc_id", "text", dbA, nBuckets = 8, ledger, batchId = 7L)
+    // Replay of the committed batch must be a no-op (exactly-once).
+    Retrieval.appendPostingStore(spark, docs.filter(col("doc_id") < 100),
+      "doc_id", "text", dbA, nBuckets = 8, ledger, batchId = 7L)
 
     // The global-stats rebuild off the bucketed postings must not shuffle.
     val rebuild = Retrieval.documentFrequencies(spark.table(s"$dbA.postings"))
