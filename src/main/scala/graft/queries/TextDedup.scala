@@ -343,18 +343,8 @@ object TextDedup {
     // exact scaled division, recall/precision gate through
     // greatest(·, 1) so an empty band can never divide by zero.
     "d25_lsh_calibration" -> ((s, dir) => {
-      val b = docs(s, dir).filter(col("doc_id") < 200)
-      val sh = Dedup.shingleHashes(b).persistTracked()
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val truth = sh.select(col("doc_id").as("doc_a"), col("h"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-        .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-        .withColumn("j_e6",
-          expr("(inter * 1000000) div (n_a + n_b - inter)"))
-        .select("doc_a", "doc_b", "j_e6").persistTracked()
+      val sh = boundedShingles(s, dir)
+      val truth = boundedJaccardTruth(sh)
       val candj = Dedup.candidatePairs(
           Dedup.lshBuckets(Dedup.minhashSignatures(sh)))
         .select("doc_a", "doc_b").distinct()
@@ -373,6 +363,38 @@ object TextDedup {
           expr("(n_hit * 1000000) div greatest(n_true, 1)"))
         .withColumn("precision_e6",
           expr("(n_hit * 1000000) div greatest(n_cand, 1)"))
+    }),
+
+    // MINHASH ESTIMATOR-QUALITY report (the sketch-accuracy eval behind
+    // the K choice: a K-component signature estimates Jaccard with
+    // ±1/√K): per true-Jaccard decile, the K=16 signature estimate
+    // (matching components div K) vs exact, with summed and mean
+    // absolute error — all-integer. A drifting error band is the signal
+    // K is too small for the corpus' similarity profile.
+    "d26_minhash_estimate" -> ((s, dir) => {
+      val sh = boundedShingles(s, dir)
+      val truth = boundedJaccardTruth(sh)
+      val sig = Dedup.minhashSignatures(sh)
+      val K = Dedup.K
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until K).map(k => col(s"s$k").as(s"a$k")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until K).map(k => col(s"s$k").as(s"b$k")): _*)
+      truth.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("matches",
+          (0 until K).map(k =>
+            when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+            .reduce(_ + _))
+        .withColumn("est_e6", expr(s"(matches * 1000000) div $K"))
+        .withColumn("abs_err", abs(col("est_e6") - col("j_e6")))
+        .withColumn("decile", expr("j_e6 div 100000").cast("int"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("est_e6").as("sum_est_e6"),
+          sum("j_e6").as("sum_true_e6"),
+          sum("abs_err").as("sum_abs_err_e6"))
+        .withColumn("mean_abs_err_e6",
+          expr("sum_abs_err_e6 div n_pairs"))
     }),
 
     // Cross-source overlap matrix: verified near-dup pairs (the d5 chain
@@ -975,6 +997,30 @@ object TextDedup {
 
   // ---- oracle ------------------------------------------------------------
 
+  /** Bounded-sub-corpus shingle hashes (doc_id < 200): the d10/d25/d26
+    * discipline under which exact pairwise ground truth is tractable at
+    * every SF.
+    */
+  private def boundedShingles(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingleHashes(docs(s, dir).filter(col("doc_id") < 200))
+      .persistTracked()
+
+  /** Exact pairwise Jaccard (integer j_e6) over every shared-shingle pair
+    * of the bounded corpus — the d25/d26 ground truth.
+    */
+  private def boundedJaccardTruth(sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("j_e6",
+        expr("(inter * 1000000) div (n_a + n_b - inter)"))
+      .select("doc_a", "doc_b", "j_e6").persistTracked()
+  }
+
   private val wsSql = """string_split_regex(lower(text), '\s+')"""
 
   private def toksSrcFrom(src: String): String =
@@ -1031,6 +1077,22 @@ object TextDedup {
 
   private val minhashChain =
     s"$toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $pairsSrc"
+
+  /** Shared d25/d26 oracle prefix: the bounded corpus' minhash chain plus
+    * exact pairwise ground truth (`truth(doc_a, doc_b, j_e6)`) — mirrors
+    * [[boundedShingles]] + [[boundedJaccardTruth]].
+    */
+  private lazy val boundedTruthCtes: String =
+    s"""bdocs AS (SELECT * FROM documents WHERE doc_id < 200),
+       |${toksSrcFrom("bdocs")}, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $pairsSrc,
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY 1),
+       |itr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT doc_a, doc_b,
+       |    CAST((inter * 1000000) // (ca.n_sh + cb.n_sh - inter) AS BIGINT) AS j_e6
+       |  FROM itr JOIN cnt ca ON itr.doc_a = ca.doc_id
+       |    JOIN cnt cb ON itr.doc_b = cb.doc_id)""".stripMargin
 
   /** t15's DSIR weight chain (hashing, +1 smoothing, round(lr, 9), per-doc
     * dot round(…, 6) — replicates dsirLogWeights exactly), ending in
@@ -2002,16 +2064,7 @@ object TextDedup {
          |  JOIN counts ca ON ca.doc_id = i.doc_a
          |  JOIN counts cb ON cb.doc_id = i.doc_b""".stripMargin,
     "d25_lsh_calibration" ->
-      s"""WITH bdocs AS (SELECT * FROM documents WHERE doc_id < 200),
-         |${toksSrcFrom("bdocs")}, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $pairsSrc,
-         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY 1),
-         |itr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |truth AS (SELECT doc_a, doc_b,
-         |    CAST((inter * 1000000) // (ca.n_sh + cb.n_sh - inter) AS BIGINT) AS j_e6
-         |  FROM itr JOIN cnt ca ON itr.doc_a = ca.doc_id
-         |    JOIN cnt cb ON itr.doc_b = cb.doc_id),
+      s"""WITH $boundedTruthCtes,
          |candj AS (SELECT c.doc_a, c.doc_b, coalesce(t.j_e6, 0) AS j_e6
          |  FROM (SELECT DISTINCT doc_a, doc_b FROM pairs) c
          |  LEFT JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
@@ -2025,6 +2078,27 @@ object TextDedup {
          |  CAST((n_hit * 1000000) // greatest(n_true, 1) AS BIGINT) AS recall_e6,
          |  CAST((n_hit * 1000000) // greatest(n_cand, 1) AS BIGINT) AS precision_e6
          |FROM ta JOIN ca2 USING (t_e6)""".stripMargin,
+    "d26_minhash_estimate" -> {
+      val matchesSql = (0 until Dedup.K)
+        .map(k => s"(CASE WHEN a.s$k = b.s$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $boundedTruthCtes,
+         |est AS (SELECT t.doc_a, t.doc_b, t.j_e6,
+         |    $matchesSql AS matches
+         |  FROM truth t JOIN sig a ON t.doc_a = a.doc_id
+         |    JOIN sig b ON t.doc_b = b.doc_id),
+         |e2 AS (SELECT j_e6,
+         |    CAST((matches * 1000000) // ${Dedup.K} AS BIGINT) AS est_e6
+         |  FROM est),
+         |e3 AS (SELECT CAST(j_e6 // 100000 AS INT) AS decile, j_e6, est_e6,
+         |    abs(est_e6 - j_e6) AS abs_err FROM e2)
+         |SELECT decile, count(*) AS n_pairs,
+         |  CAST(sum(est_e6) AS BIGINT) AS sum_est_e6,
+         |  CAST(sum(j_e6) AS BIGINT) AS sum_true_e6,
+         |  CAST(sum(abs_err) AS BIGINT) AS sum_abs_err_e6,
+         |  CAST(sum(abs_err) // count(*) AS BIGINT) AS mean_abs_err_e6
+         |FROM e3 GROUP BY 1""".stripMargin
+    },
     // d24: the d5 verify chain, jaccard-thresholded, endpoint sources
     // tagged, one rollup per unordered source pair.
     "d24_source_overlap" ->
