@@ -359,9 +359,31 @@ object TextOps {
           9).as("lr"))
     val tf = hashed.groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("tf"))
-    tf.join(broadcast(logRatio), "bucket")
+    // REASSOCIATION-STABLE sum (COVERAGE.md "Oracle pinning"): lr is
+    // already a 9-dp-rounded double, so lr·1e9 sits within an ulp of an
+    // integer — snap it to BIGINT once per bucket and sum tf·lr_e9
+    // EXACTLY. A plain double sum's low bits depend on aggregation
+    // order, and at 10× gate scale a rounding-tie log_w flipped the
+    // t15 hash on a random subset of DuckDB runs (the e13-class flake).
+    // One exact integer→double conversion + one round(…, 6) at the end
+    // is identical in any engine at any parallelism.
+    val lrE9 = logRatio.withColumn("lr_e9",
+      round(col("lr") * lit(1e9), 0).cast("long"))
+    tf.join(broadcast(lrE9), "bucket")
       .groupBy(col(idCol))
-      .agg(round(sum(col("tf").cast("double") * col("lr")), 6).as("log_w"),
+      .agg(sum(col("tf") * col("lr_e9")).as("_w_e9"),
         sum("tf").as("n_tokens"))
+      // 6-dp HALF-AWAY rounding done IN INTEGERS: `round(x/1e9, 6)` on an
+      // exact-tie value (…500 e-9) splits between engines' double-round
+      // implementations (observed at 10× gate scale: −0.0323715 rounded
+      // −0.032372 in Spark, −0.032371 in DuckDB). abs+500 div 1000 on
+      // POSITIVE longs truncates identically everywhere (negative `div`
+      // truncates in Spark but floors in DuckDB — never divide a
+      // negative); one exact integer→double division at the end.
+      .select(col(idCol),
+        expr("""CAST(CASE WHEN _w_e9 < 0 THEN -((-_w_e9 + 500) div 1000)
+                ELSE (_w_e9 + 500) div 1000 END AS DOUBLE)""")
+          .divide(lit(1e6)).as("log_w"),
+        col("n_tokens"))
   }
 }

@@ -1115,9 +1115,16 @@ object TextDedup {
        |  FROM dbr CROSS JOIN dtot),
        |dtf AS (SELECT doc_id, bucket, count(*) AS tf
        |       FROM dhashed GROUP BY doc_id, bucket),
-       |dsirw AS (SELECT doc_id, round(sum(tf * lr), 6) AS log_w,
+       |dlre AS (SELECT bucket, CAST(round(lr * 1e9) AS BIGINT) AS lr_e9
+       |  FROM dlr),
+       |dsums AS (SELECT doc_id, CAST(sum(tf * lr_e9) AS BIGINT) AS w_e9,
        |    CAST(sum(tf) AS BIGINT) AS n_tokens
-       |  FROM dtf JOIN dlr USING (bucket) GROUP BY doc_id)""".stripMargin
+       |  FROM dtf JOIN dlre USING (bucket) GROUP BY doc_id),
+       |dsirw AS (SELECT doc_id,
+       |    CAST(CASE WHEN w_e9 < 0 THEN -((-w_e9 + 500) // 1000)
+       |      ELSE (w_e9 + 500) // 1000 END AS DOUBLE) / 1e6 AS log_w,
+       |    n_tokens
+       |  FROM dsums)""".stripMargin
 
   /** The d22 viral span: all-lowercase, whitespace-only tokens (survives
     * the ws tokenizer identically in both engines), long enough to carry

@@ -46,10 +46,16 @@ class MixDsirSpec extends AnyFunSuite {
       b -> r9(math.log((tn + 1).toDouble / (tt + B)) -
         math.log((rn + 1).toDouble / (rt + B)))
     }.toMap
+    // mirror the engine's reassociation-stable integer pinning: lr
+    // snapped to e9 BIGINT per bucket, exact integer sum, 6-dp half-away
+    // rounding in integers, one final division
+    val lrE9 = lr.map { case (b, x) => b -> Math.round(x * 1e9) }
     docsSeq.foreach { case (id, t, _) =>
       val ws = t.split("\\s+").toSeq
-      val exp = r6(ws.groupBy(w => bucket(w.toLowerCase))
-        .map { case (b, g) => g.size * lr(b) }.sum)
+      val wE9 = ws.groupBy(w => bucket(w.toLowerCase))
+        .map { case (b, g) => g.size * lrE9(b) }.sum
+      val e6 = if (wE9 < 0) -((-wE9 + 500) / 1000) else (wE9 + 500) / 1000
+      val exp = e6.toDouble / 1e6
       assert(got(id)._1 === exp, s"doc $id")
       assert(got(id)._2 === ws.size.toLong)
     }
