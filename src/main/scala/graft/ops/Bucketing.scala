@@ -162,6 +162,16 @@ object Bucketing {
     Option(f.listFiles()).foreach(_.foreach(clearDir)); f.delete(); ()
   }
 
+  /** Count the parquet data files under a table directory — the
+    * observable the append-then-compact lifecycle moves: appends grow it
+    * by one file per touched bucket, compaction restores one per bucket.
+    */
+  def dataFileCount(dir: java.io.File): Int =
+    Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil).map { f =>
+      if (f.isDirectory) dataFileCount(f)
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    }.sum
+
   /** Join two same-bucketing tables on their bucket keys — plans with zero
     * exchanges when bucket layouts line up.
     */

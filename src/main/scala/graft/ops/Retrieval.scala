@@ -98,6 +98,16 @@ object Retrieval {
     // dl feeds two consumers (the one-row stats and the scoring join) —
     // unpersisted, each would re-tokenize the corpus.
     val dl = docLengths(docs, idCol, textCol).persistTracked()
+    bm25TopKFrom(post, dl, queries, k, k1, b)
+  }
+
+  /** [[bm25TopK]] against PREBUILT postings + norms frames — the reuse
+    * seam for multi-pass retrieval (RM3 scores twice against one index).
+    * Caller owns the frames' persistence.
+    */
+  def bm25TopKFrom(post: DataFrame, dl: DataFrame,
+      queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val stats = corpusStats(dl)
     val qterms = queries.select(col("query_id"), col("term")).distinct()
     // df is per-term, so computing it AFTER the query-term shrink yields
@@ -108,6 +118,41 @@ object Retrieval {
     scoreHits(
       post.join(broadcast(qterms), "term").join(broadcast(dfreq), "term"),
       dl, stats, k, k1, b)
+  }
+
+  /** PSEUDO-RELEVANCE FEEDBACK retrieval (the RM3 shape, tf-weighted): run
+    * the query batch once, take each query's top `fbDocs` docs as assumed-
+    * relevant, mine their postings for the `fbTerms` strongest terms the
+    * query did NOT already contain (by summed tf across the feedback docs,
+    * ties to the lexicographically smaller term), append them to the query,
+    * and score again. Both passes run [[bm25TopKFrom]] against ONE postings
+    * index; the feedback mining joins the ≤ |queries|·fbDocs feedback set
+    * against the postings KEYED ON doc_id — cost tracks the feedback docs'
+    * vocabulary, never the corpus. All ranking stays on exact e9-integer
+    * scores; expansion term selection is integer tf — no FP anywhere a
+    * term choice could flip.
+    */
+  def rm3TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, fbDocs: Int, fbTerms: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(docs, idCol, textCol).persistTracked()
+    val dl = docLengths(docs, idCol, textCol).persistTracked()
+    // q0 feeds three consumers (pass 1, the anti-join, the union).
+    val q0 = queries.select(col("query_id"), col("term")).distinct()
+      .persistTracked()
+    val fb = bm25TopKFrom(post, dl, q0, fbDocs, k1, b)
+      .select("query_id", "doc_id")
+    val wExp = Window.partitionBy("query_id")
+      .orderBy(col("fb_tf").desc, col("term"))
+    val exp = fb.join(post, "doc_id")
+      .join(q0, Seq("query_id", "term"), "left_anti")
+      .groupBy("query_id", "term").agg(sum("tf").as("fb_tf"))
+      .withColumn("_rk", row_number().over(wExp))
+      .filter(col("_rk") <= fbTerms)
+      .select("query_id", "term")
+    // exp is anti-joined against q0 and distinct per (query, term) by
+    // construction — plain union keeps the distinct invariant.
+    bm25TopKFrom(post, dl, q0.union(exp), k, k1, b)
   }
 
   /** Shared scoring tail: join the norms table onto the QUERY-SHRUNK hits
@@ -210,6 +255,82 @@ object Retrieval {
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"$db.corpus_stats")
     Bucketing.commit(ledgerDir, batchId, s"posting-store append into $db")
+  }
+
+  /** Store MAINTENANCE: COMPACTION. Each [[appendPostingStore]] adds one
+    * file per touched bucket; after N appends every probe pays an N-way
+    * per-bucket merge Sort. Compaction rewrites each bucketed table from
+    * its own current files back to the one-file-per-bucket sorted layout
+    * — ONE read + ONE write per table (the rewrite lands in a
+    * same-bucketing side table that is catalog-RENAMEd over the original;
+    * no second copy, no corpus shuffle: the repartition inside
+    * [[Bucketing.writeBucketed]] re-buckets rows that are already
+    * hash-placed, which AQE executes as a local rewrite). Derived tables
+    * (`term_stats`, `corpus_stats`) are rebuilt-in-full on every append,
+    * so they are already compact. The append ledger is NOT touched:
+    * compaction changes layout, not content, so committed batches stay
+    * committed.
+    */
+  def compactPostingStore(spark: SparkSession, db: String,
+      nBuckets: Int): Unit = {
+    rewriteStoreTable(spark, db, "postings", Seq("term"), nBuckets)(identity)
+    rewriteStoreTable(spark, db, "doc_stats", Seq("doc_id"), nBuckets)(identity)
+  }
+
+  /** Store MAINTENANCE: targeted DELETE (the right-to-be-forgotten path).
+    * Removing documents from a TERM-bucketed inverted index is a rewrite
+    * by construction — the doomed postings are scattered across every
+    * term bucket — so the honest cost is one anti-join rewrite of
+    * `postings` and `doc_stats` (delete set broadcast; the rewrite stays
+    * bucket-aligned, no corpus shuffle) plus the same global-stats
+    * rebuild an append pays: df, n_docs, and avgdl all shift when
+    * documents leave, and a store that kept serving the old stats would
+    * leak the deleted documents' statistics. The stats rebuild reads the
+    * rewritten bucketed postings, so its per-term groupBy plans with
+    * ZERO exchanges.
+    */
+  def deleteFromPostingStore(spark: SparkSession, db: String, nBuckets: Int,
+      deleteIds: DataFrame): Unit = {
+    val del = deleteIds.select(col("doc_id")).distinct()
+    rewriteStoreTable(spark, db, "postings", Seq("term"), nBuckets)(
+      _.join(broadcast(del), Seq("doc_id"), "left_anti"))
+    rewriteStoreTable(spark, db, "doc_stats", Seq("doc_id"), nBuckets)(
+      _.join(broadcast(del), Seq("doc_id"), "left_anti"))
+    Bucketing.writeBucketed(documentFrequencies(spark.table(s"$db.postings")),
+      s"$db.term_stats", nBuckets, Seq("term"))
+    corpusStats(spark.table(s"$db.doc_stats"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"$db.corpus_stats")
+  }
+
+  /** Rewrite one bucketed store table through `transform` with a single
+    * read + write: write into a same-bucketing `_rewriting` side table,
+    * drop the original (managed drop removes its directory), RENAME the
+    * side table into place (the catalog moves the directory; bucket-spec
+    * metadata rides the table entry). Not crash-atomic: a failure between
+    * drop and rename leaves the store serving from `_rewriting` — an
+    * orchestrator retries the maintenance job, the same honest boundary
+    * as the append ledger's publish gap.
+    */
+  private def rewriteStoreTable(spark: SparkSession, db: String, tbl: String,
+      keys: Seq[String], nBuckets: Int)
+      (transform: DataFrame => DataFrame): Unit = {
+    val full = s"$db.$tbl"
+    val side = s"$db.${tbl}_rewriting"
+    spark.sql(s"DROP TABLE IF EXISTS $side")
+    // Read the table's FILES, not the table: a bucketed-table read hands
+    // the planner a partitioning that displaces writeBucketed's explicit
+    // repartition with the write's own conf-sized AQE-coalescible
+    // shuffle — tasks then hold several buckets each and the rewrite
+    // lands one file per (task, bucket) instead of one per bucket. A
+    // plain parquet scan has unknown partitioning, so the repartition
+    // survives and the compact layout is guaranteed.
+    val files = org.apache.spark.sql.classic.GraftBridge
+      .tableLocation(spark, db, tbl)
+    Bucketing.writeBucketed(transform(spark.read.parquet(files)),
+      side, nBuckets, keys)
+    spark.sql(s"DROP TABLE $full")
+    spark.sql(s"ALTER TABLE $side RENAME TO $full")
   }
 
   /** BM25 top-k against a [[buildPostingStore]] store. The query terms are

@@ -461,6 +461,47 @@ object Split {
       .drop("_cum")
   }
 
+  /** DATA-CONSTRAINED epoch allocation (Muennighoff et al. 2023, "Scaling
+    * data-constrained language models"): when the token budget
+    * K = total·budgetNum/budgetDen EXCEEDS one pass over the preferred
+    * mixture, domains REPEAT — up to `capEpochs` epochs, the published
+    * operating point past which repeated data stops paying. Desired
+    * shares are uniform across domains (the max-upsampling mixture: every
+    * domain is asked for K/#domains tokens, ±1 apportioned by domain
+    * order so Σ desired = K exactly); a domain delivers
+    * emitted = min(desired, capEpochs·n_tok) — an oversized domain
+    * subsamples (epochs < 1), an undersized one repeats to the cap and
+    * REPORTS the unmet remainder rather than silently reassigning it
+    * (the reassignment policy — more epochs vs. other domains vs. less
+    * budget — is the caller's modeling decision, not this operator's).
+    *
+    * Output per domain: (n_tok, desired_tok, emitted_tok,
+    * epochs_e6 = emitted·10⁶ div n_tok, unmet_tok). All integer — no FP
+    * anywhere a token count could flip. Overflow bound: emitted·10⁶ must
+    * fit a BIGINT — safe through ~10¹²-token domains.
+    *
+    * Scale shape: one corpus groupBy to the #domains-row frame; the
+    * apportionment window is bounded by the domain count (metadata
+    * cardinality), never the corpus.
+    */
+  def epochMix(df: DataFrame, domainCol: String, tokCol: String,
+      budgetNum: Long, budgetDen: Long, capEpochs: Int): DataFrame = {
+    val caps = df.groupBy(domainCol).agg(sum(col(tokCol)).as("n_tok"))
+    val tot = caps.agg(sum("n_tok").as("_ttot"), count(lit(1)).as("_nd"))
+    val ord = Window.orderBy(col(domainCol))
+    caps.crossJoin(broadcast(tot))
+      .withColumn("_K", expr(s"(_ttot * $budgetNum) div $budgetDen"))
+      .withColumn("_rk", row_number().over(ord))
+      .withColumn("desired_tok", expr("_K div _nd") +
+        when(col("_rk") <= expr("_K % _nd"), 1L).otherwise(0L))
+      .withColumn("emitted_tok",
+        least(col("desired_tok"), lit(capEpochs.toLong) * col("n_tok")))
+      .withColumn("epochs_e6", expr("(emitted_tok * 1000000) div n_tok"))
+      .withColumn("unmet_tok", col("desired_tok") - col("emitted_tok"))
+      .select(col(domainCol), col("n_tok"), col("desired_tok"),
+        col("emitted_tok"), col("epochs_e6"), col("unmet_tok"))
+  }
+
   /** Sharded training export — the pipeline's final materialization: every
     * row gets a deterministic shard from its position in the seeded global
     * shuffle order (shard = (rn−1) % nShards), which gives exact ±1 shard

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.Caches.Registered
-import graft.ops.{Retrieval, Split, TextOps}
+import graft.ops.{Retrieval, Split, Stats, TextOps}
 import Tables.t
 
 /** Lexical-retrieval + LM-scored curation surface over `documents`:
@@ -195,7 +195,118 @@ object Lexical {
           col("st.n_fp").as("n_fp"),
           col("st.xor_fp").as("xor_fp"),
           expr("(CAST(st.n_fp AS BIGINT) * 1000000) div st.n_shingles")
-            .as("density_e6"))))
+            .as("density_e6"))),
+
+    // STORE COMPACTION (the append-then-compact lifecycle Bucketing's
+    // append documents): base build + TWO appended deltas leave every
+    // bucket holding three files; compaction rewrites postings/doc_stats
+    // back to one sorted file per bucket (single read+write per table,
+    // catalog-renamed into place). Gates: the in-query require proves the
+    // file count collapsed to ≤ nBuckets per table, and the post-compact
+    // search must STILL hash-equal b2's full-corpus oracle — a row lost,
+    // doubled, or mis-bucketed by the rewrite flips the hash.
+    "b7_store_compaction" -> ((s, dir) => {
+      val db = "graft_bm25_b7_" + Tables.dirTag(dir)
+      val dbLoc = Tables.scratch(db + "_db")
+      val d = docs(s, dir)
+      Retrieval.buildPostingStore(s, d.filter(col("doc_id") >= 50),
+        "doc_id", "text", db, dbLoc, nBuckets = 8)
+      val ledger = Retrieval.appendLedger(dbLoc)
+      Retrieval.appendPostingStore(s, d.filter(col("doc_id") < 25),
+        "doc_id", "text", db, nBuckets = 8, ledger, batchId = 1L)
+      Retrieval.appendPostingStore(s,
+        d.filter(col("doc_id") >= 25 && col("doc_id") < 50),
+        "doc_id", "text", db, nBuckets = 8, ledger, batchId = 2L)
+      Retrieval.compactPostingStore(s, db, nBuckets = 8)
+      for (tbl <- Seq("postings", "doc_stats")) {
+        val n = graft.ops.Bucketing.dataFileCount(
+          new java.io.File(dbLoc, tbl))
+        require(n <= 8, s"compaction left $n files in $tbl (want <= 8)")
+      }
+      Retrieval.bm25FromStore(s, db,
+        Retrieval.queriesFromDocs(d, "doc_id", "text",
+          col("doc_id") >= 8 && col("doc_id") < 13), k = 5)
+    }),
+
+    // STORE DELETE (right-to-be-forgotten): full-corpus store, then docs
+    // 20–29 are deleted — postings/doc_stats rewritten by anti-join
+    // (bucket-aligned, delete set broadcast) and the GLOBAL stats (df,
+    // n_docs, avgdl) rebuilt, because a store serving pre-delete stats
+    // would leak the deleted documents' statistics into every score. The
+    // oracle is the same search over the corpus WITH the docs removed —
+    // any residue of the deleted docs (a posting, a norm row, a stale
+    // df) flips scores and the hash.
+    "b8_store_delete" -> ((s, dir) => {
+      val db = "graft_bm25_b8_" + Tables.dirTag(dir)
+      val dbLoc = Tables.scratch(db + "_db")
+      val d = docs(s, dir)
+      Retrieval.buildPostingStore(s, d, "doc_id", "text", db, dbLoc,
+        nBuckets = 8)
+      Retrieval.deleteFromPostingStore(s, db, nBuckets = 8,
+        d.filter(col("doc_id") >= 20 && col("doc_id") < 30)
+          .select("doc_id"))
+      Retrieval.bm25FromStore(s, db,
+        Retrieval.queriesFromDocs(d, "doc_id", "text",
+          col("doc_id") >= 8 && col("doc_id") < 13), k = 5)
+    }),
+
+    // PSEUDO-RELEVANCE-FEEDBACK retrieval (RM3, tf-weighted): pass 1 =
+    // b1's query batch; each query's top-3 docs donate their 5 strongest
+    // NEW terms (summed tf, integer); pass 2 re-scores the expanded
+    // queries. Both passes share one persisted postings index; the gate
+    // hashes the post-expansion top-5 — a wrong expansion term set
+    // shifts scores and flips the hash.
+    "b6_rm3_expansion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = Retrieval.queriesFromDocs(d, "doc_id", "text",
+        col("doc_id") < 8)
+      Retrieval.rm3TopK(d, "doc_id", "text", q,
+        fbDocs = 3, fbTerms = 5, k = 5)
+    }),
+
+    // DATA-CONSTRAINED epoch allocation (Muennighoff et al. 2023): a 3×
+    // token budget over the per-LANGUAGE uniform mixture with a 4-epoch
+    // repetition cap — the skewed lang distribution makes `en` subsample
+    // (epochs < 1) while the tail languages repeat to the cap and report
+    // unmet remainders. All integer; the only corpus shuffle is the
+    // per-lang token rollup.
+    "o20_epoch_mix" -> ((s, dir) =>
+      Split.epochMix(
+        docs(s, dir).select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        "lang", "n_tokens", budgetNum = 3, budgetDen = 1, capEpochs = 4)),
+
+    // QUALITY-SIGNAL AGREEMENT: pairwise Pearson correlation between the
+    // four independent per-doc quality signals the stack gates on — t2's
+    // heuristic q_e6, t21's linear-classifier logit, t19's unigram-LM
+    // mean surprisal, and raw token length. Moment sums are EXACT
+    // DECIMAL(38,0) (order-independent — no t15 reassociation hazard);
+    // the one FP step is the final closed form on doubles converted from
+    // identical exact integers in both engines. One persistTracked token
+    // explode feeds all three derived signals.
+    "t22_signal_agreement" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ws = TextOps.tokens(col("text"))
+      val base = d.select(col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        floor(TextOps.qualityScore(ws) * lit(1e6)).cast("long").as("q_e6"))
+      val logit = TextOps.linearQualityGate(d, "doc_id", "text",
+          nBuckets = 64, seed = 23L)
+        .select(col("doc_id"), col("logit"))
+      val toks = d.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w")).persistTracked()
+      val freq = toks.groupBy("w").agg(count(lit(1)).as("wn"))
+      val total = toks.agg(count(lit(1)).as("_n"))
+      val surp = toks.join(freq, "w")
+        .crossJoin(broadcast(total))
+        .withColumn("c_e9",
+          floor(-log(col("wn").cast("double") / col("_n")) * lit(1e9))
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(expr("sum(c_e9) div count(1)").as("surp_e9"))
+      Stats.corrPairsExact(base.join(logit, "doc_id").join(surp, "doc_id"),
+        Seq("q_e6", "logit", "surp_e9", "n_tokens"))
+    }))
 
   /** Shared b3/b4 construction: (lexical top-20 ranks, dense top-20
     * ranks, RRF-fused ranked frame) over the embedded corpus subset.
@@ -272,16 +383,25 @@ object Lexical {
     * IEEE add, so the folded double is identical even where the decimal
     * literal `2.2` would not be).
     */
-  private def bm25Sql(qpred: String): String =
-    s"""WITH ${bm25Ctes(qpred, "documents")}
+  private def bm25Sql(qpred: String, src: String = "documents"): String =
+    s"""WITH ${bm25Ctes(qpred, src)}
        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_e9, n_terms_hit
        |FROM ranked WHERE rank <= 5""".stripMargin
 
   /** The chain up to `ranked(query_id, doc_id, score_e9, n_terms_hit,
     * rank)`; `src` is the corpus relation (b3 restricts it to the
-    * embedded subset).
+    * embedded subset). Split into index-side CTEs ([[bm25BaseCtes]]) and
+    * a reusable scoring pass ([[bm25ScoreCtes]]) so b6's two-pass RM3
+    * oracle runs both passes against ONE index chain, exactly like the
+    * engine.
     */
   private def bm25Ctes(qpred: String, src: String): String =
+    s"""${bm25BaseCtes(src)},
+       |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tl WHERE $qpred),
+       |${bm25ScoreCtes("qt", "")}""".stripMargin
+
+  /** Index-side CTEs: toks/tl/post/stats/dfreq over `src`. */
+  private def bm25BaseCtes(src: String): String =
     s"""toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
        |  FROM $src),
        |tl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term
@@ -289,9 +409,13 @@ object Lexical {
        |post AS (SELECT doc_id, term, dl, count(*) AS tf FROM tl GROUP BY 1, 2, 3),
        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens
        |  FROM (SELECT doc_id, max(dl) AS dl FROM post GROUP BY 1)),
-       |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
-       |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tl WHERE $qpred),
-       |hits AS (SELECT qt.query_id, p.doc_id,
+       |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1)""".stripMargin
+
+  /** One scoring pass against the [[bm25BaseCtes]] index: hits$sfx /
+    * scored$sfx / ranked$sfx from the (query_id, term) CTE named `qt`.
+    */
+  private def bm25ScoreCtes(qt: String, sfx: String): String =
+    s"""hits$sfx AS (SELECT $qt.query_id, p.doc_id,
        |    CAST(floor(
        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
        |          / (CAST(df AS DOUBLE) + 0.5))
@@ -300,21 +424,139 @@ object Lexical {
        |              * (CAST(dl AS DOUBLE)
        |                  / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
        |      * 1e9) AS BIGINT) AS c_e9
-       |  FROM post p JOIN qt USING (term) JOIN dfreq USING (term)
+       |  FROM post p JOIN $qt USING (term) JOIN dfreq USING (term)
        |  CROSS JOIN stats),
-       |scored AS (SELECT query_id, doc_id,
+       |scored$sfx AS (SELECT query_id, doc_id,
        |    CAST(sum(c_e9) AS BIGINT) AS score_e9, count(*) AS n_terms_hit
-       |  FROM hits GROUP BY 1, 2),
-       |ranked AS (SELECT *, row_number() OVER
+       |  FROM hits$sfx GROUP BY 1, 2),
+       |ranked$sfx AS (SELECT *, row_number() OVER
        |    (PARTITION BY query_id ORDER BY score_e9 DESC, doc_id) AS rank
-       |  FROM scored)""".stripMargin
+       |  FROM scored$sfx)""".stripMargin
+
+  /** t22's moment CTE + per-pair closed forms, generated from one signal
+    * list so the pair order and naming can never drift from the Scala
+    * side. Sums and products accumulate as HUGEINT (exact, like the
+    * engine's DECIMAL(38,0)); the closed form casts the identical exact
+    * integers to DOUBLE on both sides.
+    */
+  private val t22Sigs = Seq("q" -> "q_e6", "l" -> "logit",
+    "s" -> "surp_e9", "n" -> "n_tokens")
+
+  private lazy val t22MomSql: String = {
+    val sums = t22Sigs.map { case (k, c) => s"sum(CAST($c AS HUGEINT)) AS s_$k" }
+    val prods = for { i <- t22Sigs.indices; j <- i until t22Sigs.size } yield {
+      val (ka, ca) = t22Sigs(i); val (kb, cb) = t22Sigs(j)
+      s"sum(CAST($ca AS HUGEINT) * CAST($cb AS HUGEINT)) AS p_$ka$kb"
+    }
+    s"""mom AS (SELECT CAST(count(*) AS HUGEINT) AS cnt,
+       |    ${(sums ++ prods).mkString(",\n    ")}
+       |  FROM sig)""".stripMargin
+  }
+
+  private lazy val t22CorrSelects: String =
+    (for { i <- t22Sigs.indices; j <- (i + 1) until t22Sigs.size } yield {
+      val (ka, na) = t22Sigs(i); val (kb, nb) = t22Sigs(j)
+      s"""SELECT '$na' AS sig_x, '$nb' AS sig_y, CAST(cnt AS BIGINT) AS n,
+         |  CASE WHEN cnt * p_$ka$ka - s_$ka * s_$ka > 0
+         |        AND cnt * p_$kb$kb - s_$kb * s_$kb > 0 THEN
+         |    CAST(floor(CAST(cnt * p_$ka$kb - s_$ka * s_$kb AS DOUBLE)
+         |      / sqrt(CAST(cnt * p_$ka$ka - s_$ka * s_$ka AS DOUBLE)
+         |           * CAST(cnt * p_$kb$kb - s_$kb * s_$kb AS DOUBLE))
+         |      * 1e6) AS BIGINT)
+         |  END AS corr_e6 FROM mom""".stripMargin
+    }).mkString("\nUNION ALL\n")
 
   val oracle: Map[String, String] = Map(
+    "b6_rm3_expansion" ->
+      s"""WITH ${bm25BaseCtes("documents")},
+         |qt0 AS (SELECT DISTINCT doc_id AS query_id, term FROM tl
+         |  WHERE doc_id < 8),
+         |${bm25ScoreCtes("qt0", "0")},
+         |fb AS (SELECT query_id, doc_id FROM ranked0 WHERE rank <= 3),
+         |cand AS (SELECT f.query_id, p.term, CAST(sum(p.tf) AS BIGINT) AS fb_tf
+         |  FROM fb f JOIN post p USING (doc_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM qt0 q
+         |    WHERE q.query_id = f.query_id AND q.term = p.term)
+         |  GROUP BY 1, 2),
+         |exp AS (SELECT query_id, term FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY fb_tf DESC, term) AS rk FROM cand)
+         |  WHERE rk <= 5),
+         |qt AS (SELECT query_id, term FROM qt0
+         |  UNION ALL SELECT query_id, term FROM exp),
+         |${bm25ScoreCtes("qt", "")}
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_e9, n_terms_hit
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "o20_epoch_mix" ->
+      s"""WITH toks AS (SELECT lang,
+         |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |caps AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS n_tok
+         |  FROM toks GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS ttot, count(*) AS nd
+         |  FROM caps),
+         |r AS (SELECT lang, n_tok, (ttot * 3) // 1 AS K, nd,
+         |    row_number() OVER (ORDER BY lang) AS rk
+         |  FROM caps CROSS JOIN tot),
+         |d AS (SELECT lang, n_tok,
+         |    CAST(K // nd + CASE WHEN rk <= K % nd THEN 1 ELSE 0 END AS BIGINT)
+         |      AS desired_tok
+         |  FROM r)
+         |SELECT lang, n_tok, desired_tok,
+         |  CAST(least(desired_tok, 4 * n_tok) AS BIGINT) AS emitted_tok,
+         |  CAST((least(desired_tok, 4 * n_tok) * 1000000) // n_tok AS BIGINT)
+         |    AS epochs_e6,
+         |  CAST(desired_tok - least(desired_tok, 4 * n_tok) AS BIGINT)
+         |    AS unmet_tok
+         |FROM d""".stripMargin,
+    "t22_signal_agreement" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |  FROM documents),
+         |tok2 AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+         |m AS (SELECT doc_id,
+         |    CAST(len(list_filter(ws, w -> list_contains(${
+               TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+             }, w))) AS DOUBLE) / len(ws) AS stop_ratio,
+         |    CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+         |      / len(ws) AS awl,
+         |    len(ws) AS n
+         |  FROM toks),
+         |base AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |    CAST(floor((0.5 * stop_ratio
+         |      + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0)
+         |      + 0.2 * (awl / 10.0)) * 1e6) AS BIGINT) AS q_e6
+         |  FROM m),
+         |tf AS (SELECT doc_id,
+         |    ${graft.functions.Hashing.polyHashSql("w")} % 64 AS bucket,
+         |    count(*) AS tf
+         |  FROM tok2 GROUP BY 1, 2),
+         |wts AS (SELECT CAST(range AS INT) AS bucket,
+         |    ${graft.functions.Hashing.lcgSql("range", 23L,
+               graft.functions.Hashing.LcgM)} % 2001 - 1000 AS wgt
+         |  FROM range(64)),
+         |lg AS (SELECT doc_id, CAST(sum(tf * wgt) AS BIGINT) AS logit
+         |  FROM tf JOIN wts USING (bucket) GROUP BY doc_id),
+         |freq AS (SELECT w, count(*) AS wn FROM tok2 GROUP BY w),
+         |tot AS (SELECT count(*) AS n FROM tok2),
+         |surp AS (SELECT doc_id,
+         |    CAST(sum(CAST(floor(-ln(CAST(wn AS DOUBLE) / n) * 1e9) AS BIGINT))
+         |      // count(*) AS BIGINT) AS surp_e9
+         |  FROM tok2 JOIN freq USING (w) CROSS JOIN tot GROUP BY doc_id),
+         |sig AS (SELECT q_e6, logit, surp_e9, n_tokens
+         |  FROM base JOIN lg USING (doc_id) JOIN surp USING (doc_id)),
+         |$t22MomSql
+         |$t22CorrSelects""".stripMargin,
     "b1_bm25_topk" -> bm25Sql("doc_id < 8"),
     "b2_bm25_store" -> bm25Sql("doc_id >= 8 AND doc_id < 13"),
     // The append gate: the post-append store must equal the full-corpus
     // build — b2's oracle verbatim (the d21/e11 shared-oracle pattern).
     "b5_store_append" -> bm25Sql("doc_id >= 8 AND doc_id < 13"),
+    // Compaction changes layout, never content: b2's oracle verbatim.
+    "b7_store_compaction" -> bm25Sql("doc_id >= 8 AND doc_id < 13"),
+    // Delete: the same search over the corpus minus the deleted docs —
+    // global stats (df, n_docs, avgdl) recompute from the survivors.
+    "b8_store_delete" -> bm25Sql("doc_id >= 8 AND doc_id < 13",
+      "(SELECT * FROM documents WHERE doc_id < 20 OR doc_id >= 30)"),
     "b3_hybrid_rrf" ->
       s"""WITH $hybridCtes
          |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_e6, lrank0, drank0

@@ -26,6 +26,20 @@ object GraftBridge {
   def queryExecution(df: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.execution.QueryExecution =
     df.asInstanceOf[Dataset[_]].queryExecution
 
+  /** Filesystem location of a catalog table — for maintenance rewrites
+    * that must re-read a bucketed table's files as a PLAIN parquet scan
+    * (a scan whose partitioning is unknown, so an explicit repartition
+    * before a bucketed rewrite survives planning; reading via the table
+    * name lets the planner substitute the write's own conf-sized,
+    * AQE-coalescible shuffle and the one-file-per-bucket layout is lost).
+    */
+  def tableLocation(spark: org.apache.spark.sql.SparkSession, db: String,
+      table: String): String =
+    classicSession(spark).sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+      .location.toString
+
   /** Idempotently add a planner strategy + optimizer rules to a session. */
   def install(
       spark: org.apache.spark.sql.SparkSession,

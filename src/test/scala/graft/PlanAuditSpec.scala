@@ -38,6 +38,14 @@ class PlanAuditSpec extends AnyFunSuite {
                                // the lex/hybrid legs sharing one chain
     "b5_store_append" -> 1,    // b2's one-row corpus_stats read, now from
                                // the post-append store
+    "b6_rm3_expansion" -> 3,   // b1's one-row corpus stats, once per
+                               // scoring pass + once reprinted under the
+                               // persisted-postings subtree the feedback
+                               // mining shares
+    "b7_store_compaction" -> 1, // b2's one-row corpus_stats read (the
+                               // search; maintenance ran at construction)
+    "b8_store_delete" -> 1,    // same: the post-delete search's one-row
+                               // corpus_stats attach
     "t7_tfidf_top_term" -> 1,  // one-row doc-count aggregate
     "t15_dsir_weights" -> 1,   // one-row target/raw-total aggregate (the
                                // 64-row log-ratio table is a keyed join)
@@ -57,6 +65,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "o16_token_domain_mix" -> 3, // the same water-filling one-row attaches
                                // (caps/weights in tokens); selection is a
                                // keyed broadcast join + per-domain window
+    "o20_epoch_mix" -> 1,      // one-row (total, #domains) aggregate
+                               // attached to the #domains-row caps frame
     "v1_cosine_topk" -> 1,     // bounded 20-vector query set (baseline)
     "v4_ivf_topk" -> 2,        // broadcast centroid table, probe + assign
     "v11_ann_recall" -> 3,     // v1's bounded query set + v4's centroid

@@ -146,4 +146,87 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP DATABASE IF EXISTS $dbA CASCADE")
     spark.sql(s"DROP DATABASE IF EXISTS $dbB CASCADE")
   }
+
+  test("compaction restores one file per bucket; results and pruning survive") {
+    val docs = spark.range(240).select(col("id").as("doc_id"),
+      concat_ws(" ", expr("concat('c', id % 60)"),
+        expr("concat('c', (id + 5) % 60)")).as("text"))
+    val dbC = s"${db}_cpt"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbC LOCATION '/tmp/$dbC'")
+    Retrieval.buildPostingStore(spark, docs.filter(col("doc_id") >= 160),
+      "doc_id", "text", dbC, s"/tmp/$dbC", nBuckets = 8)
+    val ledger = Retrieval.appendLedger(s"/tmp/$dbC")
+    Retrieval.appendPostingStore(spark, docs.filter(col("doc_id") < 80),
+      "doc_id", "text", dbC, nBuckets = 8, ledger, batchId = 1L)
+    Retrieval.appendPostingStore(spark,
+      docs.filter(col("doc_id") >= 80 && col("doc_id") < 160),
+      "doc_id", "text", dbC, nBuckets = 8, ledger, batchId = 2L)
+
+    val q = Seq((3L, "c7"), (3L, "c9")).toDF("query_id", "term")
+    val before = Retrieval.bm25FromStore(spark, dbC, q, k = 10)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val postingsDir = new java.io.File(s"/tmp/$dbC", "postings")
+    val filesBefore = graft.ops.Bucketing.dataFileCount(postingsDir)
+
+    Retrieval.compactPostingStore(spark, dbC, nBuckets = 8)
+
+    val filesAfter = graft.ops.Bucketing.dataFileCount(postingsDir)
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    assert(filesAfter <= 8, s"expected one file per bucket, got $filesAfter")
+    val after = Retrieval.bm25FromStore(spark, dbC, q, k = 10)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(after.toSeq == before.toSeq, "compaction changed search results")
+    spark.sql(s"DROP DATABASE IF EXISTS $dbC CASCADE")
+  }
+
+  test("store delete equals a fresh build on the filtered corpus") {
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat_ws(" ", expr("concat('w', id % 40)"),
+        expr("concat('w', (id + 3) % 40)"),
+        expr("concat('w', (id * 11) % 40)")).as("text"))
+    val dbD = s"${db}_del"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbD LOCATION '/tmp/$dbD'")
+    Retrieval.buildPostingStore(spark, docs, "doc_id", "text", dbD,
+      s"/tmp/$dbD", nBuckets = 8)
+    Retrieval.deleteFromPostingStore(spark, dbD, nBuckets = 8,
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id"))
+
+    val dbE = s"${db}_delref"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbE LOCATION '/tmp/$dbE'")
+    Retrieval.buildPostingStore(spark, docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", dbE, s"/tmp/$dbE", nBuckets = 8)
+    for (tbl <- Seq("postings", "term_stats", "doc_stats", "corpus_stats")) {
+      val a = spark.table(s"$dbD.$tbl").collect().map(_.toSeq).sortBy(_.toString)
+      val b = spark.table(s"$dbE.$tbl").collect().map(_.toSeq).sortBy(_.toString)
+      assert(a.toSeq == b.toSeq, s"$tbl differs between delete and fresh build")
+    }
+    spark.sql(s"DROP DATABASE IF EXISTS $dbD CASCADE")
+    spark.sql(s"DROP DATABASE IF EXISTS $dbE CASCADE")
+  }
+
+  test("rm3 expansion retrieves a doc the original query missed") {
+    val d = Seq((0L, "apple"), (1L, "apple cherry"), (2L, "cherry cherry egg"))
+      .toDF("doc_id", "text")
+    val q = Retrieval.queriesFromDocs(d, "doc_id", "text", col("doc_id") === 0)
+    val base = Retrieval.bm25TopK(d, "doc_id", "text", q, k = 10).collect()
+    assert(base.map(_.getLong(2)).toSet === Set(0L, 1L))
+    // fb = {doc0, doc1}; doc1 donates "cherry"; pass 2 reaches doc2.
+    val got = Retrieval.rm3TopK(d, "doc_id", "text", q,
+      fbDocs = 2, fbTerms = 1, k = 10).collect()
+    assert(got.map(_.getLong(2)).toSet === Set(0L, 1L, 2L))
+  }
+
+  test("rm3 picks expansion terms by summed feedback tf, not position") {
+    // Feedback docs {0,1,2} donate cherry (Σtf=2) and egg (Σtf=1);
+    // fbTerms=1 must pick cherry — observable because only doc3 is
+    // cherry-only and only doc4 is egg-only.
+    val d = Seq((0L, "apple"), (1L, "apple cherry egg"), (2L, "apple cherry"),
+      (3L, "cherry cherry"), (4L, "egg egg")).toDF("doc_id", "text")
+    val q = Retrieval.queriesFromDocs(d, "doc_id", "text", col("doc_id") === 0)
+    val got = Retrieval.rm3TopK(d, "doc_id", "text", q,
+      fbDocs = 3, fbTerms = 1, k = 10).collect()
+    val hit = got.map(_.getLong(2)).toSet
+    assert(hit.contains(3L) && !hit.contains(4L))
+  }
 }
