@@ -116,19 +116,43 @@ object Dedup {
       .agg(count(col("band")).as("n_bands"))
   }
 
-  /** [[candidatePairs]] through the EXPLICIT salted join — the known-skew
-    * escape hatch for the LSH chain: one viral span (boilerplate footer,
-    * licence block) shared by a large slice of the corpus collapses those
-    * docs into the same (band, band_key) buckets, and the plain self-join
-    * then lands the whole hot bucket on one task. Salting spreads each
-    * hot bucket's probe side over `salts` tasks while the build side
-    * replicates per salt; every pair still meets exactly once, so the
-    * result is row-identical to [[candidatePairs]] (the d22 gate). AQE's
-    * runtime skew-split handles moderate skew without this; the explicit
-    * form is for skew known at plan time — at 100 TB, the difference
-    * between a straggler task holding 30% of the corpus and S even ones.
+  /** [[candidatePairs]] through the salted join — the known-skew escape
+    * hatch for the LSH chain: one viral span (boilerplate footer, licence
+    * block) shared by a large slice of the corpus collapses those docs
+    * into the same (band, band_key) buckets, and the plain self-join then
+    * lands the whole hot bucket on one task. DEFAULTS to the HOT-ONLY
+    * path ([[Skew.saltedJoinHot]] with the auto threshold from the bucket
+    * histogram): only buckets above max(floor, 8× mean size) are salted,
+    * so build-side replication is proportional to the skew itself, not
+    * the corpus — measured ~2× faster than salt-everything on the d22/d23
+    * scenario and the only shape that holds at 100 TB. Every pair still
+    * meets exactly once, so the result is row-identical to
+    * [[candidatePairs]] (the d22 gate). AQE's runtime skew-split handles
+    * moderate skew without this; the explicit form is for skew known at
+    * plan time — the difference between a straggler task holding 30% of
+    * the corpus and S even ones. For an input KNOWN to be uniformly hot
+    * (every bucket viral — no cold tail to spare), [[candidatePairsSaltedAll]]
+    * skips the histogram and salts everything.
     */
   def candidatePairsSalted(buckets: DataFrame, salts: Int): DataFrame = {
+    // The bucket frame feeds the histogram, four hot/cold semi/anti legs
+    // and both join sides — persist it or each leg re-runs the whole
+    // LSH chain upstream (idempotent if the caller already persisted:
+    // CacheManager dedups by plan).
+    val bk = graft.engine.Caches.persisted(buckets)
+    val a = bk.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = bk.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    Skew.saltedJoinHot(a, b, Seq("band", "band_key"), salts)
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(col("band")).as("n_bands"))
+  }
+
+  /** Salt-EVERYTHING variant of [[candidatePairsSalted]] for inputs known
+    * to be uniformly hot: replicates the whole build side per salt,
+    * skipping the histogram pass the hot-only default pays.
+    */
+  def candidatePairsSaltedAll(buckets: DataFrame, salts: Int): DataFrame = {
     val a = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
     val b = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
     Skew.saltedJoin(a, b, Seq("band", "band_key"), salts)
@@ -194,6 +218,27 @@ object Dedup {
     connectedComponents(
       candidatePairs(lshBuckets(minhashSignatures(shingleHashes(docs))))
         .select("doc_a", "doc_b"))
+
+  /** INCREMENTAL connected components — the cluster-map maintenance leg
+    * of the standing-store lifecycle (d20/d21 maintain SIGNATURES
+    * incrementally; this maintains the CLUSTER MAP): fold a delta's new
+    * pair edges into an existing (doc_id, keep_id) assignment WITHOUT
+    * re-reading the standing corpus' pairs. The standing map's rows are
+    * themselves connectivity-preserving star edges (every member — root
+    * included, via its self-row — is connected to its component's root,
+    * and the root IS the component's min id), so min-label propagation
+    * over (star edges ∪ delta pairs) reaches exactly the components —
+    * and exactly the min-id labels — a full recompute over
+    * (old pairs ∪ delta pairs) would: the d28 gate hash-proves it. Cost
+    * scales with |standing map| + |delta pairs| (one row per standing
+    * DOC, not per standing PAIR — the map is already the quotient), and
+    * near-clique components converge in the fused first round.
+    */
+  def connectedComponentsIncremental(standing: DataFrame,
+      deltaPairs: DataFrame): DataFrame =
+    connectedComponents(
+      standing.select(col("doc_id").as("doc_a"), col("keep_id").as("doc_b"))
+        .unionByName(deltaPairs.select("doc_a", "doc_b")))
 
   /** Canonical-document selection: per duplicate cluster, keep the member
     * with the highest score (ties → lowest doc_id) — the production form
@@ -788,8 +833,11 @@ object Dedup {
     * columns are independent min aggregates over the SIDE-ALIGNED doc
     * ids (min_doc_a always belongs to src_a — not necessarily the same
     * pair as min_doc_b, but each deterministic and source-correct);
-    * avg(jaccard) follows the t6 round(…, 6) discipline over 6-dp
-    * inputs.
+    * avg_jaccard is accumulated in EXACT e6 integer space (each 6-dp
+    * jaccard recovers its integer form losslessly, the sum is an
+    * associative long, and one round-half-up integer division produces
+    * the mean) — the t15 reassociation discipline: no double sum whose
+    * value could depend on partitioning/merge order at scale.
     */
   def sourceOverlap(docs: DataFrame, srcCol: String, minJaccard: Double,
       minBands: Int = 2): DataFrame = {
@@ -814,7 +862,14 @@ object Dedup {
         col("jaccard"))
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg("jaccard"), 6).as("avg_jaccard"),
+        sum(round(col("jaccard") * 1e6, 0).cast("long")).as("_sum_e6"),
         min("wit_a").as("min_doc_a"), min("wit_b").as("min_doc_b"))
+      // round-half-up mean without 2*sum (which could overflow a long at
+      // ~1e12 pairs/group): q = floor(sum/n), then +1 iff remainder >= n/2.
+      .withColumn("avg_jaccard",
+        (expr("_sum_e6 div n_pairs") +
+          when(expr("(_sum_e6 - (_sum_e6 div n_pairs) * n_pairs) * 2") >=
+            col("n_pairs"), 1L).otherwise(0L)).cast("double") / 1e6)
+      .drop("_sum_e6")
   }
 }

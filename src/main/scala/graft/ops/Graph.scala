@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Iterative graph analytics over the duplication graph the LSH chain
+  * produces ([[Dedup.candidatePairs]]). Connected components (membership)
+  * live in [[Dedup]]; this adds CENTRALITY — which documents sit at the
+  * core of a duplication neighborhood vs its periphery. The production
+  * use is authority-weighted canonical selection and crawl-frontier
+  * prioritization: a template page duplicated by thousands of leaves has
+  * maximal centrality, and [[Dedup.keepBest]] scored by rank keeps the
+  * page the duplication actually radiates from rather than an arbitrary
+  * longest member.
+  *
+  * Scale shape: per iteration ONE keyed join (ranks ⋈ edges on the source
+  * vertex) and one sum-groupBy on the destination — the textbook
+  * power-iteration shuffle pair, keyed on vertex id throughout; no
+  * adjacency ever materializes on the driver. Lineage is truncated per
+  * round with a lazy `localCheckpoint` (the [[Dedup.connectedComponents]]
+  * discipline — without it round N's plan embeds rounds 1..N−1 and
+  * Catalyst re-analysis dwarfs the jobs), and superseded rounds release
+  * their blocks immediately.
+  *
+  * Numerics: ALL-INTEGER fixed point in e12 mass units — rank mass is a
+  * BIGINT, every share split and damping step is a floor division, so the
+  * result is bit-identical under any partitioning, merge order, or
+  * engine (the t15 reassociation discipline; a double-accumulated
+  * PageRank's low bits depend on reduce order). Floor remainders simply
+  * leave the system (mass is not conserved exactly), which is fine for a
+  * RANKING signal and the price of cross-engine exactness.
+  */
+object Graph {
+
+  /** Damped PageRank over a SYMMETRIC edge frame (`src`, `dst` columns;
+    * every vertex must appear as a source — [[Dedup.candidatePairs]]
+    * output symmetrized via [[symmetrize]] satisfies both). Fixed
+    * `iters` power-iteration rounds, damping 0.85, masses in e12 units:
+    *
+    *   r₀(v)    = 10¹² ÷ n
+    *   rᵢ₊₁(v) = (0.15·10¹²) ÷ n  +  Σ_{u→v} ((rᵢ(u) ÷ deg(u)) · 85) ÷ 100
+    *
+    * with ÷ integer floor division throughout. Returns
+    * (node, r_e12, deg). Overflow-safe: per-edge shares are ≤ 10¹², the
+    * damped share ≤ 8.5·10¹³, and a vertex's incoming sum is bounded by
+    * the total system mass 10¹² plus base — far inside BIGINT at any n.
+    */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "pagerank needs at least one iteration")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Vertex count rides a one-row broadcast (no driver action): both the
+    // uniform init and the per-round teleport base derive from it in-plan.
+    val n = deg.agg(count(lit(1)).as("_n"))
+    var ranks = deg.select(col("src").as("node")).crossJoin(broadcast(n))
+      .select(col("node"), expr("1000000000000 div _n").as("r"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(e.withColumnRenamed("src", "node"), "node")
+        .join(deg.withColumnRenamed("src", "node"), "node")
+        .select(col("dst").as("node"),
+          expr("((r div deg) * 85) div 100").as("c"))
+      val next = contrib.groupBy("node").agg(sum("c").as("_in"))
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          (expr("150000000000 div _n") + col("_in")).as("r"))
+        .localCheckpoint(false)
+      next.count() // materialize before releasing the superseded round
+      ranks.unpersist()
+      ranks = next
+    }
+    val out = ranks
+      .join(deg.withColumnRenamed("src", "node"), "node")
+      .select(col("node"), col("r").as("r_e12"), col("deg"))
+    out
+  }
+
+  /** (doc_a, doc_b) pairs → symmetric (src, dst) edges, in ONE pass over
+    * the pair pipeline (a union with the swapped projection would run the
+    * expensive upstream LSH chain twice — the
+    * [[Dedup.connectedComponents]] explode discipline).
+    */
+  def symmetrize(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+      struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+      struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+}

@@ -305,18 +305,23 @@ object Retrieval {
 
   /** Rewrite one bucketed store table through `transform` with a single
     * read + write: write into a same-bucketing `_rewriting` side table,
-    * drop the original (managed drop removes its directory), RENAME the
-    * side table into place (the catalog moves the directory; bucket-spec
-    * metadata rides the table entry). Not crash-atomic: a failure between
-    * drop and rename leaves the store serving from `_rewriting` — an
-    * orchestrator retries the maintenance job, the same honest boundary
-    * as the append ledger's publish gap.
+    * rename the original ASIDE to `_old`, RENAME the side table into
+    * place (the catalog moves the directory; bucket-spec metadata rides
+    * the table entry), then drop `_old`. Not crash-atomic, but every
+    * crash point leaves a COMPLETE servable copy under some name: before
+    * the first rename the original serves; between the renames both
+    * `_old` and `_rewriting` hold full copies; after, the new table
+    * serves (a leftover `_old` is garbage-collected by the next rewrite).
+    * Recovery is one catalog rename by the retrying orchestrator — no
+    * window where the only copy is a dropped directory, unlike
+    * drop-then-rename (ADVICE r12).
     */
   private def rewriteStoreTable(spark: SparkSession, db: String, tbl: String,
       keys: Seq[String], nBuckets: Int)
       (transform: DataFrame => DataFrame): Unit = {
     val full = s"$db.$tbl"
     val side = s"$db.${tbl}_rewriting"
+    val old = s"$db.${tbl}_old"
     spark.sql(s"DROP TABLE IF EXISTS $side")
     // Read the table's FILES, not the table: a bucketed-table read hands
     // the planner a partitioning that displaces writeBucketed's explicit
@@ -329,8 +334,10 @@ object Retrieval {
       .tableLocation(spark, db, tbl)
     Bucketing.writeBucketed(transform(spark.read.parquet(files)),
       side, nBuckets, keys)
-    spark.sql(s"DROP TABLE $full")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    spark.sql(s"ALTER TABLE $full RENAME TO $old")
     spark.sql(s"ALTER TABLE $side RENAME TO $full")
+    spark.sql(s"DROP TABLE $old")
   }
 
   /** BM25 top-k against a [[buildPostingStore]] store. The query terms are

@@ -90,16 +90,51 @@ object Skew {
     * |small| / threshold).
     */
   def saltedJoinHot(big: DataFrame, small: DataFrame, keys: Seq[String],
-      salts: Int, threshold: Long): DataFrame = {
+      salts: Int, threshold: Long): DataFrame =
+    saltedJoinHotWith(big, small, keys, salts,
+      keyHistogram(small, keys).filter(col("_n") > threshold))
+
+  /** Auto-threshold floor: a key must hold more rows than this to be
+    * salted regardless of the mean — below it a single task absorbs the
+    * key trivially and salting would only add replication.
+    */
+  val HotAutoFloor = 32L
+
+  /** Auto-threshold skew factor: a key is hot when it exceeds this
+    * multiple of the MEAN key size. 8× is far past natural hash-bucket
+    * variance but far below the orders-of-magnitude skew (a viral span's
+    * bucket holding a corpus percentage) the salted path exists for.
+    */
+  val HotAutoFactor = 8.0
+
+  /** [[saltedJoinHot]] with the threshold derived FROM the build side's
+    * own key histogram: hot = keys above max([[HotAutoFloor]],
+    * [[HotAutoFactor]] × mean key size). The mean rides the same
+    * histogram aggregate as a one-row broadcast (no driver action, no
+    * extra pass), so callers get replication ∝ skew without picking a
+    * magic row count — the form [[graft.ops.Dedup.candidatePairsSalted]]
+    * defaults to.
+    */
+  def saltedJoinHot(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int): DataFrame = {
+    val hist = keyHistogram(small, keys)
+    val stats = hist.agg(coalesce(avg("_n"), lit(0.0)).as("_avg"))
+    saltedJoinHotWith(big, small, keys, salts,
+      hist.crossJoin(broadcast(stats))
+        .filter(col("_n").cast("double") >
+          greatest(lit(HotAutoFloor.toDouble), col("_avg") * HotAutoFactor)))
+  }
+
+  private def keyHistogram(small: DataFrame, keys: Seq[String]): DataFrame =
+    small.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+
+  private def saltedJoinHotWith(big: DataFrame, small: DataFrame,
+      keys: Seq[String], salts: Int, hotKeys: DataFrame): DataFrame = {
     // localCheckpoint: the hot-key set feeds FOUR semi/anti joins —
     // without the cut each would re-run the histogram aggregate over the
     // full small side. The frame itself is tiny (≤ |small| / threshold
     // keys); blocks are ContextCleaner-owned (model-frame discipline).
-    val hot = small.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > threshold)
-      .select(keys.map(col): _*)
-      .localCheckpoint()
+    val hot = hotKeys.select(keys.map(col): _*).localCheckpoint()
     val bigHot = big.join(broadcast(hot), keys, "left_semi")
     val bigCold = big.join(broadcast(hot), keys, "left_anti")
     val smallHot = small.join(broadcast(hot), keys, "left_semi")

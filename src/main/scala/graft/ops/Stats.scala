@@ -26,7 +26,13 @@ object Stats {
     * SQL `corr`.
     *
     * Overflow bound: n·Σx·y must fit DECIMAL(38,0) — safe while
-    * n·max|x|·max|y| < 10³⁸ (e.g. 10¹² rows of e9-scaled signals).
+    * n·max|x|·max|y| < 10³⁸ (e.g. 10¹² rows of e9-scaled signals). The
+    * bound is ENFORCED at runtime: non-ANSI Spark nulls a DECIMAL
+    * overflow silently while DuckDB's HUGEINT keeps exact values to
+    * ~1.7e38, so past the envelope the engines would diverge (NULL vs a
+    * value) without erroring — this fails fast instead. The check rides
+    * the same one-row moment pass (max|x| per signal), costing no extra
+    * scan.
     *
     * Scale shape: ONE partial-aggregated global pass over the signal frame
     * (the single-partition reduce sees #partitions rows); the pair
@@ -43,12 +49,32 @@ object Stats {
       sigCols.map(c => sum(col(c).cast(dec)).as(s"_s_$c")) ++
         selfAndCross.map { case (a, b) =>
           sum(col(a).cast(dec) * col(b).cast(dec)).as(s"_p_${a}_${b}")
-        }
+        } ++
+        sigCols.map(c => max(abs(col(c).cast(dec))).as(s"_m_$c"))
     // One-row model frame feeding one branch per pair — localCheckpoint
     // (the waterFillQuotas discipline) or each branch re-runs the corpus
     // aggregation.
     val m = df.agg(count(lit(1)).cast(dec).as("_n"), aggs: _*)
       .localCheckpoint()
+    // Enforce the documented envelope from the SAME one-row frame: every
+    // moment Spark accumulates is bounded by n·max|a|·max|b|, and a
+    // DECIMAL(38,0) overflow in non-ANSI mode is a silent NULL, not an
+    // error. One bounded head() on the model row (k signals), no scan.
+    locally {
+      val row = m.head()
+      val n = BigDecimal(row.getDecimal(row.fieldIndex("_n")))
+      val limit = BigDecimal("1e38")
+      for ((a, b) <- selfAndCross) {
+        val ma = Option(row.getDecimal(row.fieldIndex(s"_m_$a")))
+          .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+        val mb = Option(row.getDecimal(row.fieldIndex(s"_m_$b")))
+          .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+        require(n * ma * mb < limit,
+          s"corrPairsExact overflow envelope exceeded for ($a, $b): " +
+            s"n=$n max|$a|=$ma max|$b|=$mb — n*max|a|*max|b| must stay " +
+            "under 1e38 (DECIMAL(38,0)); rescale the signals first")
+      }
+    }
     val rows = for {
       i <- sigCols.indices; j <- (i + 1) until sigCols.size
     } yield {

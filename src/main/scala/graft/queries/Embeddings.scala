@@ -814,7 +814,7 @@ object Embeddings {
          |                         ORDER BY $kmD2, c.cl) AS rk
          |    FROM v CROSS JOIN c$KmeansIters c)
          |  WHERE rk = 1)
-         |SELECT cell, count(*) AS n_vecs, sum(vec_id) AS sum_ids,
+         |SELECT cell, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_ids,
          |  max(d2) AS max_d2
          |FROM asg GROUP BY cell""".stripMargin,
     "v8_pq_encode" ->

@@ -128,6 +128,11 @@ object Lexical {
       val labels = emb.select(col("vec_id").as("doc_id"), col("label"))
       val qlabels = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+      // The MRR divisor is the ACTUAL query-batch size, not the nominal 8
+      // — at a scale factor with fewer than 8 embedded vectors the metric
+      // would otherwise be mislabeled as a mean (ADVICE r12). Bounded
+      // count of an 8-row-max broadcast frame.
+      val nQ = math.max(qlabels.count(), 1L)
       def mrrOf(ranks: DataFrame, rankCol: String, method: String): DataFrame =
         ranks.filter(col(rankCol) <= 10)
           .join(broadcast(qlabels), "query_id")
@@ -143,7 +148,7 @@ object Lexical {
           // GROUP BY emits none — the engine must match the oracle).
           .filter(col("n_hit") > 0)
           .select(lit(method).as("method"), col("n_hit"),
-            col("sum_rr_e6"), expr("sum_rr_e6 div 8").as("mrr_e6"))
+            col("sum_rr_e6"), expr(s"sum_rr_e6 div $nQ").as("mrr_e6"))
       mrrOf(lex, "lrank", "lex")
         .unionByName(mrrOf(den, "drank", "dense"))
         .unionByName(mrrOf(fused, "rank", "hybrid"))
@@ -581,10 +586,11 @@ object Lexical {
          |    FROM r JOIN lab USING (doc_id) JOIN qlab USING (query_id)
          |    WHERE rank <= 10 AND label = qlabel AND doc_id <> query_id
          |    GROUP BY query_id)
+         |, nq AS (SELECT greatest(count(*), 1) AS n_q FROM qlab)
          |SELECT method, count(*) AS n_hit,
          |  CAST(sum(1000000 // first_rel) AS BIGINT) AS sum_rr_e6,
-         |  CAST(sum(1000000 // first_rel) // 8 AS BIGINT) AS mrr_e6
-         |FROM firsts GROUP BY method""".stripMargin,
+         |  CAST(sum(1000000 // first_rel) // max(n_q) AS BIGINT) AS mrr_e6
+         |FROM firsts CROSS JOIN nq GROUP BY method""".stripMargin,
     "t19_ppl_buckets" ->
       s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
          |  FROM documents),

@@ -26,13 +26,17 @@ object Tables {
     * DIFFERENT data dirs (a spec at sf0.001 while a Verify sweep runs
     * sf0.1) must not share — and reset — the same standing stores.
     * Within one dir the name stays fixed, preserving the
-    * overwrite-don't-leak contract of [[scratch]]. The tag is the
-    * sanitized path itself, not a hash — distinct dirs can NEVER
-    * collide (a 32-bit hash would merely make the cross-sweep clobber
-    * rare instead of impossible).
+    * overwrite-don't-leak contract of [[scratch]]. The sanitizer collapses
+    * every non-alphanumeric run to '_', so distinct raw paths CAN share a
+    * sanitized form (/data/sf0.1 vs /data/sf0_1); a digest of the raw
+    * path (MD5 prefix — stable across JVMs, unlike String.hashCode's
+    * 32-bit spread) is appended so such pairs still get distinct stores.
     */
-  def dirTag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+  def dirTag(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_") + "_" + digest
+  }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     Session.prepare(spark)

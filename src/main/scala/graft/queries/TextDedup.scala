@@ -404,6 +404,40 @@ object TextDedup {
     "d24_source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(docs(s, dir), "source", minJaccard = 0.35)),
 
+    // PAGERANK CENTRALITY over the duplication graph — which documents a
+    // duplication neighborhood radiates FROM (template/source pages score
+    // high, leaf copies low): 10 all-integer e12 power-iteration rounds
+    // over the symmetrized LSH pair graph (one keyed join + one
+    // sum-groupBy per round; floor-division damping, so the oracle's
+    // unrolled SQL is bit-identical — no double accumulation anywhere).
+    "d27_dup_pagerank" -> ((s, dir) =>
+      graft.ops.Graph.pagerank(
+        graft.ops.Graph.symmetrize(
+          Dedup.candidatePairs(Dedup.lshBuckets(Dedup.minhashSignatures(
+            Dedup.shingleHashes(docs(s, dir))))).select("doc_a", "doc_b")),
+        iters = 10)
+        .select(col("node").as("doc_id"), col("r_e12"), col("deg"))),
+
+    // INCREMENTAL cluster-map maintenance — the CC leg of the standing-
+    // store lifecycle: the standing corpus (doc_id >= 100) holds a
+    // dupClusters map; a delta (doc_id < 100) arrives and contributes the
+    // pairs it participates in. Folding (standing map as star edges ∪
+    // delta pairs) through min-label propagation must hash-equal the d8
+    // FULL recompute over the whole corpus — the map update never
+    // re-reads the standing corpus' pair graph. (The delta pair frame
+    // here filters the full-corpus pairs for the gate; production derives
+    // it from the d20 bucket-store probe, whose output is exactly these
+    // rows.)
+    "d28_cc_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val standing = Dedup.dupClusters(d.filter(col("doc_id") >= 100))
+      val delta = Dedup.candidatePairs(Dedup.lshBuckets(
+          Dedup.minhashSignatures(Dedup.shingleHashes(d))))
+        .filter(col("doc_a") < 100 || col("doc_b") < 100)
+        .select("doc_a", "doc_b")
+      Dedup.connectedComponentsIncremental(standing, delta)
+    }),
+
     // connected components over the LSH candidate graph: every near-dup
     // doc mapped to its cluster keeper (min doc_id in the component).
     "d8_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
@@ -811,9 +845,10 @@ object TextDedup {
     // those docs' signatures agree in every band and each band's hot
     // (band, band_key) bucket holds 30% of the corpus — the worst-case
     // hot-bucket shape a licence footer produces at 100 TB. The pair join
-    // runs through the EXPLICIT salted path (Skew.saltedJoin on the
-    // composite bucket key, engaged at plan time, not left to AQE), and
-    // the oracle is the PLAIN join over the same skewed corpus — hash
+    // runs through the UNIFIED salted path (hot-only by default: the
+    // bucket histogram's auto threshold routes just the viral buckets
+    // through salting, engaged at plan time, not left to AQE), and the
+    // oracle is the PLAIN join over the same skewed corpus — hash
     // equality proves salting changes the task layout, never the result.
     "d22_skewed_dedup" -> ((s, dir) => {
       val skewed = docs(s, dir).withColumn("text",
@@ -1563,7 +1598,7 @@ object TextDedup {
          |    CASE WHEN doc_id % 10 < 3 THEN '$Boilerplate' ELSE text END AS text
          |  FROM documents),
          |${toksSrcFrom("skdocs")}, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $pairsSrc
-         |SELECT doc_a, count(*) AS n_pairs, sum(doc_b) AS sum_b,
+         |SELECT doc_a, count(*) AS n_pairs, CAST(sum(doc_b) AS BIGINT) AS sum_b,
          |  max(n_bands) AS max_bands
          |FROM pairs GROUP BY doc_a""".stripMargin,
     // d23: hot-only salting must not change a single pair — the oracle is
@@ -1574,7 +1609,7 @@ object TextDedup {
          |    CASE WHEN doc_id % 10 < 3 THEN '$Boilerplate' ELSE text END AS text
          |  FROM documents),
          |${toksSrcFrom("skdocs")}, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $pairsSrc
-         |SELECT doc_a, count(*) AS n_pairs, sum(doc_b) AS sum_b,
+         |SELECT doc_a, count(*) AS n_pairs, CAST(sum(doc_b) AS BIGINT) AS sum_b,
          |  max(n_bands) AS max_bands
          |FROM pairs GROUP BY doc_a""".stripMargin,
     // Batch append and streaming append must leave the store in the SAME
@@ -1890,7 +1925,7 @@ object TextDedup {
         |    CAST(((rn - 1) - bstart) // 16 AS INT) AS batch, n_chars
         |  FROM bb)
         |SELECT bucket, batch, count(*) AS n_docs,
-        |  sum(n_chars) AS sum_len, max(n_chars) AS max_len,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_len, max(n_chars) AS max_len,
         |  max(n_chars) * count(*) AS padded,
         |  CAST((sum(n_chars) * 1000000) // (max(n_chars) * count(*)) AS DOUBLE)
         |    / 1000000.0 AS efficiency
@@ -1937,7 +1972,7 @@ object TextDedup {
          |      ORDER BY ${graft.functions.Hashing.lcgSql("d.doc_id", 13L, graft.functions.Hashing.LcgM)}, d.doc_id) AS srn
          |  FROM documents d JOIN q USING (source))
          |SELECT source, count(*) AS n_sel, CAST(max(quota) AS BIGINT) AS quota,
-         |  CAST(max(n) AS BIGINT) AS n_domain, sum(doc_id) AS sum_ids
+         |  CAST(max(n) AS BIGINT) AS n_domain, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM sel WHERE srn <= quota GROUP BY source""".stripMargin,
     // o16: o15's integer water-filling (caps/weights in TOKENS, sqrt
     // scale 10^6) + o13's quality derivation, the greedy fill a running
@@ -2106,6 +2141,44 @@ object TextDedup {
          |  CAST(sum(abs_err) // count(*) AS BIGINT) AS mean_abs_err_e6
          |FROM e3 GROUP BY 1""".stripMargin
     },
+    // d27: the engine's 10 all-integer power-iteration rounds, unrolled
+    // (standard SQL bars aggregates in a recursive member; a fixed
+    // iteration count unrolls losslessly). Every operation is BIGINT
+    // floor division — bit-identical to the Spark loop by construction.
+    "d27_dup_pagerank" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS (SELECT e.dst AS node,
+           |    (SELECT 150000000000 // n FROM nfr)
+           |      + CAST(sum(((r.r // d.deg) * 85) // 100) AS BIGINT) AS r
+           |  FROM r${i - 1} r JOIN edges e ON r.node = e.src
+           |    JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashChain,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nfr AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS node, 1000000000000 // n AS r
+         |  FROM deg CROSS JOIN nfr),
+         |$rounds
+         |SELECT r.node AS doc_id, CAST(r.r AS BIGINT) AS r_e12,
+         |  CAST(d.deg AS BIGINT) AS deg
+         |FROM r10 r JOIN deg d ON d.src = r.node""".stripMargin
+    },
+    // d28: the full-recompute ground truth — the incremental fold must
+    // land on EXACTLY the map d8's from-scratch recursion produces.
+    "d28_cc_incremental" ->
+      s"""WITH RECURSIVE $minhashChain,
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT doc_a AS id, doc_a AS label FROM edges
+         |  UNION
+         |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON e.doc_b = r.id)
+         |SELECT id AS doc_id, min(label) AS keep_id
+         |FROM reach GROUP BY id""".stripMargin,
     // d24: the d5 verify chain, jaccard-thresholded, endpoint sources
     // tagged, one rollup per unordered source pair.
     "d24_source_overlap" ->
@@ -2134,10 +2207,19 @@ object TextDedup {
          |    JOIN documents da ON da.doc_id = j.doc_a
          |    JOIN documents db ON db.doc_id = j.doc_b
          |  WHERE j.jaccard >= 0.35)
-         |SELECT src_a, src_b, count(*) AS n_pairs,
-         |  round(avg(jaccard), 6) AS avg_jaccard,
-         |  min(wit_a) AS min_doc_a, min(wit_b) AS min_doc_b
-         |FROM lab GROUP BY src_a, src_b""".stripMargin
+         |, agg AS (
+         |  SELECT src_a, src_b, count(*) AS n_pairs,
+         |    CAST(sum(CAST(round(jaccard * 1000000, 0) AS BIGINT)) AS BIGINT)
+         |      AS sum_e6,
+         |    min(wit_a) AS min_doc_a, min(wit_b) AS min_doc_b
+         |  FROM lab GROUP BY src_a, src_b)
+         |SELECT src_a, src_b, n_pairs,
+         |  CAST(sum_e6 // n_pairs
+         |    + CASE WHEN (sum_e6 - (sum_e6 // n_pairs) * n_pairs) * 2
+         |        >= n_pairs THEN 1 ELSE 0 END AS DOUBLE) / 1000000.0
+         |    AS avg_jaccard,
+         |  min_doc_a, min_doc_b
+         |FROM agg""".stripMargin
   )
 
   private lazy val simhashSql: String = {

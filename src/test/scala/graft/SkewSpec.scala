@@ -143,6 +143,54 @@ class SkewSpec extends AnyFunSuite {
     assert(noneHot == plain)
   }
 
+  test("auto-threshold hot-only join finds the viral bucket itself") {
+    // Same shape as above, no threshold given: the histogram's
+    // max(floor, 8× mean) must route the 200-row bucket through salting
+    // (it dwarfs both bounds) while the ≤1-row tail takes the plain path,
+    // and the result must still equal the plain join — the unified
+    // default behind Dedup.candidatePairsSalted.
+    val buckets = ((1 to 200).map(i => (1, 42L, i.toLong)) ++
+      (1 to 50).map(i => (i % 4, 1000L + i, 500L + i)))
+      .toDF("band", "band_key", "doc_id").repartition(8)
+    val a = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    val plain = a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val auto = Skew.saltedJoinHot(a, b, Seq("band", "band_key"), salts = 8)
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(auto == plain)
+    // An all-uniform input must classify NO key as hot (the mean-based
+    // bound rises with the plateau; the floor alone must not fire).
+    val uniform = (1 to 40).flatMap(k => (1 to 20).map(i =>
+      (k % 4, k.toLong, (k * 100 + i).toLong)))
+      .toDF("band", "band_key", "doc_id")
+    val ua = uniform.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val ub = uniform.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    val uplain = ua.join(ub, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val uauto = Skew.saltedJoinHot(ua, ub, Seq("band", "band_key"), salts = 8)
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uauto == uplain)
+  }
+
+  test("unified candidatePairsSalted equals candidatePairs on skewed buckets") {
+    val buckets = ((1 to 120).map(i => (0, 7L, i.toLong)) ++
+      (1 to 60).map(i => (i % 3, 500L + i % 20, 1000L + i)))
+      .toDF("band", "band_key", "doc_id")
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "n_bands")
+        .as[(Long, Long, Long)].collect().toSet
+    val plain = stats(graft.ops.Dedup.candidatePairs(buckets))
+    assert(stats(graft.ops.Dedup.candidatePairsSalted(buckets, salts = 8))
+      == plain)
+    assert(stats(graft.ops.Dedup.candidatePairsSaltedAll(buckets, salts = 8))
+      == plain)
+  }
+
   // The class of bug behind SPARK-23207: a shuffle key derived from a
   // nondeterministic expression (monotonically_increasing_id, rand) is
   // re-evaluated DIFFERENTLY when a map task retries, silently dropping or

@@ -64,10 +64,40 @@ def main(sf_dir, out_dir):
         try:
             want_rel = con.sql(sql)
             want_cols = want_rel.columns
+            # Driver-faithfulness gate (round-12 lesson): the driver loads
+            # the oracle result through pandas, which renders DuckDB
+            # HUGEINT/DECIMAL as float64 while Spark's parquet is int64 —
+            # the values then hash as "72110.0" vs "72110" and fail even
+            # though they are numerically equal. Reject such oracle output
+            # types outright: the oracle must CAST in its final SELECT.
+            bad_types = [f"{c}:{t}" for c, t in zip(want_cols, want_rel.types)
+                         if "HUGEINT" in str(t) or "DECIMAL" in str(t)]
+            if bad_types:
+                failed.append((name, "oracle final SELECT emits driver-"
+                               f"unfaithful types {bad_types}: wrap in "
+                               "CAST(... AS BIGINT/DOUBLE)"))
+                continue
             want = canon(want_rel.fetchall(), want_cols)
         except Exception as e:
             failed.append((name, f"oracle error: {str(e).splitlines()[0][:200]}"))
             continue
+        # Second dtype gate: compare pandas dtype KINDS the way the driver
+        # materializes both sides. An int64-vs-float64 split on the same
+        # column name means the driver's hasher will mismatch regardless of
+        # values.
+        try:
+            got_k = {c: d.kind for c, d in got_rel.df().dtypes.items()}
+            want_k = {c: d.kind for c, d in want_rel.df().dtypes.items()}
+            dk = [f"{c}: spark={got_k[c]} oracle={want_k[c]}"
+                  for c in got_k
+                  if c in want_k and got_k[c] != want_k[c]
+                  and {got_k[c], want_k[c]} <= {"i", "u", "f"}
+                  and not ({got_k[c], want_k[c]} <= {"i", "u"})]
+            if dk:
+                failed.append((name, f"pandas dtype kinds differ: {dk}"))
+                continue
+        except Exception:
+            pass  # driver can sort these rows; fall through to value compare
         if sorted(got_cols) != sorted(want_cols):
             failed.append((name, f"cols differ: spark={sorted(got_cols)} oracle={sorted(want_cols)}"))
             continue
