@@ -338,6 +338,54 @@ object TextOps {
     * is stable — and the per-doc dot product rounds to 6 dp like t6's
     * logprob sum.
     */
+  /** Bigram-LM cross-entropy per document — the LM-score leg CCNet
+    * actually gates on (Wenzek et al. 2020 use a KenLM n-gram model; a
+    * corpus-trained add-one bigram model is its Spark-first stand-in, and
+    * t19's tertiles consume a score of exactly this shape). Per doc:
+    * mean over its bigrams of −ln p(w₂|w₁) with
+    * p(w₂|w₁) = (c(w₁,w₂)+1) / (c(w₁)+V), i.e. gibberish and
+    * rare-transition text scores high, template/natural text low.
+    *
+    * Scale shape: the model is built in TWO partial-aggregated groupBys
+    * over the (doc, w₁, w₂) tf frame (bigram counts roll up from the
+    * SAME tf aggregate the scoring join consumes — the corpus's bigram
+    * explosion shuffles once); the vocab size is a one-row broadcast;
+    * the per-bigram logprob table joins back KEYED on (w₁, w₂) — the
+    * model is |distinct bigrams|, never broadcast. Numerics follow the
+    * t15/DSIR discipline exactly: ln is computed ONCE per distinct
+    * bigram, 9-dp-rounded, snapped to an e9 BIGINT; per-doc totals are
+    * exact integer sums (reassociation-stable at any parallelism) and
+    * the mean is one positive floor division.
+    */
+  def bigramXent(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("ws"))
+    val bg = toks.select(col("doc_id"), explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> named_struct('w1', a, 'w2', b))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val tf = bg.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("tf"))
+      .persistTracked()
+    val c2 = tf.groupBy("w1", "w2").agg(sum("tf").as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = toks.select(explode(col("ws")).as("w"))
+      .agg(countDistinct("w").as("v"))
+    val lp = c2.join(c1, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(round(log((col("c1") + col("v")).cast("double")
+            / (col("c2") + 1).cast("double")), 9) * lit(1e9), 0)
+          .cast("long").as("lp_e9"))
+    tf.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("lp_e9")).as("_s_e9"),
+        sum("tf").as("n_bigrams"))
+      // −ln p ≥ 0 always (c₂+1 ≤ c₁+V), so both divisions stay in
+      // positive floor territory where Spark div and DuckDB // agree.
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(_s_e9 div n_bigrams) div 1000").as("xent_e6"))
+  }
+
   def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, nBuckets: Int): DataFrame = {
     val hashed = docs

@@ -189,6 +189,14 @@ object Lexical {
     // min, O(len), whole-stage codegen — no explode, no shuffle, no
     // interpreted lambda); the gate hashes the set cardinality, its XOR
     // (an exact order-independent set digest), and the e6-integer density.
+    // Bigram-LM cross-entropy — the LM-score leg CCNet's ppl tertiles
+    // (t19) gate on, as a corpus-trained add-one bigram model: per doc
+    // the mean −ln p(w2|w1), e9-pinned per DISTINCT bigram then exact
+    // integer sums (the t15 discipline — no double accumulation), model
+    // built from the same tf frame the scoring join consumes.
+    "t23_bigram_xent" -> ((s, dir) =>
+      TextOps.bigramXent(docs(s, dir), "doc_id", "text")),
+
     "t20_winnowing" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
@@ -659,6 +667,34 @@ object Lexical {
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |  min(q_e6) AS min_q, max(q_e6) AS max_q
          |FROM r2 GROUP BY 1, 2""".stripMargin,
+    // t23: the bigram model rebuilt in SQL — counts, add-one smoothing,
+    // the SAME double-round e9 pin per distinct bigram, exact integer
+    // per-doc sums, positive floor divisions.
+    "t23_bigram_xent" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |  FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws)),
+         |      i -> [ws[i], ws[i + 1]])) AS p
+         |  FROM toks WHERE len(ws) >= 2),
+         |bg2 AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+         |tf AS (SELECT doc_id, w1, w2, count(*) AS tf
+         |  FROM bg2 GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2
+         |  FROM tf GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT w) AS v
+         |  FROM (SELECT unnest(ws) AS w FROM toks)),
+         |lp AS (SELECT w1, w2,
+         |    CAST(round(round(ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)), 9)
+         |      * 1e9) AS BIGINT) AS lp_e9
+         |  FROM c2 JOIN c1 USING (w1) CROSS JOIN voc),
+         |s AS (SELECT doc_id, CAST(sum(tf * lp_e9) AS BIGINT) AS s_e9,
+         |    CAST(sum(tf) AS BIGINT) AS n_bigrams
+         |  FROM tf JOIN lp USING (w1, w2) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  CAST((s_e9 // n_bigrams) // 1000 AS BIGINT) AS xent_e6
+         |FROM s""".stripMargin,
     "t20_winnowing" ->
       s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
          |  FROM documents),

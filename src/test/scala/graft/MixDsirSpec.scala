@@ -172,4 +172,40 @@ class MixDsirSpec extends AnyFunSuite {
           s"isqrt($xv) = $sv is not exact")
     }
   }
+
+  // ---- bigram LM ----
+
+  test("bigramXent matches a brute-force bigram model") {
+    val docsSeq = Seq(
+      (1L, "a b a b a"),   // repetitive: cheap transitions
+      (2L, "a b c d e"),   // novel transitions throughout
+      (3L, "b b b b b"),
+      (4L, "x"))           // single token: no bigrams, no output row
+    val df = docsSeq.toDF("doc_id", "text")
+    val got = TextOps.bigramXent(df, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "xent_e6")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+
+    // brute force in plain Scala, same integer pinning
+    val toks = docsSeq.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val bigrams = toks.flatMap { case (id, ws) =>
+      ws.sliding(2).filter(_.size == 2).map(p => (id, p(0), p(1))).toSeq
+    }
+    val c2 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val v = toks.flatMap(_._2).distinct.size.toLong
+    def lpE9(w1: String, w2: String): Long = {
+      val lp = BigDecimal(math.log((c1(w1) + v).toDouble / (c2((w1, w2)) + 1)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      (lp * BigDecimal(1e9)).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val want = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val s = bs.map(b => lpE9(b._2, b._3)).sum
+      id -> (bs.size.toLong, (s / bs.size) / 1000)
+    }
+    assert(got == want)
+    assert(!got.contains(4L))
+    // repetitive text must be cheaper than all-novel text
+    assert(got(1L)._2 < got(2L)._2 && got(3L)._2 < got(1L)._2)
+  }
 }
