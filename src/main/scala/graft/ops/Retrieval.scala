@@ -44,6 +44,67 @@ object Retrieval {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL postings: (doc_id, term, positions) with the sorted
+    * 0-based token positions of every occurrence — the index phrase
+    * search needs (Lucene's positions file). One explode + one groupBy;
+    * positions sort inside the aggregate, so the array is canonical under
+    * any shuffle order.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("doc_id", "term")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Exact PHRASE search over [[positionalPostings]]: documents containing
+    * the query's terms CONSECUTIVELY, with occurrence counts — the
+    * retrieval capability a bag-of-words index cannot express ("new york"
+    * vs "york new"). `phrases` is (query_id, terms ARRAY<STRING>); all
+    * phrases must share one length k (the driver-side constant that
+    * unrolls the join ladder).
+    *
+    * Algorithm: start from term 0's occurrence positions per (query,
+    * doc); each step j intersects the surviving start-set with
+    * (positions of term j shifted by −j) — after the last step the
+    * start-set holds exactly the phrase occurrences. Per step ONE keyed
+    * join on (query_id, doc_id) plus a broadcast of the bounded query
+    * batch onto the postings (the b1 query-side discipline); the
+    * position intersection is a codegen'd array op on two per-doc-sized
+    * arrays. Docs drop out as soon as any prefix fails (`size > 0`
+    * filter), so the ladder's frames shrink monotonically. At 100 TB
+    * the cost is k keyed probes of the postings, each pruned to one
+    * term's rows — never a corpus scan per query.
+    */
+  def phraseSearch(corpus: DataFrame, idCol: String, textCol: String,
+      phrases: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "phrase length must be >= 1")
+    val post = positionalPostings(corpus, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qterms = phrases.select(col("query_id"),
+      posexplode(col("terms")).as(Seq("j", "term")))
+    def step(j: Int) = post.join(
+        broadcast(qterms.filter(col("j") === j).select("query_id", "term")),
+        "term")
+    var cur = step(0).select(col("query_id"), col("doc_id"),
+      col("positions").as("starts"))
+    for (j <- 1 until k) {
+      cur = cur.join(step(j).select(col("query_id"), col("doc_id"),
+            col("positions").as("_pj")),
+          Seq("query_id", "doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          array_intersect(col("starts"),
+            expr(s"transform(_pj, x -> x - $j)")).as("starts"))
+        .filter(size(col("starts")) > 0)
+    }
+    val out = cur.groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_ids"),
+        sum(size(col("starts")).cast("long")).as("n_occ"),
+        min("doc_id").as("min_doc"))
+    out
+  }
+
   /** Per-doc token length ("norms"): one pass, one split per doc. */
   def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),

@@ -263,6 +263,20 @@ object Lexical {
           col("doc_id") >= 8 && col("doc_id") < 13), k = 5)
     }),
 
+    // EXACT PHRASE SEARCH over positional postings — the capability a
+    // bag-of-words index cannot express (term ORDER matters): each query
+    // doc's first 3 tokens form its phrase; matching docs must contain
+    // them consecutively. k keyed probes of the positional postings, the
+    // query batch broadcast (the b1 discipline), position adjacency via
+    // a codegen'd shifted-array intersection — every output an integer.
+    "b9_phrase_search" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val phrases = d.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"),
+          slice(TextOps.tokens(col("text")), 1, 3).as("terms"))
+      Retrieval.phraseSearch(d, "doc_id", "text", phrases, k = 3)
+    }),
+
     // PSEUDO-RELEVANCE-FEEDBACK retrieval (RM3, tf-weighted): pass 1 =
     // b1's query batch; each query's top-3 docs donate their 5 strongest
     // NEW terms (summed tf, integer); pass 2 re-scores the expanded
@@ -570,6 +584,26 @@ object Lexical {
     // global stats (df, n_docs, avgdl) recompute from the survivors.
     "b8_store_delete" -> bm25Sql("doc_id >= 8 AND doc_id < 13",
       "(SELECT * FROM documents WHERE doc_id < 20 OR doc_id >= 30)"),
+    // b9: brute-force phrase scan — every (query, doc) pair checked by a
+    // positional lambda over the token array; the engine's join ladder
+    // must reproduce it exactly.
+    "b9_phrase_search" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |  FROM documents),
+         |q AS (SELECT doc_id AS query_id, ws[1] AS t1, ws[2] AS t2, ws[3] AS t3
+         |  FROM toks WHERE doc_id < 8),
+         |m AS (SELECT q.query_id, t.doc_id,
+         |    len(list_filter(range(1, len(t.ws) - 1), i ->
+         |      t.ws[i] = q.t1 AND t.ws[i + 1] = q.t2 AND t.ws[i + 2] = q.t3))
+         |      AS occ
+         |  FROM q CROSS JOIN toks t)
+         |SELECT query_id,
+         |  count(CASE WHEN occ > 0 THEN 1 END) AS n_docs,
+         |  CAST(sum(CASE WHEN occ > 0 THEN doc_id ELSE 0 END) AS BIGINT)
+         |    AS sum_ids,
+         |  CAST(sum(occ) AS BIGINT) AS n_occ,
+         |  min(CASE WHEN occ > 0 THEN doc_id END) AS min_doc
+         |FROM m GROUP BY query_id""".stripMargin,
     "b3_hybrid_rrf" ->
       s"""WITH $hybridCtes
          |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_e6, lrank0, drank0

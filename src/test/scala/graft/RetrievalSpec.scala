@@ -229,4 +229,36 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hit = got.map(_.getLong(2)).toSet
     assert(hit.contains(3L) && !hit.contains(4L))
   }
+
+  test("phrase search finds consecutive terms only, with occurrence counts") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "new york city is in new york state"), // 2 occurrences of "new york city"? no: 1 of the 3-gram
+      (2L, "york new city new york city tour"),   // 1 occurrence, terms also appear scrambled
+      (3L, "new city york"),                      // all terms, never adjacent in order
+      (4L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val phrases = Seq((100L, Array("new", "york", "city"))).toDF("query_id", "terms")
+    val got = Retrieval.phraseSearch(corpus, "doc_id", "text", phrases, k = 3)
+      .select("query_id", "n_docs", "sum_ids", "n_occ", "min_doc")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((100L, 2L, 3L, 2L, 1L)))
+  }
+
+  test("phrase search counts overlapping and repeated occurrences exactly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a a a a"),          // "a a" occurs at starts 0,1,2 -> 3
+      (2L, "a b a b a"),        // "a b" at 0,2 -> 2
+      (3L, "b a"))              // 0 occurrences
+      .toDF("doc_id", "text")
+    val gotAA = Retrieval.phraseSearch(corpus, "doc_id", "text",
+        Seq((1L, Array("a", "a"))).toDF("query_id", "terms"), k = 2)
+      .select("n_docs", "n_occ").as[(Long, Long)].collect()
+    assert(gotAA.toSeq == Seq((1L, 3L)))
+    val gotAB = Retrieval.phraseSearch(corpus, "doc_id", "text",
+        Seq((1L, Array("a", "b"))).toDF("query_id", "terms"), k = 2)
+      .select("n_docs", "n_occ").as[(Long, Long)].collect()
+    assert(gotAB.toSeq == Seq((1L, 2L)))
+  }
 }
