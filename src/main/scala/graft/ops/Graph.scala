@@ -47,35 +47,48 @@ object Graph {
     */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "pagerank needs at least one iteration")
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import graft.engine.Caches.Registered
+    val e = edges.select(col("src"), col("dst")).persistTracked()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persistTracked()
+    // Degree folded into the edge frame ONCE — each hop then pays a
+    // single keyed join + one sum-groupBy instead of two joins.
+    val eDeg = e.join(deg, "src")
+      .select(col("src").as("node"), col("dst"), col("deg"))
+      .persistTracked()
     // Vertex count rides a one-row broadcast (no driver action): both the
     // uniform init and the per-round teleport base derive from it in-plan.
     val n = deg.agg(count(lit(1)).as("_n"))
-    var ranks = deg.select(col("src").as("node")).crossJoin(broadcast(n))
-      .select(col("node"), expr("1000000000000 div _n").as("r"))
-      .localCheckpoint(false)
-    for (_ <- 1 to iters) {
-      val contrib = ranks
-        .join(e.withColumnRenamed("src", "node"), "node")
-        .join(deg.withColumnRenamed("src", "node"), "node")
+    def hop(ranks: DataFrame): DataFrame =
+      ranks
+        .join(eDeg, "node")
         .select(col("dst").as("node"),
           expr("((r div deg) * 85) div 100").as("c"))
-      val next = contrib.groupBy("node").agg(sum("c").as("_in"))
+        .groupBy("node").agg(sum("c").as("_in"))
         .crossJoin(broadcast(n))
         .select(col("node"),
           (expr("150000000000 div _n") + col("_in")).as("r"))
+    var ranks = deg.select(col("src").as("node")).crossJoin(broadcast(n))
+      .select(col("node"), expr("1000000000000 div _n").as("r"))
+      .localCheckpoint(false)
+    // FIXED iteration count ⇒ no per-round convergence action is needed
+    // (unlike connectedComponents, which must inspect a sum every round):
+    // chain several hops into ONE job — each driver round-trip costs more
+    // than an extra in-job shuffle stage — checkpointing only between
+    // chunks to keep the analyzed plan depth bounded.
+    val HopsPerAction = 5
+    var done = 0
+    while (done < iters) {
+      val hops = math.min(HopsPerAction, iters - done)
+      val next = (1 to hops).foldLeft(ranks)((r, _) => hop(r))
         .localCheckpoint(false)
       next.count() // materialize before releasing the superseded round
       ranks.unpersist()
       ranks = next
+      done += hops
     }
-    val out = ranks
+    ranks
       .join(deg.withColumnRenamed("src", "node"), "node")
       .select(col("node"), col("r").as("r_e12"), col("deg"))
-    out
   }
 
   /** (doc_a, doc_b) pairs → symmetric (src, dst) edges, in ONE pass over
