@@ -19,6 +19,32 @@ object Embeddings {
   val PqM = 4 // PQ subspaces over the 64-dim embeddings (16 dims each)
 
   val queries: Map[String, Q] = Map(
+    // REFERENTIAL-INTEGRITY AUDIT between the text corpus and its vector
+    // store — the ingest-health check a joint text+embedding pipeline
+    // runs before trusting either side: per source, how many documents
+    // lack an embedding (semi/anti join on the shared id), plus the
+    // orphan vectors no document explains (as a sentinel source row).
+    // Two keyed semi/anti probes + per-source rollups — the embeddings
+    // id projection is the only thing shuffled against the corpus.
+    "c7_integrity_audit" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val vids = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"))
+      val perSrc = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val withV = d.join(vids, Seq("doc_id"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("n_with_vec"))
+      val matched = perSrc.join(withV, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_with_vec"), lit(0L)).as("n_with_vec"))
+        .withColumn("n_missing", col("n_docs") - col("n_with_vec"))
+      val orphans = vids
+        .join(d.select("doc_id"), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("__orphan_vectors").as("source"), col("n_docs"),
+          lit(0L).as("n_with_vec"), lit(0L).as("n_missing"))
+      matched.unionByName(orphans)
+    }),
+
     "v1_cosine_topk" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
@@ -867,6 +893,22 @@ object Embeddings {
         |  round(sqrt(sum(pow(x - qv * amax / 127, 2))), 6) AS err,
         |  round(max(amax), 6) AS amax
         |FROM q GROUP BY vec_id""".stripMargin,
+    "c7_integrity_audit" ->
+      """WITH vids AS (SELECT DISTINCT vec_id AS doc_id FROM embeddings),
+        |m AS (SELECT d.source,
+        |    count(*) AS n_docs,
+        |    count(v.doc_id) AS n_with_vec
+        |  FROM documents d LEFT JOIN vids v ON d.doc_id = v.doc_id
+        |  GROUP BY d.source)
+        |SELECT source, n_docs, n_with_vec,
+        |  n_docs - n_with_vec AS n_missing
+        |FROM m
+        |UNION ALL
+        |SELECT '__orphan_vectors' AS source,
+        |  (SELECT count(*) FROM vids v
+        |     LEFT JOIN documents d ON v.doc_id = d.doc_id
+        |     WHERE d.doc_id IS NULL) AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_with_vec, CAST(0 AS BIGINT) AS n_missing""".stripMargin,
     "v1_cosine_topk" ->
       s"""WITH $vSrc,
          |q AS (SELECT vec_id AS q_id, dv AS qv FROM v WHERE vec_id < $NQueries),

@@ -123,6 +123,33 @@ object TextDedup {
         round(TextOps.qualityScore(ws), 6).as("quality"))
     }),
 
+    // BORDA RANK FUSION of independent quality signals — the standard
+    // combine-without-calibrating move when gating on several scores of
+    // different scales (t22 measures their agreement; this FUSES them):
+    // three scalable global rankings (range-partitioned row numbers, the
+    // o10 machinery — no single-task global sort) by t2 quality, raw
+    // length, and BPE token budget, summed into one integer Borda score.
+    // Every rank totally ordered (ties → doc_id), so the fusion is
+    // bit-reproducible in any engine.
+    "t24_borda_blend" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val scored = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          round(round(TextOps.qualityScore(ws), 6) * lit(1e6), 0)
+            .cast("long").as("q_e6"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("bpe_toks"))
+        .persistTracked()
+      def rankOf(c: String, rname: String) =
+        graft.ops.Split.globalRowNumber(scored.select(col("doc_id"), col(c)),
+            Seq(col(c).desc, col("doc_id")), -1)
+          .select(col("doc_id"), col("rn").as(rname))
+      rankOf("q_e6", "r_quality")
+        .join(rankOf("n_chars", "r_len"), "doc_id")
+        .join(rankOf("bpe_toks", "r_toks"), "doc_id")
+        .withColumn("borda",
+          col("r_quality") + col("r_len") + col("r_toks"))
+    }),
+
     // language-ID heuristic (marker-word argmax) vs the labeled lang.
     "t3_langid" -> ((s, dir) => {
       val ws = TextOps.tokens(col("text"))
@@ -1326,6 +1353,28 @@ object TextDedup {
          |  round(0.5 * stop_ratio + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0)
          |        + 0.2 * (awl / 10.0), 6) AS quality
          |FROM m""".stripMargin,
+    // t24: the same three total orders as window row_numbers; DuckDB's
+    // row_number over (signal DESC, doc_id) is the globalRowNumber
+    // contract exactly.
+    "t24_borda_blend" ->
+      s"""WITH $toksSrc,
+         |m AS (SELECT t.doc_id, d.n_chars,
+         |  CAST(round(round(
+         |    0.5 * (CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS DOUBLE) / len(ws))
+         |    + 0.3 * least(1.0, CAST(len(ws) AS DOUBLE) / 100.0)
+         |    + 0.2 * ((CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws)) / 10.0),
+         |    6) * 1e6) AS BIGINT) AS q_e6,
+         |  CAST(len(regexp_extract_all(lower(d.text),
+         |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS bpe_toks
+         |  FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+         |r AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY q_e6 DESC, doc_id) AS r_quality,
+         |  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r_len,
+         |  row_number() OVER (ORDER BY bpe_toks DESC, doc_id) AS r_toks
+         |  FROM m)
+         |SELECT doc_id, r_quality, r_len, r_toks,
+         |  r_quality + r_len + r_toks AS borda
+         |FROM r""".stripMargin,
     "t3_langid" ->
       s"""WITH $toksSrc,
          |h AS (SELECT doc_id, ${hitsSql("en")} AS en, ${hitsSql("de")} AS de,
