@@ -77,4 +77,45 @@ object TimeSeries {
         lit(2) * stddev_pop(col("v")).over(win) &&
         count(lit(1)).over(win) >= 3).as("anomaly"))
   }
+
+  /** Exponentially-weighted moving average over the per-key daily series —
+    * the trend baseline an anomaly monitor compares against (ts2's
+    * rolling window forgets abruptly; EWMA forgets geometrically). ALL
+    * INTEGER: the daily value snaps to e6 (the family's 6-dp pin) and the
+    * recurrence s_t = (num·v_t + (den−num)·s_{t−1}) div den runs in
+    * BIGINTs, so the smoothed series is bit-identical in any engine — no
+    * pow(), no double accumulation. Values are OFFSET into strictly
+    * positive territory before the fold and shifted back after: integer
+    * EWMA is exactly affine in a constant (floor((x+C·w)/w) = floor(x/w)+C),
+    * and positive-only division sidesteps the Spark-truncates /
+    * DuckDB-floors divergence on negatives.
+    *
+    * Scale shape: one daily aggregate, then ONE shuffle per key to a
+    * sorted array fold — the recurrence is inherently sequential per key,
+    * but a key's day count is calendar-bounded, so the per-key O(d²)
+    * prefix folds are a few hundred thousand integer ops at worst.
+    * Parallelism is across keys, the only axis that grows at 100 TB.
+    */
+  def ewmaDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, alphaNum: Int = 3, alphaDen: Int = 10): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val Off = 1000000000000L
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("d"))
+      .agg(round(round(avg(col(valCol)), 6) * lit(1e6), 0)
+        .cast("long").as("v_e6"))
+    val arr = daily.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("d"), col("v_e6")))).as("a"))
+    arr.select(col(keyCol), explode(expr(
+        s"""transform(a, (x, i) -> named_struct(
+           |  'd', x.d,
+           |  'v_e6', x.v_e6,
+           |  'ewma_e6', aggregate(
+           |      slice(transform(a, z -> z.v_e6 + ${Off}L), 2, i),
+           |      element_at(transform(a, z -> z.v_e6 + ${Off}L), 1),
+           |      (acc, y) -> (${alphaNum}L * y
+           |        + ${alphaDen - alphaNum}L * acc) div ${alphaDen}L)
+           |    - ${Off}L))""".stripMargin)).as("r"))
+      .select(col(keyCol), col("r.d").as("d"), col("r.v_e6").as("v_e6"),
+        col("r.ewma_e6").as("ewma_e6"))
+  }
 }

@@ -249,6 +249,14 @@ object Events {
       graft.ops.TimeSeries.rollingDailyStats(eventsT(s, dir),
         keyCol = "user_id", tsCol = "ts", valCol = "value", windowDays = 7)),
 
+    // Integer EWMA trend baseline over the daily series (α = 3/10):
+    // the geometric-forgetting counterpart of ts2's rolling window. The
+    // recurrence runs in offset BIGINTs, so the smoothed series — not
+    // just the inputs — is bit-identical cross-engine.
+    "ts3_ewma" -> ((s, dir) =>
+      graft.ops.TimeSeries.ewmaDaily(eventsT(s, dir),
+        keyCol = "user_id", tsCol = "ts", valCol = "value")),
+
     // F8 over semi-structured props: JSON field extraction + aggregate.
     "e4_json_props" -> ((s, dir) =>
       eventsT(s, dir)
@@ -265,6 +273,28 @@ object Events {
       |FROM events GROUP BY wstart, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // ts3: the identical integer recurrence as prefix list_reduce folds
+    // over the date-ordered e6 values (offset +1e12 exactly as the
+    // engine does; parallel unnests zip positionally).
+    "ts3_ewma" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(round(round(avg(value), 6) * 1e6) AS BIGINT) AS v_e6
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |arr AS (
+        |  SELECT user_id,
+        |    list(d ORDER BY d) AS ds,
+        |    list(v_e6 + 1000000000000 ORDER BY d) AS l
+        |  FROM daily GROUP BY user_id),
+        |e AS (
+        |  SELECT user_id, ds, l,
+        |    list_transform(range(1, len(l) + 1), i ->
+        |      list_reduce(l[1:i], (acc, y) -> (3*y + 7*acc) // 10)) AS ew
+        |  FROM arr)
+        |SELECT user_id, unnest(ds) AS d,
+        |  unnest(list_transform(l, x -> x - 1000000000000)) AS v_e6,
+        |  unnest(list_transform(ew, x -> x - 1000000000000)) AS ewma_e6
+        |FROM e""".stripMargin,
     "ts2_rolling_stats" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d, avg(value) AS v

@@ -69,4 +69,36 @@ class TimeSeriesSpec extends AnyFunSuite {
     val u3 = out.filter(col("user_id") === 3).collect()
     assert(u3.length == 1 && u3.head.getDouble(2) == 7.0)
   }
+
+  test("ewmaDaily runs the exact integer recurrence in date order") {
+    val df = series(
+      (1L, "2024-01-01 10:00:00", 100.0),
+      (1L, "2024-01-02 10:00:00", 200.0),
+      (1L, "2024-01-03 10:00:00", 50.0),
+      (2L, "2024-01-01 10:00:00", 7.0))
+    val got = TimeSeries.ewmaDaily(df, "user_id", "ts", "value")
+      .select("user_id", "d", "v_e6", "ewma_e6")
+      .as[(Long, java.sql.Date, Long, Long)].collect()
+      .map(r => (r._1, r._2.toString, r._3, r._4)).sortBy(x => (x._1, x._2))
+    // hand recurrence on e6 values: s1=1e8; s2=(3*2e8+7*1e8)/10=1.3e8;
+    // s3=(3*5e7+7*1.3e8)/10=1.06e8; user 2 single point = itself
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01", 100000000L, 100000000L),
+      (1L, "2024-01-02", 200000000L, 130000000L),
+      (1L, "2024-01-03", 50000000L, 106000000L),
+      (2L, "2024-01-01", 7000000L, 7000000L)))
+  }
+
+  test("ewmaDaily offset keeps floor semantics exact on negative values") {
+    // -0.35 then 0.05: s2 = floor((3*50000 + 7*(-350000))/10) with FLOOR
+    // (not truncation): (150000 - 2450000)/10 = -230000 exactly here;
+    // pick values forcing a non-exact division: -0.333333 then 0.0
+    val df = series(
+      (1L, "2024-01-01 10:00:00", -0.333333),
+      (1L, "2024-01-02 10:00:00", 0.0))
+    val got = TimeSeries.ewmaDaily(df, "user_id", "ts", "value")
+      .select("ewma_e6").as[Long].collect().sorted
+    // s1 = -333333; s2 = floor(7*(-333333)/10) = floor(-233333.1) = -233334
+    assert(got.toSeq == Seq(-333333L, -233334L))
+  }
 }
