@@ -79,30 +79,34 @@ object Retrieval {
   def phraseSearch(corpus: DataFrame, idCol: String, textCol: String,
       phrases: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "phrase length must be >= 1")
-    val post = positionalPostings(corpus, idCol, textCol)
+    // Position-ROW form, not position-array form: each step is a pure
+    // equi/semi join on (query_id, doc_id, start) with the occurrence
+    // position shifted by −j at projection time — fully codegen'd, no
+    // array lambda in the corpus-scale path (an array_intersect +
+    // transform spelling is an interpreted per-element lambda, the t9
+    // failure mode PlanAuditSpec gates).
+    val occ = corpus.select(col(idCol).as("doc_id"),
+        posexplode(graft.ops.TextOps.tokens(col(textCol)))
+          .as(Seq("pos", "term")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qterms = phrases.select(col("query_id"),
       posexplode(col("terms")).as(Seq("j", "term")))
-    def step(j: Int) = post.join(
-        broadcast(qterms.filter(col("j") === j).select("query_id", "term")),
+    // A (query, doc, p) row survives step j iff term j occurs at p + j —
+    // after the last step the rows ARE the phrase occurrences.
+    def side(j: Int) = occ
+      .join(broadcast(qterms.filter(col("j") === j).select("query_id", "term")),
         "term")
-    var cur = step(0).select(col("query_id"), col("doc_id"),
-      col("positions").as("starts"))
-    for (j <- 1 until k) {
-      cur = cur.join(step(j).select(col("query_id"), col("doc_id"),
-            col("positions").as("_pj")),
-          Seq("query_id", "doc_id"))
-        .select(col("query_id"), col("doc_id"),
-          array_intersect(col("starts"),
-            expr(s"transform(_pj, x -> x - $j)")).as("starts"))
-        .filter(size(col("starts")) > 0)
-    }
-    val out = cur.groupBy("query_id")
+      .select(col("query_id"), col("doc_id"), (col("pos") - j).as("p"))
+    var cur = side(0)
+    for (j <- 1 until k)
+      cur = cur.join(side(j), Seq("query_id", "doc_id", "p"), "left_semi")
+    cur.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("_occ"))
+      .groupBy("query_id")
       .agg(count(lit(1)).as("n_docs"),
         sum("doc_id").as("sum_ids"),
-        sum(size(col("starts")).cast("long")).as("n_occ"),
+        sum("_occ").as("n_occ"),
         min("doc_id").as("min_doc"))
-    out
   }
 
   /** Per-doc token length ("norms"): one pass, one split per doc. */

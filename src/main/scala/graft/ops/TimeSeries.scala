@@ -98,24 +98,59 @@ object TimeSeries {
     */
   def ewmaDaily(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, alphaNum: Int = 3, alphaDen: Int = 10): DataFrame = {
-    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
-    val Off = 1000000000000L
-    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("d"))
+    val empty = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(keyCol,
+          df.schema(keyCol).dataType),
+        org.apache.spark.sql.types.StructField("_s_off",
+          org.apache.spark.sql.types.LongType))))
+    ewmaDailySeeded(dailyE6(df, keyCol, tsCol, valCol), empty, keyCol,
+      alphaNum, alphaDen).drop("_ewma_off")
+  }
+
+  /** The e6-snapped per-key daily series [[ewmaDailySeeded]] folds. */
+  def dailyE6(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame =
+    df.groupBy(col(keyCol), to_date(col(tsCol)).as("d"))
       .agg(round(round(avg(col(valCol)), 6) * lit(1e6), 0)
         .cast("long").as("v_e6"))
+
+  /** Offset applied before every fold (see [[ewmaDaily]]'s scaladoc). */
+  val EwmaOffset = 1000000000000L
+
+  /** [[ewmaDaily]]'s fold, SEEDED per key: rows of `state`
+    * (key, _s_off — the prior EWMA in OFFSET space) continue their
+    * key's recurrence as if the earlier days were present; absent keys
+    * start fresh. This is the incremental form a micro-batch lifecycle
+    * needs — fold today's arrivals on top of yesterday's standing state
+    * and the output must equal the full-history recurrence (the e15
+    * gate). Emits `_ewma_off` alongside the public columns so the caller
+    * can harvest the new state (max-date row per key) without undoing
+    * the offset.
+    */
+  def ewmaDailySeeded(daily: DataFrame, state: DataFrame, keyCol: String,
+      alphaNum: Int = 3, alphaDen: Int = 10): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val Off = EwmaOffset
     val arr = daily.groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("d"), col("v_e6")))).as("a"))
+      .join(state.select(col(keyCol), col("_s_off")), Seq(keyCol), "left")
     arr.select(col(keyCol), explode(expr(
         s"""transform(a, (x, i) -> named_struct(
            |  'd', x.d,
            |  'v_e6', x.v_e6,
-           |  'ewma_e6', aggregate(
-           |      slice(transform(a, z -> z.v_e6 + ${Off}L), 2, i),
-           |      element_at(transform(a, z -> z.v_e6 + ${Off}L), 1),
+           |  '_ewma_off', aggregate(
+           |      slice(transform(a, z -> z.v_e6 + ${Off}L),
+           |        CASE WHEN _s_off IS NULL THEN 2 ELSE 1 END,
+           |        i + CASE WHEN _s_off IS NULL THEN 0 ELSE 1 END),
+           |      coalesce(_s_off,
+           |        element_at(transform(a, z -> z.v_e6 + ${Off}L), 1)),
            |      (acc, y) -> (${alphaNum}L * y
-           |        + ${alphaDen - alphaNum}L * acc) div ${alphaDen}L)
-           |    - ${Off}L))""".stripMargin)).as("r"))
+           |        + ${alphaDen - alphaNum}L * acc) div ${alphaDen}L)))"""
+        .stripMargin)).as("r"))
       .select(col(keyCol), col("r.d").as("d"), col("r.v_e6").as("v_e6"),
-        col("r.ewma_e6").as("ewma_e6"))
+        (col("r._ewma_off") - lit(Off)).as("ewma_e6"),
+        col("r._ewma_off").as("_ewma_off"))
   }
 }

@@ -257,6 +257,57 @@ object Events {
       graft.ops.TimeSeries.ewmaDaily(eventsT(s, dir),
         keyCol = "user_id", tsCol = "ts", valCol = "value")),
 
+    // STATEFUL INCREMENTAL ANALYTICS across micro-batches — the
+    // store-lifecycle pattern (e9–e14 maintain signature/vector/doc
+    // stores) applied to NUMERIC state: the event history arrives as two
+    // date-ordered micro-batch phases (the e10 multi-batch shape), each
+    // folds its days through the seeded integer-EWMA recurrence on top
+    // of the standing per-user state, and the handed-off state seeds the
+    // next phase. Gate: the unioned per-day output must hash-equal ts3's
+    // FULL-HISTORY recurrence — one lost or double-counted hand-off
+    // flips the smoothed series. (Phases split on the observed midpoint
+    // date, so every key's later days arrive in the later phase — the
+    // precondition for a lossless EWMA hand-off.)
+    "e15_stream_ewma" -> ((s, dir) => {
+      import graft.ops.TimeSeries
+      val ev = eventsT(s, dir)
+      val b = ev.agg(to_date(min(col("ts"))).as("d0"),
+        to_date(max(col("ts"))).as("d1")).head()
+      val mid = new java.sql.Date(b.getDate(0).getTime
+        + (b.getDate(1).getTime - b.getDate(0).getTime) / 2)
+      var state: DataFrame = null
+      var rows: DataFrame = null
+      def phase(name: String, part: DataFrame): Unit =
+        graft.streaming.StreamingWindows.runForeachBatch(part, name) {
+          (batch, _) =>
+            val daily = TimeSeries.dailyE6(batch, "user_id", "ts", "value")
+            val st =
+              if (state != null) state
+              else daily.select(col("user_id"),
+                lit(null).cast("long").as("_s_off")).limit(0)
+            val r = TimeSeries.ewmaDailySeeded(daily, st, "user_id")
+              .localCheckpoint()
+            // New standing state: each key's max-date row, still in
+            // offset space; keys untouched this phase keep their state.
+            val latest = r.groupBy("user_id")
+              .agg(max(struct(col("d"), col("_ewma_off"))).as("m"))
+              .select(col("user_id"), col("m._ewma_off").as("_s_off"))
+            state =
+              (if (state == null) latest
+               else latest.unionByName(
+                 state.join(latest, Seq("user_id"), "left_anti")))
+                .localCheckpoint()
+            rows = if (rows == null) r else rows.unionByName(r)
+            ()
+        }
+      val stream = rawEventStream(s, dir)
+      phase("e15a", stream.filter(to_date(col("ts")) <= lit(mid)))
+      phase("e15b", stream.filter(to_date(col("ts")) > lit(mid)))
+      require(rows != null, "stream produced no micro-batches " +
+        "(pathGlobFilter matched no files?)")
+      rows.select("user_id", "d", "v_e6", "ewma_e6")
+    }),
+
     // F8 over semi-structured props: JSON field extraction + aggregate.
     "e4_json_props" -> ((s, dir) =>
       eventsT(s, dir)
@@ -273,6 +324,27 @@ object Events {
       |FROM events GROUP BY wstart, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // e15: the state hand-off must be invisible — the oracle is the SAME
+    // full-history recurrence as ts3.
+    "e15_stream_ewma" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(round(round(avg(value), 6) * 1e6) AS BIGINT) AS v_e6
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |arr AS (
+        |  SELECT user_id,
+        |    list(d ORDER BY d) AS ds,
+        |    list(v_e6 + 1000000000000 ORDER BY d) AS l
+        |  FROM daily GROUP BY user_id),
+        |e AS (
+        |  SELECT user_id, ds, l,
+        |    list_transform(range(1, len(l) + 1), i ->
+        |      list_reduce(l[1:i], (acc, y) -> (3*y + 7*acc) // 10)) AS ew
+        |  FROM arr)
+        |SELECT user_id, unnest(ds) AS d,
+        |  unnest(list_transform(l, x -> x - 1000000000000)) AS v_e6,
+        |  unnest(list_transform(ew, x -> x - 1000000000000)) AS ewma_e6
+        |FROM e""".stripMargin,
     // ts3: the identical integer recurrence as prefix list_reduce folds
     // over the date-ordered e6 values (offset +1e12 exactly as the
     // engine does; parallel unnests zip positionally).

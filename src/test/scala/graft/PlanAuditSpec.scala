@@ -46,6 +46,9 @@ class PlanAuditSpec extends AnyFunSuite {
                                // search; maintenance ran at construction)
     "b8_store_delete" -> 1,    // same: the post-delete search's one-row
                                // corpus_stats attach
+    "t23_bigram_xent" -> 1,    // one-row vocab-size aggregate (the t6
+                               // one-row-total pattern; the bigram model
+                               // itself is a keyed join)
     "t7_tfidf_top_term" -> 1,  // one-row doc-count aggregate
     "t15_dsir_weights" -> 1,   // one-row target/raw-total aggregate (the
                                // 64-row log-ratio table is a keyed join)

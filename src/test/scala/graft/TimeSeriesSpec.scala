@@ -101,4 +101,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     // s1 = -333333; s2 = floor(7*(-333333)/10) = floor(-233333.1) = -233334
     assert(got.toSeq == Seq(-333333L, -233334L))
   }
+
+  test("ewmaDailySeeded hand-off equals the full-history recurrence") {
+    val df = series(
+      (1L, "2024-01-01 10:00:00", 10.0), (1L, "2024-01-02 10:00:00", 90.0),
+      (1L, "2024-01-03 10:00:00", 5.0), (1L, "2024-01-04 10:00:00", 70.0),
+      (1L, "2024-01-05 10:00:00", 1.0),
+      (2L, "2024-01-04 10:00:00", 3.0), // key arriving only in phase 2
+      (3L, "2024-01-01 10:00:00", 8.0)) // key present only in phase 1
+    val full = TimeSeries.ewmaDaily(df, "user_id", "ts", "value")
+      .as[(Long, java.sql.Date, Long, Long)].collect().toSet
+    val cut = to_date(lit("2024-01-03"))
+    val p1 = TimeSeries.ewmaDailySeeded(
+      TimeSeries.dailyE6(df.filter(to_date(col("ts")) <= cut),
+        "user_id", "ts", "value"),
+      df.select(col("user_id"), lit(null).cast("long").as("_s_off")).limit(0),
+      "user_id")
+    val st = p1.groupBy("user_id")
+      .agg(max(struct(col("d"), col("_ewma_off"))).as("m"))
+      .select(col("user_id"), col("m._ewma_off").as("_s_off"))
+    val p2 = TimeSeries.ewmaDailySeeded(
+      TimeSeries.dailyE6(df.filter(to_date(col("ts")) > cut),
+        "user_id", "ts", "value"), st, "user_id")
+    val got = p1.drop("_ewma_off").unionByName(p2.drop("_ewma_off"))
+      .as[(Long, java.sql.Date, Long, Long)].collect().toSet
+    assert(got == full)
+  }
 }
