@@ -219,6 +219,44 @@ object Dedup {
       candidatePairs(lshBuckets(minhashSignatures(shingleHashes(docs))))
         .select("doc_a", "doc_b"))
 
+  /** CROSS-CORPUS near-dup — the BIPARTITE form of the LSH chain: probe
+    * corpus `b`'s bucket rows against standing corpus `a`'s, never
+    * self-joining either side. This is fuzzy decontamination /
+    * cross-source dedup (drop B docs already represented in A): where
+    * [[contamination]] matches exact shingles, this matches at the
+    * signature level (≥ `minBands` agreeing LSH bands). Against running
+    * [[candidatePairs]] on A ∪ B and filtering, the bipartite join never
+    * materializes A×A or B×B candidate pairs — at 100 TB, A's buckets
+    * are the standing store (d20's bucketed table) and the probe cost
+    * tracks the DELTA, exactly the incremental-dedup shape.
+    */
+  def crossCorpusPairs(a: DataFrame, b: DataFrame,
+      minBands: Int = 2): DataFrame = {
+    val ab = lshBuckets(minhashSignatures(shingleHashes(a)))
+      .select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val bb = lshBuckets(minhashSignatures(shingleHashes(b)))
+      .select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    bb.join(ab, Seq("band", "band_key"))
+      .groupBy("doc_b", "doc_a")
+      .agg(count(col("band")).as("n_bands"))
+      .filter(col("n_bands") >= minBands)
+  }
+
+  /** Per-B-doc rollup of [[crossCorpusPairs]]: the best standing match
+    * (most agreeing bands, ties → lowest A id — max(struct) argmax, no
+    * window sort) and the match count. A row per MATCHED B doc is the
+    * drop list cross-source dedup acts on.
+    */
+  def crossCorpusMatches(a: DataFrame, b: DataFrame,
+      minBands: Int = 2): DataFrame =
+    crossCorpusPairs(a, b, minBands)
+      .groupBy("doc_b")
+      .agg(max(struct(col("n_bands").as("nb"), (-col("doc_a")).as("na"),
+          col("doc_a").as("a"))).as("m"),
+        count(lit(1)).as("n_matches"))
+      .select(col("doc_b"), col("m.a").as("best_a"),
+        col("m.nb").as("best_bands"), col("n_matches"))
+
   /** INCREMENTAL connected components — the cluster-map maintenance leg
     * of the standing-store lifecycle (d20/d21 maintain SIGNATURES
     * incrementally; this maintains the CLUSTER MAP): fold a delta's new

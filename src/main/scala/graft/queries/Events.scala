@@ -308,6 +308,68 @@ object Events {
       rows.select("user_id", "d", "v_e6", "ewma_e6")
     }),
 
+    // WATERMARK FINALIZATION SEMANTICS under multi-batch late arrivals —
+    // the append-mode contract e1–e8 never pin batch-to-batch: the event
+    // history arrives as two files (maxFilesPerTrigger=1 → two
+    // micro-batches, mtimes pin the order), phase split by event_id
+    // parity so batch 2 carries rows far OLDER than the watermark the
+    // batch runs under (probe-measured: batch 2's wm = max(batch-1 ts)
+    // − 360 h). Spark's aggregation merges those late rows into their
+    // still-live window state — eviction happens POST-merge at batch end
+    // — so the gate proves three things at once: late-but-stateful rows
+    // are counted (not dropped), every window the FINAL watermark passed
+    // is emitted EXACTLY ONCE across the batch/no-data-batch sequence
+    // (a re-emission would duplicate a key and flip the hash), and the
+    // open tail past the final watermark is withheld, pinned by the
+    // e6-style n_open_at_end witness column.
+    "e16_watermark_late" -> ((s, dir) => {
+      val stage = new java.io.File(Tables.scratch(
+        "e16_stage_" + Tables.dirTag(dir)))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(stage); stage.mkdirs()
+      val ev = eventsT(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts"),
+          expr("CAST(round(value * 1000, 0) AS BIGINT)").as("v_e3"))
+      for (i <- 0 to 1) {
+        val tmp = new java.io.File(stage, s"_tmp$i")
+        ev.filter(pmod(col("event_id"), lit(2)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(stage, s"p$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + i * 3600000L)
+        rm(tmp)
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(stage.getAbsolutePath).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.getAbsolutePath)
+      val agg = stream
+        .withWatermark("ts", "360 hours")
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("v_e3").as("sum_v_e3"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("n"), col("sum_v_e3"))
+      graft.streaming.StreamingWindows.withStatePartitions(s, 4) {
+        val emitted = graft.streaming.StreamingWindows.runToMemory(agg,
+          "e16_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        val total = ev
+          .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("_n"))
+          .agg(count(lit(1)).as("_total"))
+        val emittedN = emitted.agg(count(lit(1)).as("_emitted"))
+        emitted.crossJoin(broadcast(total)).crossJoin(broadcast(emittedN))
+          .withColumn("n_open_at_end",
+            (col("_total") - col("_emitted")).cast("int"))
+          .drop("_total", "_emitted")
+      }
+    }),
+
     // F8 over semi-structured props: JSON field extraction + aggregate.
     "e4_json_props" -> ((s, dir) =>
       eventsT(s, dir)
@@ -324,6 +386,25 @@ object Events {
       |FROM events GROUP BY wstart, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // e16: append-mode finalization replayed in SQL — every window over
+    // ALL arrived rows (late rows merge into still-live state; nothing
+    // drops in this arrival pattern, probe-verified) whose end the FINAL
+    // watermark (global max ts − 360 h) passed, emitted once; the open
+    // tail withheld and pinned by n_open_at_end.
+    "e16_watermark_late" ->
+      """WITH p AS (SELECT event_id, event_type, ts,
+        |    CAST(round(value * 1000, 0) AS BIGINT) AS v_e3 FROM events),
+        |wmf AS (SELECT max(ts) - INTERVAL 360 HOUR AS w FROM p),
+        |res AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS wstart,
+        |    event_type, count(*) AS n, CAST(sum(v_e3) AS BIGINT) AS sum_v_e3
+        |  FROM p GROUP BY 1, 2),
+        |em AS (SELECT r.* FROM res r CROSS JOIN wmf
+        |  WHERE r.wstart + INTERVAL '15 minutes' <= wmf.w),
+        |audit AS (SELECT (SELECT count(*) FROM res)
+        |  - (SELECT count(*) FROM em) AS n_open_at_end)
+        |SELECT em.wstart, em.event_type, em.n, em.sum_v_e3,
+        |  CAST(audit.n_open_at_end AS INT) AS n_open_at_end
+        |FROM em CROSS JOIN audit""".stripMargin,
     // e15: the state hand-off must be invisible — the oracle is the SAME
     // full-history recurrence as ts3.
     "e15_stream_ewma" ->

@@ -465,6 +465,18 @@ object TextDedup {
       Dedup.connectedComponentsIncremental(standing, delta)
     }),
 
+    // CROSS-CORPUS near-dup (bipartite LSH probe, the fuzzy d12): the
+    // delta (doc_id < 100) probes the standing corpus (doc_id >= 100) at
+    // the signature level — per matched delta doc, its best standing
+    // match (most agreeing bands, ties → lowest id) and match count.
+    // Neither side self-joins; the probe cost tracks the delta.
+    "d29_cross_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossCorpusMatches(
+        d.filter(col("doc_id") >= 100), d.filter(col("doc_id") < 100),
+        minBands = 2)
+    }),
+
     // connected components over the LSH candidate graph: every near-dup
     // doc mapped to its cluster keeper (min doc_id in the component).
     "d8_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
@@ -2215,6 +2227,20 @@ object TextDedup {
          |  CAST(d.deg AS BIGINT) AS deg
          |FROM r10 r JOIN deg d ON d.src = r.node""".stripMargin
     },
+    // d29: the full-corpus pair CTE orders doc_a < doc_b, and the split
+    // point (100) orders every cross pair as (delta, standing) — so the
+    // bipartite probe's result is exactly the cross slice of `pairs`.
+    "d29_cross_corpus" ->
+      s"""WITH $minhashChain,
+         |x AS (SELECT doc_a AS doc_b2, doc_b AS doc_a2, n_bands
+         |  FROM pairs WHERE doc_a < 100 AND doc_b >= 100 AND n_bands >= 2)
+         |SELECT doc_b2 AS doc_b,
+         |  CAST(max_by(doc_a2,
+         |    CAST(n_bands AS BIGINT) * 1000000000000 - doc_a2) AS BIGINT)
+         |    AS best_a,
+         |  CAST(max(n_bands) AS BIGINT) AS best_bands,
+         |  count(*) AS n_matches
+         |FROM x GROUP BY doc_b2""".stripMargin,
     // d28: the full-recompute ground truth — the incremental fold must
     // land on EXACTLY the map d8's from-scratch recursion produces.
     "d28_cc_incremental" ->

@@ -390,4 +390,35 @@ class DedupTextSpec extends AnyFunSuite {
       "mail [EMAIL] then [IP] and [IP], call [PHONE] or [PHONE]; " +
         "not-pii: v1.2.3, a@b (no tld), 12-34")
   }
+
+  test("crossCorpusMatches equals the cross slice of the self-join pairs") {
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t)
+    val boiler = "the quick brown fox jumps over the lazy dog again and " +
+      "again every single day without fail in the morning light"
+    val corpus = Seq(
+      mk(1L, boiler), mk(2L, boiler + " extra tail words here"),
+      mk(3L, "completely different text with nothing shared at all " +
+        "between these documents ever written down"),
+      mk(101L, boiler), mk(102L, "another unrelated standing document " +
+        "about spark physical plans and shuffle exchanges at scale"),
+      mk(103L, boiler + " extra tail words here"))
+      .toDF("doc_id", "text")
+    val a = corpus.filter(col("doc_id") >= 100)
+    val b = corpus.filter(col("doc_id") < 100)
+    val got = graft.ops.Dedup.crossCorpusMatches(a, b, minBands = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // ground truth from the self-join chain, cross-filtered
+    val all = graft.ops.Dedup.candidatePairs(graft.ops.Dedup.lshBuckets(
+        graft.ops.Dedup.minhashSignatures(graft.ops.Dedup.shingleHashes(corpus))))
+      .filter(col("doc_a") < 100 && col("doc_b") >= 100 && col("n_bands") >= 2)
+      .as[(Long, Long, Long)].collect()
+    val want = all.groupBy(_._1).map { case (db, ms) =>
+      val best = ms.maxBy(m => (m._3, -m._2))
+      (db, best._2, best._3, ms.size.toLong)
+    }.toSet
+    assert(got == want && got.nonEmpty)
+    // doc 1 (pure boilerplate) must best-match standing 101 (same text)
+    assert(got.exists(r => r._1 == 1L && r._2 == 101L))
+  }
 }

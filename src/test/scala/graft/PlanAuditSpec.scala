@@ -18,6 +18,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "o1_split_exact" -> 1,     // one-row split-point aggregate
     "pipeline_e2e" -> 2,       // o1's aggregate, twice (train + holdout)
     "e6_stateful_sessions" -> 2, // one-row total/emitted session counts
+    "e16_watermark_late" -> 2, // one-row total/emitted window counts (the
+                               // e6 held-back-tail witness pattern)
     "o14_length_batching" -> 1, // one-row corpus-count aggregate (the o1
                                // split-point pattern)
     "t5_freq_tokens" -> 1,     // one-row token-total aggregate
