@@ -52,4 +52,34 @@ object EventWindows {
         count(lit(1)).as("n_events"),
         round(sum("value"), 3).as("sum_value"))
   }
+
+  /** ORDERED funnel analysis — the event-analytics staple: per user, the
+    * first occurrence of each step that happens AT OR AFTER the previous
+    * step's first occurrence (first `steps(0)`, then the first
+    * `steps(1)` ≥ it, …). A user converts through step k only if the
+    * whole prefix chains in time order — a purchase BEFORE any view does
+    * not count.
+    *
+    * Shape: ONE conditional-min aggregate per step, all map-side-partial
+    * and keyed on the user — step k's aggregate filters on step k−1's
+    * timestamp carried by a keyed join, so the chain is k shuffles of
+    * (user, ts) pairs, never a per-user sort or window. Output: one row
+    * per user with each step's first chained timestamp (NULL = never
+    * reached).
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("ts_0"))
+    steps.tail.zipWithIndex.foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"ts_$i"
+      val cur = s"ts_${i + 1}"
+      acc.join(
+        events.filter(col("event_type") === step)
+          .select(col("user_id"), col("ts").as("_t")),
+        Seq("user_id"), "left")
+        .groupBy((col("user_id") +: (0 to i).map(j => col(s"ts_$j"))): _*)
+        .agg(min(when(col("_t") >= col(prev), col("_t"))).as(cur))
+    }
+  }
 }

@@ -284,6 +284,21 @@ object Split {
       .drop("_shuf", "_grn", "_gn")
   }
 
+  /** Stratified K-FOLD assignment (cross-validation folds): within each
+    * stratum, rows take folds round-robin in seeded-shuffle order, so
+    * every (stratum, fold) cell is balanced to ±1 exactly — the
+    * guarantee random assignment only approximates. Pure map + one
+    * per-stratum window in (lcg, key) order (keyed shuffle, no global
+    * sort); assignment is layout-independent and re-runnable.
+    */
+  def kFold(df: DataFrame, stratumCol: String, keyCol: String, k: Int,
+      seed: Long): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(shuffleKey(col(keyCol), seed), col(keyCol))
+    df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("int"))
+  }
+
   /** Group-leakage-safe split: every row of a group (all documents from
     * one source/domain) lands in the SAME split because the assignment
     * hashes the GROUP key, not the row. The contamination-safe train/test

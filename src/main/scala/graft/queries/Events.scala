@@ -370,6 +370,15 @@ object Events {
       }
     }),
 
+    // ORDERED FUNNEL — the event-analytics staple: per user, first view,
+    // first click at-or-after it, first purchase at-or-after that click.
+    // One conditional-min aggregate per step (keyed, map-side-partial; no
+    // per-user sort or window); a purchase before any view must NOT
+    // count, and the per-user timestamps hash exactly.
+    "w3_funnel" -> ((s, dir) =>
+      EventWindows.funnel(eventsT(s, dir),
+        Seq("view", "click", "purchase"))),
+
     // F8 over semi-structured props: JSON field extraction + aggregate.
     "e4_json_props" -> ((s, dir) =>
       eventsT(s, dir)
@@ -386,6 +395,21 @@ object Events {
       |FROM events GROUP BY wstart, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // w3: the same chained conditional-mins, one CTE per step.
+    "w3_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS ts_0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT v.user_id, v.ts_0,
+        |    min(CASE WHEN e.ts >= v.ts_0 THEN e.ts END) AS ts_1
+        |  FROM v LEFT JOIN events e
+        |    ON e.user_id = v.user_id AND e.event_type = 'click'
+        |  GROUP BY 1, 2),
+        |p AS (SELECT c.user_id, c.ts_0, c.ts_1,
+        |    min(CASE WHEN e.ts >= c.ts_1 THEN e.ts END) AS ts_2
+        |  FROM c LEFT JOIN events e
+        |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, ts_0, ts_1, ts_2 FROM p""".stripMargin,
     // e16: append-mode finalization replayed in SQL — every window over
     // ALL arrived rows (late rows merge into still-live state; nothing
     // drops in this arrival pattern, probe-verified) whose end the FINAL

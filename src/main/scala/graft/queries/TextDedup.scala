@@ -286,6 +286,19 @@ object TextDedup {
         .agg(count(lit(1)).as("n"),
           sum(col("is_train")).as("n_train"))),
 
+    // Stratified K-FOLD (cross-validation assignment): within each lang,
+    // folds taken round-robin in seeded-shuffle order — every
+    // (lang, fold) cell balanced to ±1 EXACTLY, a guarantee random
+    // assignment only approximates. The per-doc assignment is what
+    // hashes (sum of member ids per cell), not just the counts.
+    "o22_kfold" -> ((s, dir) =>
+      graft.ops.Split.kFold(
+          docs(s, dir).select("doc_id", "lang"), "lang", "doc_id",
+          k = 5, seed = 19L)
+        .groupBy("lang", "fold")
+        .agg(count(lit(1)).as("n"),
+          sum("doc_id").as("sum_ids"))),
+
     // deterministic k-per-key sample: 5 docs per (lang, source) cell by
     // seeded LCG rank — reproducible "few examples per class".
     "o6_sample_per_key" -> ((s, dir) =>
@@ -1526,6 +1539,16 @@ object TextDedup {
          |  CAST(sum(CASE WHEN grn <= floor(0.8 * gn) THEN 1 ELSE 0 END) AS BIGINT) AS n_train
          |FROM numbered n JOIN counts c ON n.lang = c.lang
          |GROUP BY n.lang""".stripMargin
+    },
+    "o22_kfold" -> {
+      val shuf = Hashing.lcgSql("doc_id", 19L, Hashing.LcgM)
+      s"""WITH numbered AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY $shuf, doc_id) AS grn
+         |  FROM documents)
+         |SELECT lang, CAST((grn - 1) % 5 AS INT) AS fold, count(*) AS n,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM numbered GROUP BY 1, 2""".stripMargin
     },
     "o6_sample_per_key" -> {
       val shuf = Hashing.lcgSql("doc_id", 11L, Hashing.LcgM)

@@ -89,4 +89,21 @@ class SplitStratifiedSpec extends AnyFunSuite {
       .select("source", "split").as[(String, String)].collect()
     assert(got.sortBy(_._1.toString).toSeq == again.sortBy(_._1.toString).toSeq)
   }
+
+  test("kFold balances every (stratum, fold) cell to +-1 and is layout-invariant") {
+    val df = (1L to 103L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val folds = graft.ops.Split.kFold(df, "lang", "doc_id", k = 5, seed = 19L)
+    val cells = folds.groupBy("lang", "fold").count()
+      .as[(String, Int, Long)].collect()
+    cells.groupBy(_._1).foreach { case (_, cs) =>
+      assert(cs.map(_._2).toSet == (0 until 5).toSet)
+      assert(cs.map(_._3).max - cs.map(_._3).min <= 1)
+    }
+    val a = folds.as[(Long, String, Int)].collect().toSet
+    val b = graft.ops.Split.kFold(df.repartition(7, col("doc_id")),
+      "lang", "doc_id", k = 5, seed = 19L)
+      .as[(Long, String, Int)].collect().toSet
+    assert(a == b)
+  }
 }
