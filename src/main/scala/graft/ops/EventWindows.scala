@@ -67,6 +67,36 @@ object EventWindows {
     * per user with each step's first chained timestamp (NULL = never
     * reached).
     */
+  /** WEEKLY COHORT RETENTION — the other event-analytics staple next to
+    * [[funnel]]: users cohorted by the ISO week of their first activity;
+    * for each (cohort, weeks-since) cell, how many of them were active
+    * again. Output: cohort week, week offset, active count, cohort size,
+    * and retention in e6 units (BIGINT floor division — bit-identical
+    * cross-engine; week 0 is the cohort itself at retention 10⁶).
+    *
+    * Shape: one distinct on (user, week), one min-groupBy for the cohort,
+    * one keyed join back on user_id, one count-groupBy — all keyed on the
+    * user, no windows. The cohort-size frame is one row per WEEK of
+    * corpus history (bounded by calendar time, not data volume), so it
+    * broadcasts at any scale.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val first = weeks.groupBy("user_id").agg(min("wk").as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_n"))
+    weeks.join(first, "user_id")
+      .select(col("cohort"),
+        expr("CAST(datediff(wk, cohort) div 7 AS INT)").as("week_no"))
+      .groupBy("cohort", "week_no")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("week_no"), col("n_active"), col("cohort_n"),
+        expr("(n_active * 1000000) div cohort_n").as("retention_e6"))
+  }
+
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val first = events.filter(col("event_type") === steps.head)

@@ -91,6 +91,68 @@ object Graph {
       .select(col("node"), col("r").as("r_e12"), col("deg"))
   }
 
+  /** Per-node triangle census over an undirected pair frame
+    * (`doc_a`, `doc_b`): degree, triangles through the node, and local
+    * clustering coefficient in e6 units — the transitivity signal that
+    * separates a TIGHT duplication clique (template page + mirrors,
+    * lcc → 1) from a star-shaped chain of borderline matches (hub
+    * lcc → 0), which [[Dedup.keepBest]] alone cannot distinguish.
+    *
+    * Scale shape: the classic degree-ordered orientation (each
+    * undirected edge directed from its (deg, id)-smaller endpoint), so
+    * every triangle is enumerated exactly once and — decisively at
+    * 100 TB — the wedge join fans out only from each edge's LOW-degree
+    * endpoint: a hub of degree d contributes ZERO wedges of its own,
+    * bounding the join at m^(3/2) candidates instead of Σd² (which a
+    * template page duplicated by thousands of leaves would make
+    * quadratic). Three keyed self-joins, no driver-side adjacency.
+    *
+    * Numerics: lcc_e6 = (2·tri·10⁶) div (deg·(deg−1)) — all-BIGINT
+    * floor division, bit-identical cross-engine.
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    import graft.engine.Caches.Registered
+    val e = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persistTracked()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persistTracked()
+    // Orient a—b from the (deg, id)-smaller endpoint. Both endpoint
+    // degrees attach via keyed joins (deg is small relative to edges but
+    // unbounded — a broadcast would cap corpus size; Catalyst/AQE may
+    // still choose one when it fits).
+    val aFirst = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val dir = e
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+      .persistTracked()
+    // Wedges at u: unordered out-neighbor pairs (v < w by id, each pair
+    // once); the closing v—w edge is probed in the CANONICAL undirected
+    // set (v < w already canonical), so the wedge never needs to know
+    // which way degree-order directed it.
+    val d2 = dir.select(col("src"), col("dst").as("dst2"))
+    val tri = dir.join(d2, "src")
+      .filter(col("dst") < col("dst2"))
+      .join(e, col("dst") === col("a") && col("dst2") === col("b"), "left_semi")
+      .select(col("src").as("x"), col("dst").as("y"), col("dst2").as("z"))
+    val triPerNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .select(col("node").as("doc_id"), col("deg"), col("n_tri"),
+        when(col("deg") >= 2,
+          expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_e6"))
+  }
+
   /** (doc_a, doc_b) pairs → symmetric (src, dst) edges, in ONE pass over
     * the pair pipeline (a union with the swapped projection would run the
     * expensive upstream LSH chain twice — the

@@ -213,6 +213,25 @@ object Split {
     globalRowNumber(keyed, "_shuf", keyCol).drop("_shuf")
   }
 
+  /** Deterministic EXACT-k uniform sample of the whole frame: the k rows
+    * whose seeded LCG key ranks smallest (ties → keyCol). Same draw as
+    * [[shuffleOrder]]'s prefix, but the plan never ranks the corpus:
+    * `orderBy(...).limit(k)` lowers to TakeOrderedAndProject — each task
+    * keeps a k-row heap and the driver merges #partitions·k candidates —
+    * so a 100 TB table pays one scan and no shuffle, where shuffleOrder
+    * (or any window) would range-partition every row just to discard all
+    * but k. The "inspect a fixed-size slice" primitive: eval panels,
+    * spot-check batches, debugging samples — reproducible across engines,
+    * partitionings, and reruns.
+    */
+  def sampleExactK(df: DataFrame, keyCol: String, k: Int, seed: Long): DataFrame = {
+    require(k >= 1, "sampleExactK needs k >= 1")
+    df.withColumn("_shuf", shuffleKey(col(keyCol), seed))
+      .orderBy(col("_shuf"), col(keyCol))
+      .limit(k)
+      .drop("_shuf")
+  }
+
   /** IMPORTANCE RESAMPLING via seeded Gumbel top-k — the selection leg of
     * DSIR (Xie et al. 2023 §2.2 sample documents ∝ w(x) WITHOUT
     * replacement; Efraimidis & Spirakis 2006 / the Gumbel-top-k trick:

@@ -379,6 +379,41 @@ object Events {
       EventWindows.funnel(eventsT(s, dir),
         Seq("view", "click", "purchase"))),
 
+    // WEEKLY COHORT RETENTION — first-activity-week cohorts × week
+    // offsets, integer-e6 retention rates. All keyed on user_id; the
+    // cohort-size join is a calendar-bounded broadcast.
+    "w4_retention" -> ((s, dir) =>
+      EventWindows.retention(eventsT(s, dir))),
+
+    // HLL SKETCH STORE with merge-on-read — the pre-aggregated
+    // distinct-count cube every 100 TB metrics layer keeps: per
+    // (event_type, day) partial HLL sketches of the user set are WRITTEN
+    // to a parquet store (a binary column — each day's ingest touches
+    // only its own rows), then a reader merges sketches ACROSS days per
+    // event_type and estimates — never re-scanning raw events. Gate
+    // surface: exact distincts (recomputed for the audit) plus a
+    // tolerance flag on the estimate, the a7 sketch-gating pattern; the
+    // store lifecycle itself is under test, like d21/b5.
+    "a11_hll_store" -> ((s, dir) => {
+      val out = Tables.scratch("a11_hll_" + Tables.dirTag(dir))
+      val ev = eventsT(s, dir)
+      ev.select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+        .groupBy("event_type", "d")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(out)
+      val merged = s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("_est"),
+          sum("n").as("n_events"))
+      val exact = ev.select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("exact_users"))
+      merged.join(broadcast(exact), "event_type")
+        .select(col("event_type"), col("n_events"), col("exact_users"),
+          (abs(col("_est") - col("exact_users")) <=
+            lit(0.05) * col("exact_users")).as("hll_ok"))
+    }),
+
     // F8 over semi-structured props: JSON field extraction + aggregate.
     "e4_json_props" -> ((s, dir) =>
       eventsT(s, dir)
@@ -395,6 +430,31 @@ object Events {
       |FROM events GROUP BY wstart, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // w4: the same distinct-(user, week) → cohort-min → offset-count
+    // chain; date_trunc('week') is Monday-aligned in both engines, so
+    // the day diff is an exact multiple of 7 and the floor divisions
+    // agree bit-for-bit.
+    "w4_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |firsts AS (SELECT user_id, min(wk) AS cohort FROM weeks GROUP BY 1),
+        |sizes AS (SELECT cohort, count(*) AS cohort_n FROM firsts GROUP BY 1),
+        |act AS (
+        |  SELECT f.cohort,
+        |    CAST(date_diff('day', f.cohort, w.wk) // 7 AS INT) AS week_no,
+        |    count(*) AS n_active
+        |  FROM weeks w JOIN firsts f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort, a.week_no, a.n_active, s.cohort_n,
+        |  CAST((a.n_active * 1000000) // s.cohort_n AS BIGINT) AS retention_e6
+        |FROM act a JOIN sizes s USING (cohort)""".stripMargin,
+    // a11: the sketch's estimate is gated by a tolerance boolean (the a7
+    // pattern); the exact distincts and event counts are the hash surface.
+    "a11_hll_store" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     // w3: the same chained conditional-mins, one CTE per step.
     "w3_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS ts_0 FROM events

@@ -299,6 +299,15 @@ object TextDedup {
         .agg(count(lit(1)).as("n"),
           sum("doc_id").as("sum_ids"))),
 
+    // deterministic EXACT-k GLOBAL sample — the bounded "inspect a
+    // slice" primitive: 64 rows by seeded LCG rank via
+    // TakeOrderedAndProject (per-task k-row heaps, NO shuffle — o10's
+    // full permutation would range-partition 100 TB to keep 64 rows).
+    "o23_global_sample" -> ((s, dir) =>
+      graft.ops.Split.sampleExactK(
+        docs(s, dir).select("doc_id", "lang", "n_chars"),
+        "doc_id", k = 64, seed = 23L)),
+
     // deterministic k-per-key sample: 5 docs per (lang, source) cell by
     // seeded LCG rank — reproducible "few examples per class".
     "o6_sample_per_key" -> ((s, dir) =>
@@ -508,6 +517,16 @@ object TextDedup {
     // path (the high-diameter-safe variant) — must agree with d8 exactly.
     "d11_dup_clusters_star" -> ((s, dir) =>
       Dedup.connectedComponentsStar(
+        Dedup.candidatePairs(Dedup.lshBuckets(Dedup.minhashSignatures(
+          Dedup.shingleHashes(docs(s, dir))))).select("doc_a", "doc_b"))),
+
+    // TRIANGLE CENSUS of the duplication graph — transitivity per node
+    // (degree, triangle count, local clustering in e6): tight cliques
+    // (template + mirrors) vs star-shaped borderline chains. Degree-
+    // ordered orientation bounds the wedge join at m^1.5 — hubs emit no
+    // wedges (see ops/Graph.triangles).
+    "d30_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangles(
         Dedup.candidatePairs(Dedup.lshBuckets(Dedup.minhashSignatures(
           Dedup.shingleHashes(docs(s, dir))))).select("doc_a", "doc_b"))),
 
@@ -1550,6 +1569,11 @@ object TextDedup {
          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM numbered GROUP BY 1, 2""".stripMargin
     },
+    "o23_global_sample" -> {
+      val shuf = Hashing.lcgSql("doc_id", 23L, Hashing.LcgM)
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |ORDER BY $shuf, doc_id LIMIT 64""".stripMargin
+    },
     "o6_sample_per_key" -> {
       val shuf = Hashing.lcgSql("doc_id", 11L, Hashing.LcgM)
       s"""WITH cells AS (
@@ -1745,6 +1769,33 @@ object TextDedup {
          |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON e.doc_b = r.id)
          |SELECT id AS doc_id, min(label) AS keep_id
          |FROM reach GROUP BY id""".stripMargin,
+    // d30: triangles enumerated id-ordered (x<y<z — orientation-free;
+    // the engine's degree-ordered enumeration yields the same set), then
+    // exploded to per-node counts. All-BIGINT lcc floor division.
+    "d30_triangles" ->
+      s"""WITH $minhashChain,
+         |e AS (
+         |  SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+         |  FROM pairs WHERE doc_a <> doc_b GROUP BY 1, 2),
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) u
+         |  GROUP BY 1),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tn AS (
+         |  SELECT node, count(*) AS n_tri FROM (
+         |    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri) u
+         |  GROUP BY 1)
+         |SELECT d.node AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+         |  CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CAST(CASE WHEN d.deg >= 2 THEN
+         |      (2 * coalesce(tn.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+         |    ELSE 0 END AS BIGINT) AS lcc_e6
+         |FROM deg d LEFT JOIN tn USING (node)""".stripMargin,
     "d3_simhash" -> simhashSql,
     "t7_tfidf_top_term" ->
       s"""WITH $toksSrc,

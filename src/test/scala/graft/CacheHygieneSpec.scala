@@ -63,6 +63,11 @@ class CacheHygieneSpec extends AnyFunSuite {
     assertHygiene("minhashLsh")(Dedup.minhashLsh(docs))
   }
 
+  test("triangles releases its edge/degree/orientation caches") {
+    assertHygiene("triangles")(graft.ops.Graph.triangles(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")))
+  }
+
   test("cutSpans chain releases the occurrence cache") {
     assertHygiene("cutSpans")(Dedup.cutSpans(docs, n = 3))
   }

@@ -58,6 +58,46 @@ class GraphSpec extends AnyFunSuite {
       Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L), (11L, 10L)))
   }
 
+  test("triangles: clique / path / isolated edge, dups and loops ignored") {
+    // 4-clique {1,2,3,4} (4 triangles, every node in 3, lcc = 1) +
+    // path 5—6—7 (an open wedge at 6, no triangle) + isolated edge 8—9.
+    // Input includes a reversed duplicate and a self-loop — both must
+    // vanish in canonicalization.
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (5L, 5L), // reversed dup + self-loop
+      (5L, 6L), (6L, 7L), (8L, 9L)
+    ).toDF("doc_a", "doc_b")
+    val got = Graph.triangles(pairs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    for (v <- 1L to 4L) assert(got(v) == ((3L, 3L, 1000000L)))
+    assert(got(6L) == ((2L, 0L, 0L))) // open wedge: deg 2, lcc 0
+    for (v <- Seq(5L, 7L, 8L, 9L)) assert(got(v) == ((1L, 0L, 0L)))
+  }
+
+  test("triangles reuse the canonical edge frame, not the upstream pipeline") {
+    // The pair pipeline feeding triangles (LSH chain in d30) is expensive;
+    // the operator must persist the canonical edge set and fan out from
+    // the CACHE — the plan references InMemoryTableScan, not N replays of
+    // the upstream plan.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val plan = Graph.triangles(pairs).queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("triangles are partitioning-invariant") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val a = Graph.triangles(pairs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = Graph.triangles(pairs.repartition(7, col("doc_b")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("incremental CC equals the full recompute") {
     // Old graph: components {1,2,3} and {7,8}. Delta: edges joining a new
     // node 0 to 3 (merging into the first component), a new isolated pair

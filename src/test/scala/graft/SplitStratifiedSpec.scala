@@ -59,6 +59,26 @@ class SplitStratifiedSpec extends AnyFunSuite {
     assert(o3 !== o1)
   }
 
+  test("sampleExactK is the shuffleOrder prefix, without the global permutation") {
+    val base = spark.range(500).select(col("id").as("k"))
+    val sample = Split.sampleExactK(base, "k", k = 10, seed = 11L)
+      .as[Long].collect().toSeq
+    assert(sample.size == 10 && sample.distinct.size == 10)
+    // Exactly the first 10 of the full seeded permutation.
+    val prefix = Split.shuffleOrder(base, "k", seed = 11L)
+      .filter(col("rn") <= 10).select("k").as[Long].collect().toSet
+    assert(sample.toSet == prefix)
+    // Partitioning-invariant and a real sample (not the id prefix).
+    val again = Split.sampleExactK(base.repartition(7), "k", k = 10, seed = 11L)
+      .as[Long].collect().toSeq
+    assert(again == sample)
+    assert(sample.toSet != (0L until 10L).toSet)
+    // The plan is a bounded top-k, not a global sort+limit.
+    val plan = Split.sampleExactK(base, "k", k = 10, seed = 11L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("shardedExport: balanced shards, lossless roundtrip, interleaved order") {
     val base = spark.range(101).select(col("id").as("k")) // 101 = 12*8 + 5
     val out = java.nio.file.Files.createTempDirectory("o12spec").toString
