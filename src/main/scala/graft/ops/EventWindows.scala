@@ -97,6 +97,38 @@ object EventWindows {
         expr("(n_active * 1000000) div cohort_n").as("retention_e6"))
   }
 
+  /** SWEEP-LINE SESSION CONCURRENCY — the interval-stabbing profile:
+    * how many sessions are simultaneously open, read at every session
+    * boundary, rolled up to a per-day maximum (the capacity-planning /
+    * load-profile readout). Intervals are CLOSED ([start, end] — two
+    * sessions touching at an instant count as concurrent), pinned by
+    * ordering all +1 boundary rows before −1 at the same timestamp.
+    *
+    * Shape: sessions → 2 boundary rows each (one explode) →
+    * [[Split.globalCumSum]] over the total order (ts, delta desc,
+    * user_id, session_start) → one day-keyed max-groupBy. A naive
+    * overlap SELF-JOIN of the interval set is quadratic exactly where
+    * load is high; the sweep is O(n log n) via one range shuffle, and
+    * every intermediate value is an integer — bit-identical
+    * cross-engine at any layout.
+    */
+  def concurrency(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val sess = sessions(events, gapMinutes)
+      .select("user_id", "session_start", "session_end")
+    val bounds = sess.select(col("user_id"), col("session_start"),
+        explode(array(
+          struct(col("session_start").as("ts"), lit(1).as("delta")),
+          struct(col("session_end").as("ts"), lit(-1).as("delta")))).as("b"))
+      .select(col("user_id"), col("session_start"),
+        col("b.ts").as("ts"), col("b.delta").as("delta"))
+    Split.globalCumSum(bounds, "delta",
+        Seq(col("ts"), col("delta").desc, col("user_id"),
+          col("session_start")), -1)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(max(col("cum")).cast("int").as("max_concurrent"),
+        count(lit(1)).as("n_boundaries"))
+  }
+
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val first = events.filter(col("event_type") === steps.head)

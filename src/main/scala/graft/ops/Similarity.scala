@@ -73,6 +73,25 @@ object Similarity {
       .select(col("q_id"), col("bucket"), col("c_id").as("nn_id"), col("cos"))
   }
 
+  /** MUTUAL (reciprocal) nearest neighbors: pairs where each vector is
+    * the OTHER's in-bucket top-1 — the high-precision slice of the
+    * near-dup signal (one-directional top-1 fires for every vector, even
+    * ones with no close neighbor; reciprocity is the classic
+    * dataset-pruning / cross-encoder-candidate filter because it demands
+    * agreement from both sides). Built on [[annBucketed]]'s top-1 frame:
+    * one keyed self-semi-join, each surviving pair emitted once (a < b).
+    * The rounded cosine is direction-symmetric, so the kept direction's
+    * score is THE pair score.
+    */
+  def mutualNearest(vecs: DataFrame, nBits: Int): DataFrame = {
+    val top1 = annBucketed(vecs, nBits)
+      .select(col("q_id"), col("nn_id"), col("cos"))
+    val back = top1.select(col("q_id").as("nn_id"), col("nn_id").as("q_id"))
+    top1.join(back, Seq("q_id", "nn_id"), "left_semi")
+      .filter(col("q_id") < col("nn_id"))
+      .select(col("q_id").as("vec_a"), col("nn_id").as("vec_b"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: the vector-space member of the
     * dedup family (exact / MinHash / SimHash / Jaccard live in Dedup).
     * Candidates meet only inside their sign-LSH bucket — a keyed self-join,

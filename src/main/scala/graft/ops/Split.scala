@@ -182,13 +182,24 @@ object Split {
     * otherwise execute as a one-task global window.
     */
   def globalCumSum(df: DataFrame, valCol: String, orderCol: String,
-      tieBreak: String, numParts: Int = -1): DataFrame = {
+      tieBreak: String, numParts: Int = -1): DataFrame =
+    globalCumSum(df, valCol, Seq(col(orderCol), col(tieBreak)), numParts)
+
+  /** Multi-column form of [[globalCumSum]]: running sum in ascending
+    * `sortCols` order (direction expressions like `col.desc` are honored;
+    * the combination must be a TOTAL order or the prefix sums are
+    * layout-dependent). Same shape: range-partition on the sort key,
+    * window within partitions, per-partition totals added via a
+    * #partitions-row broadcast — no single-task global window.
+    */
+  def globalCumSum(df: DataFrame, valCol: String, sortCols: Seq[Column],
+      numParts: Int): DataFrame = {
     val parts = if (numParts > 0) numParts
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(parts, col(orderCol), col(tieBreak))
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("_part", spark_partition_id())
       .persistTracked()
-    val w = Window.partitionBy("_part").orderBy(col(orderCol), col(tieBreak))
+    val w = Window.partitionBy("_part").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val summed = ranged.withColumn("_psum", sum(col(valCol)).over(w))
     val offsets = ranged.groupBy("_part").agg(sum(col(valCol)).as("_ptot"))
@@ -199,6 +210,29 @@ object Split {
     summed.join(broadcast(offsets), "_part")
       .withColumn("cum", col("_offset") + col("_psum"))
       .drop("_part", "_psum", "_offset")
+  }
+
+  /** SNAKE-ORDER BALANCED SHARDS — equal-SIZE shards, not equal-count:
+    * rank by size descending, deal rank r to shard (r−1) mod n on even
+    * passes and its mirror on odd passes (boustrophedon). Each
+    * consecutive 2n-block contributes exactly (size_i + size_{2n+1−i})
+    * per shard, so shard totals track each other to within one block —
+    * the distributed stand-in for greedy LPT (which is inherently
+    * sequential). The training-export complement of [[shardedExport]]
+    * (balanced row COUNTS): when sequence lengths are skewed, equal
+    * counts give unequal token work per shard; this bounds the spread.
+    */
+  def snakeShards(df: DataFrame, sizeCol: String, idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "snakeShards needs nShards >= 1")
+    globalRowNumber(df.withColumn("_negsz", -col(sizeCol)),
+        Seq(col("_negsz"), col(idCol)), -1)
+      .drop("_negsz")
+      .withColumn("shard",
+        expr(s"""CAST(CASE WHEN ((rn - 1) div $nShards) % 2 = 0
+                 |  THEN (rn - 1) % $nShards
+                 |  ELSE ${nShards - 1} - ((rn - 1) % $nShards) END AS INT)
+                 |""".stripMargin))
   }
 
   /** Deterministic seeded global permutation — the training-order shuffle

@@ -91,4 +91,42 @@ object Stats {
     }
     rows.reduce(_ unionByName _)
   }
+
+  /** PER-GROUP GINI COEFFICIENT of a size column — the corpus
+    * concentration report: is a source's token mass spread across its
+    * documents or locked up in a few giants? (Feeds sampling decisions:
+    * a high-Gini source subsampled by DOCUMENT count still contributes
+    * most of its mass from the giants.) Exact rank formula over the
+    * ascending sort: G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx), emitted as a
+    * BIGINT floor-scaled e6 — integer arithmetic end-to-end, so the
+    * value is bit-identical cross-engine (COVERAGE.md "Oracle pinning").
+    *
+    * Shape: one window rank PARTITIONED BY the group (parallel across
+    * groups, the w2 ntile discipline — no global sort) + one groupBy.
+    * Overflow envelope: 2·Σ i·xᵢ·10⁶ and n·Σx must fit BIGINT — holds
+    * while n²·max(x) < 4.6·10¹² per group (every gate SF by orders of
+    * magnitude); ENFORCED in-plan via assert_true so Spark's silent
+    * long wraparound can never diverge from DuckDB's exact HUGEINT —
+    * past the envelope the job fails loudly and the fix is the
+    * corrPairsExact DECIMAL(38,0) spelling.
+    */
+  def giniByGroup(df: DataFrame, groupCol: String, sizeCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(sizeCol), col(idCol))
+    df.select(col(groupCol), col(idCol), col(sizeCol))
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).as("sum_size"),
+        sum(col("_rk") * col(sizeCol)).as("_s1"))
+      .filter(assert_true(
+        col("_s1") <= lit(4600000000000L) &&
+          col("n_docs") * col("sum_size") <= lit(Long.MaxValue / 2),
+        lit("giniByGroup BIGINT envelope exceeded — use DECIMAL(38,0)"))
+        .isNull)
+      .select(col(groupCol), col("n_docs"), col("sum_size"),
+        expr("((2 * _s1 - (n_docs + 1) * sum_size) * 1000000)" +
+          " div (n_docs * sum_size)").as("gini_e6"))
+  }
 }

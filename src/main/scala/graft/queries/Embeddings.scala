@@ -54,6 +54,12 @@ object Embeddings {
     "v2_ann_bucketed" -> ((s, dir) =>
       Similarity.annBucketed(t(s, dir, "embeddings"), NnBits)),
 
+    // MUTUAL nearest neighbors — the high-precision reciprocal slice of
+    // v2's top-1 frame (dataset-pruning / candidate-pair filter: both
+    // sides must agree). One keyed self-semi-join over the top-1 rows.
+    "v22_mutual_nn" -> ((s, dir) =>
+      Similarity.mutualNearest(t(s, dir, "embeddings"), NnBits)),
+
     // Matryoshka-truncated ANN: MRL-trained embeddings rank usably under
     // prefix truncation, so the candidate scan runs on the first 16 of 64
     // dims — 4x less IO and flops per pair with the identical bucketed
@@ -948,6 +954,24 @@ object Embeddings {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
          |  FROM scored)
          |SELECT q_id, bucket, c_id AS nn_id, cos FROM ranked WHERE rk = 1""".stripMargin,
+    // v22: v2's top-1 chain, then reciprocity — each side must pick the
+    // other; the pair emitted once (a < b) with the symmetric cosine.
+    "v22_mutual_nn" ->
+      s"""WITH $vSrc,
+         |b AS (SELECT vec_id, dv, $bucketSql AS bucket FROM v),
+         |scored AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    round(list_dot_product(a.dv, b.dv) /
+         |      (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 6) AS cos
+         |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+         |  FROM scored),
+         |t1 AS (SELECT q_id, c_id, cos FROM ranked WHERE rk = 1)
+         |SELECT a.q_id AS vec_a, a.c_id AS vec_b, a.cos
+         |FROM t1 a JOIN t1 r ON a.c_id = r.q_id AND r.c_id = a.q_id
+         |WHERE a.q_id < a.c_id""".stripMargin,
     "d7_embedding_neardup" ->
       s"""WITH $vSrc,
          |b AS (SELECT vec_id, dv, $bucketSql AS bucket FROM v)

@@ -385,6 +385,13 @@ object Events {
     "w4_retention" -> ((s, dir) =>
       EventWindows.retention(eventsT(s, dir))),
 
+    // SWEEP-LINE SESSION CONCURRENCY — per-day max simultaneously-open
+    // sessions via boundary +1/−1 rows and a scalable ordered cumsum;
+    // the O(n log n) answer to a question the naive interval self-join
+    // makes quadratic exactly where load peaks.
+    "w5_concurrency" -> ((s, dir) =>
+      EventWindows.concurrency(eventsT(s, dir), gapMinutes = 30)),
+
     // HLL SKETCH STORE with merge-on-read — the pre-aggregated
     // distinct-count cube every 100 TB metrics layer keeps: per
     // (event_type, day) partial HLL sketches of the user set are WRITTEN
@@ -449,6 +456,38 @@ object Events {
         |SELECT a.cohort, a.week_no, a.n_active, s.cohort_n,
         |  CAST((a.n_active * 1000000) // s.cohort_n AS BIGINT) AS retention_e6
         |FROM act a JOIN sizes s USING (cohort)""".stripMargin,
+    // w5: the identical sweep — e3's session CTEs, boundary rows, one
+    // running sum over the SAME total order (starts before ends at a
+    // tied instant: closed intervals), day rollup. DuckDB's window sum
+    // of INTEGER is HUGEINT — cast back to the engine's INT/BIGINT.
+    "w5_concurrency" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, sum(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+        |  FROM numbered GROUP BY user_id, session_no),
+        |b AS (
+        |  SELECT user_id, s_start, s_start AS ts, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT user_id, s_start, s_end AS ts, -1 AS delta FROM sess),
+        |r AS (
+        |  SELECT ts, sum(delta) OVER (
+        |    ORDER BY ts, delta DESC, user_id, s_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b)
+        |SELECT CAST(ts AS DATE) AS day, CAST(max(cum) AS INT) AS max_concurrent,
+        |  count(*) AS n_boundaries
+        |FROM r GROUP BY 1""".stripMargin,
     // a11: the sketch's estimate is gated by a tolerance boolean (the a7
     // pattern); the exact distincts and event counts are the hash surface.
     "a11_hll_store" ->

@@ -274,6 +274,30 @@ object Landsat {
         .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
     }),
 
+    // MANIFEST-PINNED SNAPSHOT STORE (io/SnapshotStore.scala) — the
+    // transactional-format core: two commits publish two versions; the
+    // gate reads BOTH (v1 through its pinned manifest AFTER v2 landed),
+    // proving snapshot isolation — the v1 rollup must equal the
+    // pre-append slice, untouched by the later commit — and that the
+    // manifest rename atomically published the v2 file set (a lost or
+    // doubled file flips a checksum).
+    "s13_snapshot_read" -> ((s, dir) => {
+      val store = Tables.scratch("s13_snap_" + Tables.dirTag(dir))
+      graft.io.SnapshotStore.reset(store)
+      val d = t(s, dir, "documents").select("doc_id", "n_chars")
+      val v1 = graft.io.SnapshotStore.commit(
+        d.filter(col("doc_id") < 300), store)
+      val v2 = graft.io.SnapshotStore.commit(
+        d.filter(col("doc_id") >= 300), store)
+      def roll(v: Int) =
+        graft.io.SnapshotStore.readVersion(s, store, v)
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+            sum("n_chars").as("sum_chars"))
+          .select(lit(v).as("version"), col("n_docs"), col("sum_ids"),
+            col("sum_chars"))
+      roll(v1).unionByName(roll(v2))
+    }),
+
     // P2+F1: scene-id split/substring/cast date parse.
     "p2_scene_date" -> ((s, _) => {
       Features.withSceneDate(scenesDf(fx(s)).select("scene_id"))
@@ -943,6 +967,18 @@ object Landsat {
         |GROUP BY event_type""".stripMargin,
     "s11_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // s13: version 1 = the pre-append slice (pinned manifest), version 2
+    // = everything — isolation means the later commit cannot leak into
+    // the v1 read.
+    "s13_snapshot_read" ->
+      """SELECT CAST(1 AS INT) AS version, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT CAST(2 AS INT), count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents""".stripMargin,
     // recomputed from the base table: gen 1 = even keys carrying price,
     // gen 2 = odd keys carrying priority; the merged scan must account
     // for every null the other generation introduces.

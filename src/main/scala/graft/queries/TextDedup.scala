@@ -308,6 +308,27 @@ object TextDedup {
         docs(s, dir).select("doc_id", "lang", "n_chars"),
         "doc_id", k = 64, seed = 23L)),
 
+    // SNAKE-ORDER BALANCED SHARDS — equal-token-MASS training shards
+    // (o12 balances row counts; skewed lengths make that unequal work):
+    // size-desc rank dealt boustrophedon across 8 shards. Per-shard
+    // rollup + membership checksum is the gate surface.
+    "o24_balanced_shards" -> ((s, dir) =>
+      graft.ops.Split.snakeShards(
+          docs(s, dir).select("doc_id", "n_chars"),
+          "n_chars", "doc_id", nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_ids"))),
+
+    // CORPUS CONCENTRATION report — per-source Gini of document char
+    // mass, exact integer rank formula (bit-identical cross-engine):
+    // a high-Gini source subsampled by doc count still contributes
+    // most of its mass from a few giants.
+    "t25_gini" -> ((s, dir) =>
+      graft.ops.Stats.giniByGroup(
+        docs(s, dir), "source", "n_chars", "doc_id")),
+
     // deterministic k-per-key sample: 5 docs per (lang, source) cell by
     // seeded LCG rank — reproducible "few examples per class".
     "o6_sample_per_key" -> ((s, dir) =>
@@ -992,6 +1013,48 @@ object TextDedup {
         .agg(count(lit(1)).as("n_bands"))
     }),
 
+    // STREAMING HEAVY HITTERS — the t5 frequent-tokens report under
+    // CONTINUOUS ingest: a bounded SpaceSaving sketch (m = 16 rows over a
+    // 31-token vocabulary, so eviction and floor-credit re-entry really
+    // happen at every SF) is the cross-batch state, folded per micro-batch
+    // by ops/HeavyHitters.mergeSpaceSaving. The gate hashes the SKETCH
+    // STATE itself — counts, errors, membership — against the oracle's
+    // replay of the same merge algebra, plus the classic bound booleans
+    // vs exact corpus counts.
+    "e17_stream_topk" -> ((s, dir) => {
+      var state: DataFrame = null
+      var floor = 0L
+      def phase(name: String, part: DataFrame): Unit =
+        graft.streaming.StreamingWindows.runForeachBatch(part, name) {
+          (batch, _) =>
+            val bc = batch
+              .select(explode(TextOps.tokens(col("text"))).as("token"))
+              .groupBy("token").agg(count(lit(1)).as("bc"))
+            val st =
+              if (state != null) state
+              else bc.select(col("token"), lit(null).cast("long").as("cnt"),
+                lit(null).cast("long").as("err")).limit(0)
+            val (ns, nf) = graft.ops.HeavyHitters.mergeSpaceSaving(
+              st, floor, bc, m = 16)
+            state = ns; floor = nf
+            ()
+        }
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      phase("e17a", stream.filter(pmod(col("doc_id"), lit(2)) === 0))
+      phase("e17b", stream.filter(pmod(col("doc_id"), lit(2)) === 1))
+      require(state != null, "stream produced no micro-batches " +
+        "(pathGlobFilter matched no files?)")
+      val exact = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("true_cnt"))
+      state.join(exact, "token")
+        .select(col("token"), col("cnt"), col("err"), col("true_cnt"),
+          (col("cnt") >= col("true_cnt")).as("ok_hi"),
+          (col("cnt") - col("err") <= col("true_cnt")).as("ok_lo"))
+    }),
+
     // SimHash-family cluster resolution. Gate operating point is
     // maxHamming = 0: hamming-0 components are exactly simhash-equality
     // classes, so the oracle is a plain GROUP BY (no recursive closure —
@@ -1574,6 +1637,38 @@ object TextDedup {
       s"""SELECT doc_id, lang, n_chars FROM documents
          |ORDER BY $shuf, doc_id LIMIT 64""".stripMargin
     },
+    "o24_balanced_shards" ->
+      """WITH numbered AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+        |      ELSE 7 - ((rn - 1) % 8) END AS INT) AS shard
+        |  FROM numbered)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM a GROUP BY shard""".stripMargin,
+    // t25: the same ascending per-source rank + exact integer Gini; the
+    // moment sums cast back from HUGEINT, the final floor division in
+    // integer space on both sides.
+    "t25_gini" ->
+      """WITH ranked AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_size,
+        |    CAST(sum(rk * n_chars) AS BIGINT) AS s1
+        |  FROM ranked GROUP BY source)
+        |SELECT source, n_docs, sum_size,
+        |  CAST(((2 * s1 - (n_docs + 1) * sum_size) * 1000000)
+        |    // (n_docs * sum_size) AS BIGINT) AS gini_e6
+        |FROM a""".stripMargin,
     "o6_sample_per_key" -> {
       val shuf = Hashing.lcgSql("doc_id", 11L, Hashing.LcgM)
       s"""WITH cells AS (
@@ -1690,6 +1785,35 @@ object TextDedup {
     // append. Batch-internal pairs are absent on BOTH sides: the engine's
     // store never contains the probing batch, and the oracle's predicate
     // keeps doc_new and doc_old in disjoint ranges.
+    // e17: the SpaceSaving merge algebra replayed exactly — batch 1 from
+    // the empty state (floor 0), prune to 16 by (cnt desc, token), floor
+    // = max evicted; batch 2 merges on top (entering tokens credited the
+    // floor). The final 16-row sketch state hash-matches bit-for-bit.
+    "e17_stream_topk" ->
+      s"""WITH $toksSrc,
+         |tok AS (SELECT doc_id, unnest(ws) AS token FROM toks),
+         |b1 AS (SELECT token, count(*) AS bc FROM tok
+         |       WHERE doc_id % 2 = 0 GROUP BY 1),
+         |b2 AS (SELECT token, count(*) AS bc FROM tok
+         |       WHERE doc_id % 2 = 1 GROUP BY 1),
+         |m1 AS (SELECT token, bc AS cnt, CAST(0 AS BIGINT) AS err,
+         |    row_number() OVER (ORDER BY bc DESC, token) AS rk FROM b1),
+         |s1 AS (SELECT token, cnt, err FROM m1 WHERE rk <= 16),
+         |f1 AS (SELECT coalesce(max(cnt), 0) AS fl FROM m1 WHERE rk > 16),
+         |m2 AS (SELECT coalesce(s1.token, b2.token) AS token,
+         |    CASE WHEN s1.token IS NULL THEN f1.fl + b2.bc
+         |         ELSE s1.cnt + coalesce(b2.bc, 0) END AS cnt,
+         |    CASE WHEN s1.token IS NULL THEN f1.fl ELSE s1.err END AS err
+         |  FROM s1 FULL OUTER JOIN b2 ON s1.token = b2.token CROSS JOIN f1),
+         |r2 AS (SELECT token, cnt, err,
+         |    row_number() OVER (ORDER BY cnt DESC, token) AS rk FROM m2),
+         |s2 AS (SELECT token, cnt, err FROM r2 WHERE rk <= 16),
+         |ex AS (SELECT token, count(*) AS true_cnt FROM tok GROUP BY 1)
+         |SELECT s2.token, CAST(s2.cnt AS BIGINT) AS cnt,
+         |  CAST(s2.err AS BIGINT) AS err, ex.true_cnt,
+         |  s2.cnt >= ex.true_cnt AS ok_hi,
+         |  s2.cnt - s2.err <= ex.true_cnt AS ok_lo
+         |FROM s2 JOIN ex USING (token)""".stripMargin,
     "e10_multibatch_lifecycle" ->
       s"""WITH $toksSrc, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc
          |SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,

@@ -79,6 +79,30 @@ class SplitStratifiedSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("snakeShards balances shard MASS exactly on a 2n-periodic input") {
+    // Sizes 16..1 dealt boustrophedon over 4 shards: every shard gets one
+    // of each mirrored pair (16+9+8+1 = 15+10+7+2 = ... = 34).
+    val df = spark.range(1, 17).select(col("id").as("k"), col("id").as("sz"))
+    val got = Split.snakeShards(df, "sz", "k", nShards = 4)
+      .groupBy("shard").agg(sum("sz").as("mass"), count(lit(1)).as("n"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == Set((0, 34L, 4L), (1, 34L, 4L), (2, 34L, 4L), (3, 34L, 4L)))
+    graft.engine.Caches.releaseAll()
+    // Layout-invariant assignment, including the per-row shard map.
+    val a = Split.snakeShards(df, "sz", "k", 4)
+      .select("k", "shard").as[(Long, Int)].collect().toSet
+    graft.engine.Caches.releaseAll()
+    val b = Split.snakeShards(df.repartition(5), "sz", "k", 4)
+      .select("k", "shard").as[(Long, Int)].collect().toSet
+    graft.engine.Caches.releaseAll()
+    assert(a == b)
+    // Spot the snake itself: largest four sizes land on shards 0,1,2,3;
+    // the next four reverse.
+    val byK = a.toMap
+    assert(Seq(16L, 15L, 14L, 13L).map(byK) == Seq(0, 1, 2, 3))
+    assert(Seq(12L, 11L, 10L, 9L).map(byK) == Seq(3, 2, 1, 0))
+  }
+
   test("shardedExport: balanced shards, lossless roundtrip, interleaved order") {
     val base = spark.range(101).select(col("id").as("k")) // 101 = 12*8 + 5
     val out = java.nio.file.Files.createTempDirectory("o12spec").toString

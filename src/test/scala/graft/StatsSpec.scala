@@ -55,4 +55,42 @@ class StatsSpec extends AnyFunSuite {
     assert(got.getLong(3) === bruteCorrE6(a, b))
     assert(got.getLong(3) < 0)
   }
+
+  private def bruteGiniE6(sizes: Seq[Long]): Long = {
+    val s = sizes.sorted
+    val n = s.size.toLong
+    val s0 = s.sum
+    val s1 = s.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    ((2 * s1 - (n + 1) * s0) * 1000000L) / (n * s0)
+  }
+
+  test("giniByGroup matches brute force; uniform mass is 0") {
+    val df = Seq(
+      ("even", 10L, 100L), ("even", 11L, 100L), ("even", 12L, 100L),
+      ("skew", 20L, 1L), ("skew", 21L, 1L), ("skew", 22L, 998L),
+      ("mid", 30L, 100L), ("mid", 31L, 200L), ("mid", 32L, 300L)
+    ).toDF("source", "doc_id", "n_chars")
+    val got = Stats.giniByGroup(df, "source", "n_chars", "doc_id")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("even") == ((3L, 300L, 0L)))
+    assert(got("skew") == ((3L, 1000L, bruteGiniE6(Seq(1L, 1L, 998L)))))
+    assert(got("mid") == ((3L, 600L, bruteGiniE6(Seq(100L, 200L, 300L)))))
+    // sanity on the reference itself: heavy concentration ≈ (n−1)/n
+    assert(got("skew")._3 > 600000L && got("skew")._3 < 670000L)
+  }
+
+  test("giniByGroup fails loudly past the BIGINT envelope") {
+    // rk·x sums past 4.6e12 would wrap silently in non-ANSI Spark while
+    // DuckDB's HUGEINT stays exact — the in-plan assert must fire first.
+    val df = Seq(("g", 1L, 2000000000000L), ("g", 2L, 2000000000000L),
+      ("g", 3L, 2000000000000L)).toDF("source", "doc_id", "n_chars")
+    val e = intercept[Exception] {
+      Stats.giniByGroup(df, "source", "n_chars", "doc_id").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("envelope"))))
+  }
 }
