@@ -1,10 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, Literal, Multiply, UnixMicros}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.GraftBridge
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, unix_micros, when}
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
 import graft.plans.{AsOfJoin, AsOfJoinStrategy, PushFilterThroughAsOfJoin}
@@ -61,6 +61,55 @@ object AsOf {
       rightSuffix: String = "_r"): DataFrame =
     join(left, right, on, leftTimeCol, rightTimeCol, tiebreak,
       toleranceMicros, rightSuffix, forward = true)
+
+  /** NEAREST as-of: the right row closest in TIME, past or future, with
+    * ties to the past side (the sensor-fusion alignment mode backward/
+    * forward each cover half of). Composed from one backward and one
+    * forward as-of join paired on `keyCols` — which the CALLER must
+    * guarantee unique per left row (a surrogate like
+    * monotonically_increasing_id would re-draw on task retry and misjoin
+    * the legs: the SPARK-23207 class this library bans). Output: the left
+    * columns of the backward leg plus `ts<suffix>` = the nearest right
+    * time (other right columns are direction-specific; project what you
+    * need from a direction-specific join if you need them).
+    */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      keyCols: Seq[String],
+      tiebreak: Seq[String] = Nil,
+      toleranceMicros: Option[Long] = None,
+      rightSuffix: String = "_r"): DataFrame = {
+    require(keyCols.nonEmpty, "joinNearest needs a unique left key")
+    // Gap arithmetic works on the time column's own scale: timestamps
+    // (either flavor) via unix_micros, numeric time axes as-is.
+    def axis(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val tr = s"$leftTimeCol$rightSuffix"
+    val rightDt = right.schema(rightTimeCol).dataType
+    val back = joinBackward(left, right, on, leftTimeCol, rightTimeCol,
+        tiebreak, toleranceMicros, rightSuffix)
+      .select((left.columns.map(col) :+ col(tr).as("_b_ts")).toSeq: _*)
+    val fwd = joinForward(left, right, on, leftTimeCol, rightTimeCol,
+        tiebreak, toleranceMicros, rightSuffix)
+      .select((keyCols.map(col) :+ col(tr).as("_f_ts")).toSeq: _*)
+    val lt = axis(col(leftTimeCol), left.schema(leftTimeCol).dataType)
+    back.join(fwd, keyCols)
+      .withColumn(tr,
+        when(col("_b_ts").isNull, col("_f_ts"))
+          .when(col("_f_ts").isNull, col("_b_ts"))
+          .when(lt - axis(col("_b_ts"), rightDt) <=
+            axis(col("_f_ts"), rightDt) - lt, col("_b_ts"))
+          .otherwise(col("_f_ts")))
+      .drop("_b_ts", "_f_ts")
+  }
 
   private def join(
       left: DataFrame,

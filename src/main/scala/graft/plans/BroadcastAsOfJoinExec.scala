@@ -59,15 +59,24 @@ case class BroadcastAsOfJoinExec(
     val tiebreak = rightTiebreak
     val tol = toleranceMicros
 
-    val broadcastId = broadcastRows.id
+    // The memo key must carry the INDEX SEMANTICS, not just the broadcast:
+    // ReuseExchange dedups canonically-equal IdentityBroadcastMode
+    // exchanges, so a plan with TWO as-of joins over the same reference
+    // table (e.g. AsOf.joinNearest's backward + forward legs) hands both
+    // legs ONE broadcast id — and an id-only memo would serve the second
+    // leg an index sorted by the FIRST leg's time expression (forward
+    // negates it), turning its binary search into garbage matches. The
+    // expressions' exprIds differ per leg, so their text disambiguates.
+    val indexKey = (broadcastRows.id,
+      (rTimeExpr +: tiebreak).map(_.toString).mkString("|"))
 
     left.execute().mapPartitions { lIter =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
       val lTimeBound = BindReferences.bindReference(lTimeExpr, leftOut)
-      // Built once per executor (memoized on the broadcast id): sort right
-      // rows per key by (time, tiebreak...); the last index with
-      // time <= t is then the deterministic backward match.
-      val index = BroadcastAsOfJoinExec.indexFor(broadcastId, () => {
+      // Built once per executor (memoized on broadcast id + index
+      // semantics): sort right rows per key by (time, tiebreak...); the
+      // last index with time <= t is then the deterministic backward match.
+      val index = BroadcastAsOfJoinExec.indexFor(indexKey, () => {
         val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
         val rTimeBound = BindReferences.bindReference(rTimeExpr, rightOut)
         val sortOrd = RowOrdering.create(
@@ -115,14 +124,19 @@ case class BroadcastAsOfJoinExec(
 
 object BroadcastAsOfJoinExec {
   private type Index = Map[UnsafeRow, (Array[Long], Array[InternalRow])]
-  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, Index]()
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), Index]()
 
-  /** Per-executor memo of the broadcast-side index. Entries are bounded by
-    * the broadcast threshold; the map is cleared wholesale if a long
-    * session accumulates many distinct broadcasts.
+  /** Per-executor memo of the broadcast-side index, keyed on
+    * (broadcast id, time+tiebreak expression text) — the broadcast id
+    * alone is NOT unique to one index shape once ReuseExchange dedups
+    * equal broadcasts across as-of joins with different directions (see
+    * doExecute). Entries are bounded by the broadcast threshold; the map
+    * is cleared wholesale if a long session accumulates many distinct
+    * broadcasts.
     */
-  private[plans] def indexFor(id: Long, build: () => Index): Index = {
+  private[plans] def indexFor(key: (Long, String), build: () => Index): Index = {
     if (cache.size > 128) cache.clear()
-    cache.computeIfAbsent(id, _ => build())
+    cache.computeIfAbsent(key, _ => build())
   }
 }

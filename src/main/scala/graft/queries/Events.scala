@@ -125,6 +125,25 @@ object Events {
             .as("avg_gap_us"))
     }),
 
+    // NEAREST-either-direction as-of: each purchase's closest click in
+    // TIME, past or future (tie → the earlier click) — the sensor-fusion
+    // alignment mode joinBackward/joinForward each cover half of. One
+    // backward + one forward as-of join composed by gap comparison; the
+    // signed gap column pins which side won.
+    "aj5_asof_nearest" -> ((s, dir) => {
+      val ev = eventsT(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOf.joinNearest(purchases, clicks,
+          on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+          keyCols = Seq("event_id"), tiebreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("ts_r").as("click_ts"),
+          (unix_micros(col("ts_r")) - unix_micros(col("ts"))).as("gap_us"))
+    }),
+
     // Same operator with a 30-minute tolerance; aggregated match stats.
     "aj2_asof_tolerance" -> ((s, dir) => {
       val ev = eventsT(s, dir)
@@ -666,6 +685,22 @@ object Events {
         |                    AND r.ts <= l.ts + INTERVAL 2 HOUR)
         |SELECT count(*) AS n_total, count(rts) AS n_matched,
         |       round(avg(epoch_us(rts) - epoch_us(ts)), 6) AS avg_gap_us
+        |FROM cand WHERE rn = 1""".stripMargin,
+    // aj5: min over |gap| with ties to the backward side (fwd flag 0
+    // first); among equal-ts clicks the chosen TIMESTAMP is identical,
+    // so the row_number tie within one side cannot show.
+    "aj5_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |          WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT l.event_id, l.user_id, l.ts, r.ts AS rts,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)),
+        |               CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END) AS rn
+        |  FROM l LEFT JOIN r ON l.user_id = r.user_id)
+        |SELECT event_id, user_id, ts, rts AS click_ts,
+        |  CAST(epoch_us(rts) - epoch_us(ts) AS BIGINT) AS gap_us
         |FROM cand WHERE rn = 1""".stripMargin,
     "aj2_asof_tolerance" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events

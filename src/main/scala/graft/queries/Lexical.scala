@@ -303,6 +303,70 @@ object Lexical {
           size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
         "lang", "n_tokens", budgetNum = 3, budgetDen = 1, capEpochs = 4)),
 
+    // QUANTILE NORMALIZATION of quality across sources — the
+    // cross-source gating fix: every source's q_e6 distribution sits at
+    // its own level (template register, length mix), so one global
+    // threshold over-keeps some sources and starves others; the
+    // percentile rank WITHIN the source is the comparable scale.
+    // pct_e6 = (rank−1)·10⁶ div (n−1): exact integers, window
+    // partitioned per source (parallel across sources, no global sort).
+    "t26_pct_rank" -> ((s, dir) => {
+      val ws = TextOps.tokens(col("text"))
+      val scored = docs(s, dir).select(col("doc_id"), col("source"),
+        floor(TextOps.qualityScore(ws) * lit(1e6)).cast("long").as("q_e6"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("q_e6"), col("doc_id"))
+      val n = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n_src", count(lit(1)).over(n))
+        .select(col("doc_id"), col("source"), col("q_e6"),
+          when(col("n_src") > 1,
+            expr("((rk - 1) * 1000000) div (n_src - 1)")).otherwise(lit(0L))
+            .as("pct_e6"))
+    }),
+
+    // MIXTURE-OBJECTIVE SEARCH (DoReMi-lite): which sampling temperature
+    // spends the token budget on the lowest-loss blend? For τ ∈ {¼, ½,
+    // ¾, 1}, weight each domain ∝ n_tokens^τ (normalized by the max so
+    // weights fit e6 BIGINTs) and score J(τ) = Σ w·loss ÷ Σ w against
+    // the unigram-LM surprisal per domain (the t19 loss, already
+    // e9-pinned). τ-powers are sqrt-COMPOSED (IEEE sqrt/mul/div are
+    // exactly specified, unlike pow), so both engines compute the same
+    // doubles; everything after the one e6 rounding is exact integers.
+    "o25_mixture_search" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("w")).persistTracked()
+      val freq = toks.groupBy("w").agg(count(lit(1)).as("wn"))
+      val total = toks.agg(count(lit(1)).as("_n"))
+      val perSrc = toks.join(freq, "w")
+        .crossJoin(broadcast(total))
+        .withColumn("c_e9",
+          floor(-log(col("wn").cast("double") / col("_n")) * lit(1e9))
+            .cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tok"),
+          expr("sum(c_e9) div count(1)").as("loss_e9"))
+        .localCheckpoint() // #domains rows; feeds the max attach + 4 τ legs
+      val maxN = perSrc.agg(max("n_tok").as("_maxn"))
+      val legs = perSrc.crossJoin(broadcast(maxN))
+        .withColumn("r", col("n_tok").cast("double") / col("_maxn").cast("double"))
+        .select(col("loss_e9"), explode(array(
+          struct(lit(25).as("tau_pct"), expr("sqrt(sqrt(r))").as("wrel")),
+          struct(lit(50).as("tau_pct"), expr("sqrt(r)").as("wrel")),
+          struct(lit(75).as("tau_pct"),
+            expr("sqrt(r) * sqrt(sqrt(r))").as("wrel")),
+          struct(lit(100).as("tau_pct"), col("r").as("wrel")))).as("t"))
+        .select(col("loss_e9"), col("t.tau_pct").as("tau_pct"),
+          expr("CAST(round(t.wrel * 1e6, 0) AS BIGINT)").as("w_e6"))
+      val j = legs.groupBy("tau_pct")
+        .agg(count(lit(1)).as("n_domains"),
+          expr("sum(w_e6 * loss_e9) div sum(w_e6)").as("j_e9"))
+      val best = j.agg(min("j_e9").as("_minj"))
+      j.crossJoin(broadcast(best))
+        .select(col("tau_pct"), col("n_domains"), col("j_e9"),
+          (col("j_e9") === col("_minj")).as("best"))
+    }),
+
     // QUALITY-SIGNAL AGREEMENT: pairwise Pearson correlation between the
     // four independent per-doc quality signals the stack gates on — t2's
     // heuristic q_e6, t21's linear-classifier logit, t19's unigram-LM
@@ -701,6 +765,62 @@ object Lexical {
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |  min(q_e6) AS min_q, max(q_e6) AS max_q
          |FROM r2 GROUP BY 1, 2""".stripMargin,
+    // t26: the identical q_e6 chain + per-source percentile rank.
+    "t26_pct_rank" ->
+      s"""WITH toks AS (SELECT doc_id, source,
+         |    string_split_regex(lower(text), '\\s+') AS ws FROM documents),
+         |m AS (SELECT doc_id, source,
+         |    CAST(len(list_filter(ws, w -> list_contains(${
+               TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+             }, w))) AS DOUBLE) / len(ws) AS stop_ratio,
+         |    CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+         |      / len(ws) AS awl,
+         |    len(ws) AS n
+         |  FROM toks),
+         |base AS (SELECT doc_id, source,
+         |    CAST(floor((0.5 * stop_ratio
+         |      + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0)
+         |      + 0.2 * (awl / 10.0)) * 1e6) AS BIGINT) AS q_e6
+         |  FROM m),
+         |rk AS (SELECT doc_id, source, q_e6,
+         |    row_number() OVER (PARTITION BY source ORDER BY q_e6, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n_src
+         |  FROM base)
+         |SELECT doc_id, source, q_e6,
+         |  CAST(CASE WHEN n_src > 1
+         |    THEN ((rk - 1) * 1000000) // (n_src - 1) ELSE 0 END AS BIGINT)
+         |    AS pct_e6
+         |FROM rk""".stripMargin,
+    // o25: the same per-source loss chain, the same sqrt-composed
+    // τ-powers over identical doubles, the same single e6 rounding; the
+    // objective division in exact integer space.
+    "o25_mixture_search" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |tok2 AS (SELECT source, unnest(ws) AS w FROM toks),
+        |freq AS (SELECT w, count(*) AS wn FROM tok2 GROUP BY w),
+        |tot AS (SELECT count(*) AS n FROM tok2),
+        |src AS (SELECT source, count(*) AS n_tok,
+        |    CAST(sum(CAST(floor(-ln(CAST(wn AS DOUBLE) / n) * 1e9) AS BIGINT))
+        |      // count(*) AS BIGINT) AS loss_e9
+        |  FROM tok2 JOIN freq USING (w) CROSS JOIN tot GROUP BY source),
+        |mx AS (SELECT max(n_tok) AS maxn FROM src),
+        |rs AS (SELECT source, loss_e9,
+        |    CAST(n_tok AS DOUBLE) / CAST(maxn AS DOUBLE) AS r
+        |  FROM src CROSS JOIN mx),
+        |legs AS (SELECT rs.loss_e9, t.tau_pct,
+        |    CAST(round(CASE t.tau_pct
+        |        WHEN 25 THEN sqrt(sqrt(r)) WHEN 50 THEN sqrt(r)
+        |        WHEN 75 THEN sqrt(r) * sqrt(sqrt(r)) ELSE r END * 1e6)
+        |      AS BIGINT) AS w_e6
+        |  FROM rs CROSS JOIN (SELECT unnest([25, 50, 75, 100]) AS tau_pct) t),
+        |j AS (SELECT tau_pct, count(*) AS n_domains,
+        |    CAST(CAST(sum(w_e6 * loss_e9) AS BIGINT)
+        |      // CAST(sum(w_e6) AS BIGINT) AS BIGINT) AS j_e9
+        |  FROM legs GROUP BY 1)
+        |SELECT tau_pct, n_domains, j_e9,
+        |  j_e9 = (SELECT min(j_e9) FROM j) AS best
+        |FROM j""".stripMargin,
     // t23: the bigram model rebuilt in SQL — counts, add-one smoothing,
     // the SAME double-round e9 pin per distinct bigram, exact integer
     // per-doc sums, positive floor divisions.

@@ -153,6 +153,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("joinNearest picks the closer side; ties go backward; works on long axes") {
+    // (1,100): exact match both sides → 100. (1,250): 200 vs 300, tie →
+    // backward 200. (1,260): 200 (gap 60) vs 300 (gap 40) → forward 300.
+    // (2,50): backward empty → forward 60. (3,999): no quotes → null.
+    val t2 = trades.unionByName(Seq((1L, 260L, "E")).toDF("k", "t", "tag"))
+    for ((path, got) <- bothPaths(
+        AsOf.joinNearest(t2, quotes, Seq("k"), "t", "t", keyCols = Seq("tag"))
+          .select($"tag", $"t_r").as[(String, Option[Long])]
+          .collect().sortBy(_._1).toSeq))
+      assert(got === Seq(
+        ("A", Some(100L)), ("B", Some(200L)), ("C", Some(60L)),
+        ("D", None), ("E", Some(300L))), s"path=$path")
+  }
+
   test("cost-based physical choice: broadcast for small right, merge otherwise") {
     val joined = AsOf.joinBackward(trades, quotes, Seq("k"), "t", "t")
     withThreshold("10485760") {

@@ -51,6 +51,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "t23_bigram_xent" -> 1,    // one-row vocab-size aggregate (the t6
                                // one-row-total pattern; the bigram model
                                // itself is a keyed join)
+    "o25_mixture_search" -> 3, // t6's one-row token-total attach + the
+                               // one-row max-domain-size and best-J
+                               // attaches over the #domains-row
+                               // localCheckpoint'd loss frame — all
+                               // bounded one-row broadcasts
     "t7_tfidf_top_term" -> 1,  // one-row doc-count aggregate
     "t15_dsir_weights" -> 1,   // one-row target/raw-total aggregate (the
                                // 64-row log-ratio table is a keyed join)
