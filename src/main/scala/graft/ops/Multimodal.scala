@@ -211,6 +211,61 @@ object Multimodal {
   private val decodeGifUdf = udf(decodeGifFrames _)
 
   /** Scan one or more directories of media blobs → (name, length, content). */
+  /** 64-bit dHash (difference hash — THE workhorse perceptual image
+    * fingerprint): bit (x, y) set iff luminance rises from column x to
+    * x+1 in the (w × h) decoded plane; near-duplicate images (re-encodes,
+    * slight edits) agree on most gradient signs, so small Hamming
+    * distance ≈ visual similarity. Luminance is the channel SUM r+g+b
+    * (same ordering as the mean, no division): for the comparison only
+    * ORDER matters, and float addition of the three per-channel values —
+    * identical in any engine — is strictly monotone in the underlying
+    * 8-bit values (adjacent gray levels differ by ~0.012, five orders
+    * above float eps at this magnitude), so the bits equal the integer
+    * pixel comparisons an analytic oracle computes. Pure codegen'd
+    * element_at arithmetic over the decoded plane — zero UDF after the
+    * decode itself.
+    */
+  def dHash64(features: org.apache.spark.sql.Column, w: Int, h: Int):
+      org.apache.spark.sql.Column = {
+    require((w - 1) * h <= 64, s"dHash needs (w-1)*h <= 64 bits, got ${(w - 1) * h}")
+    val n = w * h
+    def lum(x: Int, y: Int) =
+      element_at(features, y * w + x + 1) +
+        element_at(features, n + y * w + x + 1) +
+        element_at(features, 2 * n + y * w + x + 1)
+    (for { y <- 0 until h; x <- 0 until w - 1 } yield
+      when(lum(x + 1, y) > lum(x, y), lit(1L << (y * (w - 1) + x)))
+        .otherwise(lit(0L)))
+      .reduce(_ + _) // disjoint bits: the sum IS the bitwise OR
+  }
+
+  /** Banded Hamming pairs over perceptual hashes — IMAGE near-dup dedup,
+    * the multimodal member of the dedup family (text: MinHash/SimHash in
+    * [[Dedup]]). Same plan shape as `Dedup.simhashPairs`: each hash
+    * explodes into four 16-bit bands, candidates meet on an equal band
+    * (pigeonhole: any pair within Hamming 3 shares a band; wider radii
+    * trade recall exactly like text SimHash), exact Hamming filters.
+    * Never all-pairs — the band is the join/shuffle key at any corpus
+    * size.
+    */
+  def phashPairs(imgs: DataFrame, hashCol: String, idCol: String,
+      maxHamming: Int): DataFrame = {
+    val bands = imgs.select(col(idCol).as("_id"), col(hashCol).as("_h"))
+      .select(col("_id"), col("_h"), posexplode(array(
+        (0 until 4).map(b =>
+          shiftright(col("_h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bkey")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a._h").as("_ha"), col("b._h").as("_hb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(_ha ^ _hb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   def scanBlobs(spark: SparkSession, dirs: String*): DataFrame =
     spark.read.format("binaryFile").load(dirs: _*)
       .select(

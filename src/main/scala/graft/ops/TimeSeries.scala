@@ -153,4 +153,58 @@ object TimeSeries {
         (col("r._ewma_off") - lit(Off)).as("ewma_e6"),
         col("r._ewma_off").as("_ewma_off"))
   }
+
+  /** ONE-SIDED CUSUM drift detection over the per-key daily series — the
+    * change-point counterpart of [[rollingDailyStats]]'s local anomaly
+    * flag: a rolling 2σ test sees SPIKES but is blind to a small
+    * persistent mean SHIFT (a sensor drifting, a source's quality
+    * sliding), which is exactly what the cumulative statistic
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (v_t − μ))
+    *
+    * ramps on (Page 1954). μ is the key's own integer mean; the alarm
+    * threshold is self-scaling at hMult × (max−min) of the key's daily
+    * values — a stationary series' S⁺ stays inside its range, a shifted
+    * mean ramps past any fixed multiple of it. One summary row per key:
+    * days, mean, peak statistic, alarm-day count, first alarm date.
+    *
+    * Numerics: the ts3 discipline — all-BIGINT recurrence over the
+    * e6-snapped daily series, so the statistic (not just its inputs) is
+    * bit-identical cross-engine. Requires nonnegative daily values (the
+    * mean uses one floor division; Spark `div` truncates where DuckDB
+    * floors on NEGATIVE operands).
+    *
+    * Scale shape: per-key collect + in-row prefix folds (O(days²) per
+    * key, calendar-bounded like ts3/ewma); parallelism is across keys —
+    * the axis that grows at 100 TB. The readout Project is
+    * post-aggregation (#keys rows), allowlisted in PlanAuditSpec like
+    * v5's centroid readout.
+    */
+  def cusumDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, hMult: Int = 1): DataFrame = {
+    require(hMult >= 1, "cusumDaily needs hMult >= 1")
+    dailyE6(df, keyCol, tsCol, valCol)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("d"), col("v_e6")))).as("a"))
+      .withColumn("_vs", expr("transform(a, z -> z.v_e6)"))
+      .withColumn("n_days", size(col("a")).cast("long"))
+      .withColumn("mu_e6",
+        expr("aggregate(_vs, 0L, (acc, y) -> acc + y) div size(a)"))
+      .withColumn("_s", expr(
+        """transform(a, (x, i) ->
+          |  aggregate(slice(transform(a, z -> z.v_e6 - mu_e6), 1, i + 1),
+          |    0L, (acc, y) -> greatest(0L, acc + y)))""".stripMargin))
+      .withColumn("h_e6",
+        (lit(hMult.toLong) *
+          (array_max(col("_vs")) - array_min(col("_vs")))).cast("long"))
+      .withColumn("first_alarm", expr(
+        """element_at(filter(
+          |  transform(a, (x, i) -> named_struct(
+          |    'd', x.d, 's', element_at(_s, i + 1))),
+          |  p -> p.s > h_e6), 1).d""".stripMargin))
+      .select(col(keyCol), col("n_days"), col("mu_e6"),
+        array_max(col("_s")).as("max_cusum_e6"),
+        expr("CAST(size(filter(_s, s -> s > h_e6)) AS BIGINT)").as("n_alarms"),
+        col("h_e6"), col("first_alarm"))
+  }
 }

@@ -276,6 +276,15 @@ object Events {
       graft.ops.TimeSeries.ewmaDaily(eventsT(s, dir),
         keyCol = "user_id", tsCol = "ts", valCol = "value")),
 
+    // ONE-SIDED CUSUM drift detection (Page 1954) per user — the
+    // change-point complement of ts2's local 2σ spikes: a small
+    // persistent mean shift ramps the cumulative statistic past the
+    // self-scaling (max−min) threshold. All-BIGINT recurrence (the ts3
+    // discipline); one summary row per user.
+    "ts5_cusum" -> ((s, dir) =>
+      graft.ops.TimeSeries.cusumDaily(eventsT(s, dir),
+        keyCol = "user_id", tsCol = "ts", valCol = "value", hMult = 1)),
+
     // STATEFUL INCREMENTAL ANALYTICS across micro-batches — the
     // store-lifecycle pattern (e9–e14 maintain signature/vector/doc
     // stores) applied to NUMERIC state: the event history arrives as two
@@ -568,6 +577,37 @@ object Events {
         |  unnest(list_transform(l, x -> x - 1000000000000)) AS v_e6,
         |  unnest(list_transform(ew, x -> x - 1000000000000)) AS ewma_e6
         |FROM e""".stripMargin,
+    // ts5: the identical max(0, acc+dev) prefix folds (list_prepend(0)
+    // seeds list_reduce, the polyHashSql trick); list_position finds the
+    // first alarm day, NULL-safe when none fires.
+    "ts5_cusum" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(round(round(avg(value), 6) * 1e6) AS BIGINT) AS v_e6
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT user_id, list(d ORDER BY d) AS ds,
+        |    list(v_e6 ORDER BY d) AS l
+        |  FROM daily GROUP BY user_id),
+        |m AS (
+        |  SELECT user_id, ds, l, len(l) AS n,
+        |    CAST(list_sum(l) AS BIGINT) // len(l) AS mu,
+        |    CAST(list_max(l) - list_min(l) AS BIGINT) AS h
+        |  FROM arr),
+        |s AS (
+        |  SELECT user_id, ds, n, mu, h,
+        |    list_transform(range(1, n + 1), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(l[1:i], z -> z - mu)),
+        |        (acc, y) -> greatest(CAST(0 AS BIGINT), acc + y))) AS sc
+        |  FROM m)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_days, mu AS mu_e6,
+        |  CAST(list_max(sc) AS BIGINT) AS max_cusum_e6,
+        |  CAST(len(list_filter(sc, x -> x > h)) AS BIGINT) AS n_alarms,
+        |  h AS h_e6,
+        |  ds[list_position(list_transform(sc, x -> x > h), true)]
+        |    AS first_alarm
+        |FROM s""".stripMargin,
     // ts3: the identical integer recurrence as prefix list_reduce folds
     // over the date-ordered e6 values (offset +1e12 exactly as the
     // engine does; parallel unnests zip positionally).

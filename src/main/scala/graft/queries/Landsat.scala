@@ -498,6 +498,24 @@ object Landsat {
     // images whose name carries the RGB, so the decoded values are
     // analytically known to the oracle — if the codec misdecodes a single
     // channel, the hashes diverge.
+    // IMAGE NEAR-DUP DEDUP — the multimodal member of the dedup family:
+    // real decode (9×8, the dHash input size — identity resize on the
+    // committed gradient fixtures) → 64-bit dHash as pure codegen'd
+    // plane arithmetic → banded Hamming pairs (the SimHash plan shape;
+    // never all-pairs). Fixture set: an exact duplicate (Hamming 0), a
+    // near-duplicate (Hamming 10, caught via a shared band), and
+    // distinct images that must NOT pair — incl. one at Hamming 8 with
+    // no shared band, pinning the banded-recall boundary honestly.
+    "mm6_image_phash" -> ((s, _) => {
+      val imgs = Multimodal.ingestImages(
+        Multimodal.scanBlobs(fx(s), s"$FixturesDir/images_grad"),
+        w = 9, h = 8, partitions = 2)
+        .withColumn("phash", Multimodal.dHash64(col("features"), 9, 8))
+      Multimodal.phashPairs(imgs, "phash", "name", maxHamming = 16)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+          col("hamming"))
+    }),
+
     "mm2_image_decode" -> ((s, _) => {
       val ingested = Multimodal.ingestImages(
         Multimodal.scanBlobs(fx(s), s"$FixturesDir/images"), w = 4, h = 3,
@@ -817,6 +835,37 @@ object Landsat {
     "s5_binary_scan" ->
       """SELECT regexp_extract(filename, '([^/]+)$', 1) AS name, size AS length
         |FROM read_blob('/root/repo/fixtures/binary/*.bin')""".stripMargin,
+    // mm6: every dHash bit recomputed analytically from the gradient
+    // formula in the filename (v = (a·x + b·y + c·x·y) mod 256; the
+    // float-luminance comparison is monotone in v, see Multimodal
+    // .dHash64), then the same banded candidate join and Hamming filter.
+    "mm6_image_phash" ->
+      """WITH blobs AS (
+        |  SELECT regexp_extract(filename, '([^/]+)$', 1) AS name
+        |  FROM read_blob('/root/repo/fixtures/images_grad/*.png')),
+        |p AS (SELECT name,
+        |    CAST(regexp_extract(name, 'grad_(\d+)_(\d+)_(\d+)', 1) AS BIGINT) AS a,
+        |    CAST(regexp_extract(name, 'grad_(\d+)_(\d+)_(\d+)', 2) AS BIGINT) AS b,
+        |    CAST(regexp_extract(name, 'grad_(\d+)_(\d+)_(\d+)', 3) AS BIGINT) AS c
+        |  FROM blobs),
+        |hs AS (SELECT name,
+        |    -- HUGEINT throughout: BIGINT 1<<63 is a checked overflow in
+        |    -- DuckDB; the hash never surfaces (only bands + hamming do),
+        |    -- so the unsigned HUGEINT bit pattern is equivalent.
+        |    list_sum(list_transform(range(64), i ->
+        |      CASE WHEN ((a*((i%8)+1) + b*(i//8) + c*((i%8)+1)*(i//8)) % 256)
+        |             > ((a*(i%8) + b*(i//8) + c*(i%8)*(i//8)) % 256)
+        |        THEN (CAST(1 AS HUGEINT) << CAST(i AS INT))
+        |        ELSE CAST(0 AS HUGEINT) END)) AS h
+        |  FROM p),
+        |bands AS (SELECT name, h, bb, (h >> (bb*16)) & 65535 AS bkey
+        |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bb)),
+        |cand AS (SELECT DISTINCT x.name AS name_a, y.name AS name_b,
+        |    x.h AS ha, y.h AS hb
+        |  FROM bands x JOIN bands y
+        |    ON x.bb = y.bb AND x.bkey = y.bkey AND x.name < y.name)
+        |SELECT name_a, name_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 16""".stripMargin,
     "mm2_image_decode" ->
       """WITH blobs AS (
         |  SELECT regexp_extract(filename, '([^/]+)$', 1) AS name, size AS length

@@ -62,6 +62,48 @@ class MultimodalSpec extends AnyFunSuite {
     bb.array()
   }
 
+  test("dHash64 sets exactly the rising-luminance bits") {
+    // 3x2 plane (4 bits): row 0 pixels 10,20,5 -> bits (1,0); row 1
+    // pixels 7,7,9 -> equal is NOT rising -> bits (0,1). Gray = all
+    // channels equal.
+    val px = Seq(10, 20, 5, 7, 7, 9).map(_ / 255.0f)
+    val feats = (px ++ px ++ px).toArray
+    val got = Seq(feats).toDF("features")
+      .select(graft.ops.Multimodal.dHash64(org.apache.spark.sql.functions.col("features"), 3, 2).as("h"))
+      .as[Long].head()
+    assert(got == ((1L << 0) | (1L << 3)))
+  }
+
+  test("dHash64 over the committed gradient fixtures matches the generator") {
+    // tools/gen_image_fixtures.py prints these constants; the engine's
+    // REAL decode (ImageIO -> identity resize -> float planes) must land
+    // on the same 64-bit pattern, pinning every pixel of the decode.
+    val imgs = Multimodal.ingestImages(
+      Multimodal.scanBlobs(spark, "fixtures/images_grad"), w = 9, h = 8,
+      partitions = 2)
+      .withColumn("phash", Multimodal.dHash64(
+        org.apache.spark.sql.functions.col("features"), 9, 8))
+      .select("name", "phash").as[(String, Long)].collect().toMap
+    assert(imgs("grad_40_3_0.png") == java.lang.Long.parseUnsignedLong("dfdfbfbfbfbfbfbf", 16))
+    assert(imgs("grad_40_3_0_dup.png") == imgs("grad_40_3_0.png"))
+    assert(imgs("grad_1_0_0.png") == -1L) // all 64 bits set
+    assert(imgs("grad_255_0_0.png") == java.lang.Long.parseUnsignedLong("0101010101010101", 16))
+  }
+
+  test("phashPairs: band-collision candidates only, Hamming-filtered, each pair once") {
+    val hs = Seq(
+      ("a", 0x00000000FFFF0000L), // shares band 1 with b
+      ("b", 0x00000000FFFF00FFL), // hamming(a,b)=8
+      ("c", 0x7F0F0F0F0F0F0F0FL)  // no band shared with a or b
+    ).toDF("name", "ph")
+    val got = graft.ops.Multimodal.phashPairs(hs, "ph", "name", maxHamming = 16)
+      .as[(String, String, Int)].collect().toSeq
+    assert(got == Seq(("a", "b", 8)))
+    // tightening the threshold below the distance drops the pair
+    assert(graft.ops.Multimodal.phashPairs(hs, "ph", "name", maxHamming = 7)
+      .count() == 0)
+  }
+
   test("decodeWav parses 16-bit PCM mono: values, order, normalization") {
     val samples = Seq(0, 1, -1, 32767, -32768, 12345, -12345)
     val f = Multimodal.decodeWav(wavBytes(samples, channels = 1))

@@ -134,7 +134,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "v8_pq_encode", "v9_pq_adc", // one-row codebook assembly (transform/flatten)
     "v12_ivf_trained", // one-row trained-codebook assembly (transform/flatten)
     "v13_ivf_pq", // one-row trained-codebook assembly (transform/flatten)
-    "d16_semdedup" // centroid-table assembly, 10 post-aggregation rows
+    "d16_semdedup", // centroid-table assembly, 10 post-aggregation rows
+    "ts5_cusum" // per-key CUSUM readout over the POST-AGGREGATION per-key
+                // array frame (#keys rows, the v5 shape); the corpus-scale
+                // work is the daily groupBy feeding it
   )
 
   test("corpus-scale plans contain no interpreted per-element lambdas") {

@@ -102,6 +102,36 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(-333333L, -233334L))
   }
 
+  test("cusumDaily ramps on a mean shift and stays quiet on a flat series") {
+    // u1: 5 days at 10 then 5 days at 30 — mean 20, devs −10e6 ×5 then
+    // +10e6 ×5; S+ stays 0 through the low half, then ramps 10,20,…,50e6.
+    // Range h = 20e6 (strict >): day 7 hits exactly 20e6 and does NOT
+    // alarm; days 8–10 (30,40,50e6) do — first alarm 2024-01-08.
+    // u2: constant series — S+ ≡ 0, h = 0, zero alarms, null first date.
+    val rows =
+      (1 to 10).map(d => (1L, f"2024-01-$d%02d 10:00:00",
+        if (d <= 5) 10.0 else 30.0)) ++
+        (1 to 4).map(d => (2L, f"2024-01-$d%02d 10:00:00", 7.0))
+    val got = TimeSeries.cusumDaily(series(rows: _*),
+        "user_id", "ts", "value")
+      .as[(Long, Long, Long, Long, Long, Long, Option[java.sql.Date])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 10L, 20000000L, 50000000L, 3L, 20000000L,
+      Some(java.sql.Date.valueOf("2024-01-08")))))
+    assert(got(2L) == ((2L, 4L, 7000000L, 0L, 0L, 0L, None)))
+  }
+
+  test("cusumDaily is partitioning-invariant") {
+    val rows = (1 to 12).map(d =>
+      ((d % 3).toLong, f"2024-01-$d%02d 03:00:00", (d * 13 % 7).toDouble))
+    val df = series(rows: _*)
+    val a = TimeSeries.cusumDaily(df, "user_id", "ts", "value")
+      .collect().map(_.toString).sorted.toSeq
+    val b = TimeSeries.cusumDaily(df.repartition(7), "user_id", "ts", "value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("ewmaDailySeeded hand-off equals the full-history recurrence") {
     val df = series(
       (1L, "2024-01-01 10:00:00", 10.0), (1L, "2024-01-02 10:00:00", 90.0),
