@@ -110,6 +110,33 @@ object Retrieval {
   }
 
   /** Per-doc token length ("norms"): one pass, one split per doc. */
+  /** FIELDED postings (BM25F, simple-variant: Robertson et al. 2004) —
+    * a hit in the TITLE (the first `titleLen` tokens, the web/doc-corpus
+    * convention when no explicit field markup exists) is worth `wTitle`
+    * body hits: tf̃ = Σ per-occurrence field weight, folded BEFORE the
+    * saturation so a strong title match can't be drowned by body
+    * repetition. Pair with [[fieldedDocLengths]] (same weights — the
+    * length norm must live on the same scale) and score through the
+    * unchanged [[bm25TopKFrom]]. Integer weights keep tf̃/dl̃ exact
+    * BIGINTs (the e9 gate discipline).
+    */
+  def fieldedPostings(docs: DataFrame, idCol: String, textCol: String,
+      titleLen: Int, wTitle: Int, wBody: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("doc_id", "term")
+      .agg(sum(when(col("pos") < titleLen, lit(wTitle.toLong))
+        .otherwise(lit(wBody.toLong))).as("tf"))
+
+  /** Weighted document length matching [[fieldedPostings]]'s tf scale. */
+  def fieldedDocLengths(docs: DataFrame, idCol: String, textCol: String,
+      titleLen: Int, wTitle: Int, wBody: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("_n"))
+      .select(col("doc_id"),
+        (least(col("_n"), lit(titleLen.toLong)) * wTitle +
+          greatest(col("_n") - titleLen, lit(0L)) * wBody).as("dl"))
+
   def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       size(TextOps.tokens(col(textCol))).cast("long").as("dl"))

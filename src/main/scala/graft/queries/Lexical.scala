@@ -33,6 +33,23 @@ object Lexical {
       Retrieval.bm25TopK(d, "doc_id", "text", q, k = 5)
     }),
 
+    // BM25F — FIELDED retrieval (simple variant): a hit in the first-8-
+    // token "title" counts 3× a body hit, folded into tf BEFORE the
+    // saturation (a strong title match can't be drowned by body
+    // repetition); the length norm lives on the same weighted scale.
+    // Same query batch and scoring machinery as b1 — only the postings
+    // and doc-length frames are fielded.
+    "b10_bm25f" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = Retrieval.queriesFromDocs(d, "doc_id", "text", col("doc_id") < 8)
+      Retrieval.bm25TopKFrom(
+        Retrieval.fieldedPostings(d, "doc_id", "text",
+          titleLen = 8, wTitle = 3, wBody = 1),
+        Retrieval.fieldedDocLengths(d, "doc_id", "text",
+          titleLen = 8, wTitle = 3, wBody = 1),
+        q, k = 5)
+    }),
+
     // The same retrieval against a STANDING posting store (term-bucketed
     // inverted index, the j8/d21 lever applied to text search): the
     // corpus-side shuffle was paid at store-build time; the probe's term
@@ -638,6 +655,30 @@ object Lexical {
          |$t22MomSql
          |$t22CorrSelects""".stripMargin,
     "b1_bm25_topk" -> bm25Sql("doc_id < 8"),
+    // b10: the weighted-field index CTEs (parallel unnests zip term with
+    // its 1-based position; engine pos is 0-based, so `<= 8` ⇔ `< 8`),
+    // then the SHARED scoring pass — only the index frames are fielded.
+    "b10_bm25f" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |  FROM documents),
+         |tokp AS (SELECT doc_id, unnest(ws) AS term,
+         |    unnest(range(1, len(ws) + 1)) AS pos FROM toks),
+         |dlw AS (SELECT doc_id,
+         |    CAST(least(len(ws), 8) * 3 + greatest(len(ws) - 8, 0) AS BIGINT)
+         |      AS dl
+         |  FROM toks),
+         |post AS (SELECT t.doc_id, t.term, d.dl,
+         |    CAST(sum(CASE WHEN t.pos <= 8 THEN 3 ELSE 1 END) AS BIGINT) AS tf
+         |  FROM tokp t JOIN dlw d USING (doc_id) GROUP BY 1, 2, 3),
+         |stats AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS total_tokens FROM dlw),
+         |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tokp
+         |       WHERE doc_id < 8),
+         |${bm25ScoreCtes("qt", "")}
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_e9,
+         |  n_terms_hit
+         |FROM ranked WHERE rank <= 5""".stripMargin,
     "b2_bm25_store" -> bm25Sql("doc_id >= 8 AND doc_id < 13"),
     // The append gate: the post-append store must equal the full-corpus
     // build — b2's oracle verbatim (the d21/e11 shared-oracle pattern).

@@ -164,6 +164,36 @@ object Relational {
           count(lit(1)).as("n"))),
 
     // join + filter + top-k (TPC-H q3 shape).
+    // TPC-H Q5 shape — the classic 6-table "local supplier volume" star:
+    // fact lineitem ⋈ orders (date-pruned) ⋈ customer ⋈ supplier with the
+    // SAME-NATION predicate riding the supplier join, nation⋈region
+    // broadcast. Every join keyed; the date filter pushes to the orders
+    // scan; the dims broadcast.
+    "q5_local_supplier" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nr = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
     "q3_shipping" -> ((s, dir) => {
       val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
       val li = t(s, dir, "lineitem")
@@ -449,6 +479,17 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1996-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -31,6 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
                                // broadcast attached to the scored postings
     "b2_bm25_store" -> 1,      // the same one-row corpus_stats table read
                                // from the store
+    "b10_bm25f" -> 1,          // b1's one-row corpus-stats attach over the
+                               // fielded index frames
     "b3_hybrid_rrf" -> 2,      // b1's one-row corpus stats + v1's bounded
                                // 8-query brute-force baseline (the dense
                                // leg deliberately reuses the v1 exact

@@ -56,6 +56,35 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0).getLong(3) == got(1).getLong(3))
   }
 
+  test("BM25F: a title hit outranks body repetition; weights fold before saturation") {
+    // titleLen=2, wTitle=3: doc 10 has "apple" ONCE in the title (tf~=3);
+    // doc 11 has it twice in the body (tf~=2). Saturation (k1=1.2) makes
+    // per-occurrence gains sublinear, so folding weights BEFORE it must
+    // rank the title doc first despite fewer raw occurrences. (Weighted
+    // dl: both docs 4 tokens -> dl~ = 2*3 + 2*1 = 8, neutral.)
+    val d = Seq(
+      (10L, "apple pie crust butter"),
+      (11L, "pie crust apple apple")).toDF("doc_id", "text")
+    val q = Seq((99L, "apple")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopKFrom(
+        Retrieval.fieldedPostings(d, "doc_id", "text", 2, 3, 1),
+        Retrieval.fieldedDocLengths(d, "doc_id", "text", 2, 3, 1),
+        q, k = 2)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(10L, 11L))
+    // plain BM25 on the same corpus ranks the repetition first
+    val plain = Retrieval.bm25TopK(d, "doc_id", "text", q, k = 2)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(plain == Seq(11L, 10L))
+  }
+
+  test("fieldedDocLengths clamps short docs to the title field") {
+    val d = Seq((1L, "only one"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val got = Retrieval.fieldedDocLengths(d, "doc_id", "text", 3, 3, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 6L, 2L -> (9L + 2L))) // 2*3; 3*3 + 2*1
+  }
+
   test("a query with no corpus hits returns zero rows, no crash") {
     val q = Seq((9L, "zzzznotaword")).toDF("query_id", "term")
     assert(Retrieval.bm25TopK(tinyDocs, "doc_id", "text", q, k = 5)
