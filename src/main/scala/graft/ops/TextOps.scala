@@ -134,6 +134,35 @@ object TextOps {
     regexp_count(text, lit(Ipv4Re)).cast("int").as("n_ips"),
     regexp_count(text, lit(PhoneRe)).cast("int").as("n_phones"))
 
+  /** MOJIBAKE repair (the ftfy core): the commonest UTF-8-read-as-Latin-1
+    * double-encodings, fixed by LITERAL sequential replacement — web
+    * corpora are full of `cafÃ©` / `donâ€™t`, and an LM trained on them
+    * learns the corruption as vocabulary. The pair list is ordered and
+    * applied in order on BOTH engines (patterns don't overlap, but the
+    * contract is explicit); every pattern is BMP-only so JVM char counts
+    * equal DuckDB codepoint counts in [[mojibakeCount]].
+    */
+  val MojibakeFixes: Seq[(String, String)] = Seq(
+    "â€™" -> "'", "â€œ" -> "\"", "Ã©" -> "é", "Ã¤" -> "ä",
+    "Ã±" -> "ñ", "Ã¼" -> "ü")
+
+  def fixMojibake(text: Column): Column =
+    MojibakeFixes.foldLeft(text) { case (acc, (m, f)) =>
+      regexp_replace(acc, lit("\\Q" + m + "\\E"),
+        lit(java.util.regex.Matcher.quoteReplacement(f)))
+    }
+
+  /** Repairs that [[fixMojibake]] would apply, counted on the RAW text
+    * (the audit column): Σ per-pattern occurrence counts via exact
+    * length arithmetic.
+    */
+  def mojibakeCount(text: Column): Column =
+    MojibakeFixes.map { case (m, _) =>
+      ((length(text) -
+        length(regexp_replace(text, lit("\\Q" + m + "\\E"), lit("")))) /
+        lit(m.length)).cast("long")
+    }.reduce(_ + _)
+
   /** Whitespace-normalized lowercase form used for fingerprinting. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -274,6 +274,26 @@ object Landsat {
         .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
     }),
 
+    // PARQUET BLOOM-FILTER row-group skipping — the point-lookup lever
+    // the OTHER layout gates can't provide: s10/s12 need the data SORTED
+    // on the filter column, but a hash-shuffled layout's min/max stats
+    // span everything and a unique id never dictionary-encodes; a
+    // written bloom filter still skips every row group that provably
+    // lacks the probed keys (LayoutSpec proves the scan fraction).
+    // Gate = the looked-up rows themselves.
+    "s14_parquet_bloom" -> ((s, dir) => {
+      val out = Tables.scratch("s14_bloom_" + Tables.dirTag(dir))
+      t(s, dir, "documents")
+        .repartition(8) // hash layout: min/max useless for point lookups
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#doc_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#doc_id", "100000")
+        .parquet(out)
+      s.read.parquet(out)
+        .filter(col("doc_id").isin(7L, 123L, 4567L, 49999L))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // MANIFEST-PINNED SNAPSHOT STORE (io/SnapshotStore.scala) — the
     // transactional-format core: two commits publish two versions; the
     // gate reads BOTH (v1 through its pinned manifest AFTER v2 landed),
@@ -1016,6 +1036,11 @@ object Landsat {
         |GROUP BY event_type""".stripMargin,
     "s11_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // s14: the bloom filter is layout-only — the lookup's rows must be
+    // exactly the base table's.
+    "s14_parquet_bloom" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (7, 123, 4567, 49999)""".stripMargin,
     // s13: version 1 = the pre-append slice (pinned manifest), version 2
     // = everything — isolation means the later commit cannot leak into
     // the v1 read.

@@ -114,6 +114,23 @@ object TextDedup {
           Seq(TextOps.redactPii(col("t")).as("redacted")): _*)
     }),
 
+    // MOJIBAKE repair (the ftfy core) — double-encoded UTF-8 injected
+    // deterministically (the t10 discipline: both engines corrupt the
+    // same docs the same way), then fixed by the ordered literal pair
+    // list; the FULL repaired text is the hash surface, plus the n_fixed
+    // audit count a reviewable cleaner must report.
+    "t27_mojibake_fix" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(" cafÃ© rÃ©sumÃ©"))
+            .when(pmod(col("doc_id"), lit(3)) === 1,
+              lit(" donâ€™t seÃ±or â€œquoted"))
+            .otherwise(lit(" clean tail"))).as("t"))
+      injected.select(col("doc_id"),
+        TextOps.mojibakeCount(col("t")).as("n_fixed"),
+        TextOps.fixMojibake(col("t")).as("fixed"))
+    }),
+
     // quality scoring: stopword ratio, word shape, composite score.
     "t2_quality" -> ((s, dir) => {
       val ws = TextOps.tokens(col("text"))
@@ -1382,6 +1399,27 @@ object TextDedup {
          |  round(ts, 6) AS top_share,
          |  (ts > 0.2 OR dr < 0.5) AS flagged
          |FROM m""".stripMargin,
+    // t27: counts and the repair chain GENERATED from the same ordered
+    // pair list the engine folds — the SQL can never drift from the
+    // Scala side.
+    "t27_mojibake_fix" -> {
+      val counts = TextOps.MojibakeFixes.map { case (m, _) =>
+        s"(len(t) - len(replace(t, '$m', ''))) // ${m.length}"
+      }.mkString("\n         |     + ").stripMargin
+      val fixed = TextOps.MojibakeFixes.foldLeft("t") { case (acc, (m, f)) =>
+        s"replace($acc, '$m', '${f.replace("'", "''")}')"
+      }
+      s"""WITH injected AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' cafÃ© rÃ©sumÃ©'
+         |         WHEN doc_id % 3 = 1 THEN ' donâ€™t seÃ±or â€œquoted'
+         |         ELSE ' clean tail' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST($counts AS BIGINT) AS n_fixed,
+         |  $fixed AS fixed
+         |FROM injected""".stripMargin
+    },
     "t10_pii_redact" ->
       """WITH withpii AS (
         |  SELECT doc_id,

@@ -27,6 +27,36 @@ class LayoutSpec extends AnyFunSuite {
     }.sum
   }
 
+  test("parquet bloom filter skips row groups on point lookups where min/max can't") {
+    // Hash-shuffled layout: every file's min/max spans ~the full id range
+    // (useless for a point lookup) and a unique id never dictionary-
+    // encodes — the written bloom filter is the only skipping lever.
+    val src = spark.range(100000).select(
+      col("id").as("doc_id"), (col("id") % 13).as("lang"))
+    val bloomDir = graft.queries.Tables.scratch("layout-spec-bloom")
+    val plainDir = graft.queries.Tables.scratch("layout-spec-plain")
+    src.repartition(8).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#doc_id", "100000")
+      .parquet(bloomDir)
+    src.repartition(8).write.mode("overwrite").parquet(plainDir)
+
+    val keys = Seq(7L, 123L, 4567L, 99999L)
+    def lookup(dir: String) =
+      spark.read.parquet(dir).filter(col("doc_id").isin(keys: _*))
+    // correctness: both layouts return exactly the probed keys
+    assert(lookup(bloomDir).select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq == keys.sorted)
+    val bloomScan = scanRows(lookup(bloomDir))
+    val plainScan = scanRows(lookup(plainDir))
+    // plain layout reads everything (no stat can exclude a row group)
+    assert(plainScan == 100000L, s"expected full scan without bloom, got $plainScan")
+    // bloom excludes every row group provably lacking all four keys:
+    // at most 4 of the 8 files survive
+    assert(bloomScan <= 50000L,
+      s"bloom layout should skip most row groups, got $bloomScan")
+  }
+
   test("range filter on sort-clustered parquet skips row groups; unsorted scans all") {
     val src = spark.range(100000).select(
       col("id").as("n_chars"), (col("id") % 13).as("lang"))
