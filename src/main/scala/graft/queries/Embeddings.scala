@@ -60,6 +60,40 @@ object Embeddings {
     "v22_mutual_nn" -> ((s, dir) =>
       Similarity.mutualNearest(t(s, dir, "embeddings"), NnBits)),
 
+    // EMBEDDING DRIFT report — the monitoring staple before trusting a
+    // standing ANN index against a new ingest batch: per-dimension mean
+    // shift between two corpus slices (here the vec_id-parity halves —
+    // a calibrated near-zero case), all in exact integers: per-dim e6
+    // sums, means and the cross-multiplied mean difference via
+    // sign-split floor divisions (Spark `div` truncates toward zero
+    // where DuckDB `//` floors — dividing only positives removes the
+    // ambiguity; COVERAGE.md "Oracle pinning").
+    "v23_embedding_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("x_e6",
+          expr("CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)"))
+        .withColumn("half", pmod(col("vec_id"), lit(2)).cast("int"))
+      val agg = e.groupBy("dim", "half")
+        .agg(sum("x_e6").as("s"), count(lit(1)).as("c"))
+        .localCheckpoint() // 2 × #dims rows feed both half projections
+      val old = agg.filter(col("half") === 0)
+        .select(col("dim"), col("s").as("s0"), col("c").as("c0"))
+      val nw = agg.filter(col("half") === 1)
+        .select(col("dim"), col("s").as("s1"), col("c").as("c1"))
+      old.join(nw, "dim")
+        .select(col("dim"),
+          expr("CASE WHEN s0 >= 0 THEN s0 div c0 ELSE -((-s0) div c0) END")
+            .as("mean_old_e6"),
+          expr("CASE WHEN s1 >= 0 THEN s1 div c1 ELSE -((-s1) div c1) END")
+            .as("mean_new_e6"),
+          expr("""CASE WHEN s1 * c0 - s0 * c1 >= 0
+                 |  THEN (s1 * c0 - s0 * c1) div (c0 * c1)
+                 |  ELSE -((s0 * c1 - s1 * c0) div (c0 * c1)) END"""
+            .stripMargin).as("diff_e6"))
+    }),
+
     // Matryoshka-truncated ANN: MRL-trained embeddings rank usably under
     // prefix truncation, so the candidate scan runs on the first 16 of 64
     // dims — 4x less IO and flops per pair with the identical bucketed
@@ -954,6 +988,29 @@ object Embeddings {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
          |  FROM scored)
          |SELECT q_id, bucket, c_id AS nn_id, cos FROM ranked WHERE rk = 1""".stripMargin,
+    // v23: the same e6 snap per element, HUGEINT-exact per-dim sums cast
+    // back, the same sign-split floor divisions.
+    "v23_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    unnest(range(1, len(embedding) + 1)) AS dimp,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS x_e6
+        |  FROM embeddings),
+        |a AS (SELECT dimp - 1 AS dim, vec_id % 2 AS half,
+        |    CAST(sum(x_e6) AS BIGINT) AS s, count(*) AS c
+        |  FROM e GROUP BY 1, 2),
+        |o AS (SELECT dim, s AS s0, c AS c0 FROM a WHERE half = 0),
+        |n AS (SELECT dim, s AS s1, c AS c1 FROM a WHERE half = 1)
+        |SELECT CAST(o.dim AS INT) AS dim,
+        |  CAST(CASE WHEN s0 >= 0 THEN s0 // c0 ELSE -((-s0) // c0) END
+        |    AS BIGINT) AS mean_old_e6,
+        |  CAST(CASE WHEN s1 >= 0 THEN s1 // c1 ELSE -((-s1) // c1) END
+        |    AS BIGINT) AS mean_new_e6,
+        |  CAST(CASE WHEN s1 * c0 - s0 * c1 >= 0
+        |    THEN (s1 * c0 - s0 * c1) // (c0 * c1)
+        |    ELSE -((s0 * c1 - s1 * c0) // (c0 * c1)) END AS BIGINT) AS diff_e6
+        |FROM o JOIN n USING (dim)""".stripMargin,
     // v22: v2's top-1 chain, then reciprocity — each side must pick the
     // other; the pair emitted once (a < b) with the symmetric cosine.
     "v22_mutual_nn" ->

@@ -413,6 +413,26 @@ object Events {
     "w4_retention" -> ((s, dir) =>
       EventWindows.retention(eventsT(s, dir))),
 
+    // DAU/WAU STICKINESS — the engagement staple: per active day, the
+    // daily actives over the trailing-7-day actives, exact integers.
+    // The rolling DISTINCT is computed without window state: each
+    // (user, active-day) row fans out to the ≤7 windows it can serve
+    // (bounded explode), then one distinct + count per day — keyed
+    // shuffles only, no per-day re-scan of history.
+    "w6_stickiness" -> ((s, dir) => {
+      val daily = eventsT(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val dau = daily.groupBy("d").agg(count(lit(1)).as("n_dau"))
+      val wau = daily
+        .select(col("user_id"),
+          explode(expr("sequence(d, date_add(d, 6))")).as("d"))
+        .distinct()
+        .groupBy("d").agg(count(lit(1)).as("n_wau"))
+      dau.join(wau, "d")
+        .select(col("d").as("day"), col("n_dau"), col("n_wau"),
+          expr("(n_dau * 1000000) div n_wau").as("stickiness_e6"))
+    }),
+
     // SWEEP-LINE SESSION CONCURRENCY — per-day max simultaneously-open
     // sessions via boundary +1/−1 rows and a scalable ordered cumsum;
     // the O(n log n) answer to a question the naive interval self-join
@@ -484,6 +504,22 @@ object Events {
         |SELECT a.cohort, a.week_no, a.n_active, s.cohort_n,
         |  CAST((a.n_active * 1000000) // s.cohort_n AS BIGINT) AS retention_e6
         |FROM act a JOIN sizes s USING (cohort)""".stripMargin,
+    // w6: the same bounded fan-out — an active day serves the windows
+    // ending d..d+6; the inner join back to dau keeps only real days.
+    "w6_stickiness" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |dau AS (SELECT d, count(*) AS n_dau FROM daily GROUP BY d),
+        |spread AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+        |      CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
+        |      AS DATE) AS d
+        |  FROM daily),
+        |wau AS (SELECT d, count(*) AS n_wau FROM spread GROUP BY d)
+        |SELECT dau.d AS day, n_dau, n_wau,
+        |  CAST((n_dau * 1000000) // n_wau AS BIGINT) AS stickiness_e6
+        |FROM dau JOIN wau USING (d)""".stripMargin,
     // w5: the identical sweep — e3's session CTEs, boundary rows, one
     // running sum over the SAME total order (starts before ends at a
     // tied instant: closed intervals), day rollup. DuckDB's window sum

@@ -1113,6 +1113,32 @@ object TextDedup {
           sum("n_chars").as("sum_chars"))
     }),
 
+    // PER-DOCUMENT DROP PROVENANCE — the row-level complement of c3's
+    // funnel counts: for every document c1 would drop, WHICH rules fired
+    // (bitmask: 1 = near-dup non-keeper, 2 = quality, 4 = langid) and,
+    // for dup drops, the cluster keeper it lost to. The review artifact
+    // a curation run ships when someone asks "why is my page gone?" —
+    // same predicates, same arithmetic as c1, so provenance and funnel
+    // and cleaned corpus can never disagree.
+    "c8_drop_provenance" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ws = TextOps.tokens(col("text"))
+      d.withColumn("quality", TextOps.qualityScore(ws))
+        .withColumn("pred", TextOps.predictedLang(ws))
+        .join(Dedup.dupClusters(d), Seq("doc_id"), "left")
+        .withColumn("dup_drop",
+          col("keep_id").isNotNull && col("keep_id") =!= col("doc_id"))
+        .withColumn("q_drop", col("quality") < 0.3)
+        .withColumn("lang_drop", col("pred") =!= col("lang"))
+        .filter(col("dup_drop") || col("q_drop") || col("lang_drop"))
+        .select(col("doc_id"),
+          (when(col("dup_drop"), lit(1)).otherwise(lit(0)) +
+            when(col("q_drop"), lit(2)).otherwise(lit(0)) +
+            when(col("lang_drop"), lit(4)).otherwise(lit(0)))
+            .cast("int").as("reason_mask"),
+          when(col("dup_drop"), col("keep_id")).as("keeper_id"))
+    }),
+
     // Pipeline OBSERVABILITY for the c1 cleaning cascade: per-stage funnel
     // accounting (total → survives dedup → survives quality → survives
     // langid) in ONE corpus pass — the drop report every production
@@ -1759,6 +1785,43 @@ object TextDedup {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM nonkeepers)
          |  AND quality >= 0.3 AND pred = d.lang
          |GROUP BY d.lang""".stripMargin,
+    // c8: the same chain, with the component map kept whole (keeper =
+    // min label) so dup drops can name the doc they lost to.
+    "c8_drop_provenance" ->
+      s"""WITH RECURSIVE $minhashChain,
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT doc_a AS id, doc_a AS label FROM edges
+         |  UNION
+         |  SELECT e.doc_a, r.label FROM edges e JOIN reach r ON e.doc_b = r.id),
+         |comp AS (
+         |  SELECT id AS doc_id, min(label) AS keep_id FROM reach GROUP BY id),
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS DOUBLE) / len(ws) AS stop_ratio,
+         |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS awl,
+         |  len(ws) AS n FROM toks),
+         |q AS (SELECT doc_id,
+         |  0.5 * stop_ratio + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0)
+         |    + 0.2 * (awl / 10.0) AS quality FROM m),
+         |h AS (SELECT doc_id, ${hitsSql("en")} AS en, ${hitsSql("de")} AS de,
+         |             ${hitsSql("es")} AS es, ${hitsSql("fr")} AS fr FROM toks),
+         |pr AS (SELECT doc_id,
+         |  CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |       WHEN de >= es AND de >= fr THEN 'de'
+         |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred FROM h)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN c.keep_id IS NOT NULL AND c.keep_id <> d.doc_id
+         |         THEN 1 ELSE 0 END
+         |     + CASE WHEN quality < 0.3 THEN 2 ELSE 0 END
+         |     + CASE WHEN pred <> d.lang THEN 4 ELSE 0 END AS INT) AS reason_mask,
+         |  CASE WHEN c.keep_id IS NOT NULL AND c.keep_id <> d.doc_id
+         |    THEN c.keep_id END AS keeper_id
+         |FROM documents d JOIN q USING (doc_id) JOIN pr USING (doc_id)
+         |LEFT JOIN comp c USING (doc_id)
+         |WHERE (c.keep_id IS NOT NULL AND c.keep_id <> d.doc_id)
+         |   OR quality < 0.3 OR pred <> d.lang""".stripMargin,
     "c3_filter_funnel" ->
       s"""WITH RECURSIVE $minhashChain,
          |edges AS (
