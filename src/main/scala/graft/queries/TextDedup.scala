@@ -1030,6 +1030,40 @@ object TextDedup {
         .agg(count(lit(1)).as("n_bands"))
     }),
 
+    // STREAMING SNAPSHOT-STORE INGEST — s13's transactional core under
+    // continuous arrival: each micro-batch COMMITS one version (the
+    // single manifest rename publishes that batch's whole file set
+    // atomically — a reader never sees half a batch), and every version
+    // stays readable afterward. Gate: the per-version rollups — v1 must
+    // equal exactly batch 1's rows even though v2 landed after it, and
+    // v2 the union; a leaked, lost, or double-published file flips a
+    // checksum.
+    "e18_stream_snapshot" -> ((s, dir) => {
+      val store = Tables.scratch("e18_snap_" + Tables.dirTag(dir))
+      graft.io.SnapshotStore.reset(store)
+      var versions = List.empty[Int]
+      def phase(name: String, part: DataFrame): Unit =
+        graft.streaming.StreamingWindows.runForeachBatch(part, name) {
+          (batch, _) =>
+            versions ::= graft.io.SnapshotStore.commit(
+              batch.select("doc_id", "n_chars"), store)
+            ()
+        }
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      phase("e18a", stream.filter(pmod(col("doc_id"), lit(2)) === 0))
+      phase("e18b", stream.filter(pmod(col("doc_id"), lit(2)) === 1))
+      require(versions.nonEmpty, "stream produced no micro-batches")
+      versions.sorted.map { v =>
+        graft.io.SnapshotStore.readVersion(s, store, v)
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+            sum("n_chars").as("sum_chars"))
+          .select(lit(v).as("version"), col("n_docs"), col("sum_ids"),
+            col("sum_chars"))
+      }.reduce(_ unionByName _)
+    }),
+
     // STREAMING HEAVY HITTERS — the t5 frequent-tokens report under
     // CONTINUOUS ingest: a bounded SpaceSaving sketch (m = 16 rows over a
     // 31-token vocabulary, so eviction and floor-credit re-entry really
@@ -1886,6 +1920,17 @@ object TextDedup {
     // append. Batch-internal pairs are absent on BOTH sides: the engine's
     // store never contains the probing batch, and the oracle's predicate
     // keeps doc_new and doc_old in disjoint ranges.
+    // e18: version 1 = batch 1's slice exactly (isolation under the
+    // later commit), version 2 = the cumulative union.
+    "e18_stream_snapshot" ->
+      """SELECT CAST(1 AS INT) AS version, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS INT), count(*), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents""".stripMargin,
     // e17: the SpaceSaving merge algebra replayed exactly — batch 1 from
     // the empty state (floor 0), prune to 16 by (cnt desc, token), floor
     // = max evicted; batch 2 merges on top (entering tokens credited the
