@@ -444,6 +444,44 @@ object Similarity {
     fitOn(vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
       .persistTracked(), k, iters)
 
+  /** The deterministic hash-sample predicate [[kmeansSampled]] trains on:
+    * keep a vector iff (vec_id · 1000003) mod `sampleMod` < `sampleKeep`.
+    * Knuth's multiplicative scheme — the prime multiplier maps consecutive
+    * ids onto a scattered residue progression (so the sample is immune to
+    * stride patterns in id assignment), and plain BIGINT arithmetic
+    * reproduces bit-identically in any engine, unlike an engine-specific
+    * murmur3 `hash()`. Deterministic (not `TABLESAMPLE`/rand()) so the
+    * fit is replayable: same corpus → same sample → same model.
+    */
+  def trainSample(idCol: Column, sampleMod: Int, sampleKeep: Int): Column =
+    pmod(idCol * lit(1000003L), lit(sampleMod.toLong)) < lit(sampleKeep.toLong)
+
+  /** [[kmeansBroadcast]] with the Lloyd fit running on a deterministic
+    * hash SAMPLE of the corpus — the 100-TB trainer. Full-corpus Lloyd
+    * re-scans all N vectors on every one of T iterations, so at petabyte
+    * scale the TRAINER (not the probe) becomes the index build's wall.
+    * k-means' objective is a sample mean; a uniform n-vector sample
+    * estimates each centroid to O(1/√n_cell), so training on a fixed-rate
+    * sample and assigning the full corpus ONCE at the end cuts the build
+    * from O(N·T) scans to O(N + n·T) with negligible centroid drift once
+    * cells hold thousands of samples. Same Lloyd contract as [[kmeans]]
+    * applied to the sampled set: init = ordinal labels over the k lowest
+    * SAMPLED vec_ids, rounded-6dp assignment distance with ties → lower
+    * cell, 9-dp per-dim means, emptied cells keep their centroid. Keep
+    * full-train ([[kmeans]]) for small corpora, where one extra scan per
+    * iteration is cheaper than any sampling bias. Output: the FULL
+    * corpus' final assignment (vec_id, cluster, d2).
+    */
+  def kmeansSampled(vecs: DataFrame, k: Int, iters: Int,
+      sampleMod: Int, sampleKeep: Int): DataFrame = {
+    require(sampleMod > 0 && sampleKeep > 0 && sampleKeep <= sampleMod,
+      s"kmeansSampled: need 0 < sampleKeep <= sampleMod, got $sampleKeep/$sampleMod")
+    val v = prepV(vecs)
+    val tr = v.filter(trainSample(col("vec_id"), sampleMod, sampleKeep))
+    assignByCodebook(v, cbFrameOf(fitOn(tr, k, iters)))
+      .select(col("vec_id"), col("cluster"), col("d2"))
+  }
+
   /** Assign vectors to the cells of an ALREADY-TRAINED model
     * ([[kmeansFit]]'s (cl, c) frame) — the ingest half of a standing IVF
     * index: new vectors route into existing inverted lists WITHOUT
@@ -465,6 +503,9 @@ object Similarity {
     * single-partition window is bounded at k rows — the limit(k) output,
     * not corpus-scale); per round the assignment is the broadcast-codebook
     * map and the update a k-row joined frame, localCheckpoint-truncated.
+    * Each iteration scans the frame it is GIVEN — at corpus scale pass a
+    * hash sample and assign the full corpus once ([[kmeansSampled]]),
+    * don't feed 100 TB through T training scans.
     */
   private def fitOn(v: DataFrame, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

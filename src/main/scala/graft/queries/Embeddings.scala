@@ -169,6 +169,18 @@ object Embeddings {
     "v10_kmeans" -> ((s, dir) =>
       Similarity.kmeans(t(s, dir, "embeddings"), k = KmeansK, iters = KmeansIters)),
 
+    // SAMPLED-TRAIN k-means — the 100-TB index build: the Lloyd fit runs
+    // on a deterministic hash sample (~40% here; basis points at real
+    // scale), then the FULL corpus is assigned once against the trained
+    // codebook. Cuts the build from O(N·T) corpus scans to O(N + n·T).
+    // Gate: the sample predicate (Knuth multiplicative, replicated in the
+    // oracle), the sampled init, every Lloyd round, and the full-corpus
+    // assignment — one off-by-one in the sample membership retrains a
+    // different model and re-cells the corpus.
+    "v24_kmeans_sampled" -> ((s, dir) =>
+      Similarity.kmeansSampled(t(s, dir, "embeddings"), k = KmeansK,
+        iters = KmeansIters, sampleMod = SampleMod, sampleKeep = SampleKeep)),
+
     // IVF index-health report: inverted-list occupancy (min/max), FAISS's
     // imbalance factor max/(n/k), trained-but-empty cell count — the
     // retrain/rebalance trigger an index maintainer watches as the e13
@@ -322,6 +334,10 @@ object Embeddings {
   val KmeansK = 8
   val KmeansIters = 3
   val IvfNprobe = 2
+  // v24's hash-sample rate ≈ 40% (prime modulus; the multiplier makes the
+  // kept ids a scattered residue progression, not a prefix or stride).
+  val SampleMod = 9973
+  val SampleKeep = 3989
   val Shortlist = 5
   val RecallAt = 10
   val StandingMin = 100L // e13: standing corpus = vec_id >= 100, delta below
@@ -415,7 +431,11 @@ object Embeddings {
     * oracles can run a SECOND chain over the residual vectors (prefix
     * "r") in the same statement without name collisions.
     */
-  private def kmeansChain(k: Int, iters: Int, src: String, p: String): String = {
+  private def kmeansChain(k: Int, iters: Int, src: String, p: String,
+      assignSrc: String = null): String = {
+    // Training reads `src`; the FINAL assignment reads `assignSrc` when
+    // given (v24's sampled-train / full-assign split), else `src`.
+    val asrc = Option(assignSrc).getOrElse(src)
     val sb = new StringBuilder
     // ${p}c0 = the k LOWEST vec_ids with ORDINAL labels — the same
     // ranked-list derivation as the engine's init, so parity holds for
@@ -453,7 +473,7 @@ object Embeddings {
               |    SELECT v.vec_id, c.cl, $kmD2 AS d2,
               |      row_number() OVER (PARTITION BY v.vec_id
               |                         ORDER BY $kmD2, c.cl) AS rk
-              |    FROM $src v CROSS JOIN ${p}c$iters c)
+              |    FROM $asrc v CROSS JOIN ${p}c$iters c)
               |  WHERE rk = 1)""".stripMargin
     sb.toString
   }
@@ -466,6 +486,19 @@ object Embeddings {
 
   private def kmeansOracle(k: Int, iters: Int): String =
     s"""${kmeansStages(k, iters)}
+       |SELECT vec_id, CAST(cl AS INT) AS cluster, d2
+       |FROM fin""".stripMargin
+
+  /** v24 oracle: the identical Lloyd chain TRAINED on the deterministic
+    * hash sample (`tr` — the engine's trainSample predicate in plain
+    * BIGINT arithmetic; `%` matches Spark's `pmod` on nonnegative ids)
+    * with the final assignment over the FULL corpus.
+    */
+  private def kmeansSampledOracle(k: Int, iters: Int, mod: Int,
+      keep: Int): String =
+    s"""WITH $vSrc,
+       |tr AS (SELECT * FROM v WHERE (vec_id * 1000003) % $mod < $keep),
+       |${kmeansChain(k, iters, "tr", "", assignSrc = "v")}
        |SELECT vec_id, CAST(cl AS INT) AS cluster, d2
        |FROM fin""".stripMargin
 
@@ -780,6 +813,8 @@ object Embeddings {
 
   val oracle: Map[String, String] = Map(
     "v10_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
+    "v24_kmeans_sampled" ->
+      kmeansSampledOracle(KmeansK, KmeansIters, SampleMod, SampleKeep),
     // v21: the v10 Lloyd chain, then the one-row occupancy rollup.
     "v21_ivf_health" ->
       s"""${kmeansStages(KmeansK, KmeansIters)},

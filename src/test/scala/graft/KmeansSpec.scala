@@ -67,6 +67,43 @@ class KmeansSpec extends AnyFunSuite {
     assert(bc == lit)
   }
 
+  test("kmeansSampled with a full-keep sample equals kmeans") {
+    // sampleKeep = sampleMod keeps every id → same init, same rounds,
+    // same assignment: the sampled path must degenerate to the exact
+    // full-train result (bit-identical rows, d2 included).
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map { i =>
+      (i * 3L + 5, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val full = Similarity.kmeans(vecs, k = 8, iters = 3)
+      .as[(Long, Int, Double)].collect().toSet
+    val samp = Similarity.kmeansSampled(vecs, k = 8, iters = 3,
+        sampleMod = 1, sampleKeep = 1)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(samp == full)
+  }
+
+  test("kmeansSampled trains on the hash sample, assigns EVERY vector") {
+    // sampleMod = 2, sampleKeep = 1: keep iff (id·1000003) mod 2 = 0 —
+    // the odd multiplier preserves parity, so EVEN ids train. Odd ids are
+    // out-of-sample yet must appear in the final assignment, routed to
+    // the cell the sampled-only model puts their blob in.
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(1f, 0f)), (3L, Array(1f, 1f)),
+      (10L, Array(10f, 10f)), (11L, Array(10f, 11f)),
+      (12L, Array(11f, 10f)), (13L, Array(11f, 11f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansSampled(vecs, k = 2, iters = 3,
+        sampleMod = 2, sampleKeep = 1)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(out.keySet ==
+      Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L)) // full corpus, not the sample
+    assert(Set(out(0L), out(1L), out(2L), out(3L)).size == 1)
+    assert(Set(out(10L), out(11L), out(12L), out(13L)).size == 1)
+    assert(out(0L) != out(10L))
+  }
+
   test("ivfTrainedTop1 probes trained cells; nprobe bounds the search") {
     // Two clean blobs; training k = 2 recovers them as cells. nprobe = 1
     // searches only the query's own blob → within-blob nearest neighbor.

@@ -87,6 +87,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "v8_pq_encode" -> 1,       // one-row broadcast codebook
     "v9_pq_adc" -> 3,          // codebook x2 (encode + tables), bounded query set
     "v12_ivf_trained" -> 2,    // one-row trained codebook, invert + query sides
+    "v24_kmeans_sampled" -> 1, // one-row sample-trained codebook on the
+                               // full-corpus assign side (the v12 pattern)
     "v13_ivf_pq" -> 2,         // one-row trained codebook, build + query sides
     "v14_ivf_pq_residual" -> 5, // one-row coarse codebook (build + query) +
                                // one-row RESIDUAL codebook (encode + query
