@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.engine.Caches.Registered
+
 /** Time-series regularization: per-key daily resample + gap-fill with
   * linear interpolation. The reference's domain is exactly this shape — a
   * per-station daily temperature series with missing days that must become
@@ -95,6 +97,9 @@ object TimeSeries {
     * but a key's day count is calendar-bounded, so the per-key O(d²)
     * prefix folds are a few hundred thousand integer ops at worst.
     * Parallelism is across keys, the only axis that grows at 100 TB.
+    * For LONG histories (multi-year keys) use [[ewmaDailyChunked]]: the
+    * same recurrence folded chunk-by-chunk through the seeded carry,
+    * O(d · chunkDays) instead of O(d²).
     */
   def ewmaDaily(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, alphaNum: Int = 3, alphaDen: Int = 10): DataFrame = {
@@ -178,7 +183,9 @@ object TimeSeries {
     * key, calendar-bounded like ts3/ewma); parallelism is across keys —
     * the axis that grows at 100 TB. The readout Project is
     * post-aggregation (#keys rows), allowlisted in PlanAuditSpec like
-    * v5's centroid readout.
+    * v5's centroid readout. For LONG histories use [[cusumDailyChunked]]:
+    * the same recurrence with a five-field carry folded across fixed
+    * chunks, O(d · chunkDays) instead of O(d²).
     */
   def cusumDaily(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, hMult: Int = 1): DataFrame = {
@@ -206,5 +213,142 @@ object TimeSeries {
         array_max(col("_s")).as("max_cusum_e6"),
         expr("CAST(size(filter(_s, s -> s > h_e6)) AS BIGINT)").as("n_alarms"),
         col("h_e6"), col("first_alarm"))
+  }
+
+  /** The fixed-width chunk id the long-history folds loop over:
+    * floor(days-since-epoch / chunkDays). Fixed windows, not calendar
+    * years, so the chunk length is a tunable independent of where the
+    * history starts (and the correctness gate can fold MANY chunks even
+    * over a one-month fixture).
+    */
+  private def chunkId(chunkDays: Int) =
+    floor(datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01")))
+      / chunkDays).cast("int")
+
+  /** [[ewmaDaily]] with the per-key prefix folds CHUNKED into fixed
+    * `chunkDays` windows, the chunks folded SEQUENTIALLY through
+    * [[ewmaDailySeeded]]'s `_s_off` carry — the long-history form. The
+    * in-row folds are O(len²) integer ops per key per chunk; unchunked, a
+    * 10-year key pays ~6.7M ops where 365-day chunks pay 10 × 365²/2 ≈
+    * 0.67M — O(d · chunkDays) total, LINEAR in history length with a
+    * bounded constant. Correct by the seeded-carry identity (the e15
+    * gate): the carry entering chunk C is exactly the recurrence's state
+    * after chunk C−1, so the union of chunk outputs IS the full-history
+    * series — ts6's oracle runs the UNCHUNKED recurrence over the same
+    * data. The chunk-id loop is driver-side but bounded by
+    * history/chunkDays (≈ one iteration per year at the default), never
+    * data-scale; each chunk's state hand-off is localCheckpoint'd, so
+    * plan depth stays O(1) per chunk.
+    */
+  def ewmaDailyChunked(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, alphaNum: Int = 3, alphaDen: Int = 10,
+      chunkDays: Int = 365): DataFrame = {
+    require(chunkDays >= 2, "ewmaDailyChunked needs chunkDays >= 2")
+    val daily = dailyE6(df, keyCol, tsCol, valCol)
+      .withColumn("_ck", chunkId(chunkDays))
+      .persistTracked()
+    val chunks = daily.select("_ck").distinct()
+      .collect().map(_.getInt(0)).sorted
+    def freshState(of: DataFrame) =
+      of.select(col(keyCol), lit(null).cast("long").as("_s_off")).limit(0)
+    var state: DataFrame = null
+    var out: DataFrame = null
+    for (c <- chunks) {
+      val part = daily.filter(col("_ck") === c).drop("_ck")
+      val r = ewmaDailySeeded(part,
+        if (state != null) state else freshState(part),
+        keyCol, alphaNum, alphaDen).localCheckpoint()
+      // New standing state: each key's max-date row, still in offset
+      // space; keys untouched this chunk keep their prior state.
+      val latest = r.groupBy(keyCol)
+        .agg(max(struct(col("d"), col("_ewma_off"))).as("m"))
+        .select(col(keyCol), col("m._ewma_off").as("_s_off"))
+      state =
+        (if (state == null) latest
+         else latest.unionByName(
+           state.join(latest, Seq(keyCol), "left_anti")))
+          .localCheckpoint()
+      val pub = r.drop("_ewma_off")
+      out = if (out == null) pub else out.unionByName(pub)
+    }
+    if (out != null) out
+    else ewmaDailySeeded(daily.drop("_ck"), freshState(daily), keyCol,
+      alphaNum, alphaDen).drop("_ewma_off") // empty input: schema only
+  }
+
+  /** [[cusumDaily]] in the same chunked form — the recurrence's per-key
+    * constants (μ over the FULL history, the self-scaling threshold h,
+    * the day count) are ONE keyed aggregate up front, then the S⁺ folds
+    * run per fixed `chunkDays` window with a five-field carry between
+    * chunks: the running statistic, its peak, the alarm-day count, the
+    * first alarm date, handed off exactly like [[ewmaDailyChunked]]'s
+    * `_s_off`. Same O(d · chunkDays) bound; ts7's oracle runs the
+    * unchunked recurrence, so one lost or double-counted hand-off flips
+    * the summary row.
+    */
+  def cusumDailyChunked(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, hMult: Int = 1, chunkDays: Int = 365): DataFrame = {
+    require(hMult >= 1, "cusumDailyChunked needs hMult >= 1")
+    require(chunkDays >= 2, "cusumDailyChunked needs chunkDays >= 2")
+    val daily = dailyE6(df, keyCol, tsCol, valCol)
+      .withColumn("_ck", chunkId(chunkDays))
+      .persistTracked()
+    val glob = daily.groupBy(col(keyCol))
+      .agg(expr("sum(v_e6) div count(1)").as("mu_e6"),
+        (lit(hMult.toLong) * (max(col("v_e6")) - min(col("v_e6"))))
+          .cast("long").as("h_e6"),
+        count(lit(1)).as("n_days"))
+      .persistTracked()
+    val chunks = daily.select("_ck").distinct()
+      .collect().map(_.getInt(0)).sorted
+    // Carry: (_s running statistic, _mx peak, _al alarm days, _fa first
+    // alarm). S⁺ is ≥ 0 by construction, so 0 seeds both _s and _mx.
+    var state: DataFrame = null
+    for (c <- chunks) {
+      val part = daily.filter(col("_ck") === c)
+        .groupBy(col(keyCol))
+        .agg(sort_array(collect_list(struct(col("d"), col("v_e6")))).as("a"))
+        .join(glob.select(col(keyCol), col("mu_e6"), col("h_e6")),
+          Seq(keyCol))
+      val seeded =
+        if (state == null)
+          part.withColumn("_s", lit(0L)).withColumn("_mx", lit(0L))
+            .withColumn("_al", lit(0L))
+            .withColumn("_fa", lit(null).cast("date"))
+        else part.join(state, Seq(keyCol), "left")
+      state = seeded
+        .withColumn("_sc", expr(
+          """transform(a, (x, i) ->
+            |  aggregate(slice(transform(a, z -> z.v_e6 - mu_e6), 1, i + 1),
+            |    coalesce(_s, 0L), (acc, y) -> greatest(0L, acc + y)))"""
+            .stripMargin))
+        .select(col(keyCol),
+          expr("element_at(_sc, size(_sc))").as("_s"),
+          greatest(coalesce(col("_mx"), lit(0L)), array_max(col("_sc")))
+            .as("_mx"),
+          (coalesce(col("_al"), lit(0L)) +
+            expr("CAST(size(filter(_sc, s -> s > h_e6)) AS BIGINT)"))
+            .as("_al"),
+          coalesce(col("_fa"), expr(
+            """element_at(filter(
+              |  transform(a, (x, i) -> named_struct(
+              |    'd', x.d, 's', element_at(_sc, i + 1))),
+              |  p -> p.s > h_e6), 1).d""".stripMargin)).as("_fa"))
+        .unionByName(
+          if (state == null) daily.limit(0).select(col(keyCol),
+            lit(0L).as("_s"), lit(0L).as("_mx"), lit(0L).as("_al"),
+            lit(null).cast("date").as("_fa"))
+          else state.join(part.select(keyCol), Seq(keyCol), "left_anti"))
+        .localCheckpoint()
+    }
+    val st =
+      if (state != null) state
+      else glob.limit(0).select(col(keyCol), lit(0L).as("_s"),
+        lit(0L).as("_mx"), lit(0L).as("_al"),
+        lit(null).cast("date").as("_fa"))
+    st.join(glob, Seq(keyCol))
+      .select(col(keyCol), col("n_days"), col("mu_e6"),
+        col("_mx").as("max_cusum_e6"), col("_al").as("n_alarms"),
+        col("h_e6"), col("_fa").as("first_alarm"))
   }
 }

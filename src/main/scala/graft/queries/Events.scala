@@ -285,6 +285,26 @@ object Events {
       graft.ops.TimeSeries.cusumDaily(eventsT(s, dir),
         keyCol = "user_id", tsCol = "ts", valCol = "value", hMult = 1)),
 
+    // LONG-HISTORY EWMA — ts3's recurrence with the per-key fold chunked
+    // into fixed windows and the chunks folded sequentially through the
+    // seeded `_s_off` carry (O(d·chunk) instead of O(d²)). chunkDays = 7
+    // folds the one-month fixture through ~5 carry hand-offs; the oracle
+    // is the UNCHUNKED full recurrence, so one lost or double-counted
+    // hand-off flips the series.
+    "ts6_ewma_chunked" -> ((s, dir) =>
+      graft.ops.TimeSeries.ewmaDailyChunked(eventsT(s, dir),
+        keyCol = "user_id", tsCol = "ts", valCol = "value", chunkDays = 7)),
+
+    // LONG-HISTORY CUSUM — ts5's recurrence in the same chunked form: μ
+    // and the threshold are one up-front keyed aggregate over the full
+    // history, then the S⁺ folds hand a five-field carry (statistic,
+    // peak, alarm count, first alarm) across ~5 chunks. Oracle = the
+    // unchunked recurrence.
+    "ts7_cusum_chunked" -> ((s, dir) =>
+      graft.ops.TimeSeries.cusumDailyChunked(eventsT(s, dir),
+        keyCol = "user_id", tsCol = "ts", valCol = "value", hMult = 1,
+        chunkDays = 7)),
+
     // STATEFUL INCREMENTAL ANALYTICS across micro-batches — the
     // store-lifecycle pattern (e9–e14 maintain signature/vector/doc
     // stores) applied to NUMERIC state: the event history arrives as two
@@ -616,6 +636,36 @@ object Events {
     // ts5: the identical max(0, acc+dev) prefix folds (list_prepend(0)
     // seeds list_reduce, the polyHashSql trick); list_position finds the
     // first alarm day, NULL-safe when none fires.
+    // ts7 shares the SAME oracle text: the chunked engine path must
+    // reproduce the unchunked recurrence exactly.
+    "ts7_cusum_chunked" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(round(round(avg(value), 6) * 1e6) AS BIGINT) AS v_e6
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT user_id, list(d ORDER BY d) AS ds,
+        |    list(v_e6 ORDER BY d) AS l
+        |  FROM daily GROUP BY user_id),
+        |m AS (
+        |  SELECT user_id, ds, l, len(l) AS n,
+        |    CAST(list_sum(l) AS BIGINT) // len(l) AS mu,
+        |    CAST(list_max(l) - list_min(l) AS BIGINT) AS h
+        |  FROM arr),
+        |s AS (
+        |  SELECT user_id, ds, n, mu, h,
+        |    list_transform(range(1, n + 1), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(l[1:i], z -> z - mu)),
+        |        (acc, y) -> greatest(CAST(0 AS BIGINT), acc + y))) AS sc
+        |  FROM m)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_days, mu AS mu_e6,
+        |  CAST(list_max(sc) AS BIGINT) AS max_cusum_e6,
+        |  CAST(len(list_filter(sc, x -> x > h)) AS BIGINT) AS n_alarms,
+        |  h AS h_e6,
+        |  ds[list_position(list_transform(sc, x -> x > h), true)]
+        |    AS first_alarm
+        |FROM s""".stripMargin,
     "ts5_cusum" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d,
@@ -644,6 +694,28 @@ object Events {
         |  ds[list_position(list_transform(sc, x -> x > h), true)]
         |    AS first_alarm
         |FROM s""".stripMargin,
+    // ts6 shares ts3's oracle text: the chunked engine path must
+    // reproduce the unchunked recurrence exactly (any carry hand-off
+    // loss or double-count flips ewma_e6 for every later day).
+    "ts6_ewma_chunked" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(round(round(avg(value), 6) * 1e6) AS BIGINT) AS v_e6
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |arr AS (
+        |  SELECT user_id,
+        |    list(d ORDER BY d) AS ds,
+        |    list(v_e6 + 1000000000000 ORDER BY d) AS l
+        |  FROM daily GROUP BY user_id),
+        |e AS (
+        |  SELECT user_id, ds, l,
+        |    list_transform(range(1, len(l) + 1), i ->
+        |      list_reduce(l[1:i], (acc, y) -> (3*y + 7*acc) // 10)) AS ew
+        |  FROM arr)
+        |SELECT user_id, unnest(ds) AS d,
+        |  unnest(list_transform(l, x -> x - 1000000000000)) AS v_e6,
+        |  unnest(list_transform(ew, x -> x - 1000000000000)) AS ewma_e6
+        |FROM e""".stripMargin,
     // ts3: the identical integer recurrence as prefix list_reduce folds
     // over the date-ordered e6 values (offset +1e12 exactly as the
     // engine does; parallel unnests zip positionally).

@@ -157,4 +157,72 @@ class TimeSeriesSpec extends AnyFunSuite {
       .as[(Long, java.sql.Date, Long, Long)].collect().toSet
     assert(got == full)
   }
+
+  // Deterministic multi-year per-key history: ~1 observation/day over
+  // `nDays` days from 2020-01-01, values wobbling enough that the EWMA
+  // and CUSUM statistics move every day. Key 2 appears only in the last
+  // 100 days (exercises carry-absent keys entering mid-history).
+  private def longSeries(nDays: Int) = {
+    val d0 = java.time.LocalDate.parse("2020-01-01")
+    val rows = (0 until nDays).flatMap { i =>
+      val day = d0.plusDays(i.toLong).toString
+      val base = Seq((1L, s"$day 09:00:00", ((i * 37) % 100 + 1).toDouble))
+      if (i >= nDays - 100) base :+
+        (2L, s"$day 15:00:00", ((i * 13) % 50 + 2).toDouble)
+      else base
+    }
+    series(rows: _*)
+  }
+
+  test("ewmaDailyChunked over 3 years equals the unchunked recurrence") {
+    val df = longSeries(1100) // spans 4 calendar years, 4 default chunks
+    val full = TimeSeries.ewmaDaily(df, "user_id", "ts", "value")
+      .as[(Long, java.sql.Date, Long, Long)].collect().toSet
+    val chunked = TimeSeries.ewmaDailyChunked(df, "user_id", "ts", "value")
+      .as[(Long, java.sql.Date, Long, Long)].collect().toSet
+    assert(chunked == full)
+    // Small chunks stress the carry 10x harder — still identical.
+    val tiny = TimeSeries.ewmaDailyChunked(df, "user_id", "ts", "value",
+        chunkDays = 90)
+      .as[(Long, java.sql.Date, Long, Long)].collect().toSet
+    assert(tiny == full)
+  }
+
+  test("cusumDailyChunked over 3 years equals the unchunked recurrence") {
+    val df = longSeries(1100)
+    val full = TimeSeries.cusumDaily(df, "user_id", "ts", "value")
+      .as[(Long, Long, Long, Long, Long, Long, Option[java.sql.Date])]
+      .collect().toSet
+    val chunked = TimeSeries.cusumDailyChunked(df, "user_id", "ts", "value")
+      .as[(Long, Long, Long, Long, Long, Long, Option[java.sql.Date])]
+      .collect().toSet
+    assert(chunked == full)
+    val tiny = TimeSeries.cusumDailyChunked(df, "user_id", "ts", "value",
+        chunkDays = 90)
+      .as[(Long, Long, Long, Long, Long, Long, Option[java.sql.Date])]
+      .collect().toSet
+    assert(tiny == full)
+  }
+
+  test("cusumDailyChunked carries peak/alarms/first-alarm across chunks") {
+    // Mean shift in year 2: the alarm FIRES mid-history, so first_alarm
+    // and the peak live in different chunks than the final statistic —
+    // a carry that only hands off S⁺ (not the summary fields) would
+    // report a later first alarm or a truncated peak.
+    val d0 = java.time.LocalDate.parse("2020-01-01")
+    val rows = (0 until 500).map { i =>
+      val day = d0.plusDays(i.toLong).toString
+      (9L, s"$day 09:00:00", if (i < 250) 10.0 else 30.0)
+    }
+    val df = series(rows: _*)
+    val full = TimeSeries.cusumDaily(df, "user_id", "ts", "value")
+      .as[(Long, Long, Long, Long, Long, Long, Option[java.sql.Date])]
+      .collect().toSet
+    val chunked = TimeSeries.cusumDailyChunked(df, "user_id", "ts", "value",
+        chunkDays = 60)
+      .as[(Long, Long, Long, Long, Long, Long, Option[java.sql.Date])]
+      .collect().toSet
+    assert(chunked == full)
+    assert(full.head._5 > 0, "shift must actually alarm")
+  }
 }
