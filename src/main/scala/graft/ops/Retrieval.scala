@@ -432,23 +432,39 @@ object Retrieval {
     spark.sql(s"DROP TABLE $old")
   }
 
-  /** BM25 top-k against a [[buildPostingStore]] store. The query terms are
-    * collected to the driver (bounded: a query batch's distinct vocabulary,
-    * the d12 broadcast-set discipline) and pushed as an IN predicate over
-    * the bucket column, so the postings scan reads only the buckets that
-    * can hold a query term — at 100 TB the probe cost tracks the query
-    * batch, not the corpus.
+  /** BM25 top-k against a [[buildPostingStore]] store. Two probe shapes,
+    * chosen by the query batch's distinct-vocabulary size, measured with a
+    * BOUNDED limit(cap+1) probe so the driver never holds more than cap+1
+    * terms regardless of workload:
+    *  - ≤ `maxPushdownTerms`: collect the term list and push it as an IN
+    *    predicate over the bucket column — the scan bucket-prunes at
+    *    listing time, so the probe reads only buckets that can hold a
+    *    query term (at 100 TB the probe cost tracks the query batch, not
+    *    the corpus).
+    *  - beyond the cap (a pathological million-term batch): a left-semi
+    *    join against the distinct query terms — no driver materialization
+    *    at all, the plan stays fully lazy, and AQE picks broadcast vs
+    *    shuffled semi by the term frame's actual size. Bucket pruning is
+    *    lost, but a batch that large touches most buckets anyway.
     */
   def bm25FromStore(spark: SparkSession, db: String, queries: DataFrame,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxPushdownTerms: Int = 10000): DataFrame = {
     val qterms = queries.select(col("query_id"), col("term")).distinct()
       .persistTracked()
-    val termList = qterms.select("term").distinct()
-      .collect().map(_.getString(0)).sorted
-    val post = spark.table(s"$db.postings")
-      .filter(col("term").isin(termList: _*))
-    val dfreq = spark.table(s"$db.term_stats")
-      .filter(col("term").isin(termList: _*))
+    val terms = qterms.select("term").distinct()
+    val probe = terms.limit(maxPushdownTerms + 1)
+      .collect().map(_.getString(0))
+    val (post, dfreq) =
+      if (probe.length <= maxPushdownTerms) {
+        val termList = probe.sorted
+        (spark.table(s"$db.postings")
+           .filter(col("term").isin(termList: _*)),
+         spark.table(s"$db.term_stats")
+           .filter(col("term").isin(termList: _*)))
+      } else
+        (spark.table(s"$db.postings").join(terms, Seq("term"), "left_semi"),
+         spark.table(s"$db.term_stats").join(terms, Seq("term"), "left_semi"))
     val stats = spark.table(s"$db.corpus_stats")
     scoreHits(post.join(dfreq, "term").join(broadcast(qterms), "term"),
       spark.table(s"$db.doc_stats"), stats, k, k1, b)

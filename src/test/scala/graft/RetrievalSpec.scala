@@ -129,6 +129,14 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val direct = Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 5)
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(rows.map(_.toSeq).sortBy(_.toString).toSeq == direct.toSeq)
+
+    // Past the pushdown cap the probe degrades to a left-semi join — no
+    // driver term list, fully lazy — and must return the SAME hits.
+    // maxPushdownTerms = 1 forces the semi path for this 2-term batch.
+    val semi = Retrieval.bm25FromStore(spark, db, q, k = 5,
+        maxPushdownTerms = 1)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(semi.toSeq == direct.toSeq)
   }
 
   test("append + derived-stats rebuild equals a fresh full build, shuffle-free") {
