@@ -255,9 +255,15 @@ object TimeSeries {
     var out: DataFrame = null
     for (c <- chunks) {
       val part = daily.filter(col("_ck") === c).drop("_ck")
+      // Only the STATE is checkpointed (one bounded #keys-row frame per
+      // chunk — the sequential carry that must not re-derive its whole
+      // prefix). The chunk OUTPUTS stay lazy plans over the cached daily
+      // + the checkpointed state: materializing them per chunk would
+      // persist the full corpus-sized result once per chunk — fixture
+      // noise here, a blockmanager flood at 100 TB.
       val r = ewmaDailySeeded(part,
         if (state != null) state else freshState(part),
-        keyCol, alphaNum, alphaDen).localCheckpoint()
+        keyCol, alphaNum, alphaDen)
       // New standing state: each key's max-date row, still in offset
       // space; keys untouched this chunk keep their prior state.
       val latest = r.groupBy(keyCol)
