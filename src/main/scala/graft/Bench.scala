@@ -143,17 +143,30 @@ object Bench {
       val p = k.split("_")(0)
       if (prefixCount(p) == 1) p else k
     }
-    val qsMs = results.map { case (k, v) =>
-      s"\"" + shortKey(k) + "\":" + Math.round(v * 1000) }
-      .mkString("{", ",", "}")
+    // Parallel-array form, NOT a map: a {"k":v,...} object costs ~12 B per
+    // query (quotes + colon) and overflowed the tail at 216 queries even
+    // with ms-int values (r14 recorded parsed:null with the map form). Two
+    // aligned arrays — names comma-joined in one string, values as integer
+    // CENTISECONDS (10 ms resolution; bench noise is larger than that) —
+    // carry all queries in ~1.6 KB with ~400 B of headroom for growth.
+    // qn[i] pairs with qcs[i]; total stays full-precision seconds.
+    val qNames = results.map { case (k, _) => shortKey(k) }.mkString(",")
+    val qCs = results.map { case (_, v) => Math.round(v * 100) }
+      .mkString("[", ",", "]")
     // Errors are normally empty; under a pathological error burst the names
     // alone could re-overflow the tail, so degrade to a count past 1900 B.
     val compact0 =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"id-prefix","qunit":"ms","queries":$qsMs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"qunit":"cs","qn":"$qNames","qcs":$qCs,"errors":$errs,"sf":"$sfDir"}"""
     val compact =
       if (compact0.length <= 1900) compact0
-      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"id-prefix","qunit":"ms","queries":$qsMs,"n_errors":${errors.size},"sf":"$sfDir"}"""
-    println(compact)
+      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"qunit":"cs","qn":"$qNames","qcs":$qCs,"n_errors":${errors.size},"sf":"$sfDir"}"""
+    // Even the array form has a ceiling (~330 queries at avg 3-char ids);
+    // past it, keep the line PARSEABLE — drop per-query detail before
+    // dropping validity, and say so in the line itself.
+    val last =
+      if (compact.length <= 1900) compact
+      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"detail":"BENCH_full.json","sf":"$sfDir"}"""
+    println(last)
     // Persist the complete full-name record to a file the driver (or the
     // judge) can lift verbatim.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
