@@ -36,6 +36,11 @@ object ScaleProbe {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$big/documents.parquet")
       println(s"built 10x replica at $big")
+      // The build is a heavy write job whose heap/JIT aftermath inflates
+      // the first probes by 3-5x (observed r15: d2 4.50 s contaminated vs
+      // 0.94 s clean). Don't publish this run's table.
+      println("WARNING: replica built THIS run — timings are contaminated" +
+        " by the build job; re-run ScaleProbe for the publishable table")
     }
     val names = if (args.nonEmpty) args.toSeq
       else Seq("d2_minhash_lsh", "d8_dup_clusters", "d19_keep_longest",

@@ -54,6 +54,17 @@ def main(sf_dir, oracle_path, bench_path, md_path=None):
     print(f"{'TOTAL(comparable)':28s} spark {tot_s:8.3f}  duckdb {tot_d:8.3f}  "
           f"ratio {tot_s / tot_d:.2f}x  (n={len(ok)})")
     if md_path:
+        # The 10x-scale curve (ScaleProbe) is the artifact's only direct
+        # 100x-survivability evidence; a plain rewrite dropped it once
+        # (r13->r14 regression). Carry the section forward verbatim, and
+        # FAIL the refresh if it would be absent from the result.
+        SCALE_HDR = "## 10×-scale curve (ScaleProbe)"
+        preserved = ""
+        try:
+            old = open(md_path).read()
+            preserved = old[old.index(SCALE_HDR):]
+        except (FileNotFoundError, ValueError):
+            pass
         with open(md_path, "w") as f:
             f.write("# PERF — Spark (local[32]) vs DuckDB, same parquet, "
                     f"same machine\n\nsf dir: `{sf_dir}`; DuckDB median of 3 "
@@ -91,9 +102,19 @@ def main(sf_dir, oracle_path, bench_path, md_path=None):
   queries (e5-e8, s5d) additionally pay microbatch machinery (source
   listing, state-store commits) the batch comparator never pays, by
   design; iterative queries (d8/d10/d11 connected components) pay one
-  job per propagation round. Check the spark-seconds column before
-  chasing a ratio.
+  job per propagation round, and the chunked long-history folds
+  (ts6/ts7) pay one state-carry job per chunk — a fixed floor that the
+  one-month fixture cannot amortize but a multi-year key does (the
+  chunking exists to turn O(d^2) per key into O(d*chunk)). Check the
+  spark-seconds column before chasing a ratio.
 """)
+            if preserved:
+                f.write("\n" + preserved)
+        if SCALE_HDR not in open(md_path).read():
+            sys.exit(f"{md_path} is missing the '{SCALE_HDR}' section — "
+                     "run `sbt \"runMain graft.ScaleProbe\"` and paste the "
+                     "table; the 10x curve is the 100x-survivability "
+                     "evidence and must not drop out of the artifact")
 
 
 if __name__ == "__main__":
