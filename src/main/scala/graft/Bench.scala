@@ -54,8 +54,18 @@ object Bench {
       warmupDt(name) = (System.nanoTime() - t0) / 1e9
       graft.engine.Caches.releaseAll()
       spark.catalog.clearCache()
+      // Lifecycle queries record construction phases (PhaseTimer); the
+      // warmup's recordings must not leak into the first timed pass.
+      graft.engine.PhaseTimer.drain()
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Per-phase attribution for store-lifecycle queries (build / append /
+    // compact / delete at construction + the search the sink executes) —
+    // taken from each query's MIN successful pass, with "search" = pass
+    // total − Σ construction phases, so a search regression can't hide
+    // inside build noise.
+    val phaseRows =
+      scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
     val results = ordered.map { case (name, fn) =>
       // Two timed passes, report the min: a single pass is hostage to
       // whatever one-off lands on it (driver full GC reclaiming the
@@ -63,7 +73,7 @@ object Bench {
       // observed multiplying one random query 5-10x between otherwise
       // identical sweeps. The min of two is the standard steady-state
       // estimator and two collisions on the same query are rare.
-      def onePass(): (Double, Boolean) = {
+      def onePass(): (Double, Boolean, Map[String, Double]) = {
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
         // (count() would let Catalyst prune the computed columns away).
@@ -85,7 +95,7 @@ object Bench {
         // sweeps anything registered outside it.)
         graft.engine.Caches.releaseAll()
         spark.catalog.clearCache()
-        (dt, ok)
+        (dt, ok, graft.engine.PhaseTimer.drain())
       }
       val two = Seq(onePass(), onePass())
       // Recovery pass: a sustained full-GC storm can eat BOTH passes
@@ -98,7 +108,7 @@ object Bench {
       // Either way: drain the heap state feeding the storm and take one
       // recovery pass before scoring (min() keeps the estimator honest).
       val passes = {
-        val ok2 = two.collect { case (dt, true) => dt }
+        val ok2 = two.collect { case (dt, true, _) => dt }
         val spread = ok2.size == 2 && ok2.max > 2 * ok2.min
         val overWarmup = ok2.nonEmpty &&
           warmupDt.get(name).exists(w => ok2.min > 1.2 * w && ok2.min - w > 0.25)
@@ -107,13 +117,18 @@ object Bench {
       // min over SUCCESSFUL passes only — a transient failure's
       // time-to-crash must not undercut a valid run's time. If every pass
       // failed, record the duration anyway; the errors map flags it.
-      val good = passes.collect { case (dt, true) => dt }
+      val good = passes.collect { case (dt, true, ph) => (dt, ph) }
       // A transient crash that a later pass (or the recovery pass)
       // survived is noise, not a broken query — only surface queries with
       // NO successful pass, so the driver's error view matches the score's
       // meaning (min over successful passes).
       if (good.nonEmpty) errors.remove(name)
-      name -> (if (good.nonEmpty) good.min else passes.map(_._1).min)
+      good.sortBy(_._1).headOption.filter(_._2.nonEmpty).foreach {
+        case (dt, ph) =>
+          phaseRows(name) = ph + ("search" -> math.max(0.0, dt - ph.values.sum))
+      }
+      name -> (if (good.nonEmpty) good.map(_._1).min
+               else passes.map(_._1).min)
     }
     // 4-decimal seconds (0.1 ms): full double precision is bench noise and
     // more than doubles the line length. Locale.ROOT pins the decimal
@@ -126,8 +141,12 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val phs = phaseRows.map { case (q, ph) =>
+      s"\"" + q + "\":" + ph.map { case (p, v) => s"\"" + p + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"phases":$phs,"errors":$errs,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 bytes of stdout and parses the
     // final line; the full-name queries map alone is >3 KB, so a single
     // full-fidelity line can never parse whole from the tail (r05-r07 all

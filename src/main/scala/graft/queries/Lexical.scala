@@ -61,8 +61,10 @@ object Lexical {
     "b2_bm25_store" -> ((s, dir) => {
       val db = "graft_bm25_" + Tables.dirTag(dir)
       val d = docs(s, dir)
-      Retrieval.buildPostingStore(s, d, "doc_id", "text", db,
-        Tables.scratch(db + "_db"), nBuckets = 8)
+      graft.engine.PhaseTimer.time("build") {
+        Retrieval.buildPostingStore(s, d, "doc_id", "text", db,
+          Tables.scratch(db + "_db"), nBuckets = 8)
+      }
       val q = Retrieval.queriesFromDocs(d, "doc_id", "text",
         col("doc_id") >= 8 && col("doc_id") < 13)
       Retrieval.bm25FromStore(s, db, q, k = 5)
@@ -106,15 +108,19 @@ object Lexical {
       val db = "graft_bm25_b5_" + Tables.dirTag(dir)
       val dbLoc = Tables.scratch(db + "_db")
       val d = docs(s, dir)
-      Retrieval.buildPostingStore(s, d.filter(col("doc_id") >= 50),
-        "doc_id", "text", db, dbLoc, nBuckets = 8)
+      graft.engine.PhaseTimer.time("build") {
+        Retrieval.buildPostingStore(s, d.filter(col("doc_id") >= 50),
+          "doc_id", "text", db, dbLoc, nBuckets = 8)
+      }
       val ledger = Retrieval.appendLedger(dbLoc)
-      Retrieval.appendPostingStore(s, d.filter(col("doc_id") < 50),
-        "doc_id", "text", db, nBuckets = 8, ledger, batchId = 1L)
-      // REPLAY the same batch: the ledger must suppress it — a second
-      // application would double the delta postings and flip the hash.
-      Retrieval.appendPostingStore(s, d.filter(col("doc_id") < 50),
-        "doc_id", "text", db, nBuckets = 8, ledger, batchId = 1L)
+      graft.engine.PhaseTimer.time("append") {
+        Retrieval.appendPostingStore(s, d.filter(col("doc_id") < 50),
+          "doc_id", "text", db, nBuckets = 8, ledger, batchId = 1L)
+        // REPLAY the same batch: the ledger must suppress it — a second
+        // application would double the delta postings and flip the hash.
+        Retrieval.appendPostingStore(s, d.filter(col("doc_id") < 50),
+          "doc_id", "text", db, nBuckets = 8, ledger, batchId = 1L)
+      }
       Retrieval.bm25FromStore(s, db,
         Retrieval.queriesFromDocs(d, "doc_id", "text",
           col("doc_id") >= 8 && col("doc_id") < 13), k = 5)
@@ -239,15 +245,21 @@ object Lexical {
       val db = "graft_bm25_b7_" + Tables.dirTag(dir)
       val dbLoc = Tables.scratch(db + "_db")
       val d = docs(s, dir)
-      Retrieval.buildPostingStore(s, d.filter(col("doc_id") >= 50),
-        "doc_id", "text", db, dbLoc, nBuckets = 8)
+      graft.engine.PhaseTimer.time("build") {
+        Retrieval.buildPostingStore(s, d.filter(col("doc_id") >= 50),
+          "doc_id", "text", db, dbLoc, nBuckets = 8)
+      }
       val ledger = Retrieval.appendLedger(dbLoc)
-      Retrieval.appendPostingStore(s, d.filter(col("doc_id") < 25),
-        "doc_id", "text", db, nBuckets = 8, ledger, batchId = 1L)
-      Retrieval.appendPostingStore(s,
-        d.filter(col("doc_id") >= 25 && col("doc_id") < 50),
-        "doc_id", "text", db, nBuckets = 8, ledger, batchId = 2L)
-      Retrieval.compactPostingStore(s, db, nBuckets = 8)
+      graft.engine.PhaseTimer.time("append") {
+        Retrieval.appendPostingStore(s, d.filter(col("doc_id") < 25),
+          "doc_id", "text", db, nBuckets = 8, ledger, batchId = 1L)
+        Retrieval.appendPostingStore(s,
+          d.filter(col("doc_id") >= 25 && col("doc_id") < 50),
+          "doc_id", "text", db, nBuckets = 8, ledger, batchId = 2L)
+      }
+      graft.engine.PhaseTimer.time("compact") {
+        Retrieval.compactPostingStore(s, db, nBuckets = 8)
+      }
       for (tbl <- Seq("postings", "doc_stats")) {
         val n = graft.ops.Bucketing.dataFileCount(
           new java.io.File(dbLoc, tbl))
@@ -270,11 +282,15 @@ object Lexical {
       val db = "graft_bm25_b8_" + Tables.dirTag(dir)
       val dbLoc = Tables.scratch(db + "_db")
       val d = docs(s, dir)
-      Retrieval.buildPostingStore(s, d, "doc_id", "text", db, dbLoc,
-        nBuckets = 8)
-      Retrieval.deleteFromPostingStore(s, db, nBuckets = 8,
-        d.filter(col("doc_id") >= 20 && col("doc_id") < 30)
-          .select("doc_id"))
+      graft.engine.PhaseTimer.time("build") {
+        Retrieval.buildPostingStore(s, d, "doc_id", "text", db, dbLoc,
+          nBuckets = 8)
+      }
+      graft.engine.PhaseTimer.time("delete") {
+        Retrieval.deleteFromPostingStore(s, db, nBuckets = 8,
+          d.filter(col("doc_id") >= 20 && col("doc_id") < 30)
+            .select("doc_id"))
+      }
       Retrieval.bm25FromStore(s, db,
         Retrieval.queriesFromDocs(d, "doc_id", "text",
           col("doc_id") >= 8 && col("doc_id") < 13), k = 5)
