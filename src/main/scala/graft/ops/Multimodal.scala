@@ -273,6 +273,16 @@ object Multimodal {
         col("length"),
         col("content"))
 
+
+  /** Resolve a partition-count arg: explicit when > 0, else the session's
+    * shuffle parallelism — a hardcoded constant caps the decode spread at
+    * N/const files per task no matter how big the cluster is (the
+    * globalRowNumber discipline, ops/Split.scala).
+    */
+  private def spreadParts(df: DataFrame, partitions: Int): Int =
+    if (partitions > 0) partitions
+    else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
   /** Generic ingest: sniff the modality from magic bytes and dispatch to the
     * REAL codec for it (image → [[decodeImage]] at (w, h); audio →
     * [[decodeWav]]; video → [[decodeGifFrames]] every-`everyK` pooled
@@ -281,9 +291,9 @@ object Multimodal {
     * feature column. Partition first so the decode map parallelizes over
     * executors, not files-per-listing.
     */
-  def ingest(blobs: DataFrame, partitions: Int = 32, w: Int = 4, h: Int = 3,
+  def ingest(blobs: DataFrame, partitions: Int = -1, w: Int = 4, h: Int = 3,
       everyK: Int = 2): DataFrame =
-    blobs.repartition(partitions, col("name"))
+    blobs.repartition(spreadParts(blobs, partitions), col("name"))
       .withColumn("modality", modality(col("content")))
       .withColumn("features",
         when(col("modality") === "image",
@@ -309,8 +319,8 @@ object Multimodal {
     * on executors (narrow map after the spread repartition, same plumbing
     * as [[ingest]]).
     */
-  def ingestImages(blobs: DataFrame, w: Int, h: Int, partitions: Int = 32): DataFrame =
-    blobs.repartition(partitions, col("name"))
+  def ingestImages(blobs: DataFrame, w: Int, h: Int, partitions: Int = -1): DataFrame =
+    blobs.repartition(spreadParts(blobs, partitions), col("name"))
       .withColumn("features", decodeImageUdf(col("content"), lit(w), lit(h)))
       .drop("content")
 
@@ -318,8 +328,8 @@ object Multimodal {
     * to normalized interleaved samples on executors (narrow map after the
     * spread repartition, same plumbing as [[ingest]]).
     */
-  def ingestAudio(blobs: DataFrame, partitions: Int = 32): DataFrame =
-    blobs.repartition(partitions, col("name"))
+  def ingestAudio(blobs: DataFrame, partitions: Int = -1): DataFrame =
+    blobs.repartition(spreadParts(blobs, partitions), col("name"))
       .withColumn("features", decodeWavUdf(col("content")))
       .drop("content")
 
@@ -328,8 +338,8 @@ object Multimodal {
     * `decoded` struct (`n_frames` int, `features` array<float>) — null for
     * undecodable blobs.
     */
-  def ingestVideo(blobs: DataFrame, everyK: Int, partitions: Int = 32): DataFrame =
-    blobs.repartition(partitions, col("name"))
+  def ingestVideo(blobs: DataFrame, everyK: Int, partitions: Int = -1): DataFrame =
+    blobs.repartition(spreadParts(blobs, partitions), col("name"))
       .withColumn("decoded", decodeGifUdf(col("content"), lit(everyK)))
       .drop("content")
 
