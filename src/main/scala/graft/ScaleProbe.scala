@@ -42,12 +42,43 @@ object ScaleProbe {
       println("WARNING: replica built THIS run — timings are contaminated" +
         " by the build job; re-run ScaleProbe for the publishable table")
     }
+    // Events replica: 10x LONGER per-key history (each replica shifts
+    // ~370 days, so every user's one-month series becomes ~10 months
+    // spread over ~10 YEARS) — the long-history regime the chunked
+    // ts6/ts7 folds exist for, and the axis a bare row-count replica
+    // would miss (more keys is the easy direction; longer keys is the
+    // O(d^2) one). event_ids offset per replica to stay unique.
+    if (!new java.io.File(bigDir, "events.parquet").exists()) {
+      val e = graft.queries.Tables.events(spark, base)
+      (0 until 10).map { k =>
+        if (k == 0) e
+        else e.withColumn("event_id", col("event_id") + k * 1000000000L)
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${k * 370} DAYS"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$big/events.parquet")
+      println(s"built 10x-history events replica at $big")
+      println("WARNING: replica built THIS run — timings are contaminated" +
+        " by the build job; re-run ScaleProbe for the publishable table")
+    }
     val names = if (args.nonEmpty) args.toSeq
       else Seq("d2_minhash_lsh", "d8_dup_clusters", "d19_keep_longest",
         "c1_clean_corpus", "c2_cut_spans", "c4_cut_long_spans",
         "t13_bpe_train", "t13b_bpe_batched", "t14_bpe_stream",
         "d20_incremental_dedup", "d21_store_append",
-        "e10_multibatch_lifecycle")
+        "e10_multibatch_lifecycle",
+        // round-13/15 heavy ops (VERDICT r13 item 1): graph, store
+        // lifecycle, LM scoring, and the events-side long-history folds.
+        // The events replica makes every key's history 10x LONGER;
+        // ts3 probes the unchunked O(d^2) fold and ts8 the chunked form
+        // at its PRODUCTION chunk length (365 d). ts6/ts7's 7-day chunks
+        // are the oracle-gate config, not the scale config — at 44
+        // chunks the sequential job floor dominates (measured 59 s at
+        // sf1 vs ts3's 6.5 s), so probing them here would measure the
+        // witness configuration, not the operator.
+        "d27_dup_pagerank", "d30_triangles", "t23_bigram_xent",
+        "b2_bm25_store", "b7_store_compaction",
+        "w5_concurrency", "ts3_ewma", "ts8_ewma_chunked_yearly")
     for (name <- names; (label, dir) <- Seq("sf0.1" -> base, "sf1" -> big)) {
       val fn = SparkEntry.queries(name)
       // one warmup (codegen/JIT), then min of two timed passes

@@ -295,6 +295,15 @@ object Events {
       graft.ops.TimeSeries.ewmaDailyChunked(eventsT(s, dir),
         keyCol = "user_id", tsCol = "ts", valCol = "value", chunkDays = 7)),
 
+    // ts6 with the PRODUCTION chunk length (365 days — the config a
+    // multi-year corpus runs; ts6's 7-day chunks exist to force ~5 carry
+    // hand-offs through the one-month fixture). One chunk at fixture
+    // scale, ~one per year at scale; same unchunked-recurrence oracle.
+    "ts8_ewma_chunked_yearly" -> ((s, dir) =>
+      graft.ops.TimeSeries.ewmaDailyChunked(eventsT(s, dir),
+        keyCol = "user_id", tsCol = "ts", valCol = "value",
+        chunkDays = 365)),
+
     // LONG-HISTORY CUSUM — ts5's recurrence in the same chunked form: μ
     // and the threshold are one up-front keyed aggregate over the full
     // history, then the S⁺ folds hand a five-field carry (statistic,
@@ -694,6 +703,26 @@ object Events {
         |  ds[list_position(list_transform(sc, x -> x > h), true)]
         |    AS first_alarm
         |FROM s""".stripMargin,
+    // ts8 = ts6 at the production chunk length; identical oracle text.
+    "ts8_ewma_chunked_yearly" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(round(round(avg(value), 6) * 1e6) AS BIGINT) AS v_e6
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |arr AS (
+        |  SELECT user_id,
+        |    list(d ORDER BY d) AS ds,
+        |    list(v_e6 + 1000000000000 ORDER BY d) AS l
+        |  FROM daily GROUP BY user_id),
+        |e AS (
+        |  SELECT user_id, ds, l,
+        |    list_transform(range(1, len(l) + 1), i ->
+        |      list_reduce(l[1:i], (acc, y) -> (3*y + 7*acc) // 10)) AS ew
+        |  FROM arr)
+        |SELECT user_id, unnest(ds) AS d,
+        |  unnest(list_transform(l, x -> x - 1000000000000)) AS v_e6,
+        |  unnest(list_transform(ew, x -> x - 1000000000000)) AS ewma_e6
+        |FROM e""".stripMargin,
     // ts6 shares ts3's oracle text: the chunked engine path must
     // reproduce the unchunked recurrence exactly (any carry hand-off
     // loss or double-count flips ewma_e6 for every later day).

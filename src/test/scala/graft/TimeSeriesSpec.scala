@@ -188,6 +188,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(tiny == full)
   }
 
+  test("ewmaDailyChunked over a 3650-day key equals the unchunked form") {
+    // The VERDICT r13 done-criterion: a DECADE-long key, year chunks.
+    // 10 carry hand-offs; the unchunked side pays the full O(d^2) fold,
+    // so this is also the parity case closest to the crossover regime
+    // the chunking exists for.
+    val df = longSeries(3650)
+    val full = TimeSeries.ewmaDaily(df, "user_id", "ts", "value")
+      .as[(Long, java.sql.Date, Long, Long)].collect().toSet
+    val chunked = TimeSeries.ewmaDailyChunked(df, "user_id", "ts", "value",
+        chunkDays = 365)
+      .as[(Long, java.sql.Date, Long, Long)].collect().toSet
+    assert(chunked == full)
+  }
+
   test("cusumDailyChunked over 3 years equals the unchunked recurrence") {
     val df = longSeries(1100)
     val full = TimeSeries.cusumDaily(df, "user_id", "ts", "value")
