@@ -542,6 +542,77 @@ object Dedup {
     spanDupCountsSweep(docs, ladder)
       .groupBy("doc_id").agg(max("n").as("max_dup_n"))
 
+  /** Generalized longest-duplicate-substring (the suffix-array-CLASS
+    * result of Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better", computed Spark-first): for every cross-doc
+    * pair sharing verbatim text, the length and positions of their
+    * LONGEST common token run — arbitrary length, not [[maxDupSpan]]'s
+    * discrete doubling ladder. Instead of a distributed suffix array
+    * (sequential construction, global order), anchor every token
+    * position with its k-gram PolyHash fingerprint and meet anchors via
+    * an equi-join on the fingerprint: two docs sharing a verbatim run of
+    * L ≥ k tokens share exactly L−k+1 anchor hits on ONE diagonal
+    * (pos_a − pos_b constant), so the longest run is k−1 plus the
+    * longest CONSECUTIVE island per (pair, diagonal) — a per-group
+    * in-row fold, the d14 sweep-line shape. Exact modulo PolyHash
+    * collisions, which the oracle shares by construction (and which
+    * cannot fake a run without colliding on every window of a diagonal).
+    *
+    * Scale shape: anchors ≈ one row per corpus token but carrying only
+    * (doc, pos, hash64) — the shuffle never moves span strings; the
+    * self-join is KEYED on the fingerprint (never all-pairs; hub size =
+    * docs sharing one k-gram, the d2 bucket discipline); the island fold
+    * is in-row per (pair, diagonal); the final argmax is a
+    * map-side-combined max(struct). Output: (doc_a, doc_b, len_tokens,
+    * start_a, start_b), 1-based token positions, longest run per pair
+    * with len ≥ minLen; ties → smallest start_a, then smallest start_b.
+    */
+  def longestDupSpan(docs: DataFrame, k: Int, minLen: Int): DataFrame = {
+    require(k >= 2 && minLen >= k, s"need k >= 2 and minLen >= k")
+    val anch = docs.select(col("doc_id"),
+        posexplode(graft.functions.PolyShinglesExpr.column(
+          lower(col("text")), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
+        col("col").as("h"))
+      .persistTracked()
+    val pairs = anch.as("a").join(anch.as("b"), "h")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    // Longest consecutive island per (pair, diagonal): one in-row fold
+    // over the position-sorted anchor hits — strictly-greater keeps the
+    // EARLIEST best start, the per-diagonal tie rule.
+    val runs = pairs.withColumn("diag", col("pa") - col("pb"))
+      .groupBy("doc_a", "doc_b", "diag")
+      .agg(sort_array(collect_list(col("pa"))).as("ps"))
+      .withColumn("r", expr(
+        """aggregate(ps,
+          |  named_struct('prev', -2, 'cur', 0, 'curs', 0,
+          |               'best', 0, 'bests', 0),
+          |  (acc, p) -> named_struct(
+          |    'prev', p,
+          |    'cur',  IF(p = acc.prev + 1, acc.cur + 1, 1),
+          |    'curs', IF(p = acc.prev + 1, acc.curs, p),
+          |    'best', IF(IF(p = acc.prev + 1, acc.cur + 1, 1) > acc.best,
+          |               IF(p = acc.prev + 1, acc.cur + 1, 1), acc.best),
+          |    'bests', IF(IF(p = acc.prev + 1, acc.cur + 1, 1) > acc.best,
+          |                IF(p = acc.prev + 1, acc.curs, p), acc.bests)))"""
+          .stripMargin))
+      .select(col("doc_a"), col("doc_b"),
+        (col("r.best") + k - 1).as("len"),
+        col("r.bests").as("sa"), (col("r.bests") - col("diag")).as("sb"))
+    // Per pair: longest run; ties -> smallest start_a, then smallest
+    // start_b (earlier diagonal tie already resolved to earliest start).
+    runs.groupBy("doc_a", "doc_b")
+      .agg(max(struct(col("len"), (-col("sa")).as("nsa"),
+        (-col("sb")).as("nsb"), col("sa"), col("sb"))).as("m"))
+      .filter(col("m.len") >= minLen)
+      .select(col("doc_a"), col("doc_b"),
+        col("m.len").cast("long").as("len_tokens"),
+        col("m.sa").cast("long").as("start_a"),
+        col("m.sb").cast("long").as("start_b"))
+  }
+
   /** Data-driven minRun for [[cutLongSpans]]: the smallest [[maxDupSpan]]
     * ladder width whose affected-doc share is at most 1/fracDen of the
     * corpus (none qualifying → the widest rung). Rationale: verbatim

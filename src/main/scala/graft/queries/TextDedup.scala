@@ -19,6 +19,12 @@ object TextDedup {
 
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
 
+  // d31's anchor width and report floor: k = 8 keeps anchors selective
+  // (max fingerprint hub = 4 at sf0.1), minLen = 20 reports only
+  // decontamination-grade runs.
+  val LdsK = 8
+  val LdsMinLen = 20
+
   val queries: Map[String, Q] = Map(
     // token counting: whitespace tokens + BPE-ish alnum-run segments.
     "t1_tokens" -> ((s, dir) =>
@@ -711,6 +717,17 @@ object TextDedup {
     // still fires bounds its longest verbatim run within 2x — the per-doc
     // number a decontamination pass thresholds on, still one text pass.
     "d15_max_dup_span" -> ((s, dir) => Dedup.maxDupSpan(docs(s, dir))),
+
+    // GENERALIZED longest duplicate substring (suffix-array-class, Lee et
+    // al. 2022): per cross-doc pair, the exact longest common token run —
+    // arbitrary length (d15's ladder only brackets it within 2x).
+    // Anchor-diagonal method: k-gram fingerprint anchors meet via an
+    // equi-join; a shared L-token run = L−k+1 consecutive hits on one
+    // (pair, diagonal); longest island + k−1 = L. Gate: the fingerprints,
+    // the island fold, the +k−1 arithmetic, and the (len, start_a,
+    // start_b) tie-breaks — an off-by-one anywhere shifts every row.
+    "d31_longest_dup" -> ((s, dir) =>
+      Dedup.longestDupSpan(docs(s, dir), k = LdsK, minLen = LdsMinLen)),
 
     // exact-verify stage of the dedup funnel: Levenshtein on normalized
     // text over the LSH candidate pairs only (quadratic cost bounded by
@@ -2143,6 +2160,40 @@ object TextDedup {
          |SELECT doc_id, CAST(max(n) AS INT) AS max_dup_n
          |FROM h JOIN shared USING (n, h)
          |GROUP BY doc_id""".stripMargin,
+    // d31: the identical anchor-diagonal computation — per-position
+    // k-gram polyhash anchors, cross-doc equi-join, gaps-and-islands per
+    // (pair, diagonal) (pa − row_number is the island key), then the
+    // per-pair argmax with the (len DESC, start_a, start_b) tie order.
+    "d31_longest_dup" ->
+      s"""WITH $toksSrc,
+         |anch AS (
+         |  SELECT doc_id, pos,
+         |    ${graft.functions.Hashing.polyHashSql(
+               s"array_to_string(ws[pos:pos+$LdsK-1], ' ')")} AS h
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(range(1, greatest(len(ws) - $LdsK + 2, 1))) AS pos
+         |        FROM toks)),
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+         |  FROM anch a JOIN anch b USING (h) WHERE a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT da, db, pa, pb,
+         |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+         |                            ORDER BY pa) AS grp,
+         |    pa - pb AS diag
+         |  FROM pairs),
+         |runs AS (
+         |  SELECT da, db, count(*) + $LdsK - 1 AS len,
+         |    min(pa) AS sa, min(pb) AS sb
+         |  FROM isl GROUP BY da, db, diag, grp),
+         |best AS (
+         |  SELECT da, db, len, sa, sb,
+         |    row_number() OVER (PARTITION BY da, db
+         |                       ORDER BY len DESC, sa, sb) AS rk
+         |  FROM runs)
+         |SELECT da AS doc_a, db AS doc_b, CAST(len AS BIGINT) AS len_tokens,
+         |  CAST(sa AS BIGINT) AS start_a, CAST(sb AS BIGINT) AS start_b
+         |FROM best WHERE rk = 1 AND len >= $LdsMinLen""".stripMargin,
     "d18_editdist_verify" ->
       s"""WITH $minhashChain,
          |norm AS (SELECT doc_id,

@@ -421,4 +421,39 @@ class DedupTextSpec extends AnyFunSuite {
     // doc 1 (pure boilerplate) must best-match standing 101 (same text)
     assert(got.exists(r => r._1 == 1L && r._2 == 101L))
   }
+
+  test("longestDupSpan finds the exact longest shared run, 1-based") {
+    // docs 1 and 2 share EXACTLY tokens s1..s12 (12 tokens), embedded at
+    // position 4 in doc 1 (after "a1 a2 a3") and position 2 in doc 2
+    // (after "b1"). k = 4, minLen = 4: the run must come out len 12,
+    // start_a 4, start_b 2 — any anchor off-by-one or a wrong +k−1 shifts
+    // it. doc 3 is too short for any anchor (3 tokens < k) and doc 4
+    // shares nothing.
+    val run = (1 to 12).map("s" + _).mkString(" ")
+    val docsDf = Seq(
+      (1L, s"a1 a2 a3 $run a4 a5"),
+      (2L, s"b1 $run b2"),
+      (3L, "t1 t2 t3"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.longestDupSpan(docsDf, k = 4, minLen = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 12L, 4L, 2L)))
+  }
+
+  test("longestDupSpan tie-breaks and multi-island diagonals") {
+    // docs share two DISJOINT runs on different diagonals: "x1..x6"
+    // (6 tokens) twice in doc 2 — at positions 1 and 9 — and once in
+    // doc 1 at position 3. Longest run is 6 everywhere; the per-pair
+    // winner must be (start_a=3, start_b=1): smallest start_a, then
+    // smallest start_b among the equal-length candidates.
+    val x = (1 to 6).map("x" + _).mkString(" ")
+    val docsDf = Seq(
+      (1L, s"c1 c2 $x c3 c4"),
+      (2L, s"$x d1 d2 $x"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.longestDupSpan(docsDf, k = 3, minLen = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 6L, 3L, 1L)))
+  }
 }
