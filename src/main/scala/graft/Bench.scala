@@ -66,6 +66,13 @@ object Bench {
     // inside build noise.
     val phaseRows =
       scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
+    // Per-query relative pass spread (max/min − 1 over successful passes):
+    // the sweep's own noise measurement. The median over all queries is
+    // emitted as "noise_floor" so a round-over-round comparison has the
+    // run's measured noise to clear before calling anything a regression
+    // (r15 observed a ~25% global skew between two runs of identical
+    // code — without a floor that reads as 221 regressions).
+    val spreads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = ordered.map { case (name, fn) =>
       // Two timed passes, report the min: a single pass is hostage to
       // whatever one-off lands on it (driver full GC reclaiming the
@@ -123,9 +130,24 @@ object Bench {
       // NO successful pass, so the driver's error view matches the score's
       // meaning (min over successful passes).
       if (good.nonEmpty) errors.remove(name)
+      if (good.size >= 2) {
+        val dts = good.map(_._1)
+        spreads += dts.max / dts.min - 1.0
+      }
       good.sortBy(_._1).headOption.filter(_._2.nonEmpty).foreach {
         case (dt, ph) =>
-          phaseRows(name) = ph + ("search" -> math.max(0.0, dt - ph.values.sum))
+          val resid = dt - ph.values.sum
+          // A mis-scoped PhaseTimer block that over-covers the pass sums
+          // past the pass total; clamping that to search=0 would hide the
+          // instrumentation bug (ADVICE r15). Small timer jitter still
+          // floors at zero; a real over-coverage is recorded as the
+          // NEGATIVE residual and warned, so it is visible in the
+          // artifact instead of silently absorbed.
+          if (resid < -0.05) {
+            System.err.println(f"[bench] $name: phases sum ${ph.values.sum}%.3f s" +
+              f" > pass total $dt%.3f s — PhaseTimer over-coverage")
+            phaseRows(name) = ph + ("search" -> resid)
+          } else phaseRows(name) = ph + ("search" -> math.max(0.0, resid))
       }
       name -> (if (good.nonEmpty) good.map(_._1).min
                else passes.map(_._1).min)
@@ -141,12 +163,20 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Median per-query pass spread — this sweep's measured noise. The
+    // round-over-round rule (tools/compare_bench.py): a per-query delta
+    // is a REGRESSION only if it clears max(40%, 2× the floor) and does
+    // so in two consecutive rounds; anything under the floor is the
+    // machine, not the code.
+    val noiseFloor =
+      if (spreads.isEmpty) 0.0
+      else spreads.sorted.apply(spreads.size / 2)
     val phs = phaseRows.map { case (q, ph) =>
       s"\"" + q + "\":" + ph.map { case (p, v) => s"\"" + p + "\":" + fmt(v) }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"phases":$phs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noise_floor":${fmt(noiseFloor)},"queries":$qs,"phases":$phs,"errors":$errs,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 bytes of stdout and parses the
     // final line; the full-name queries map alone is >3 KB, so a single
     // full-fidelity line can never parse whole from the tail (r05-r07 all
@@ -175,10 +205,10 @@ object Bench {
     // Errors are normally empty; under a pathological error burst the names
     // alone could re-overflow the tail, so degrade to a count past 1900 B.
     val compact0 =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"qunit":"cs","qn":"$qNames","qcs":$qCs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noise_floor":${fmt(noiseFloor)},"n_queries":${results.size},"qunit":"cs","qn":"$qNames","qcs":$qCs,"errors":$errs,"sf":"$sfDir"}"""
     val compact =
       if (compact0.length <= 1900) compact0
-      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"qunit":"cs","qn":"$qNames","qcs":$qCs,"n_errors":${errors.size},"sf":"$sfDir"}"""
+      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noise_floor":${fmt(noiseFloor)},"n_queries":${results.size},"qunit":"cs","qn":"$qNames","qcs":$qCs,"n_errors":${errors.size},"sf":"$sfDir"}"""
     // Even the array form has a ceiling (~330 queries at avg 3-char ids);
     // past it, keep the line PARSEABLE — drop per-query detail before
     // dropping validity, and say so in the line itself.

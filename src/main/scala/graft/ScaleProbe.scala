@@ -78,7 +78,14 @@ object ScaleProbe {
         // witness configuration, not the operator.
         "d27_dup_pagerank", "d30_triangles", "t23_bigram_xent",
         "b2_bm25_store", "b7_store_compaction",
-        "w5_concurrency", "ts3_ewma", "ts8_ewma_chunked_yearly")
+        "w5_concurrency", "ts3_ewma", "ts8_ewma_chunked_yearly",
+        // round-16 (VERDICT r15 item 6): direct 10x evidence for the two
+        // skew defenses — d31's anchor-frequency hub cap and the d22
+        // hot-only salted join (whose viral slice is quadratic BY
+        // CONSTRUCTION: 30% of a 10x corpus shares one text, so the pair
+        // set itself grows 100x — the probe measures the salted layout
+        // carrying that, not subquadratic magic).
+        "d31_longest_dup", "d22_skewed_dedup")
     for (name <- names; (label, dir) <- Seq("sf0.1" -> base, "sf1" -> big)) {
       val fn = SparkEntry.queries(name)
       // one warmup (codegen/JIT), then min of two timed passes

@@ -560,22 +560,47 @@ object Dedup {
     *
     * Scale shape: anchors ≈ one row per corpus token but carrying only
     * (doc, pos, hash64) — the shuffle never moves span strings; the
-    * self-join is KEYED on the fingerprint (never all-pairs; hub size =
-    * docs sharing one k-gram, the d2 bucket discipline); the island fold
-    * is in-row per (pair, diagonal); the final argmax is a
-    * map-side-combined max(struct). Output: (doc_a, doc_b, len_tokens,
-    * start_a, start_b), 1-based token positions, longest run per pair
-    * with len ≥ minLen; ties → smallest start_a, then smallest start_b.
+    * self-join is KEYED on the fingerprint (never all-pairs) and its
+    * per-key hub is BOUNDED by the `maxAnchorFreq` frequency ceiling (see
+    * below); the island fold is in-row per (pair, diagonal); the final
+    * argmax is a map-side-combined max(struct). Output: (doc_a, doc_b,
+    * len_tokens, start_a, start_b), 1-based token positions, longest run
+    * per pair with len ≥ minLen; ties → smallest start_a, then smallest
+    * start_b.
+    *
+    * Hub discipline: a fingerprint occurring f times corpus-wide yields
+    * O(f²) join rows, so one viral k-gram (a boilerplate footer shared by
+    * a million docs) would quadratically explode the self-join. One
+    * aggregate over the anchor frame keeps only fingerprints with
+    * 2 ≤ frequency ≤ `maxAnchorFreq`: singletons cannot form a pair
+    * (dropping them ALSO spares the join most of its shuffle — unique
+    * k-grams dominate natural text), and an above-cap k-gram is
+    * definitionally boilerplate, not pair-specific duplication. Per-key
+    * join output is thereby ≤ maxAnchorFreq², independent of corpus
+    * size. SEMANTICS under the cap: a run containing a viral window is
+    * reported as its longest cap-clean sub-run (each dropped anchor
+    * splits the diagonal island it sat on) — the frequency-capped
+    * degradation the Lee et al. pipeline accepts for the same reason;
+    * pairs sharing ONLY boilerplate drop out entirely, which is the
+    * desired report. The oracle replicates the cap, so the gate pins
+    * these semantics, not just the happy path.
     */
-  def longestDupSpan(docs: DataFrame, k: Int, minLen: Int): DataFrame = {
+  def longestDupSpan(docs: DataFrame, k: Int, minLen: Int,
+      maxAnchorFreq: Int = 512): DataFrame = {
     require(k >= 2 && minLen >= k, s"need k >= 2 and minLen >= k")
+    require(maxAnchorFreq >= 2,
+      s"maxAnchorFreq < 2 would drop every pairable fingerprint")
     val anch = docs.select(col("doc_id"),
         posexplode(graft.functions.PolyShinglesExpr.column(
           lower(col("text")), k)))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
         col("col").as("h"))
       .persistTracked()
-    val pairs = anch.as("a").join(anch.as("b"), "h")
+    val pairable = anch.groupBy("h").agg(count(lit(1)).as("af"))
+      .filter(col("af") >= 2 && col("af") <= maxAnchorFreq)
+      .select("h")
+    val kept = anch.join(pairable, "h")
+    val pairs = kept.as("a").join(kept.as("b"), "h")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))

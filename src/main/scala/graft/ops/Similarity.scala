@@ -439,9 +439,12 @@ object Similarity {
 
   /** Trained-quantizer fit: the final (cl, c) centroid frame of the
     * broadcast Lloyd loop — the model [[ivfTrainedTop1]] probes against.
+    * Auto-sampled: above [[AutoTrainThreshold]] rows the Lloyd loop
+    * trains on the [[trainSample]] slice (the e13 standing-index build
+    * rides this default).
     */
   def kmeansFit(vecs: DataFrame, k: Int, iters: Int): DataFrame =
-    fitOn(vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
+    fitAuto(vecs.select(col("vec_id"), asDouble(col("embedding")).as("dv"))
       .persistTracked(), k, iters)
 
   /** The deterministic hash-sample predicate [[kmeansSampled]] trains on:
@@ -452,9 +455,52 @@ object Similarity {
     * reproduces bit-identically in any engine, unlike an engine-specific
     * murmur3 `hash()`. Deterministic (not `TABLESAMPLE`/rand()) so the
     * fit is replayable: same corpus → same sample → same model.
+    *
+    * The id is reduced mod `sampleMod` BEFORE the multiply — ((id mod m)
+    * · p) mod m ≡ (id · p) mod m, but the reduced product is bounded by
+    * m·p (< 2⁴⁵), where the raw product overflows Long for near-max ids:
+    * Spark wraps silently while an oracle engine may raise or go
+    * negative, silently diverging the sample membership cross-engine
+    * (ADVICE r15). The inner pmod also pins negative ids to the same
+    * nonnegative residue the oracle's ((id % m + m) % m) spelling
+    * computes.
     */
   def trainSample(idCol: Column, sampleMod: Int, sampleKeep: Int): Column =
-    pmod(idCol * lit(1000003L), lit(sampleMod.toLong)) < lit(sampleKeep.toLong)
+    pmod(pmod(idCol, lit(sampleMod.toLong)) * lit(1000003L),
+      lit(sampleMod.toLong)) < lit(sampleKeep.toLong)
+
+  /** Corpus-size gate and sample rate for AUTO-SAMPLED Lloyd training —
+    * the v24 rule as the DEFAULT for every standing-index build (v12–v18,
+    * v20, e13): above [[AutoTrainThreshold]] rows the fit trains on the
+    * [[trainSample]] hash sample and only the one final assignment sees
+    * the full corpus; at or below it the fit stays full-corpus, where one
+    * extra scan per iteration is cheaper than any sampling bias (the
+    * KmeansSpec unit fixtures pin that path bit-for-bit). The gate is
+    * DECLARATIVE — the one-row corpus count broadcasts into the filter
+    * predicate, no driver-side count job — so the choice replays
+    * identically in the oracle as a scalar subquery.
+    */
+  val AutoTrainThreshold = 256L
+  val SampleMod = 9973
+  val SampleKeep = 3989
+
+  /** The training slice an auto-sampled fit reads: everything when the
+    * corpus is at or under [[AutoTrainThreshold]] rows, the deterministic
+    * hash sample above it.
+    */
+  private def autoTrainSlice(v: DataFrame): DataFrame =
+    v.crossJoin(broadcast(v.agg(count(lit(1)).as("n_corpus"))))
+      .filter(col("n_corpus") <= AutoTrainThreshold ||
+        trainSample(col("vec_id"), SampleMod, SampleKeep))
+      .drop("n_corpus")
+
+  /** [[fitOn]] through [[autoTrainSlice]] — the default trainer for
+    * standing-index builds (100-TB rule: never feed the full corpus
+    * through T training scans when a fixed-rate sample estimates every
+    * centroid to O(1/√n_cell)).
+    */
+  private def fitAuto(v: DataFrame, k: Int, iters: Int): DataFrame =
+    fitOn(autoTrainSlice(v), k, iters)
 
   /** [[kmeansBroadcast]] with the Lloyd fit running on a deterministic
     * hash SAMPLE of the corpus — the 100-TB trainer. Full-corpus Lloyd
@@ -564,7 +610,7 @@ object Similarity {
   def ivfTrainedTop1(vecs: DataFrame, k: Int, iters: Int, nprobe: Int,
       nQueries: Int): DataFrame = {
     val v = prepV(vecs)
-    top1By(ivfScoredPairsOn(v, cbFrameOf(fitOn(v, k, iters)), nprobe,
+    top1By(ivfScoredPairsOn(v, cbFrameOf(fitAuto(v, k, iters)), nprobe,
       nQueries), "d2")
   }
 
@@ -632,7 +678,7 @@ object Similarity {
   def ivfPqTop1(vecs: DataFrame, k: Int, iters: Int, m: Int, nprobe: Int,
       nQueries: Int): DataFrame = {
     val v = prepV(vecs)
-    top1By(ivfPqAdcPairsOn(v, cbFrameOf(fitOn(v, k, iters)), m, nprobe,
+    top1By(ivfPqAdcPairsOn(v, cbFrameOf(fitAuto(v, k, iters)), m, nprobe,
       nQueries), "adist")
   }
 
@@ -691,7 +737,7 @@ object Similarity {
   def ivfPqStoreSearch(vecs: DataFrame, storePath: String, k: Int,
       iters: Int, m: Int, nprobe: Int, nQueries: Int): DataFrame = {
     val v = prepV(vecs)
-    val cbF = cbFrameOf(fitOn(v, k, iters))
+    val cbF = cbFrameOf(fitAuto(v, k, iters))
     v.crossJoin(broadcast(cbF))
       .withColumn("tbl1", graft.functions.PqExprs.distTableColumn(
         col("dv"), col("cb"), 1))
@@ -748,7 +794,7 @@ object Similarity {
         col("dv"), col("cb"), col("cell")))
       .select(col("vec_id"), col("cell"), col("rv"))
       .persistTracked()
-    val rcbF = cbFrameOf(fitOn(
+    val rcbF = cbFrameOf(fitAuto(
       withCell.select(col("vec_id"), col("rv").as("dv")), k2, iters2))
       .select(col("cb").as("rcb"))
     val members = withCell.crossJoin(broadcast(rcbF))
@@ -798,7 +844,7 @@ object Similarity {
   def ivfPqResidualRerank(vecs: DataFrame, k: Int, iters: Int, m: Int,
       nprobe: Int, nQueries: Int, shortlist: Int): DataFrame = {
     val v = prepV(vecs)
-    val pairs = residualAdcPairsOn(v, cbFrameOf(fitOn(v, k, iters)),
+    val pairs = residualAdcPairsOn(v, cbFrameOf(fitAuto(v, k, iters)),
       k, iters, m, nprobe, nQueries)
     val short = shortlistBy(pairs, "adist", shortlist)
     val q = v.select(col("vec_id").as("q_id"), col("dv").as("qv"))
@@ -825,7 +871,7 @@ object Similarity {
   def annRecallAtK(vecs: DataFrame, k: Int, iters: Int, m: Int, nprobe: Int,
       nQueries: Int, kAt: Int): DataFrame = {
     val v = prepV(vecs)
-    val cbF = cbFrameOf(fitOn(v, k, iters))
+    val cbF = cbFrameOf(fitAuto(v, k, iters))
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("dv").as("qv"))
     val c = v.select(col("vec_id").as("c_id"), col("dv").as("cv"))
@@ -918,7 +964,7 @@ object Similarity {
     val v = vecs.select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("dv"))
       .persistTracked()
-    val cbF = cbFrameOf(fitOn(v.select(col("vec_id"), col("dv")), k, iters))
+    val cbF = cbFrameOf(fitAuto(v.select(col("vec_id"), col("dv")), k, iters))
     // assignByCodebook passes extra columns through — label stays with
     // the member rows, becoming an index column beside the codes.
     val members = assignByCodebook(v, cbF)
@@ -955,7 +1001,7 @@ object Similarity {
   def recallByNprobe(vecs: DataFrame, k: Int, iters: Int, nQueries: Int,
       kAt: Int, nprobes: Seq[Int]): DataFrame = {
     val v = prepV(vecs)
-    val cbF = cbFrameOf(fitOn(v, k, iters))
+    val cbF = cbFrameOf(fitAuto(v, k, iters))
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("dv").as("qv"))
     val c = v.select(col("vec_id").as("c_id"), col("dv").as("cv"))

@@ -336,8 +336,11 @@ object Embeddings {
   val IvfNprobe = 2
   // v24's hash-sample rate ≈ 40% (prime modulus; the multiplier makes the
   // kept ids a scattered residue progression, not a prefix or stride).
-  val SampleMod = 9973
-  val SampleKeep = 3989
+  // Owned by Similarity since r16 — the same constants drive the
+  // AUTO-sampled default trainer behind v12–v18/v20/e13.
+  val SampleMod = Similarity.SampleMod
+  val SampleKeep = Similarity.SampleKeep
+  val AutoThr = Similarity.AutoTrainThreshold
   val Shortlist = 5
   val RecallAt = 10
   val StandingMin = 100L // e13: standing corpus = vec_id >= 100, delta below
@@ -484,20 +487,46 @@ object Embeddings {
   private def kmeansStages(k: Int, iters: Int): String =
     s"WITH $vSrc,\n" + kmeansChain(k, iters, "v", "")
 
+  /** The engine's overflow-safe trainSample predicate in plain BIGINT SQL
+    * (((id % m + m) % m) matches Spark's pmod on every id; the reduced
+    * product stays far under 2⁶³ in both engines).
+    */
+  private val samplePred =
+    s"((vec_id % $SampleMod + $SampleMod) % $SampleMod * 1000003)" +
+      s" % $SampleMod < $SampleKeep"
+
+  /** Auto-sampled train-slice CTE over `src` — Similarity.fitAuto's gate
+    * as a scalar subquery: everything when the corpus is at or under the
+    * threshold, the deterministic hash sample above it.
+    */
+  private def autoTrainCte(name: String, src: String): String =
+    s"""$name AS (SELECT * FROM $src
+       |  WHERE (SELECT count(*) FROM $src) <= $AutoThr OR $samplePred)""".stripMargin
+
+  /** [[kmeansStages]] through the AUTO-SAMPLED trainer (the r16 default
+    * for standing-index builds): the Lloyd rounds read the `tra` slice,
+    * the final assignment `fin` reads the full corpus.
+    */
+  private def kmeansStagesAuto(k: Int, iters: Int): String =
+    s"WITH $vSrc,\n${autoTrainCte("tra", "v")},\n" +
+      kmeansChain(k, iters, "tra", "", assignSrc = "v")
+
   private def kmeansOracle(k: Int, iters: Int): String =
     s"""${kmeansStages(k, iters)}
        |SELECT vec_id, CAST(cl AS INT) AS cluster, d2
        |FROM fin""".stripMargin
 
   /** v24 oracle: the identical Lloyd chain TRAINED on the deterministic
-    * hash sample (`tr` — the engine's trainSample predicate in plain
-    * BIGINT arithmetic; `%` matches Spark's `pmod` on nonnegative ids)
-    * with the final assignment over the FULL corpus.
+    * hash sample (`tr` — the engine's overflow-safe trainSample predicate
+    * in plain BIGINT arithmetic; the ((id % m + m) % m) reduction matches
+    * Spark's `pmod` for every id, negative included) with the final
+    * assignment over the FULL corpus.
     */
   private def kmeansSampledOracle(k: Int, iters: Int, mod: Int,
       keep: Int): String =
     s"""WITH $vSrc,
-       |tr AS (SELECT * FROM v WHERE (vec_id * 1000003) % $mod < $keep),
+       |tr AS (SELECT * FROM v
+       |  WHERE ((vec_id % $mod + $mod) % $mod * 1000003) % $mod < $keep),
        |${kmeansChain(k, iters, "tr", "", assignSrc = "v")}
        |SELECT vec_id, CAST(cl AS INT) AS cluster, d2
        |FROM fin""".stripMargin
@@ -511,7 +540,7 @@ object Embeddings {
   private def ivfPqOracle(k: Int, iters: Int, m: Int, nprobe: Int,
       nQueries: Int): String = {
     val sub = 64 / m
-    s"""${kmeansStages(k, iters)},
+    s"""${kmeansStagesAuto(k, iters)},
        |cent2 AS (SELECT cl AS cell, c AS cv FROM c$iters),
        |subs AS (SELECT unnest(range($m)) AS s),
        |pd2 AS (
@@ -576,7 +605,8 @@ object Embeddings {
        |  FROM fin f JOIN vst st USING (vec_id)
        |  JOIN cst cs ON cs.cell = f.cl AND cs.j = st.j
        |  GROUP BY f.vec_id),
-       |${kmeansChain(k, iters, "resid", "r")},
+       |${autoTrainCte("rtr", "resid")},
+       |${kmeansChain(k, iters, "rtr", "r", assignSrc = "resid")},
        |rcent AS (SELECT cl AS cell, c AS cv FROM rc$iters),
        |subs AS (SELECT unnest(range($m)) AS s),
        |rpd AS (
@@ -622,7 +652,7 @@ object Embeddings {
     */
   private def ivfPqResidualOracle(k: Int, iters: Int, m: Int, nprobe: Int,
       nQueries: Int, shortlist: Int): String =
-    s"""${kmeansStages(k, iters)},
+    s"""${kmeansStagesAuto(k, iters)},
        |${residualPrelude(k, iters, m, nprobe, nQueries)},
        |short AS (
        |  SELECT q_id, c_id FROM (
@@ -648,7 +678,7 @@ object Embeddings {
   private def recallAtKOracle(k: Int, iters: Int, m: Int, nprobe: Int,
       nQueries: Int, kAt: Int): String = {
     val sub = 64 / m
-    s"""${kmeansStages(k, iters)},
+    s"""${kmeansStagesAuto(k, iters)},
        |${residualPrelude(k, iters, m, nprobe, nQueries)},
        |pd2 AS (
        |  SELECT v.vec_id, c.cell, s.s,
@@ -750,7 +780,7 @@ object Embeddings {
          |     WHERE rk <= $kAt) t
          |   ON t.q_id = e.q_id AND t.c_id = e.c_id) AS hits""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    s"""${kmeansStages(k, iters)},
+    s"""${kmeansStagesAuto(k, iters)},
        |qc AS (
        |  SELECT vec_id AS q_id, cl, crk FROM (
        |    SELECT v.vec_id, c.cl,
@@ -788,7 +818,7 @@ object Embeddings {
     */
   private def ivfTrainedOracle(k: Int, iters: Int, nprobe: Int,
       nQueries: Int): String =
-    s"""${kmeansStages(k, iters)},
+    s"""${kmeansStagesAuto(k, iters)},
        |qc AS (
        |  SELECT vec_id AS q_id, cl FROM (
        |    SELECT v.vec_id, c.cl,
@@ -858,7 +888,7 @@ object Embeddings {
     // v18 = v12's probe with the same-label predicate applied to the
     // member side before scoring (queries with no match drop out).
     "v18_filtered_ann" ->
-      s"""${kmeansStages(KmeansK, KmeansIters)},
+      s"""${kmeansStagesAuto(KmeansK, KmeansIters)},
          |qc AS (
          |  SELECT vec_id AS q_id, cl FROM (
          |    SELECT v.vec_id, c.cl,
@@ -881,7 +911,7 @@ object Embeddings {
     // v20: v18's probe/score chain with the label predicate inverted and
     // the per-query keep at rk <= 3 (rank emitted).
     "v20_hard_negatives" ->
-      s"""${kmeansStages(KmeansK, KmeansIters)},
+      s"""${kmeansStagesAuto(KmeansK, KmeansIters)},
          |qc AS (
          |  SELECT vec_id AS q_id, cl FROM (
          |    SELECT v.vec_id, c.cl,
@@ -901,13 +931,15 @@ object Embeddings {
          |    row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rk
          |  FROM scored)
          |WHERE rk <= 3""".stripMargin,
-    // e13 oracle: train the Lloyd chain on the STANDING subset only, then
-    // assign the FULL corpus (standing + streamed delta) to those pinned
-    // centroids — the per-cell rollup the post-ingest store must equal.
+    // e13 oracle: train the Lloyd chain on the STANDING subset — through
+    // the auto-sample gate, as kmeansFit now does — then assign the FULL
+    // corpus (standing + streamed delta) to those pinned centroids — the
+    // per-cell rollup the post-ingest store must equal.
     "e13_stream_ann_ingest" ->
       s"""WITH $vSrc,
          |vs AS (SELECT vec_id, dv FROM v WHERE vec_id >= $StandingMin),
-         |${kmeansChain(KmeansK, KmeansIters, "vs", "")},
+         |${autoTrainCte("vtr", "vs")},
+         |${kmeansChain(KmeansK, KmeansIters, "vtr", "", assignSrc = "vs")},
          |asg AS (
          |  SELECT vec_id, cl AS cell, d2 FROM (
          |    SELECT v.vec_id, c.cl, $kmD2 AS d2,

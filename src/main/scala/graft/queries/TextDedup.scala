@@ -21,9 +21,14 @@ object TextDedup {
 
   // d31's anchor width and report floor: k = 8 keeps anchors selective
   // (max fingerprint hub = 4 at sf0.1), minLen = 20 reports only
-  // decontamination-grade runs.
+  // decontamination-grade runs. LdsMaxFreq is the anchor-frequency hub
+  // cap (Dedup.longestDupSpan's discipline against viral boilerplate
+  // k-grams) — far above any fixture hub, so the gate pins the cap's
+  // SEMANTICS (the oracle replicates the 2..cap band) without changing
+  // fixture-scale rows.
   val LdsK = 8
   val LdsMinLen = 20
+  val LdsMaxFreq = 512
 
   val queries: Map[String, Q] = Map(
     // token counting: whitespace tokens + BPE-ish alnum-run segments.
@@ -727,7 +732,8 @@ object TextDedup {
     // the island fold, the +k−1 arithmetic, and the (len, start_a,
     // start_b) tie-breaks — an off-by-one anywhere shifts every row.
     "d31_longest_dup" -> ((s, dir) =>
-      Dedup.longestDupSpan(docs(s, dir), k = LdsK, minLen = LdsMinLen)),
+      Dedup.longestDupSpan(docs(s, dir), k = LdsK, minLen = LdsMinLen,
+        maxAnchorFreq = LdsMaxFreq)),
 
     // exact-verify stage of the dedup funnel: Levenshtein on normalized
     // text over the LSH candidate pairs only (quadratic cost bounded by
@@ -2161,7 +2167,9 @@ object TextDedup {
          |FROM h JOIN shared USING (n, h)
          |GROUP BY doc_id""".stripMargin,
     // d31: the identical anchor-diagonal computation — per-position
-    // k-gram polyhash anchors, cross-doc equi-join, gaps-and-islands per
+    // k-gram polyhash anchors, the 2..LdsMaxFreq anchor-frequency band
+    // (the engine's hub cap, replicated so the gate pins the capped
+    // semantics), cross-doc equi-join, gaps-and-islands per
     // (pair, diagonal) (pa − row_number is the island key), then the
     // per-pair argmax with the (len DESC, start_a, start_b) tie order.
     "d31_longest_dup" ->
@@ -2173,9 +2181,13 @@ object TextDedup {
          |  FROM (SELECT doc_id, ws,
          |          unnest(range(1, greatest(len(ws) - $LdsK + 2, 1))) AS pos
          |        FROM toks)),
+         |pairable AS (
+         |  SELECT h FROM anch GROUP BY h
+         |  HAVING count(*) >= 2 AND count(*) <= $LdsMaxFreq),
+         |kept AS (SELECT a.* FROM anch a JOIN pairable USING (h)),
          |pairs AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
-         |  FROM anch a JOIN anch b USING (h) WHERE a.doc_id < b.doc_id),
+         |  FROM kept a JOIN kept b USING (h) WHERE a.doc_id < b.doc_id),
          |isl AS (
          |  SELECT da, db, pa, pb,
          |    pa - row_number() OVER (PARTITION BY da, db, pa - pb

@@ -456,4 +456,43 @@ class DedupTextSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 2L, 6L, 3L, 1L)))
   }
+
+  test("longestDupSpan hub cap bounds a viral 8-gram across 1k docs") {
+    // 1,000 docs all carry the same 8-token boilerplate footer (plus a
+    // per-doc unique body). Uncapped, that one fingerprint alone is a
+    // 1000-row join hub -> ~500k pair rows; with the frequency ceiling
+    // the viral anchor is dropped BEFORE the self-join, so per-key join
+    // output is bounded at cap^2 and boilerplate-only pairs vanish. Docs
+    // 5000/5001 additionally share a genuine 12-token run, whose anchors
+    // (frequency 2) survive the cap and must still report exactly.
+    val viral = (1 to 8).map("v" + _).mkString(" ")
+    val run = (1 to 12).map("r" + _).mkString(" ")
+    val boiler = (0 until 1000).map(i =>
+      (i.toLong, s"unique$i body$i words$i here$i $viral tail$i"))
+    val pair = Seq(
+      (5000L, s"p1 p2 $run p3"),
+      (5001L, s"q1 $run q2 q3 q4"))
+    val docsDf = (boiler ++ pair).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.longestDupSpan(docsDf, k = 8, minLen = 8,
+      maxAnchorFreq = 64)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((5000L, 5001L, 12L, 3L, 2L)))
+  }
+
+  test("longestDupSpan cap semantics: above-cap anchors split their runs") {
+    // Three docs share the same 10-token run; every anchor in it has
+    // frequency 3. cap = 2 drops them all -> no pairs at all; cap = 3
+    // admits them -> all three pairs report the full run.
+    val r = (1 to 10).map("w" + _).mkString(" ")
+    val docsDf = Seq((1L, s"a0 $r"), (2L, s"b0 b1 $r"), (3L, s"$r c0"))
+      .toDF("doc_id", "text")
+    val capped = graft.ops.Dedup.longestDupSpan(docsDf, k = 4, minLen = 4,
+      maxAnchorFreq = 2).count()
+    assert(capped == 0L)
+    val open = graft.ops.Dedup.longestDupSpan(docsDf, k = 4, minLen = 4,
+      maxAnchorFreq = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(open == Set((1L, 2L, 10L, 2L, 3L), (1L, 3L, 10L, 2L, 1L),
+      (2L, 3L, 10L, 3L, 1L)))
+  }
 }

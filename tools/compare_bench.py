@@ -2,12 +2,19 @@
 """Per-query Spark-vs-DuckDB comparison: times every oracleSql query in
 DuckDB (same parquet inputs, same machine) and joins against a Bench JSON
 line. Usage: compare_bench.py <sfDir> <oracle_sql.json> <bench.json>
-[--md PERF.md].
+[--md PERF.md] [--prev BENCH_prev.json].
 
 DuckDB here is the single-node speed-of-light reference (vectorized,
 in-process, no scheduler); the Spark numbers carry per-query job/stage
 scheduling overhead that amortizes away at cluster scale. The comparison
 is still the honest throughput yardstick the baseline asks for.
+
+Noise discipline (r15 lesson: two runs of IDENTICAL code skewed ~25%
+globally): Bench emits "noise_floor" — the median per-query pass spread
+of the sweep itself. With --prev, per-query deltas are flagged as
+regressions ONLY when they clear max(40%, 2x the floor) relative AND
+0.3 s absolute; a flag counts as real only if it repeats in two
+consecutive rounds.
 """
 import json, statistics, sys, time
 
@@ -17,13 +24,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, oracle_path, bench_path, md_path=None):
+def main(sf_dir, oracle_path, bench_path, md_path=None, prev_path=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(oracle_path))
     bench = json.load(open(bench_path))
     spark_times = bench.get("queries", {})
+    noise_floor = bench.get("noise_floor")
     rows = []
     for name, sql in sorted(oracle.items()):
         times = []
@@ -53,16 +61,54 @@ def main(sf_dir, oracle_path, bench_path, md_path=None):
     tot_d = sum(r[2] for r in ok)
     print(f"{'TOTAL(comparable)':28s} spark {tot_s:8.3f}  duckdb {tot_d:8.3f}  "
           f"ratio {tot_s / tot_d:.2f}x  (n={len(ok)})")
+    if noise_floor is not None:
+        print(f"noise_floor (median pass spread of this sweep): "
+              f"{noise_floor * 100:.1f}%")
+    regressions = []
+    if prev_path:
+        prev = json.load(open(prev_path)).get("queries", {})
+        thr = max(0.40, 2 * (noise_floor or 0.0))
+        for name, cur in sorted(spark_times.items()):
+            old = prev.get(name)
+            if old and cur > old * (1 + thr) and cur - old > 0.3:
+                regressions.append((name, old, cur))
+        if regressions:
+            print(f"REGRESSION CANDIDATES (> {thr * 100:.0f}% rel and "
+                  f"> 0.3 s abs vs {prev_path}; real only if repeated "
+                  "two consecutive rounds):")
+            for name, old, cur in regressions:
+                print(f"  {name:28s} {old:.3f} -> {cur:.3f} s "
+                      f"({cur / old:.2f}x)")
+        else:
+            print(f"no per-query regression clears max(40%, 2x floor) "
+                  f"vs {prev_path}")
     if md_path:
         # The 10x-scale curve (ScaleProbe) is the artifact's only direct
         # 100x-survivability evidence; a plain rewrite dropped it once
         # (r13->r14 regression). Carry the section forward verbatim, and
         # FAIL the refresh if it would be absent from the result.
         SCALE_HDR = "## 10×-scale curve (ScaleProbe)"
+        MARK = "_[scale-curve freshness]_:"
         preserved = ""
         try:
             old = open(md_path).read()
             preserved = old[old.index(SCALE_HDR):]
+            # Freshness stamp (ADVICE r15): the section is carried forward
+            # verbatim, so without a marker stale ScaleProbe numbers could
+            # silently survive refreshes forever. Re-stamp idempotently:
+            # drop any previous marker, insert the carry-forward date right
+            # under the header.
+            preserved = "\n".join(l for l in preserved.split("\n")
+                                  if not l.startswith(MARK))
+            stamp = time.strftime("%Y-%m-%d")
+            preserved = preserved.replace(
+                SCALE_HDR,
+                SCALE_HDR + f"\n\n{MARK} carried forward verbatim at the "
+                f"{stamp} PERF refresh — the ScaleProbe numbers keep the "
+                "date of their own run; re-run `sbt \"runMain "
+                "graft.ScaleProbe\"` after engine changes to the probed "
+                "operators.", 1)
+            print(f"NOTE: 10x-scale section carried forward; stamped {stamp}")
         except (FileNotFoundError, ValueError):
             pass
         with open(md_path, "w") as f:
@@ -70,6 +116,20 @@ def main(sf_dir, oracle_path, bench_path, md_path=None):
                     f"same machine\n\nsf dir: `{sf_dir}`; DuckDB median of 3 "
                     "runs; Spark per-query time from Bench (includes job "
                     "scheduling + noop-sink materialization).\n\n")
+            if noise_floor is not None:
+                f.write(f"Sweep noise floor (median per-query pass spread): "
+                        f"**{noise_floor * 100:.1f}%**. Round-over-round "
+                        "rule: a per-query delta is a regression only if it "
+                        "clears max(40%, 2× the floor) relative AND 0.3 s "
+                        "absolute, in two consecutive rounds.\n\n")
+            if prev_path:
+                if regressions:
+                    f.write(f"Regression candidates vs `{prev_path}`: " +
+                            ", ".join(f"`{n}` {o:.2f}→{c:.2f} s"
+                                      for n, o, c in regressions) + ".\n\n")
+                else:
+                    f.write(f"No per-query regression clears the rule vs "
+                            f"`{prev_path}`.\n\n")
             f.write("| query | spark s | duckdb s | ratio |\n|---|---|---|---|\n")
             for name, spark, duck, ratio in sorted(
                     rows, key=lambda r: -(r[3] or 0)):
@@ -118,10 +178,14 @@ def main(sf_dir, oracle_path, bench_path, md_path=None):
 
 
 if __name__ == "__main__":
-    md = None
+    md, prev = None, None
     args = [a for a in sys.argv[1:]]
-    if "--md" in args:
-        i = args.index("--md")
-        md = args[i + 1]
-        args = args[:i] + args[i + 2:]
-    main(args[0], args[1], args[2], md)
+    for flag in ("--md", "--prev"):
+        if flag in args:
+            i = args.index(flag)
+            if flag == "--md":
+                md = args[i + 1]
+            else:
+                prev = args[i + 1]
+            args = args[:i] + args[i + 2:]
+    main(args[0], args[1], args[2], md, prev)
