@@ -590,12 +590,7 @@ object Dedup {
     require(k >= 2 && minLen >= k, s"need k >= 2 and minLen >= k")
     require(maxAnchorFreq >= 2,
       s"maxAnchorFreq < 2 would drop every pairable fingerprint")
-    val anch = docs.select(col("doc_id"),
-        posexplode(graft.functions.PolyShinglesExpr.column(
-          lower(col("text")), k)))
-      .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
-        col("col").as("h"))
-      .persistTracked()
+    val anch = anchorsOf(docs, k).persistTracked()
     val pairable = anch.groupBy("h").agg(count(lit(1)).as("af"))
       .filter(col("af") >= 2 && col("af") <= maxAnchorFreq)
       .select("h")
@@ -604,9 +599,63 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
-    // Longest consecutive island per (pair, diagonal): one in-row fold
-    // over the position-sorted anchor hits — strictly-greater keeps the
-    // EARLIEST best start, the per-diagonal tie rule.
+    longestRunPerPair(pairs, k, minLen)
+  }
+
+  /** CROSS-CORPUS DECONTAMINATION (d32) — the eval-set leakage scan every
+    * training pipeline runs before a benchmark claim (Lee et al. 2022 §6.2;
+    * the GPT-3 appendix-C procedure): for each (corpus doc, eval doc) pair
+    * sharing verbatim text, the exact longest common token run — the
+    * cross-frame form of [[longestDupSpan]], same anchor-diagonal kernel.
+    *
+    * Scale shape — better than d31's, because the eval side is BOUNDED
+    * (benchmarks are thousands of docs, the corpus is the 100-TB side):
+    * corpus anchors first pass a LEFT-SEMI join against the distinct eval
+    * fingerprints (broadcastable at real scale), so everything downstream
+    * of the first filter is proportional to the CONTAMINATION CANDIDATES,
+    * not the corpus; the corpus-side frequency cap then bounds viral
+    * boilerplate hubs exactly as in d31 (eval-side anchors are left
+    * uncapped — the eval set is bounded, and capping it would let a
+    * boilerplate-looking eval answer escape the scan). Output: (doc_id,
+    * eval_id, len_tokens, start_doc, start_eval), 1-based, longest run
+    * per pair with len ≥ minLen; ties → smallest start_doc, then
+    * smallest start_eval.
+    */
+  def crossDupSpan(corpus: DataFrame, evalDocs: DataFrame, k: Int,
+      minLen: Int, maxAnchorFreq: Int = 512): DataFrame = {
+    require(k >= 2 && minLen >= k, s"need k >= 2 and minLen >= k")
+    val ea = anchorsOf(evalDocs, k).persistTracked()
+    val ca = anchorsOf(corpus, k)
+      .join(ea.select("h").distinct(), Seq("h"), "left_semi")
+      .persistTracked()
+    val capped = ca.join(
+      ca.groupBy("h").agg(count(lit(1)).as("af"))
+        .filter(col("af") <= maxAnchorFreq).select("h"), "h")
+    val pairs = capped.as("c").join(ea.as("e"), "h")
+      .select(col("c.doc_id").as("doc_a"), col("e.doc_id").as("doc_b"),
+        col("c.pos").as("pa"), col("e.pos").as("pb"))
+    longestRunPerPair(pairs, k, minLen)
+      .withColumnsRenamed(Map("doc_a" -> "doc_id", "doc_b" -> "eval_id",
+        "start_a" -> "start_doc", "start_b" -> "start_eval"))
+  }
+
+  /** Per-position k-gram PolyHash anchors: (doc_id, pos [1-based], h). */
+  private def anchorsOf(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.PolyShinglesExpr.column(
+          lower(col("text")), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
+        col("col").as("h"))
+
+  /** The shared d31/d32 diagonal-island kernel over anchor-hit pairs
+    * (doc_a, doc_b, pa, pb): longest consecutive island per (pair,
+    * diagonal) via one in-row fold over the position-sorted hits
+    * (strictly-greater keeps the EARLIEST best start, the per-diagonal
+    * tie rule), then the per-pair argmax with the (len, start_a, start_b)
+    * tie order.
+    */
+  private def longestRunPerPair(pairs: DataFrame, k: Int,
+      minLen: Int): DataFrame = {
     val runs = pairs.withColumn("diag", col("pa") - col("pb"))
       .groupBy("doc_a", "doc_b", "diag")
       .agg(sort_array(collect_list(col("pa"))).as("ps"))
@@ -626,8 +675,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("r.best") + k - 1).as("len"),
         col("r.bests").as("sa"), (col("r.bests") - col("diag")).as("sb"))
-    // Per pair: longest run; ties -> smallest start_a, then smallest
-    // start_b (earlier diagonal tie already resolved to earliest start).
     runs.groupBy("doc_a", "doc_b")
       .agg(max(struct(col("len"), (-col("sa")).as("nsa"),
         (-col("sb")).as("nsb"), col("sa"), col("sb"))).as("m"))
@@ -703,6 +750,43 @@ object Dedup {
         col("z.n_kept").as("n_kept"),
         size(col("cuts_arr")).as("n_cuts"),
         col("z.cleaned").as("cleaned_text"))
+
+  /** DECONTAMINATION REMOVAL (c8) — the action [[crossDupSpan]]'s scan
+    * implies: emit the corpus with every n-token window that ALSO occurs
+    * verbatim in the eval set cut out (overlapping windows merge into one
+    * run, the [[cutSpans]] kernel). Unlike cutSpans there is no canonical
+    * keeper — the eval set retains its text by definition, so EVERY
+    * matching corpus occurrence is cut.
+    *
+    * Scale shape: one shingle pass over the corpus, one keyed join of the
+    * corpus (doc, pos, hash) rows against the DISTINCT eval fingerprints
+    * (bounded by the benchmark size — broadcastable at real scale), a
+    * per-doc collect_set of cut starts bounded by the doc's own length,
+    * and the codegen'd `graft_cut_spans` interval union per row. Nothing
+    * corpus-sized shuffles twice and the text is traversed exactly twice
+    * (shingle pass + rewrite pass), the c2 discipline.
+    */
+  def cutEvalSpans(corpus: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+    val occ = corpus.select(col("doc_id"),
+      posexplode(graft.functions.PolyShinglesExpr.column(
+        lower(col("text")), n)).as(Seq("pos", "h")))
+    val eh = evalDocs.select(explode(graft.functions.PolyShinglesExpr.column(
+        lower(col("text")), n)).as("h"))
+      .distinct()
+    val cuts = occ.join(eh, "h")
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("cut_starts"))
+    corpus.select(col("doc_id"), lower(col("text")).as("t"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("cuts_arr",
+        coalesce(col("cut_starts"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("z",
+        graft.functions.CutSpansExpr.column(col("t"), col("cuts_arr"), n))
+      .select(col("doc_id"),
+        col("z.n_tokens").as("n_tokens"),
+        col("z.n_kept").as("n_kept"),
+        size(col("cuts_arr")).as("n_cuts"),
+        col("z.cleaned").as("cleaned_text"))
+  }
 
   /** ANY-LENGTH exact-substring removal — [[cutSpans]] generalized from the
     * fixed n-token operating point to "remove every duplicated run of

@@ -29,6 +29,9 @@ object TextDedup {
   val LdsK = 8
   val LdsMinLen = 20
   val LdsMaxFreq = 512
+  // d32's corpus/eval partition of `documents`: doc_id < 50 plays the
+  // benchmark eval set, the rest the training corpus.
+  val LdsEvalSplit = 50
 
   val queries: Map[String, Q] = Map(
     // token counting: whitespace tokens + BPE-ish alnum-run segments.
@@ -689,6 +692,18 @@ object TextDedup {
     // cleaned text hash-compared verbatim.
     "c2_cut_spans" -> ((s, dir) => Dedup.cutSpans(docs(s, dir), n = 10)),
 
+    // DECONTAMINATION REMOVAL — the action d32's scan implies: the corpus
+    // side (doc_id >= 50) rewritten with every 10-token window that also
+    // occurs verbatim in the eval set (doc_id < 50) cut out, overlapping
+    // windows merging into one run. No canonical keeper: the eval set
+    // keeps its text by definition, every matching corpus occurrence is
+    // cut. Gate: the eval-fingerprint join, the per-doc interval union,
+    // and the kept-token reconstruction (c2's kernel, cross-corpus).
+    "c8_decontam_clean" -> ((s, dir) =>
+      Dedup.cutEvalSpans(
+        docs(s, dir).filter(col("doc_id") >= LdsEvalSplit),
+        docs(s, dir).filter(col("doc_id") < LdsEvalSplit), n = 10)),
+
     // ANY-LENGTH span removal — the Lee et al. production semantics ("cut
     // every duplicated run >= L tokens", their L=50) rather than c2's cut-
     // every-shared-window: same one shingle pass, but merged cut windows
@@ -734,6 +749,20 @@ object TextDedup {
     "d31_longest_dup" -> ((s, dir) =>
       Dedup.longestDupSpan(docs(s, dir), k = LdsK, minLen = LdsMinLen,
         maxAnchorFreq = LdsMaxFreq)),
+
+    // EVAL-SET DECONTAMINATION (the cross-corpus d31): per (corpus doc,
+    // eval doc) pair, the exact longest shared token run — the scan that
+    // decides whether a benchmark answer leaked into training data. The
+    // corpus anchor side is pruned by a left-semi join against the eval
+    // fingerprints BEFORE any wide work (the 100-TB shape: downstream
+    // cost ∝ contamination candidates, not corpus size) and capped by
+    // anchor frequency like d31. Gate: the semi-join pruning, the
+    // corpus-side-only cap, the island fold, and the per-pair tie order.
+    "d32_decontam" -> ((s, dir) =>
+      Dedup.crossDupSpan(
+        docs(s, dir).filter(col("doc_id") >= LdsEvalSplit),
+        docs(s, dir).filter(col("doc_id") < LdsEvalSplit),
+        k = LdsK, minLen = LdsMinLen, maxAnchorFreq = LdsMaxFreq)),
 
     // exact-verify stage of the dedup funnel: Levenshtein on normalized
     // text over the LSH candidate pairs only (quadratic cost bounded by
@@ -2206,6 +2235,47 @@ object TextDedup {
          |SELECT da AS doc_a, db AS doc_b, CAST(len AS BIGINT) AS len_tokens,
          |  CAST(sa AS BIGINT) AS start_a, CAST(sb AS BIGINT) AS start_b
          |FROM best WHERE rk = 1 AND len >= $LdsMinLen""".stripMargin,
+    // d32: the d31 kernel across the corpus/eval split — eval-side anchors
+    // uncapped, corpus side semi-joined to eval fingerprints then
+    // frequency-capped, the same island fold and tie order.
+    "d32_decontam" ->
+      s"""WITH $toksSrc,
+         |anch AS (
+         |  SELECT doc_id, pos,
+         |    ${graft.functions.Hashing.polyHashSql(
+               s"array_to_string(ws[pos:pos+$LdsK-1], ' ')")} AS h
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(range(1, greatest(len(ws) - $LdsK + 2, 1))) AS pos
+         |        FROM toks)),
+         |ea AS (SELECT * FROM anch WHERE doc_id < $LdsEvalSplit),
+         |ca0 AS (
+         |  SELECT c.* FROM anch c
+         |  JOIN (SELECT DISTINCT h FROM ea) eh USING (h)
+         |  WHERE c.doc_id >= $LdsEvalSplit),
+         |capd AS (SELECT h FROM ca0 GROUP BY h
+         |         HAVING count(*) <= $LdsMaxFreq),
+         |ca AS (SELECT c.* FROM ca0 c JOIN capd USING (h)),
+         |pairs AS (
+         |  SELECT c.doc_id AS da, e.doc_id AS db, c.pos AS pa, e.pos AS pb
+         |  FROM ca c JOIN ea e USING (h)),
+         |isl AS (
+         |  SELECT da, db, pa, pb,
+         |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+         |                            ORDER BY pa) AS grp,
+         |    pa - pb AS diag
+         |  FROM pairs),
+         |runs AS (
+         |  SELECT da, db, count(*) + $LdsK - 1 AS len,
+         |    min(pa) AS sa, min(pb) AS sb
+         |  FROM isl GROUP BY da, db, diag, grp),
+         |best AS (
+         |  SELECT da, db, len, sa, sb,
+         |    row_number() OVER (PARTITION BY da, db
+         |                       ORDER BY len DESC, sa, sb) AS rk
+         |  FROM runs)
+         |SELECT da AS doc_id, db AS eval_id, CAST(len AS BIGINT) AS len_tokens,
+         |  CAST(sa AS BIGINT) AS start_doc, CAST(sb AS BIGINT) AS start_eval
+         |FROM best WHERE rk = 1 AND len >= $LdsMinLen""".stripMargin,
     "d18_editdist_verify" ->
       s"""WITH $minhashChain,
          |norm AS (SELECT doc_id,
@@ -2262,6 +2332,40 @@ object TextDedup {
          |  CAST(coalesce(nc.n_cuts, 0) AS INT) AS n_cuts,
          |  coalesce(f.cleaned_text, '') AS cleaned_text
          |FROM toks t
+         |  LEFT JOIN fin f USING (doc_id)
+         |  LEFT JOIN ncuts nc USING (doc_id)""".stripMargin,
+    // c8: c2's cut/reconstruct kernel over the corpus side only, with the
+    // cut set = every corpus window whose fingerprint occurs in the eval
+    // side (no canonical keeper).
+    "c8_decontam_clean" ->
+      s"""WITH $toksSrc,
+         |ct AS (SELECT * FROM toks WHERE doc_id >= $LdsEvalSplit),
+         |st AS (SELECT doc_id, ws,
+         |  unnest(range(1, greatest(len(ws) - 8, 1))) AS i FROM ct),
+         |occ AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |  ${graft.functions.Hashing.polyHashSql("array_to_string(ws[i:i+9], ' ')")} AS h
+         |  FROM st),
+         |est AS (SELECT ws, unnest(range(1, greatest(len(ws) - 8, 1))) AS i
+         |        FROM toks WHERE doc_id < $LdsEvalSplit),
+         |eh AS (SELECT DISTINCT
+         |  ${graft.functions.Hashing.polyHashSql("array_to_string(ws[i:i+9], ' ')")} AS h
+         |  FROM est),
+         |cuts AS (SELECT o.doc_id, o.pos FROM occ o JOIN eh USING (h)),
+         |ncuts AS (SELECT doc_id, count(*) AS n_cuts FROM cuts GROUP BY doc_id),
+         |tok AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM ct),
+         |kept AS (
+         |  SELECT t.doc_id, t.i, t.ws[t.i] AS w FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+         |    WHERE c.doc_id = t.doc_id AND c.pos <= t.i - 1 AND t.i - 1 < c.pos + 10)),
+         |fin AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(w, ' ' ORDER BY i) AS cleaned_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_tokens,
+         |  CAST(coalesce(f.n_kept, 0) AS INT) AS n_kept,
+         |  CAST(coalesce(nc.n_cuts, 0) AS INT) AS n_cuts,
+         |  coalesce(f.cleaned_text, '') AS cleaned_text
+         |FROM ct t
          |  LEFT JOIN fin f USING (doc_id)
          |  LEFT JOIN ncuts nc USING (doc_id)""".stripMargin,
     "c4_cut_long_spans" ->

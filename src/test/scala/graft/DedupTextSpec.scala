@@ -495,4 +495,56 @@ class DedupTextSpec extends AnyFunSuite {
     assert(open == Set((1L, 2L, 10L, 2L, 3L), (1L, 3L, 10L, 2L, 1L),
       (2L, 3L, 10L, 3L, 1L)))
   }
+
+  test("crossDupSpan reports only cross-frame contamination, corpus-capped") {
+    // Eval doc 1 leaks an 8-token answer into corpus docs 101/102; corpus
+    // docs 103/104 share a run only with EACH OTHER (must not appear —
+    // that's d31's job, not decontamination); eval docs 1/2 share a run
+    // only with each other (must not appear either). Corpus docs 201..230
+    // all carry the same viral 5-gram that ALSO appears in eval doc 3 —
+    // with the corpus-side cap at 8 those anchors drop, so the viral
+    // 5-gram reports nothing; eval-side anchors are never capped.
+    val leak = (1 to 8).map("l" + _).mkString(" ")
+    val cc = (1 to 9).map("c" + _).mkString(" ")
+    val ee = (1 to 9).map("e" + _).mkString(" ")
+    val viral = (1 to 5).map("v" + _).mkString(" ")
+    val evalDf = Seq(
+      (1L, s"q1 $leak q2 $ee"),
+      (2L, s"$ee q3 q4"),
+      (3L, s"q5 $viral q6"))
+      .toDF("doc_id", "text")
+    val corpusDf = (Seq(
+      (101L, s"a1 a2 $leak a3"),
+      (102L, s"$leak b1 b2 b3"),
+      (103L, s"d1 $cc"),
+      (104L, s"$cc d2")) ++
+      (201 to 230).map(i => (i.toLong, s"u$i w$i $viral z$i")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.crossDupSpan(corpusDf, evalDf, k = 5,
+      minLen = 5, maxAnchorFreq = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((101L, 1L, 8L, 3L, 2L), (102L, 1L, 8L, 1L, 2L)))
+  }
+
+  test("cutEvalSpans removes eval-shared windows from the corpus only") {
+    // Corpus doc 101 leaks eval doc 1's 4-token answer (one 4-gram window
+    // at 0-based pos 2) -> those 4 tokens get cut; corpus docs 102/103
+    // share a 4-gram with EACH OTHER but not with the eval set -> kept
+    // whole (decontamination never cuts within-corpus duplication; that is
+    // c2's job). Every matching occurrence is cut - no canonical keeper.
+    val leak = "l1 l2 l3 l4"
+    val cc = "c1 c2 c3 c4"
+    val evalDf = Seq((1L, s"q1 $leak q2")).toDF("doc_id", "text")
+    val corpusDf = Seq(
+      (101L, s"a1 a2 $leak a3"),
+      (102L, s"b1 $cc"),
+      (103L, s"$cc b2"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.cutEvalSpans(corpusDf, evalDf, n = 4)
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(101L) == ((101L, 7, 3, 1, "a1 a2 a3")))
+    assert(got(102L) == ((102L, 5, 5, 0, "b1 c1 c2 c3 c4")))
+    assert(got(103L) == ((103L, 5, 5, 0, "c1 c2 c3 c4 b2")))
+  }
 }
