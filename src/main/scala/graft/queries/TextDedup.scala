@@ -699,7 +699,7 @@ object TextDedup {
     // keeps its text by definition, every matching corpus occurrence is
     // cut. Gate: the eval-fingerprint join, the per-doc interval union,
     // and the kept-token reconstruction (c2's kernel, cross-corpus).
-    "c8_decontam_clean" -> ((s, dir) =>
+    "c9_decontam_clean" -> ((s, dir) =>
       Dedup.cutEvalSpans(
         docs(s, dir).filter(col("doc_id") >= LdsEvalSplit),
         docs(s, dir).filter(col("doc_id") < LdsEvalSplit), n = 10)),
@@ -2337,7 +2337,7 @@ object TextDedup {
     // c8: c2's cut/reconstruct kernel over the corpus side only, with the
     // cut set = every corpus window whose fingerprint occurs in the eval
     // side (no canonical keeper).
-    "c8_decontam_clean" ->
+    "c9_decontam_clean" ->
       s"""WITH $toksSrc,
          |ct AS (SELECT * FROM toks WHERE doc_id >= $LdsEvalSplit),
          |st AS (SELECT doc_id, ws,
