@@ -1025,6 +1025,40 @@ object Similarity {
     }.reduce(_ union _)
   }
 
+  /** v25: SEMANTIC DECONTAMINATION AUDIT — the embedding-space complement
+    * of the lexical d32 scan: for every eval item, its nearest TRAINING
+    * vector by rounded cosine (ties → lower corpus id). d32 catches
+    * verbatim leakage; paraphrased leakage only shows in embedding space,
+    * and the audit a pipeline publishes is exactly this table — each
+    * benchmark item's closest training neighbor and how close it is (a
+    * reviewer reads the top rows; a gate thresholds the cos column).
+    *
+    * Scale shape: the EVAL side is bounded by the benchmark, so it is the
+    * broadcast build side; the corpus streams through ONCE in a narrow
+    * codegen'd pass (norms computed per vector before the pair products),
+    * and the per-eval argmax is a map-side-combined max(struct) — one
+    * shuffled row per (eval, partition), never a window over eval×corpus.
+    * Contrast v1's bruteForceTopK (window top-k per query, the readout
+    * baseline): this is the shape that survives a 100-TB corpus because
+    * nothing corpus-sized is ever sorted or windowed.
+    */
+  def crossCorpusNearest(corpus: DataFrame, evalVecs: DataFrame): DataFrame = {
+    val c = corpus.select(col("vec_id").as("c_id"),
+        asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = evalVecs.select(col("vec_id").as("eval_id"),
+        asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos",
+        round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 6))
+      .groupBy("eval_id")
+      .agg(max(struct(col("cos"), (-col("c_id")).as("nc"),
+        col("c_id"))).as("m"))
+      .select(col("eval_id"), col("m.c_id").as("nn_id"),
+        col("m.cos").as("cos"))
+  }
+
   /** Per-label centroid norm: posexplode → per-dimension mean → L2 norm.
     * (Also the IVF coarse-quantizer building block: centroids per partition.)
     */

@@ -328,7 +328,17 @@ object Embeddings {
     "v16_recall_nprobe" -> ((s, dir) =>
       Similarity.recallByNprobe(t(s, dir, "embeddings"), k = KmeansK,
         iters = KmeansIters, nQueries = NQueries, kAt = RecallAt,
-        nprobes = NprobeSweep))
+        nprobes = NprobeSweep)),
+
+    // SEMANTIC DECONTAMINATION AUDIT — d32's embedding-space complement:
+    // per eval item (vec_id < EvalSplit), the nearest TRAINING vector by
+    // rounded cosine. Eval side broadcast, corpus streamed once, per-eval
+    // argmax map-side-combined — no eval×corpus window anywhere. Gate:
+    // the norms, the rounding, and the (cos DESC, c_id) tie order.
+    "v25_semantic_decontam" -> ((s, dir) =>
+      Similarity.crossCorpusNearest(
+        t(s, dir, "embeddings").filter(col("vec_id") >= EvalSplit),
+        t(s, dir, "embeddings").filter(col("vec_id") < EvalSplit)))
   )
 
   val KmeansK = 8
@@ -344,6 +354,7 @@ object Embeddings {
   val Shortlist = 5
   val RecallAt = 10
   val StandingMin = 100L // e13: standing corpus = vec_id >= 100, delta below
+  val EvalSplit = 50L // v25: eval set = vec_id < 50, training corpus above
   val NprobeSweep = Seq(1, 2, 4, 8) // v16: probe widths (8 = every cell)
 
   private val vSrc =
@@ -882,6 +893,23 @@ object Embeddings {
     "v16_recall_nprobe" ->
       recallByNprobeOracle(KmeansK, KmeansIters, NQueries, RecallAt,
         NprobeSweep),
+    // v25: per eval vector, the rounded-cosine argmax over the training
+    // side, ties -> lower c_id — the same arithmetic as the engine's
+    // map-side-combined max(struct).
+    "v25_semantic_decontam" ->
+      s"""WITH $vSrc,
+         |q AS (SELECT vec_id AS eval_id, dv AS qv FROM v
+         |      WHERE vec_id < $EvalSplit),
+         |c AS (SELECT vec_id AS c_id, dv AS cv FROM v
+         |      WHERE vec_id >= $EvalSplit),
+         |sc AS (SELECT q.eval_id, c.c_id, $cosSql AS cos
+         |       FROM q CROSS JOIN c)
+         |SELECT eval_id, c_id AS nn_id, cos FROM (
+         |  SELECT eval_id, c_id, cos,
+         |    row_number() OVER (PARTITION BY eval_id
+         |                       ORDER BY cos DESC, c_id) AS rk
+         |  FROM sc)
+         |WHERE rk = 1""".stripMargin,
     // v17 = v13 through the persisted partition-pruned index: same oracle.
     "v17_ivf_store_search" ->
       ivfPqOracle(KmeansK, KmeansIters, PqM, IvfNprobe, NQueries),

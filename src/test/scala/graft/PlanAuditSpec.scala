@@ -80,6 +80,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "o20_epoch_mix" -> 1,      // one-row (total, #domains) aggregate
                                // attached to the #domains-row caps frame
     "v1_cosine_topk" -> 1,     // bounded 20-vector query set (baseline)
+    "v25_semantic_decontam" -> 1, // bounded broadcast EVAL set (benchmarks
+                               // are thousands of rows; the corpus side
+                               // streams once, argmax map-side-combined)
     "v4_ivf_topk" -> 2,        // broadcast centroid table, probe + assign
     "v11_ann_recall" -> 3,     // v1's bounded query set + v4's centroid
                                // table on both assignment sides

@@ -81,4 +81,22 @@ class SourcesSimilaritySpec extends AnyFunSuite {
     val pairs = out.select("q_id", "nn_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L), (1L, 0L))) // vec 2 sits alone in its bucket
   }
+
+  test("crossCorpusNearest: per-eval argmax over the corpus, lower-id ties") {
+    // Eval 0 points along x; corpus 10 and 11 are BOTH at the same angle
+    // to it (identical rounded cosine) -> the tie must go to c_id 10.
+    // Eval 1 points along y; corpus 12 is its clear winner. Corpus rows
+    // never appear as eval_ids and vice versa.
+    val evalVecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(2.0f, 2.0f)), (11L, Seq(5.0f, 5.0f)),
+      (12L, Seq(0.1f, 3.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.crossCorpusNearest(corpus, evalVecs)
+      .as[(Long, Long, Double)].collect()
+      .map { case (e, n, c) => e -> ((n, c)) }.toMap
+    assert(out(0L)._1 == 10L) // tie with 11 broken to the lower id
+    assert(out(1L)._1 == 12L)
+    assert(out.keySet == Set(0L, 1L))
+  }
 }
