@@ -589,4 +589,41 @@ object Split {
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
     df.sparkSession.read.parquet(outDir)
   }
+
+  /** o26: SEQUENCE-PACKING report — the GPT-pretraining packing contract:
+    * the corpus token stream is CONCATENATED in document-id order and
+    * sliced into fixed `ctxLen`-token context windows; a document
+    * crossing a boundary continues in the next window (no padding, no
+    * doc-level bin packing — the standard "concat and chunk" recipe).
+    * Output, one row per window: `n_docs` = segments sharing the window
+    * (the attention-mask segment count — the operational statistic:
+    * windows with many tiny segments dilute long-range context),
+    * `n_tokens` (= ctxLen everywhere except the final partial window),
+    * and the first/last document ids touching it.
+    *
+    * Scale shape: ONE [[globalCumSum]] pass gives every document its
+    * token interval [cum − n, cum) in the stream (range partition +
+    * #partitions-row offsets — no single-task window); the window fan-out
+    * is a narrow explode bounded by n/ctxLen + 1 per doc; the rollup is
+    * one keyed groupBy on the window id with map-side combine. All-integer
+    * interval math — bit-reproducible in any engine.
+    */
+  def packSequences(docs: DataFrame, textCol: String, idCol: String,
+      ctxLen: Int): DataFrame = {
+    require(ctxLen > 0, "packSequences needs ctxLen > 0")
+    val withTok = docs.select(col(idCol),
+      size(graft.ops.TextOps.tokens(col(textCol))).cast("long").as("_nt"))
+    globalCumSum(withTok, "_nt", idCol, idCol)
+      .filter(col("_nt") > 0)
+      .withColumn("_s", col("cum") - col("_nt"))
+      .withColumn("bin_id",
+        explode(sequence(expr(s"_s div $ctxLen"),
+          expr(s"(cum - 1) div $ctxLen"))))
+      .withColumn("_t",
+        least(col("cum"), (col("bin_id") + 1) * ctxLen)
+          - greatest(col("_s"), col("bin_id") * ctxLen))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("_t").as("n_tokens"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+  }
 }

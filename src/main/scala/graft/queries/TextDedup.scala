@@ -616,6 +616,16 @@ object TextDedup {
         lenCol = "n_chars", tieBreak = "doc_id", nBuckets = 8,
         batchSize = 16)),
 
+    // SEQUENCE PACKING — the GPT "concat and chunk" recipe: the corpus
+    // token stream in doc-id order sliced into 512-token context windows,
+    // reported per window (segments sharing it, tokens, first/last doc).
+    // One globalCumSum pass + integer interval math; the gate pins the
+    // prefix sums, the boundary fan-out, and the per-window rollup — an
+    // off-by-one anywhere shifts every downstream window.
+    "o26_sequence_pack" -> ((s, dir) =>
+      graft.ops.Split.packSequences(docs(s, dir), textCol = "text",
+        idCol = "doc_id", ctxLen = 512)),
+
     // TEMPERATURE-SMOOTHED DOMAIN MIX (α = 0.5, the XLM/mT5 exponential
     // smoothing): per-source quotas ∝ √n_d to a 40% budget via capped
     // WATER-FILLING (the UniMax-style allocation — a tail whose √-boosted
@@ -2485,6 +2495,23 @@ object TextDedup {
          |SELECT doc_id, count(*) AS n_shared
          |FROM tr JOIN ev USING (h)
          |GROUP BY doc_id HAVING count(*) >= 3""".stripMargin,
+    // o26: the identical packing arithmetic — whitespace token counts,
+    // one running sum in doc-id order, integer window intervals.
+    "o26_sequence_pack" ->
+      s"""WITH $toksSrc,
+         |n AS (SELECT doc_id, len(ws) AS nt FROM toks),
+         |c AS (SELECT doc_id, nt,
+         |        CAST(sum(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM n),
+         |iv AS (SELECT doc_id, cum - nt AS s, cum AS e FROM c WHERE nt > 0),
+         |bx AS (SELECT doc_id, s, e,
+         |        unnest(range(s // 512, (e - 1) // 512 + 1)) AS bin FROM iv),
+         |ov AS (SELECT bin, doc_id,
+         |        least(e, (bin + 1) * 512) - greatest(s, bin * 512) AS t
+         |       FROM bx)
+         |SELECT CAST(bin AS BIGINT) AS bin_id, count(*) AS n_docs,
+         |  CAST(sum(t) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM ov GROUP BY bin""".stripMargin,
     "o14_length_batching" ->
       """WITH num AS (
         |  SELECT doc_id, n_chars,

@@ -162,4 +162,19 @@ class SplitFeaturesSpec extends AnyFunSuite {
     val row = df.select(y, m, d).head()
     assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((2006, 7, 15)))
   }
+
+  test("packSequences slices the concatenated stream at window boundaries") {
+    // Token counts 3/4/2 in doc-id order, ctxLen 4: the stream is
+    // [0,3) doc1, [3,7) doc2, [7,9) doc3. Window 0 holds doc1 + one token
+    // of doc2 (2 segments, full); window 1 holds doc2's tail + doc3's
+    // head (2 segments, full); window 2 is the 1-token partial tail.
+    val docsDf = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i")).toDF("doc_id", "text")
+    val got = graft.ops.Split.packSequences(docsDf, "text", "doc_id", 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 2L, 4L, 1L, 2L),
+      (1L, 2L, 4L, 2L, 3L),
+      (2L, 1L, 1L, 3L, 3L)))
+  }
 }
