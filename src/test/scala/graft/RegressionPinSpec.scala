@@ -52,4 +52,56 @@ class RegressionPinSpec extends AnyFunSuite {
     assert(mrr == 1000000L,
       s"divisor must be the actual batch (5), got mrr_e6 = $mrr")
   }
+
+  test("trainSample never overflows: extreme and negative ids match BigInt math") {
+    // ADVICE r15: the raw (id * 1000003) product overflows Long for
+    // near-max ids — Spark wraps silently while other engines raise or go
+    // negative, silently diverging the sample membership cross-engine.
+    // The fixed spelling reduces mod m first; pin it against exact BigInt
+    // arithmetic on the ids that used to overflow.
+    val mod = 9973
+    val keep = 3989
+    val ids = Seq(Long.MaxValue, Long.MaxValue - 1, Long.MinValue + 1,
+      -1L, 0L, 1L, 9223372036854775000L)
+    val got = ids.toDF("vec_id")
+      .select(col("vec_id"),
+        graft.ops.Similarity.trainSample(col("vec_id"), mod, keep).as("in"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    ids.foreach { id =>
+      val want = (((BigInt(id) mod mod) * 1000003) mod mod) < keep
+      assert(got(id) == want, s"id $id: got ${got(id)}, want $want")
+    }
+  }
+
+  test("standing-index fits auto-sample above the threshold, full-train below") {
+    // Round 16: kmeansFit (and the v12-v18/v20 chains behind it) trains
+    // on the deterministic hash sample once the corpus exceeds
+    // AutoTrainThreshold rows. Build a 300-vector corpus where the
+    // sampled and full models demonstrably differ; the auto fit's
+    // assignments must equal the explicit kmeansSampled path and differ
+    // from the full-train path. At 100 rows (under the threshold) the
+    // auto fit must stay bit-identical to full-train.
+    import graft.ops.Similarity
+    def corpus(n: Int) = (0 until n).map { i =>
+      (i.toLong, Array(((i * 37) % 101).toFloat, ((i * 53) % 89).toFloat,
+        ((i * 71) % 97).toFloat))
+    }.toDF("vec_id", "embedding")
+    val big = corpus(300)
+    val auto = Similarity.assignWithModel(big, Similarity.kmeansFit(big, 4, 2))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val sampled = Similarity.kmeansSampled(big, 4, 2,
+        Similarity.SampleMod, Similarity.SampleKeep)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val full = Similarity.kmeansBroadcast(big, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(auto == sampled, "above threshold, auto fit must ride the sample")
+    assert(auto != full,
+      "witness corpus must separate the sampled and full models")
+    val small = corpus(100)
+    val autoS = Similarity.assignWithModel(small, Similarity.kmeansFit(small, 4, 2))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val fullS = Similarity.kmeansBroadcast(small, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(autoS == fullS, "at or under the threshold, auto fit = full train")
+  }
 }
