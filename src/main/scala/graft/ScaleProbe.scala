@@ -85,7 +85,8 @@ object ScaleProbe {
         // CONSTRUCTION: 30% of a 10x corpus shares one text, so the pair
         // set itself grows 100x — the probe measures the salted layout
         // carrying that, not subquadratic magic).
-        "d31_longest_dup", "d22_skewed_dedup", "d32_decontam")
+        "d31_longest_dup", "d22_skewed_dedup", "d32_decontam",
+        "o26_sequence_pack")
     for (name <- names; (label, dir) <- Seq("sf0.1" -> base, "sf1" -> big)) {
       val fn = SparkEntry.queries(name)
       // one warmup (codegen/JIT), then min of two timed passes
