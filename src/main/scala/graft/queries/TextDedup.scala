@@ -619,9 +619,12 @@ object TextDedup {
     // SEQUENCE PACKING — the GPT "concat and chunk" recipe: the corpus
     // token stream in doc-id order sliced into 512-token context windows,
     // reported per window (segments sharing it, tokens, first/last doc).
-    // One globalCumSum pass + integer interval math; the gate pins the
-    // prefix sums, the boundary fan-out, and the per-window rollup — an
-    // off-by-one anywhere shifts every downstream window.
+    // Distinct from o8 (doc-LEVEL greedy bins per source — documents stay
+    // whole, padding absorbed per bin): here documents SPLIT at window
+    // boundaries, the pretraining contract, and the statistic is
+    // segments-per-window. One globalCumSum pass + integer interval math;
+    // the gate pins the prefix sums, the boundary fan-out, and the
+    // per-window rollup — an off-by-one anywhere shifts every window.
     "o26_sequence_pack" -> ((s, dir) =>
       graft.ops.Split.packSequences(docs(s, dir), textCol = "text",
         idCol = "doc_id", ctxLen = 512)),
