@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** True sample median — averages the two middle elements for even
+    * sizes. The upper-middle shortcut overstated the noise floor that
+    * compare_bench.py doubles into the regression threshold (ADVICE r16).
+    * Empty input (single-pass sweep, no spreads) → 0.0.
+    */
+  def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) 0.0
+    else {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -168,9 +182,7 @@ object Bench {
     // is a REGRESSION only if it clears max(40%, 2× the floor) and does
     // so in two consecutive rounds; anything under the floor is the
     // machine, not the code.
-    val noiseFloor =
-      if (spreads.isEmpty) 0.0
-      else spreads.sorted.apply(spreads.size / 2)
+    val noiseFloor = median(spreads.toSeq)
     val phs = phaseRows.map { case (q, ph) =>
       s"\"" + q + "\":" + ph.map { case (p, v) => s"\"" + p + "\":" + fmt(v) }
         .mkString("{", ",", "}")

@@ -751,7 +751,7 @@ object Dedup {
         size(col("cuts_arr")).as("n_cuts"),
         col("z.cleaned").as("cleaned_text"))
 
-  /** DECONTAMINATION REMOVAL (c8) — the action [[crossDupSpan]]'s scan
+  /** DECONTAMINATION REMOVAL (c9) — the action [[crossDupSpan]]'s scan
     * implies: emit the corpus with every n-token window that ALSO occurs
     * verbatim in the eval set cut out (overlapping windows merge into one
     * run, the [[cutSpans]] kernel). Unlike cutSpans there is no canonical

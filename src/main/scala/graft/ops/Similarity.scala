@@ -1043,12 +1043,21 @@ object Similarity {
     * nothing corpus-sized is ever sorted or windowed.
     */
   def crossCorpusNearest(corpus: DataFrame, evalVecs: DataFrame): DataFrame = {
+    // Zero-norm vectors are EXCLUDED on both sides before the argmax: a
+    // single all-zero corpus vector would make cos = 0/0 = NaN, and Spark
+    // orders NaN ABOVE every double inside max(struct) — so that one
+    // junk vector would silently become every eval item's "nearest"
+    // neighbor, corrupting the published audit table (ADVICE r16). A
+    // zero vector carries no direction, so it has no cosine neighbor by
+    // definition; the oracle applies the same norm > 0 filter.
     val c = corpus.select(col("vec_id").as("c_id"),
         asDouble(col("embedding")).as("cv"))
       .withColumn("cn", norm(col("cv")))
+      .filter(col("cn") > 0)
     val q = evalVecs.select(col("vec_id").as("eval_id"),
         asDouble(col("embedding")).as("qv"))
       .withColumn("qn", norm(col("qv")))
+      .filter(col("qn") > 0)
     c.crossJoin(broadcast(q))
       .withColumn("cos",
         round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 6))

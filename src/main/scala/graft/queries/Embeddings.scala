@@ -895,13 +895,15 @@ object Embeddings {
         NprobeSweep),
     // v25: per eval vector, the rounded-cosine argmax over the training
     // side, ties -> lower c_id — the same arithmetic as the engine's
-    // map-side-combined max(struct).
+    // map-side-combined max(struct). Zero-norm vectors are excluded on
+    // both sides (the engine's NaN guard — ADVICE r16): cos is undefined
+    // for a vector with no direction.
     "v25_semantic_decontam" ->
       s"""WITH $vSrc,
          |q AS (SELECT vec_id AS eval_id, dv AS qv FROM v
-         |      WHERE vec_id < $EvalSplit),
+         |      WHERE vec_id < $EvalSplit AND list_dot_product(dv, dv) > 0),
          |c AS (SELECT vec_id AS c_id, dv AS cv FROM v
-         |      WHERE vec_id >= $EvalSplit),
+         |      WHERE vec_id >= $EvalSplit AND list_dot_product(dv, dv) > 0),
          |sc AS (SELECT q.eval_id, c.c_id, $cosSql AS cos
          |       FROM q CROSS JOIN c)
          |SELECT eval_id, c_id AS nn_id, cos FROM (

@@ -2347,7 +2347,7 @@ object TextDedup {
          |FROM toks t
          |  LEFT JOIN fin f USING (doc_id)
          |  LEFT JOIN ncuts nc USING (doc_id)""".stripMargin,
-    // c8: c2's cut/reconstruct kernel over the corpus side only, with the
+    // c9: c2's cut/reconstruct kernel over the corpus side only, with the
     // cut set = every corpus window whose fingerprint occurs in the eval
     // side (no canonical keeper).
     "c9_decontam_clean" ->

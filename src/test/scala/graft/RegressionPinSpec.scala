@@ -104,4 +104,36 @@ class RegressionPinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(autoS == fullS, "at or under the threshold, auto fit = full train")
   }
+
+  test("Bench.median averages the two middle elements for even sizes") {
+    // ADVICE r16: the upper-middle shortcut overstated the even-size
+    // median noise floor that compare_bench.py doubles into the
+    // regression threshold.
+    assert(Bench.median(Nil) == 0.0)
+    assert(Bench.median(Seq(0.3)) == 0.3)
+    assert(Bench.median(Seq(0.1, 0.3, 0.2)) == 0.2)
+    assert(Bench.median(Seq(0.4, 0.1, 0.2, 0.3)) == 0.25) // not 0.3
+  }
+
+  test("crossCorpusNearest: a zero-norm corpus vector never wins the argmax") {
+    // ADVICE r16: cos(zero vector) = 0/0 = NaN, and Spark's max(struct)
+    // orders NaN above every double — so one all-zero junk vector would
+    // become every eval item's reported nearest neighbor. The guard
+    // excludes zero-norm vectors on both sides before the argmax.
+    val corpus = Seq(
+      (100L, Array(0f, 0f, 0f)), // the junk vector
+      (101L, Array(1f, 0f, 0f)),
+      (102L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val eval = Seq(
+      (0L, Array(0.9f, 0.1f, 0f)),
+      (1L, Array(0f, 0f, 0f))) // zero-norm EVAL item: no cosine neighbor
+      .toDF("vec_id", "embedding")
+    val rows = graft.ops.Similarity.crossCorpusNearest(corpus, eval)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 1, s"zero-norm eval item must drop out: ${rows.toSeq}")
+    val (evalId, nnId, cos) = rows.head
+    assert(evalId == 0L && nnId == 101L, s"junk vector must not win: $nnId")
+    assert(!cos.isNaN && cos > 0.99, s"cos must be finite: $cos")
+  }
 }

@@ -25,6 +25,11 @@ PATTERNS = [
         r"(?i)\b(?:api[_-]?key|secret[_-]?key|password|auth[_-]?token)\s*[:=]\s*[\"'][^\"']{4,}")),
     ("network-url", re.compile(r"https?://[^\s\"')>\]]+")),
     ("non-graft-env", re.compile(r"sys\.env[.(]\s*(?:getOrElse\()?\s*\"(?!SPARK_GRAFT_)[A-Z_]+\"")),
+    # The Python-side twin of non-graft-env (ADVICE r16): without it a
+    # Python file under tools/ could read arbitrary environment variables
+    # via os.environ/os.getenv without tripping the scan.
+    ("non-graft-env-py", re.compile(
+        r"os\.(?:environ(?:\.get)?\s*[\[(]|getenv\s*\()\s*[\"'](?!SPARK_GRAFT_)[A-Z_]+[\"']")),
 ]
 
 # Known-benign hits, reviewed by hand; (pattern_name, path_suffix,
@@ -49,7 +54,21 @@ def tracked_files(root):
     return [f for f in out.splitlines() if os.path.splitext(f)[1] in EXTS]
 
 
+def _selftest():
+    """Pin the env-coupling regexes on known-good/known-bad lines so a
+    pattern edit can't silently stop matching (runs on every scan)."""
+    py = dict(PATTERNS)["non-graft-env-py"]
+    assert py.search('os.environ["HOME"]')
+    assert py.search("os.getenv('AWS_REGION')")
+    assert py.search('os.environ.get("LD_PRELOAD")')
+    assert not py.search('os.environ["SPARK_GRAFT_SF_DIR"]')
+    sc = dict(PATTERNS)["non-graft-env"]
+    assert sc.search('sys.env.getOrElse("JAVA_HOME", "x")')
+    assert not sc.search('sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")')
+
+
 def main(root="."):
+    _selftest()
     sha = subprocess.run(["git", "-C", root, "rev-parse", "HEAD"],
                          capture_output=True, text=True, check=True).stdout.strip()
     dirty = subprocess.run(["git", "-C", root, "status", "--porcelain"],
