@@ -609,7 +609,51 @@ object Split {
     * interval math — bit-reproducible in any engine.
     */
   def packSequences(docs: DataFrame, textCol: String, idCol: String,
-      ctxLen: Int): DataFrame = {
+      ctxLen: Int): DataFrame =
+    packedSegments(docs, textCol, idCol, ctxLen)
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("_t").as("n_tokens"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+
+  /** o27: PACKED-WINDOW SEGMENT MANIFEST — the dataloader-facing export
+    * leg of [[packSequences]]: one row per (window, document) SEGMENT of
+    * the same concat-and-chunk assignment, carrying exactly what a
+    * trainer's loader needs to materialize window `bin_id` without ever
+    * re-running the packing pass:
+    *   - `doc_offset`: the segment's first token's offset WITHIN the
+    *     document (0 unless the doc continued across a window boundary),
+    *   - `win_offset`: where the segment starts WITHIN the window (the
+    *     attention-mask segment boundary),
+    *   - `len`: segment token count (win_offset + len ≤ ctxLen always).
+    * The o26 report is this manifest's per-window rollup — n_docs =
+    * count, n_tokens = sum(len), first/last = min/max doc — and
+    * SplitFeaturesSpec pins that identity, so report and manifest can
+    * never disagree.
+    *
+    * Scale shape: identical to o26 (the SAME one-cumsum segment pass —
+    * range partition + #partitions-row offsets, narrow bounded explode),
+    * minus o26's rollup: the manifest is emitted straight out of the
+    * map side, ~⌈n/ctxLen⌉+1 rows per document, all-integer arithmetic.
+    */
+  def packManifest(docs: DataFrame, textCol: String, idCol: String,
+      ctxLen: Int): DataFrame =
+    packedSegments(docs, textCol, idCol, ctxLen)
+      .select(col("bin_id"), col(idCol),
+        (greatest(col("_s"), col("bin_id") * ctxLen) - col("_s"))
+          .as("doc_offset"),
+        (greatest(col("_s"), col("bin_id") * ctxLen) - col("bin_id") * ctxLen)
+          .as("win_offset"),
+        col("_t").as("len"))
+
+  /** Shared segment pass of [[packSequences]]/[[packManifest]]: per
+    * (document, context window) overlap row. ONE [[globalCumSum]] gives
+    * every document its token interval [_s, cum) in the doc-id-ordered
+    * token stream; the explode fans each doc out to the windows its
+    * interval touches (bounded by n/ctxLen + 1); `_t` is the overlap
+    * length. All-integer interval math — bit-reproducible in any engine.
+    */
+  private def packedSegments(docs: DataFrame, textCol: String,
+      idCol: String, ctxLen: Int): DataFrame = {
     require(ctxLen > 0, "packSequences needs ctxLen > 0")
     val withTok = docs.select(col(idCol),
       size(graft.ops.TextOps.tokens(col(textCol))).cast("long").as("_nt"))
@@ -622,8 +666,5 @@ object Split {
       .withColumn("_t",
         least(col("cum"), (col("bin_id") + 1) * ctxLen)
           - greatest(col("_s"), col("bin_id") * ctxLen))
-      .groupBy("bin_id")
-      .agg(count(lit(1)).as("n_docs"), sum("_t").as("n_tokens"),
-        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
   }
 }

@@ -629,6 +629,17 @@ object TextDedup {
       graft.ops.Split.packSequences(docs(s, dir), textCol = "text",
         idCol = "doc_id", ctxLen = 512)),
 
+    // PACKED-WINDOW SEGMENT MANIFEST — o26's export leg: one row per
+    // (window, document) segment with the doc-internal offset, the
+    // in-window offset, and the segment length — the assignment a
+    // dataloader actually reads (o26 reports statistics ABOUT windows;
+    // this is the windows). Same one-cumsum pass; the gate pins every
+    // segment boundary (an off-by-one anywhere shifts every offset),
+    // and SplitFeaturesSpec proves manifest-rollup ≡ o26.
+    "o27_pack_manifest" -> ((s, dir) =>
+      graft.ops.Split.packManifest(docs(s, dir), textCol = "text",
+        idCol = "doc_id", ctxLen = 512)),
+
     // TEMPERATURE-SMOOTHED DOMAIN MIX (α = 0.5, the XLM/mT5 exponential
     // smoothing): per-source quotas ∝ √n_d to a 40% budget via capped
     // WATER-FILLING (the UniMax-style allocation — a tail whose √-boosted
@@ -2515,6 +2526,22 @@ object TextDedup {
          |  CAST(sum(t) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM ov GROUP BY bin""".stripMargin,
+    // o27: the same packing interval arithmetic emitted per SEGMENT —
+    // the o26 CTEs minus the rollup, plus the two offset projections.
+    "o27_pack_manifest" ->
+      s"""WITH $toksSrc,
+         |n AS (SELECT doc_id, len(ws) AS nt FROM toks),
+         |c AS (SELECT doc_id, nt,
+         |        CAST(sum(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM n),
+         |iv AS (SELECT doc_id, cum - nt AS s, cum AS e FROM c WHERE nt > 0),
+         |bx AS (SELECT doc_id, s, e,
+         |        unnest(range(s // 512, (e - 1) // 512 + 1)) AS bin FROM iv)
+         |SELECT CAST(bin AS BIGINT) AS bin_id, doc_id,
+         |  CAST(greatest(s, bin * 512) - s AS BIGINT) AS doc_offset,
+         |  CAST(greatest(s, bin * 512) - bin * 512 AS BIGINT) AS win_offset,
+         |  CAST(least(e, (bin + 1) * 512) - greatest(s, bin * 512) AS BIGINT)
+         |    AS len
+         |FROM bx""".stripMargin,
     "o14_length_batching" ->
       """WITH num AS (
         |  SELECT doc_id, n_chars,

@@ -177,4 +177,31 @@ class SplitFeaturesSpec extends AnyFunSuite {
       (1L, 2L, 4L, 2L, 3L),
       (2L, 1L, 1L, 3L, 3L)))
   }
+
+  test("packManifest emits the segment assignment and its rollup equals o26") {
+    // Same 3/4/2 stream, ctxLen 4. Expected segments (bin, doc,
+    // doc_offset, win_offset, len): doc2 crosses the window-0/1 boundary
+    // (continues at doc_offset 1), doc3 crosses 1/2.
+    val docsDf = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i")).toDF("doc_id", "text")
+    val manifest = graft.ops.Split.packManifest(docsDf, "text", "doc_id", 4)
+    val got = manifest.as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 1L, 0L, 0L, 3L),
+      (0L, 2L, 0L, 3L, 1L),
+      (1L, 2L, 1L, 0L, 3L),
+      (1L, 3L, 0L, 3L, 1L),
+      (2L, 3L, 1L, 0L, 1L)))
+    // Every segment fits its window.
+    assert(got.forall { case (_, _, _, wOff, len) => wOff + len <= 4 })
+    // The manifest's per-window rollup IS the o26 report — report and
+    // manifest can never disagree.
+    val rolled = manifest.groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val o26 = graft.ops.Split.packSequences(docsDf, "text", "doc_id", 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(rolled == o26, s"manifest rollup $rolled != o26 report $o26")
+  }
 }
