@@ -1068,6 +1068,78 @@ object Similarity {
         col("m.cos").as("cos"))
   }
 
+  /** v26: IVF-ACCELERATED SEMANTIC DECONTAMINATION — [[crossCorpusNearest]]
+    * (v25) is exact but exhaustive: |eval| dot products per corpus vector.
+    * Fine for a one-off audit; expensive when the audit reruns per
+    * training snapshot at 100 TB × 10k eval items. This is the indexed
+    * variant through the v17 store lifecycle: the TRAINING corpus is
+    * assigned to Lloyd-trained cells (auto-sampled fit) and persisted
+    * `partitionBy(cell)` — one directory per inverted list, so the probe
+    * join keyed on the partition column lets Dynamic Partition Pruning
+    * skip every unprobed cell's directory at listing time. Each eval
+    * vector probes its `nprobe` nearest cells and takes the rounded-cosine
+    * argmax among their members only.
+    *
+    * Because IVF is approximate, the query's published row is the RECALL
+    * GATE, not the neighbor table: recall@1 of the indexed answer against
+    * v25's exact argmax over the same corpus (the way v11/v15/v16 gate
+    * IVF against brute force). A pipeline reads this row to decide
+    * whether nprobe is wide enough to trust the indexed audit; nprobe = k
+    * probes every cell and must read recall 1.0 (pinned in IvfStoreSpec).
+    * Zero-norm vectors are excluded on both sides, as in v25.
+    *
+    * Scale shape: store build is one corpus pass (broadcast k-row
+    * codebook, codegen'd argmin, no shuffle before the partitioned
+    * write); the probe is a keyed join against the nprobe pruned
+    * directories; the per-eval argmax is the map-side-combined
+    * max(struct). The exact leg (the gate's reference) is v25's one
+    * corpus stream — so the WHOLE query still costs one corpus pass plus
+    * the index probe; a production run that trusts the measured recall
+    * drops the exact leg and pays only the probe.
+    */
+  def ivfDecontamRecall(corpus: DataFrame, evalVecs: DataFrame,
+      storePath: String, k: Int, iters: Int, nprobe: Int): DataFrame = {
+    val c = prepV(corpus)
+    val cbF = cbFrameOf(fitAuto(c, k, iters))
+    assignByCodebook(c, cbF)
+      .withColumn("cn", norm(col("dv")))
+      .filter(col("cn") > 0)
+      .select(col("cluster").as("cell"), col("vec_id").as("c_id"),
+        col("dv").as("cv"), col("cn"))
+      .write.mode("overwrite").partitionBy("cell").parquet(storePath)
+    val store = c.sparkSession.read.parquet(storePath)
+    val q = evalVecs.select(col("vec_id").as("eval_id"),
+        asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .filter(col("qn") > 0)
+    // nprobe nearest cells per eval vector — the window is over
+    // |eval| × k rows (bounded by the benchmark), partitioned per eval.
+    val qcells = q.crossJoin(broadcast(cbF))
+      .select(col("eval_id"), col("qv"), col("qn"),
+        posexplode(graft.functions.PqExprs.distTableColumn(
+          col("qv"), col("cb"), 1)).as(Seq("cell", "cd2")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("eval_id").orderBy(col("cd2"), col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("eval_id"), col("qv"), col("qn"), col("cell"))
+    val ivf = qcells.join(store, "cell")
+      .withColumn("cos",
+        round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 6))
+      .groupBy("eval_id")
+      .agg(max(struct(col("cos"), (-col("c_id")).as("nc"),
+        col("c_id"))).as("m"))
+      .select(col("eval_id"), col("m.c_id").as("ivf_nn"))
+    crossCorpusNearest(corpus, evalVecs)
+      .select(col("eval_id"), col("nn_id").as("exact_nn"))
+      .join(ivf, Seq("eval_id"), "left")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("ivf_nn") === col("exact_nn"), 1L).otherwise(0L))
+          .as("hits"))
+      .select(lit(nprobe).cast("int").as("nprobe"), col("n_eval"),
+        col("hits"),
+        round(col("hits").cast("double") / col("n_eval"), 3).as("recall"))
+  }
+
   /** Per-label centroid norm: posexplode → per-dimension mean → L2 norm.
     * (Also the IVF coarse-quantizer building block: centroids per partition.)
     */

@@ -338,7 +338,22 @@ object Embeddings {
     "v25_semantic_decontam" -> ((s, dir) =>
       Similarity.crossCorpusNearest(
         t(s, dir, "embeddings").filter(col("vec_id") >= EvalSplit),
-        t(s, dir, "embeddings").filter(col("vec_id") < EvalSplit)))
+        t(s, dir, "embeddings").filter(col("vec_id") < EvalSplit))),
+
+    // IVF-ACCELERATED SEMANTIC DECONTAM — v25 through the v17 standing
+    // store (training corpus persisted partitionBy(cell), probe reads
+    // only the nprobe pruned directories), published as the RECALL GATE:
+    // recall@1 of the indexed nearest-training-neighbor vs v25's exact
+    // argmax — the row a pipeline reads to decide whether the indexed
+    // audit is trustworthy at the configured probe width. Gate: the
+    // trained cells, the probe ranking, the in-cell cosine argmax, and
+    // the exact-vs-indexed agreement count.
+    "v26_ivf_decontam" -> ((s, dir) =>
+      Similarity.ivfDecontamRecall(
+        t(s, dir, "embeddings").filter(col("vec_id") >= EvalSplit),
+        t(s, dir, "embeddings").filter(col("vec_id") < EvalSplit),
+        storePath = Tables.scratch("graft_v26_store_" + Tables.dirTag(dir)),
+        k = KmeansK, iters = KmeansIters, nprobe = IvfNprobe))
   )
 
   val KmeansK = 8
@@ -912,6 +927,58 @@ object Embeddings {
          |                       ORDER BY cos DESC, c_id) AS rk
          |  FROM sc)
          |WHERE rk = 1""".stripMargin,
+    // v26: the same Lloyd chain TRAINED ON THE CORPUS SLICE ONLY (auto-
+    // sampled gate as a scalar subquery over that slice), the eval-side
+    // nprobe cell ranking, the in-cell cosine argmax, and the recall@1
+    // agreement count against the exact (v25) argmax. Zero-norm vectors
+    // excluded on both sides, as in the engine.
+    "v26_ivf_decontam" ->
+      s"""WITH $vSrc,
+         |cv0 AS (SELECT vec_id, dv FROM v WHERE vec_id >= $EvalSplit),
+         |${autoTrainCte("tra", "cv0")},
+         |${kmeansChain(KmeansK, KmeansIters, "tra", "", assignSrc = "cv0")},
+         |members AS (
+         |  SELECT f.cl AS cell, f.vec_id AS c_id, s.dv AS cv
+         |  FROM fin f JOIN cv0 s USING (vec_id)
+         |  WHERE list_dot_product(s.dv, s.dv) > 0),
+         |q AS (SELECT vec_id AS eval_id, dv AS qv FROM v
+         |      WHERE vec_id < $EvalSplit AND list_dot_product(dv, dv) > 0),
+         |qc AS (
+         |  SELECT eval_id, qv, cell FROM (
+         |    SELECT q.eval_id, q.qv, c.cl AS cell,
+         |      row_number() OVER (PARTITION BY q.eval_id ORDER BY
+         |        round(list_dot_product(q.qv, q.qv) + list_dot_product(c.c, c.c)
+         |          - 2 * list_dot_product(q.qv, c.c), 6), c.cl) AS crk
+         |    FROM q CROSS JOIN c$KmeansIters c)
+         |  WHERE crk <= $IvfNprobe),
+         |ivf AS (
+         |  SELECT eval_id, c_id AS ivf_nn FROM (
+         |    SELECT qc.eval_id, m.c_id,
+         |      row_number() OVER (PARTITION BY qc.eval_id ORDER BY
+         |        round(list_dot_product(qc.qv, m.cv) /
+         |          (sqrt(list_dot_product(qc.qv, qc.qv))
+         |            * sqrt(list_dot_product(m.cv, m.cv))), 6) DESC,
+         |        m.c_id) AS rk
+         |    FROM qc JOIN members m USING (cell))
+         |  WHERE rk = 1),
+         |ex AS (
+         |  SELECT eval_id, c_id AS exact_nn FROM (
+         |    SELECT q.eval_id, m.c_id,
+         |      row_number() OVER (PARTITION BY q.eval_id ORDER BY
+         |        round(list_dot_product(q.qv, m.cv) /
+         |          (sqrt(list_dot_product(q.qv, q.qv))
+         |            * sqrt(list_dot_product(m.cv, m.cv))), 6) DESC,
+         |        m.c_id) AS rk
+         |    FROM q CROSS JOIN (SELECT vec_id AS c_id, dv AS cv FROM cv0
+         |                       WHERE list_dot_product(dv, dv) > 0) m)
+         |  WHERE rk = 1)
+         |SELECT CAST($IvfNprobe AS INT) AS nprobe,
+         |  count(*) AS n_eval,
+         |  CAST(sum(CASE WHEN i.ivf_nn = e.exact_nn THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  round(CAST(sum(CASE WHEN i.ivf_nn = e.exact_nn THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 3) AS recall
+         |FROM ex e LEFT JOIN ivf i USING (eval_id)""".stripMargin,
     // v17 = v13 through the persisted partition-pruned index: same oracle.
     "v17_ivf_store_search" ->
       ivfPqOracle(KmeansK, KmeansIters, PqM, IvfNprobe, NQueries),

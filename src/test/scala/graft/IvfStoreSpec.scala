@@ -30,4 +30,24 @@ class IvfStoreSpec extends AnyFunSuite {
       nprobe = 2, nQueries = 5).as[(Long, Long, Double)].collect().toSet
     assert(got == mem)
   }
+
+  test("ivfDecontamRecall: probing every cell recovers the exact audit (recall 1.0)") {
+    // With nprobe = k the indexed search is exhaustive, so the recall
+    // gate MUST read 1.0 — the self-consistency anchor for v26 (a
+    // tie-rule or cell-routing divergence between the indexed and exact
+    // legs would show up here as recall < 1 even at full probe width).
+    val corpus = vecs.filter($"vec_id" >= 10L)
+    val eval = vecs.filter($"vec_id" < 10L)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-v26-store").toString
+    val full = Similarity.ivfDecontamRecall(corpus, eval, store,
+      k = 4, iters = 2, nprobe = 4)
+      .as[(Int, Long, Long, Double)].collect().head
+    assert(full == ((4, 10L, 10L, 1.0)), s"full-probe recall must be 1.0: $full")
+    // A narrower probe can only lose hits, never invent them.
+    val narrow = Similarity.ivfDecontamRecall(corpus, eval, store,
+      k = 4, iters = 2, nprobe = 1)
+      .as[(Int, Long, Long, Double)].collect().head
+    assert(narrow._2 == 10L && narrow._3 <= full._3, s"narrow probe: $narrow")
+  }
 }
