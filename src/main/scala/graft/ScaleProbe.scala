@@ -86,7 +86,11 @@ object ScaleProbe {
         // set itself grows 100x — the probe measures the salted layout
         // carrying that, not subquadratic magic).
         "d31_longest_dup", "d22_skewed_dedup", "d32_decontam",
-        "o26_sequence_pack")
+        "o26_sequence_pack",
+        // round-17 (VERDICT r16 item 4): the exact-dedup guard must turn
+        // d22's by-construction-quadratic viral corpus ~linear — the
+        // pair set collapses to distinct texts before enumeration.
+        "d33_guarded_dedup")
     for (name <- names; (label, dir) <- Seq("sf0.1" -> base, "sf1" -> big)) {
       val fn = SparkEntry.queries(name)
       // one warmup (codegen/JIT), then min of two timed passes

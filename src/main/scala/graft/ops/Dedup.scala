@@ -116,6 +116,40 @@ object Dedup {
       .agg(count(col("band")).as("n_bands"))
   }
 
+  /** d33: PRE-DEDUP GUARD — exact dedup composed IN FRONT of the LSH
+    * chain as one operator. Real pipelines cut exact-duplicate mass
+    * before pair enumeration: a viral corpus (d22's shape — 30% of docs
+    * share ONE text) makes the plain chain's hot bucket quadratic in the
+    * viral mass (the salted path carries it, but the pair set itself
+    * still grows ~|viral|²), while collapsing identical texts to one
+    * representative FIRST removes the hot bucket entirely — the viral
+    * mass contributes ONE doc to the LSH stage, and downstream cost is
+    * linear in distinct texts. Each representative (keeper = min doc_id
+    * per text) carries its multiplicity (`copies_a`/`copies_b`), so the
+    * collapsed mass stays accounted: expanding a rep pair by its copy
+    * counts reproduces every underlying doc pair.
+    *
+    * Scale shape: one exact groupBy on the text hash, then the standard
+    * shingle → signature → banded-bucket chain over representatives only
+    * — no salting needed because the guard removes the very skew d22/d23
+    * defend against (the salted path remains the answer for NEAR-dup
+    * skew, where texts differ but signatures agree).
+    */
+  def guardedCandidatePairs(docs: DataFrame): DataFrame = {
+    // Consumed by the LSH chain and both multiplicity attaches.
+    val reps = docs.groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .persistTracked()
+    candidatePairs(lshBuckets(minhashSignatures(shingleHashes(
+        reps.select("doc_id", "text")))))
+      .join(reps.select(col("doc_id").as("doc_a"),
+        col("n_copies").as("copies_a")), "doc_a")
+      .join(reps.select(col("doc_id").as("doc_b"),
+        col("n_copies").as("copies_b")), "doc_b")
+      // using-column joins float their key first; pin the pair layout
+      .select("doc_a", "doc_b", "n_bands", "copies_a", "copies_b")
+  }
+
   /** [[candidatePairs]] through the salted join — the known-skew escape
     * hatch for the LSH chain: one viral span (boilerplate footer, licence
     * block) shared by a large slice of the corpus collapses those docs

@@ -1063,6 +1063,25 @@ object TextDedup {
           max("n_bands").as("max_bands"))
     }),
 
+    // PRE-DEDUP GUARD — d22's viral corpus through the exact-dedup →
+    // LSH composition (one declared operator, not a prose
+    // recommendation): identical texts collapse to one multiplicity-
+    // carrying representative BEFORE pair enumeration, so the viral 30%
+    // contributes ONE doc to the LSH stage and the pair set stays linear
+    // in distinct texts — d22/d23 carry near-dup skew; this removes
+    // exact-dup skew at the source. Gate: the exact collapse (keeper =
+    // min doc_id, copy counts), the rep-only LSH chain, and the
+    // multiplicity attach on both pair sides.
+    "d33_guarded_dedup" -> ((s, dir) => {
+      val skewed = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 10 < 3, lit(Boilerplate)).otherwise(col("text")))
+      Dedup.guardedCandidatePairs(skewed)
+        .groupBy("doc_a")
+        .agg(count(lit(1)).as("n_pairs"), sum("doc_b").as("sum_b"),
+          max("n_bands").as("max_bands"), max("copies_a").as("copies_a"),
+          sum("copies_b").as("sum_copies_b"))
+    }),
+
     // The FULL multi-batch lifecycle — e9/d20/d21 each gate one leg; this
     // gates the loop closing: ingest batch 1 (doc_id in [100,200)) probes
     // the standing store (doc_id >= 200), its bucket rows are d21-appended
@@ -2055,6 +2074,28 @@ object TextDedup {
          |SELECT doc_a, count(*) AS n_pairs, CAST(sum(doc_b) AS BIGINT) AS sum_b,
          |  max(n_bands) AS max_bands
          |FROM pairs GROUP BY doc_a""".stripMargin,
+    // d33: the composed SQL — exact collapse to min-doc_id reps with
+    // copy counts, the SAME minhash chain over reps only, multiplicity
+    // attached to both pair sides.
+    "d33_guarded_dedup" ->
+      s"""WITH skdocs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 3 THEN '$Boilerplate' ELSE text END AS text
+         |  FROM documents),
+         |reps AS (
+         |  SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
+         |  FROM skdocs GROUP BY text),
+         |${toksSrcFrom("reps")}, $shSrc, $hashedSrc, $sigSrc, $bucketsSrc, $pairsSrc,
+         |jp AS (
+         |  SELECT p.doc_a, p.doc_b, p.n_bands,
+         |    ra.n_copies AS copies_a, rb.n_copies AS copies_b
+         |  FROM pairs p
+         |    JOIN reps ra ON p.doc_a = ra.doc_id
+         |    JOIN reps rb ON p.doc_b = rb.doc_id)
+         |SELECT doc_a, count(*) AS n_pairs, CAST(sum(doc_b) AS BIGINT) AS sum_b,
+         |  max(n_bands) AS max_bands, max(copies_a) AS copies_a,
+         |  CAST(sum(copies_b) AS BIGINT) AS sum_copies_b
+         |FROM jp GROUP BY doc_a""".stripMargin,
     // d23: hot-only salting must not change a single pair — the oracle is
     // the SAME plain join over the same skewed corpus as d22.
     "d23_salted_hot" ->

@@ -547,4 +547,35 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got(102L) == ((102L, 5, 5, 0, "b1 c1 c2 c3 c4")))
     assert(got(103L) == ((103L, 5, 5, 0, "c1 c2 c3 c4 b2")))
   }
+
+  test("guardedCandidatePairs collapses exact-dup mass before pair enumeration") {
+    // 10 docs sharing ONE viral text (ids 0-9), a near-dup pair that
+    // differs by a token (20, 21), one unrelated doc (30). The PLAIN
+    // chain enumerates C(10,2) = 45 viral-internal pairs; the guard
+    // collapses them to one representative, so NO pair has both ends in
+    // the viral group, and the rep carries its multiplicity.
+    val viral = "the same viral licence footer text appears verbatim everywhere"
+    val docsDf = ((0L until 10L).map(i => (i, viral)) ++ Seq(
+      (20L, "a quick brown fox jumps over the lazy dog tonight"),
+      (21L, "a quick brown fox jumps over the lazy dog today"),
+      (30L, "completely unrelated content with distinct words only here")))
+      .toDF("doc_id", "text")
+    val plainViral = Dedup.candidatePairs(Dedup.lshBuckets(
+        Dedup.minhashSignatures(Dedup.shingleHashes(docsDf))))
+      .filter($"doc_a" < 10 && $"doc_b" < 10).count()
+    assert(plainViral == 45L, s"plain chain must be quadratic: $plainViral")
+    val guarded = Dedup.guardedCandidatePairs(docsDf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(!guarded.exists(p => p._1 < 10 && p._2 < 10),
+      s"guard must collapse the viral mass: ${guarded.toSeq}")
+    // The near-dup pair survives the guard (it is NOT an exact dup)...
+    val nd = guarded.filter(p => p._1 == 20L && p._2 == 21L)
+    assert(nd.length == 1, s"near-dup pair must survive: ${guarded.toSeq}")
+    // ...and every pair carries both multiplicities (viral rep = 10).
+    assert(nd.head._4 == 1L && nd.head._5 == 1L)
+    guarded.filter(p => p._1 == 0L || p._2 == 0L).foreach { p =>
+      assert((if (p._1 == 0L) p._4 else p._5) == 10L,
+        s"viral rep must carry copies=10: $p")
+    }
+  }
 }
