@@ -800,13 +800,31 @@ object Dedup {
     * corpus-sized shuffles twice and the text is traversed exactly twice
     * (shingle pass + rewrite pass), the c2 discipline.
     */
-  def cutEvalSpans(corpus: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+  def cutEvalSpans(corpus: DataFrame, evalDocs: DataFrame, n: Int): DataFrame =
+    cutEvalSpansAgainst(corpus, evalFingerprints(evalDocs, n), n)
+
+  /** The STATIC side of eval-set decontamination: the distinct n-token
+    * window fingerprints of the eval docs — bounded by the benchmark
+    * size, so it persists/broadcasts once and every corpus batch (or
+    * stream micro-batch — e19) joins against the same frame instead of
+    * re-shingling the eval set per batch.
+    */
+  def evalFingerprints(evalDocs: DataFrame, n: Int): DataFrame =
+    evalDocs.select(explode(graft.functions.PolyShinglesExpr.column(
+        lower(col("text")), n)).as("h"))
+      .distinct()
+
+  /** [[cutEvalSpans]] against an ALREADY-EXTRACTED fingerprint set — the
+    * per-batch kernel of streaming decontamination (e19): one shingle
+    * pass over the batch, the keyed join against the standing
+    * fingerprints, the codegen'd interval-union rewrite.
+    */
+  def cutEvalSpansAgainst(corpus: DataFrame, evalHashes: DataFrame,
+      n: Int): DataFrame = {
     val occ = corpus.select(col("doc_id"),
       posexplode(graft.functions.PolyShinglesExpr.column(
         lower(col("text")), n)).as(Seq("pos", "h")))
-    val eh = evalDocs.select(explode(graft.functions.PolyShinglesExpr.column(
-        lower(col("text")), n)).as("h"))
-      .distinct()
+    val eh = evalHashes
     val cuts = occ.join(eh, "h")
       .groupBy("doc_id").agg(collect_set(col("pos")).as("cut_starts"))
     corpus.select(col("doc_id"), lower(col("text")).as("t"))

@@ -1025,6 +1025,59 @@ object TextDedup {
           sum("n_chars").as("sum_chars"))
     }),
 
+    // STREAMING DECONTAMINATION — d32 finds and c9 cuts at rest; a
+    // production pipeline decontaminates ON INGEST, before anything
+    // contaminated ever lands in the corpus store. The eval-fingerprint
+    // set (bounded by the benchmark) is extracted ONCE and persisted as
+    // the STATIC side; each arriving micro-batch of corpus docs runs the
+    // c9 cut kernel against it (stream-static keyed join + codegen'd
+    // interval-union rewrite) and the cleaned per-doc rows land in a
+    // bucketed store through the e12 exactly-once ledger, re-proven here
+    // by an explicit redelivery of the final micro-batch. Gate: the
+    // store's per-doc (n_tokens, n_kept, n_cuts) rows must hash-equal
+    // the BATCH expression of the same policy (c9's oracle minus the
+    // cleaned text) — one doc wrongly cut, lost, or double-appended
+    // flips its row.
+    "e19_stream_decontam" -> ((s, dir) => {
+      val evalFp = graft.engine.Caches.persisted(Dedup.evalFingerprints(
+        docs(s, dir).filter(col("doc_id") < LdsEvalSplit), n = 10))
+      val cur = "graft_decontam_e19_" + Tables.dirTag(dir)
+      val curLoc = Tables.scratch(cur + "_db")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $cur LOCATION '$curLoc'")
+      graft.ops.Bucketing.reset(s, s"$cur.clean_bkt",
+        new java.io.File(curLoc, "clean_bkt"))
+      def clean(batch: DataFrame): DataFrame =
+        Dedup.cutEvalSpansAgainst(batch, evalFp, n = 10)
+          .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+            col("n_cuts"))
+      // Bootstrap the bucket layout with an empty slice so every
+      // micro-batch append validates against one standing spec.
+      graft.ops.Bucketing.writeBucketed(clean(docs(s, dir).limit(0)),
+        s"$cur.clean_bkt", nBuckets = 8, keys = Seq("doc_id"))
+      val ledger = new java.io.File(Tables.scratch(cur + "_ledger"))
+      Option(ledger.listFiles()).foreach(_.foreach(_.delete()))
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def append(b: DataFrame, id: Long): Boolean =
+        graft.ops.Bucketing.appendBucketedExactlyOnce(clean(b),
+          s"$cur.clean_bkt", nBuckets = 8, keys = Seq("doc_id"),
+          ledgerDir = ledger, batchId = id)
+      val delta = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") >= LdsEvalSplit)
+      graft.streaming.StreamingWindows.runForeachBatch(delta, "e19") {
+        (batch, id) => seen += id; append(batch, id); ()
+      }
+      require(seen.nonEmpty, "stream produced no micro-batches " +
+        "(pathGlobFilter matched no files?)")
+      val replayed = append(
+        docs(s, dir).filter(col("doc_id") >= LdsEvalSplit), seen.last)
+      require(!replayed, "ledger failed to suppress a replayed micro-batch")
+      s.catalog.refreshTable(s"$cur.clean_bkt")
+      s.table(s"$cur.clean_bkt")
+        .select("doc_id", "n_tokens", "n_kept", "n_cuts")
+    }),
+
     // SKEW-HARDENED dedup — the LSH chain under a deliberately viral span:
     // 30% of the corpus is REPLACED by one shared boilerplate block, so
     // those docs' signatures agree in every band and each band's hot
@@ -2397,6 +2450,37 @@ object TextDedup {
          |  CAST(coalesce(nc.n_cuts, 0) AS INT) AS n_cuts,
          |  coalesce(f.cleaned_text, '') AS cleaned_text
          |FROM toks t
+         |  LEFT JOIN fin f USING (doc_id)
+         |  LEFT JOIN ncuts nc USING (doc_id)""".stripMargin,
+    // e19: the BATCH expression of streaming decontamination — exactly
+    // c9's cut arithmetic (the micro-batched kernel must leave the store
+    // as if the whole corpus were cleaned at rest), minus the cleaned
+    // text (the store carries the per-doc cut accounting).
+    "e19_stream_decontam" ->
+      s"""WITH $toksSrc,
+         |ct AS (SELECT * FROM toks WHERE doc_id >= $LdsEvalSplit),
+         |st AS (SELECT doc_id, ws,
+         |  unnest(range(1, greatest(len(ws) - 8, 1))) AS i FROM ct),
+         |occ AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |  ${graft.functions.Hashing.polyHashSql("array_to_string(ws[i:i+9], ' ')")} AS h
+         |  FROM st),
+         |est AS (SELECT ws, unnest(range(1, greatest(len(ws) - 8, 1))) AS i
+         |        FROM toks WHERE doc_id < $LdsEvalSplit),
+         |eh AS (SELECT DISTINCT
+         |  ${graft.functions.Hashing.polyHashSql("array_to_string(ws[i:i+9], ' ')")} AS h
+         |  FROM est),
+         |cuts AS (SELECT o.doc_id, o.pos FROM occ o JOIN eh USING (h)),
+         |ncuts AS (SELECT doc_id, count(*) AS n_cuts FROM cuts GROUP BY doc_id),
+         |tok AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM ct),
+         |kept AS (
+         |  SELECT t.doc_id, t.i FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+         |    WHERE c.doc_id = t.doc_id AND c.pos <= t.i - 1 AND t.i - 1 < c.pos + 10)),
+         |fin AS (SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_tokens,
+         |  CAST(coalesce(f.n_kept, 0) AS INT) AS n_kept,
+         |  CAST(coalesce(nc.n_cuts, 0) AS INT) AS n_cuts
+         |FROM ct t
          |  LEFT JOIN fin f USING (doc_id)
          |  LEFT JOIN ncuts nc USING (doc_id)""".stripMargin,
     // c9: c2's cut/reconstruct kernel over the corpus side only, with the

@@ -548,6 +548,27 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got(103L) == ((103L, 5, 5, 0, "c1 c2 c3 c4 b2")))
   }
 
+  test("cutEvalSpansAgainst over precomputed fingerprints equals cutEvalSpans") {
+    // e19's stream-static split: extracting the eval fingerprints once
+    // and joining every batch against them must be bit-identical to the
+    // at-rest form that re-shingles the eval set per call.
+    val evalDocs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "x0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 x1 x2"),
+      (101L, "clean doc with no overlap at all here today now ok fine"))
+      .toDF("doc_id", "text")
+    val direct = Dedup.cutEvalSpans(corpus, evalDocs, n = 10)
+      .collect().map(_.toSeq).toSet
+    val viaFp = Dedup.cutEvalSpansAgainst(corpus,
+        Dedup.evalFingerprints(evalDocs, n = 10), n = 10)
+      .collect().map(_.toSeq).toSet
+    assert(direct == viaFp)
+    // and the kernel actually cut the contaminated window
+    val contaminated = direct.find(_.head == 100L).get
+    assert(contaminated(3).asInstanceOf[Int] >= 1, s"no cut: $contaminated")
+  }
+
   test("guardedCandidatePairs collapses exact-dup mass before pair enumeration") {
     // 10 docs sharing ONE viral text (ids 0-9), a near-dup pair that
     // differs by a token (20, 21), one unrelated doc (30). The PLAIN
