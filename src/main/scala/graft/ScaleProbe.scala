@@ -18,30 +18,49 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val base = "/root/testdata/sf0.1"
+    // --deep: add a THIRD decade point (30x documents replica) for the
+    // named queries — the second point on the scale curve that separates
+    // a floor-dominated 10x reading (o26 1.0x, d32 1.6x in r16) from the
+    // actual slope the 100-TB claim rests on. Requires explicit query
+    // names: the full default list at 30x is not a spot probe.
+    val deep = args.contains("--deep")
+    val qArgs = args.filterNot(_ == "--deep").toSeq
+    require(!deep || qArgs.nonEmpty, "--deep needs explicit query names")
     val spark = graft.engine.Session.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
-    val big = graft.queries.Tables.scratch("sf1_documents")
-    val bigDir = new java.io.File(big)
-    if (!new java.io.File(bigDir, "documents.parquet").exists()) {
+
+    /** mult-x documents replica (replica k suffixes every token with k,
+      * so shingles/signatures stay distinct across replicas — the corpus
+      * grows mult-x with the SAME local duplicate-structure density).
+      */
+    def buildDocsReplica(dir: java.io.File, mult: Int): Unit = {
       val d = spark.read.parquet(s"$base/documents.parquet")
-      val reps = (0 until 10).map { k =>
+      (0 until mult).map { k =>
         if (k == 0) d
         else d.select(
           (col("doc_id") + k * 10000000L).as("doc_id"),
           regexp_replace(col("text"), "(\\S+)", s"$$1$k").as("text"),
           col("lang"), col("source"), col("n_chars"))
-      }
-      reps.reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
         .repartition(32)
-        .write.mode("overwrite").parquet(s"$big/documents.parquet")
-      println(s"built 10x replica at $big")
+        .write.mode("overwrite")
+        .parquet(new java.io.File(dir, "documents.parquet").toString)
+      println(s"built ${mult}x replica at $dir")
       // The build is a heavy write job whose heap/JIT aftermath inflates
       // the first probes by 3-5x (observed r15: d2 4.50 s contaminated vs
       // 0.94 s clean). Don't publish this run's table.
       println("WARNING: replica built THIS run — timings are contaminated" +
         " by the build job; re-run ScaleProbe for the publishable table")
     }
+    val big = graft.queries.Tables.scratch("sf1_documents")
+    val bigDir = new java.io.File(big)
+    if (!new java.io.File(bigDir, "documents.parquet").exists())
+      buildDocsReplica(bigDir, 10)
+    val big30 = graft.queries.Tables.scratch("sf3_documents")
+    val big30Dir = new java.io.File(big30)
+    if (deep && !new java.io.File(big30Dir, "documents.parquet").exists())
+      buildDocsReplica(big30Dir, 30)
     // Events replica: 10x LONGER per-key history (each replica shifts
     // ~370 days, so every user's one-month series becomes ~10 months
     // spread over ~10 YEARS) — the long-history regime the chunked
@@ -61,7 +80,7 @@ object ScaleProbe {
       println("WARNING: replica built THIS run — timings are contaminated" +
         " by the build job; re-run ScaleProbe for the publishable table")
     }
-    val names = if (args.nonEmpty) args.toSeq
+    val names = if (qArgs.nonEmpty) qArgs
       else Seq("d2_minhash_lsh", "d8_dup_clusters", "d19_keep_longest",
         "c1_clean_corpus", "c2_cut_spans", "c4_cut_long_spans",
         "t13_bpe_train", "t13b_bpe_batched", "t14_bpe_stream",
@@ -91,19 +110,34 @@ object ScaleProbe {
         // d22's by-construction-quadratic viral corpus ~linear — the
         // pair set collapses to distinct texts before enumeration.
         "d33_guarded_dedup")
-    for (name <- names; (label, dir) <- Seq("sf0.1" -> base, "sf1" -> big)) {
+    val scales = Seq("sf0.1" -> base, "sf1" -> big) ++
+      (if (deep) Seq("sf3" -> big30) else Nil)
+    for (name <- names; (label, dir) <- scales) {
       val fn = SparkEntry.queries(name)
       // one warmup (codegen/JIT), then min of two timed passes
       try {
         fn(spark, dir).write.format("noop").mode("overwrite").save()
-        val ts = (1 to 2).map { _ =>
+        def onePass(): Double = {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           fn(spark, dir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
+        val two = (1 to 2).map(_ => onePass())
+        // STORM GUARD (VERDICT r16 item 5): two passes diverging > 3x
+        // means at least one was eaten by an environment storm (GC wave,
+        // page-cache eviction, a neighbor's write job) — and min-of-two
+        // can't shed a storm that ate BOTH passes. Retry once after a GC
+        // and record the retry in the table row, so a published number
+        // is never a lone contaminated reading (r16's d19/d8 needed a
+        // manual scoped re-probe for exactly this).
+        val stormy = two.max / two.min > 3.0
+        val ts = if (stormy) { System.gc(); two :+ onePass() } else two
         spark.catalog.clearCache()
-        println(f"$name%-22s $label%-6s ${ts.min}%8.2f s")
+        val note = if (stormy)
+          ts.map(t => f"$t%.2f").mkString("  [storm retry: ", ", ", "]")
+        else ""
+        println(f"$name%-22s $label%-6s ${ts.min}%8.2f s$note")
       } catch {
         case e: Throwable =>
           println(s"$name $label FAILED: ${e.getMessage}")
