@@ -83,6 +83,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "v25_semantic_decontam" -> 1, // bounded broadcast EVAL set (benchmarks
                                // are thousands of rows; the corpus side
                                // streams once, argmax map-side-combined)
+    "v26_ivf_decontam" -> 3,   // one-row trained codebook on the eval
+                               // probe side + the auto-train count attach
+                               // + v25's bounded eval broadcast in the
+                               // exact (recall-reference) leg; the store
+                               // search itself is the keyed DPP-pruned
+                               // cell join, and the build side's codebook
+                               // attach runs inside the write job
     "v4_ivf_topk" -> 2,        // broadcast centroid table, probe + assign
     "v11_ann_recall" -> 3,     // v1's bounded query set + v4's centroid
                                // table on both assignment sides
