@@ -767,6 +767,97 @@ object Similarity {
       "adist")
   }
 
+  /** v27: DELETE leg of the persisted IVF-PQ index lifecycle — the
+    * vector-store counterpart of the lexical store's right-to-be-forgotten
+    * path (b8) and compaction (b7), and the missing third verb of the
+    * e13(write)/v17(read) pair. FAISS semantics: `remove_ids` never
+    * retrains the coarse quantizer, so the model is fit ONCE on the
+    * standing corpus (auto-sampled) and pinned; build writes the standing
+    * slice `partitionBy(cell)`, a second writer pass APPENDS the delta
+    * through the same pinned codebook (incremental ingest, no retrain),
+    * then the delete:
+    *
+    *   1. the deleted ids' CELLS are computed from the store itself (≤ k
+    *      rows collected — the inverted-list directory names, never data);
+    *   2. ONLY those cell partitions are rewritten: survivors stage to a
+    *      scratch path hash-partitioned by cell (one task → one file per
+    *      cell, so the delete rewrite doubles as compaction of every
+    *      partition it touches), then the affected directories swap in
+    *      O(affected cells) driver renames;
+    *   3. untouched cells keep their physical files byte-for-byte — at
+    *      100 TB a delete of one tenant's vectors costs the affected
+    *      inverted lists, not an index rebuild.
+    *
+    * Search is v17's probe path over the post-delete store (DPP skips
+    * unprobed directories). Gate: the result must hash-equal the oracle's
+    * standing-trained chain searched over the SURVIVING corpus — one
+    * resurrected posting, a stale file, or a dropped survivor flips it.
+    */
+  def ivfPqStoreDelete(vecs: DataFrame, storePath: String,
+      stagePath: String, k: Int, iters: Int, m: Int, nprobe: Int,
+      nQueries: Int, standingMin: Long, delFrom: Long,
+      delTo: Long): DataFrame = {
+    require(delFrom >= nQueries, "query ids must survive the delete")
+    val spark = vecs.sparkSession
+    val v = prepV(vecs)
+    val cbF = cbFrameOf(fitAuto(v.filter(col("vec_id") >= standingMin),
+      k, iters))
+    def encoded(src: DataFrame): DataFrame =
+      src.crossJoin(broadcast(cbF))
+        .withColumn("tbl1", graft.functions.PqExprs.distTableColumn(
+          col("dv"), col("cb"), 1))
+        .select(col("vec_id").as("c_id"),
+          (array_position(col("tbl1"), array_min(col("tbl1"))) - 1)
+            .cast("int").as("cell"),
+          graft.functions.PqExprs.encodeColumn(col("dv"), col("cb"), m)
+            .getField("codes").as("codes"))
+    encoded(v.filter(col("vec_id") >= standingMin))
+      .write.mode("overwrite").partitionBy("cell").parquet(storePath)
+    encoded(v.filter(col("vec_id") < standingMin))
+      .write.mode("append").partitionBy("cell").parquet(storePath)
+    val isDel = col("c_id") >= delFrom && col("c_id") < delTo
+    val preDelete = spark.read.parquet(storePath)
+    val delCells = preDelete.filter(isDel).select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    // Stage the affected cells' survivors, one file per cell (the cell is
+    // the hash-partition key, so each lands in exactly one task).
+    preDelete
+      .filter(col("cell").isin(delCells.map(Integer.valueOf): _*) && !isDel)
+      .repartition(math.max(delCells.length, 1), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(stagePath)
+    for (c <- delCells) {
+      val live = new java.io.File(storePath, s"cell=$c")
+      val staged = new java.io.File(stagePath, s"cell=$c")
+      graft.ops.Bucketing.clearDir(live)
+      // A cell whose every member was deleted stages no directory at all;
+      // the empty inverted list is simply gone from the index.
+      if (staged.exists()) {
+        require(staged.renameTo(live),
+          s"failed to swap staged partition for cell=$c")
+      }
+    }
+    val store = spark.read.parquet(storePath)
+    require(store.filter(isDel).isEmpty,
+      s"deleted ids [$delFrom,$delTo) survived the partition rewrite")
+    val qs = v.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cbF))
+      .withColumn("tbl", graft.functions.PqExprs.distTableColumn(
+        col("dv"), col("cb"), m))
+      .select(col("vec_id").as("q_id"), col("tbl"),
+        posexplode(graft.functions.PqExprs.distTableColumn(
+          col("dv"), col("cb"), 1)).as(Seq("cell", "cd2")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cd2"), col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("tbl"), col("cell"))
+    top1By(
+      qs.join(store, "cell")
+        .filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          adcSum(col("tbl"), col("codes"), m).as("adist")),
+      "adist")
+  }
+
   /** RESIDUAL-encoded IVF-PQ ADC pairs — the full FAISS IVFADC shape
     * (Jégou et al. 2011 §IV): PQ codes quantize r = v − centroid(cell)
     * instead of v, against a SECOND Lloyd-trained codebook fit on the

@@ -645,6 +645,58 @@ object Split {
           .as("win_offset"),
         col("_t").as("len"))
 
+  /** o28: PACKED TOKEN-WINDOW EXPORT — the materialized leg of the
+    * packing family: o26 reports the windows, o27 manifests the segment
+    * assignment, o28 WRITES the windows themselves — one row per context
+    * window carrying the ordered `ctxLen`-slot token-id array (hashed
+    * vocabulary: pmod(polyhash(token), vocab), the t12 feature-hashing
+    * contract), which is the artifact a trainer's dataloader memory-maps.
+    * The export is written to `outDir` and read BACK, and every returned
+    * gate column (n_tokens, sum_tid, the space-joined id string) is
+    * derived from the ON-DISK array — the o12 discipline: the oracle
+    * verifies the artifact, never the pre-write plan.
+    *
+    * Scale shape: the SAME one-cumsum segment pass as o26/o27, plus one
+    * keyed join of the token stream against its own doc's ≤ ⌈n/ctxLen⌉+1
+    * segments (doc_id is the join and shuffle key), then one keyed rollup
+    * on the window id whose per-group state is bounded by ctxLen slots.
+    * No window function over the corpus, no driver materialization; the
+    * writer fan-out is the natural task parallelism.
+    */
+  def packTokens(docs: DataFrame, textCol: String, idCol: String,
+      ctxLen: Int, vocab: Int, outDir: String): DataFrame = {
+    val seg = packedSegments(docs, textCol, idCol, ctxLen)
+      .select(col("bin_id"), col(idCol),
+        (greatest(col("_s"), col("bin_id") * ctxLen) - col("_s"))
+          .as("_doff"),
+        (greatest(col("_s"), col("bin_id") * ctxLen) - col("bin_id") * ctxLen)
+          .as("_woff"),
+        col("_t"))
+    val tok = docs.select(col(idCol),
+        posexplode(graft.ops.TextOps.tokens(col(textCol)))
+          .as(Seq("_pos", "_w")))
+      .withColumn("_tid",
+        pmod(graft.functions.Hashing.polyHash(col("_w")), lit(vocab)))
+    seg.join(tok, Seq(idCol))
+      .filter(col("_pos") >= col("_doff") &&
+        col("_pos") < col("_doff") + col("_t"))
+      .select(col("bin_id"),
+        (col("_woff") + col("_pos") - col("_doff")).as("_widx"),
+        col("_tid"))
+      .groupBy("bin_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("_widx"), col("_tid")))),
+        x => x.getField("_tid").cast("int")).as("tokens"))
+      .write.mode("overwrite").parquet(outDir)
+    docs.sparkSession.read.parquet(outDir)
+      .select(col("bin_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        aggregate(col("tokens"), lit(0L), (a, x) => a + x.cast("long"))
+          .as("sum_tid"),
+        array_join(transform(col("tokens"), _.cast("string")), " ")
+          .as("tok_str"))
+  }
+
   /** Shared segment pass of [[packSequences]]/[[packManifest]]: per
     * (document, context window) overlap row. ONE [[globalCumSum]] gives
     * every document its token interval [_s, cum) in the doc-id-ordered

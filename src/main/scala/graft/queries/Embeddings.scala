@@ -353,7 +353,25 @@ object Embeddings {
         t(s, dir, "embeddings").filter(col("vec_id") >= EvalSplit),
         t(s, dir, "embeddings").filter(col("vec_id") < EvalSplit),
         storePath = Tables.scratch("graft_v26_store_" + Tables.dirTag(dir)),
-        k = KmeansK, iters = KmeansIters, nprobe = IvfNprobe))
+        k = KmeansK, iters = KmeansIters, nprobe = IvfNprobe)),
+
+    // INDEX DELETE + COMPACTION — the verb the e13(write)/v17(read) pair
+    // lacked, the vector-store counterpart of b8's right-to-be-forgotten
+    // and b7's compaction: standing build, pinned-model delta append,
+    // then ids [DelFrom, DelTo) are deleted by rewriting ONLY the cell
+    // partitions that hold them (survivors staged one-file-per-cell, so
+    // the delete doubles as compaction of every partition it touches;
+    // untouched inverted lists keep their files byte-for-byte). Gate: the
+    // v17 probe search over the post-delete store must hash-equal the
+    // standing-trained search over the surviving corpus — a resurrected
+    // vector, a dropped survivor, or a stale global anything flips it.
+    "v27_ann_store_delete" -> ((s, dir) =>
+      Similarity.ivfPqStoreDelete(t(s, dir, "embeddings"),
+        storePath = Tables.scratch("graft_v27_store_" + Tables.dirTag(dir)),
+        stagePath = Tables.scratch("graft_v27_stage_" + Tables.dirTag(dir)),
+        k = KmeansK, iters = KmeansIters, m = PqM, nprobe = IvfNprobe,
+        nQueries = NQueries, standingMin = StandingMin,
+        delFrom = DelFrom, delTo = DelTo))
   )
 
   val KmeansK = 8
@@ -369,6 +387,8 @@ object Embeddings {
   val Shortlist = 5
   val RecallAt = 10
   val StandingMin = 100L // e13: standing corpus = vec_id >= 100, delta below
+  val DelFrom = 20L // v27: delete ids [20, 40) — inside the appended delta,
+  val DelTo = 40L //       disjoint from the query batch (vec_id < 20)
   val EvalSplit = 50L // v25: eval set = vec_id < 50, training corpus above
   val NprobeSweep = Seq(1, 2, 4, 8) // v16: probe widths (8 = every cell)
 
@@ -588,6 +608,60 @@ object Embeddings {
        |      row_number() OVER (PARTITION BY v.vec_id
        |                         ORDER BY $kmD2, c.cl) AS crk
        |    FROM v CROSS JOIN c$iters c
+       |    WHERE v.vec_id < $nQueries)
+       |  WHERE crk <= $nprobe),
+       |pairs AS (
+       |  SELECT qc.q_id, f.vec_id AS c_id,
+       |    round(list_sum(list(q.d2 ORDER BY q.s)), 6) AS adist
+       |  FROM qc JOIN fin f USING (cl)
+       |  JOIN codes c ON c.vec_id = f.vec_id
+       |  JOIN qd q ON q.q_id = qc.q_id AND q.cell = c.code AND q.s = c.s
+       |  WHERE f.vec_id <> qc.q_id
+       |  GROUP BY qc.q_id, f.vec_id)
+       |SELECT q_id, c_id AS nn_id, adist FROM (
+       |  SELECT q_id, c_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rk
+       |  FROM pairs)
+       |WHERE rk = 1""".stripMargin
+  }
+
+  /** v27 oracle: the [[ivfPqOracle]] search re-expressed over the
+    * POST-DELETE index — the Lloyd chain trained (auto-sampled) on the
+    * STANDING slice only (the pinned model delete never retrains),
+    * membership and codes over the LIVE corpus `vl` (everything outside
+    * the deleted id range), the same nprobe ranking and ADC arithmetic.
+    */
+  private def ivfPqDeleteOracle(k: Int, iters: Int, m: Int, nprobe: Int,
+      nQueries: Int, standingMin: Long, delFrom: Long,
+      delTo: Long): String = {
+    val sub = 64 / m
+    s"""WITH $vSrc,
+       |vl AS (SELECT vec_id, dv FROM v
+       |       WHERE vec_id < $delFrom OR vec_id >= $delTo),
+       |vs AS (SELECT vec_id, dv FROM v WHERE vec_id >= $standingMin),
+       |${autoTrainCte("vtr", "vs")},
+       |${kmeansChain(k, iters, "vtr", "", assignSrc = "vl")},
+       |cent2 AS (SELECT cl AS cell, c AS cv FROM c$iters),
+       |subs AS (SELECT unnest(range($m)) AS s),
+       |pd2 AS (
+       |  SELECT v.vec_id, c.cell, s.s,
+       |    round(list_dot_product(v.dv[s.s*$sub+1:(s.s+1)*$sub], v.dv[s.s*$sub+1:(s.s+1)*$sub])
+       |        + list_dot_product(c.cv[s.s*$sub+1:(s.s+1)*$sub], c.cv[s.s*$sub+1:(s.s+1)*$sub])
+       |        - 2 * list_dot_product(v.dv[s.s*$sub+1:(s.s+1)*$sub], c.cv[s.s*$sub+1:(s.s+1)*$sub]), 6) AS d2
+       |  FROM vl v CROSS JOIN cent2 c CROSS JOIN subs s),
+       |codes AS (
+       |  SELECT vec_id, s, cell AS code FROM (
+       |    SELECT vec_id, s, cell,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cell) AS rk
+       |    FROM pd2)
+       |  WHERE rk = 1),
+       |qd AS (SELECT vec_id AS q_id, cell, s, d2 FROM pd2 WHERE vec_id < $nQueries),
+       |qc AS (
+       |  SELECT vec_id AS q_id, cl FROM (
+       |    SELECT v.vec_id, c.cl,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |                         ORDER BY $kmD2, c.cl) AS crk
+       |    FROM vl v CROSS JOIN c$iters c
        |    WHERE v.vec_id < $nQueries)
        |  WHERE crk <= $nprobe),
        |pairs AS (
@@ -982,6 +1056,11 @@ object Embeddings {
     // v17 = v13 through the persisted partition-pruned index: same oracle.
     "v17_ivf_store_search" ->
       ivfPqOracle(KmeansK, KmeansIters, PqM, IvfNprobe, NQueries),
+    // v27: the v17 search over the post-delete index — standing-trained
+    // chain, membership/codes restricted to the surviving corpus.
+    "v27_ann_store_delete" ->
+      ivfPqDeleteOracle(KmeansK, KmeansIters, PqM, IvfNprobe, NQueries,
+        StandingMin, DelFrom, DelTo),
     // v18 = v12's probe with the same-label predicate applied to the
     // member side before scoring (queries with no match drop out).
     "v18_filtered_ann" ->

@@ -640,6 +640,18 @@ object TextDedup {
       graft.ops.Split.packManifest(docs(s, dir), textCol = "text",
         idCol = "doc_id", ctxLen = 512)),
 
+    // PACKED TOKEN-WINDOW EXPORT — the materialized end of the packing
+    // family: o27 says where each segment goes; o28 WRITES the windows —
+    // one 512-slot hashed-token-id array per window (the t12 feature-hash
+    // vocabulary), exported to parquet and read BACK, every gate column
+    // derived from the on-disk array (the o12 discipline). The gate
+    // hashes each window's full ordered id string: one token misplaced,
+    // mishashed, or crossing the wrong boundary flips that window's row.
+    "o28_pack_tokens" -> ((s, dir) =>
+      graft.ops.Split.packTokens(docs(s, dir), textCol = "text",
+        idCol = "doc_id", ctxLen = 512, vocab = 32768,
+        outDir = Tables.scratch("graft_o28_" + Tables.dirTag(dir)))),
+
     // TEMPERATURE-SMOOTHED DOMAIN MIX (α = 0.5, the XLM/mT5 exponential
     // smoothing): per-source quotas ∝ √n_d to a 40% budget via capped
     // WATER-FILLING (the UniMax-style allocation — a tail whose √-boosted
@@ -2667,6 +2679,33 @@ object TextDedup {
          |  CAST(least(e, (bin + 1) * 512) - greatest(s, bin * 512) AS BIGINT)
          |    AS len
          |FROM bx""".stripMargin,
+    // o28: the o27 segment arithmetic joined against the positional
+    // token stream (same polyhash-mod-vocab ids as t12), each window's
+    // ids concatenated in window-index order.
+    "o28_pack_tokens" ->
+      s"""WITH $toksSrc,
+         |n AS (SELECT doc_id, len(ws) AS nt FROM toks),
+         |c AS (SELECT doc_id, nt,
+         |        CAST(sum(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM n),
+         |iv AS (SELECT doc_id, cum - nt AS s, cum AS e FROM c WHERE nt > 0),
+         |bx AS (SELECT doc_id, s, e,
+         |        unnest(range(s // 512, (e - 1) // 512 + 1)) AS bin FROM iv),
+         |sg AS (SELECT bin, doc_id,
+         |        greatest(s, bin * 512) - s AS doff,
+         |        greatest(s, bin * 512) - bin * 512 AS woff,
+         |        least(e, (bin + 1) * 512) - greatest(s, bin * 512) AS len
+         |       FROM bx),
+         |tk AS (SELECT t.doc_id, t.i - 1 AS pos,
+         |        ${graft.functions.Hashing.polyHashSql("t.ws[t.i]")} % 32768 AS tid
+         |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+         |             FROM toks) t),
+         |wt AS (SELECT sg.bin, sg.woff + tk.pos - sg.doff AS widx, tk.tid
+         |       FROM sg JOIN tk ON tk.doc_id = sg.doc_id
+         |        AND tk.pos >= sg.doff AND tk.pos < sg.doff + sg.len)
+         |SELECT CAST(bin AS BIGINT) AS bin_id, count(*) AS n_tokens,
+         |  CAST(sum(tid) AS BIGINT) AS sum_tid,
+         |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY widx) AS tok_str
+         |FROM wt GROUP BY bin""".stripMargin,
     "o14_length_batching" ->
       """WITH num AS (
         |  SELECT doc_id, n_chars,

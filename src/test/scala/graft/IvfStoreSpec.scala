@@ -31,6 +31,45 @@ class IvfStoreSpec extends AnyFunSuite {
     assert(got == mem)
   }
 
+  test("ivfPqStoreDelete purges the range and keeps the v17 search semantics") {
+    // No-op delete (empty range) + standingMin 0: the lifecycle path must
+    // collapse to exactly ivfPqStoreSearch — same model, same store, same
+    // probe — pinning that the delete plumbing alone never moves a result.
+    val storeA = java.nio.file.Files
+      .createTempDirectory("graft-v27-noop").toString
+    val stageA = java.nio.file.Files
+      .createTempDirectory("graft-v27-noop-stage").toString
+    val noop = Similarity.ivfPqStoreDelete(vecs, storeA, stageA, k = 4,
+      iters = 2, m = 2, nprobe = 2, nQueries = 5, standingMin = 0L,
+      delFrom = 30L, delTo = 30L).as[(Long, Long, Double)].collect().toSet
+    val plainStore = java.nio.file.Files
+      .createTempDirectory("graft-v27-plain").toString
+    val plain = Similarity.ivfPqStoreSearch(vecs, plainStore, k = 4,
+      iters = 2, m = 2, nprobe = 2, nQueries = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(noop == plain, s"no-op delete moved the search: $noop vs $plain")
+    // Real delete: ids [10, 20) must vanish from the store and from every
+    // answer; the survivors' count is exact; the probe still DPP-prunes.
+    val storeB = java.nio.file.Files
+      .createTempDirectory("graft-v27-del").toString
+    val stageB = java.nio.file.Files
+      .createTempDirectory("graft-v27-del-stage").toString
+    val res = Similarity.ivfPqStoreDelete(vecs, storeB, stageB, k = 4,
+      iters = 2, m = 2, nprobe = 4, nQueries = 5, standingMin = 30L,
+      delFrom = 10L, delTo = 20L)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"post-delete store scan is not dynamic-partition-pruned:\n$plan")
+    val rows = res.as[(Long, Long, Double)].collect()
+    assert(rows.length == 5)
+    assert(rows.forall { case (_, nn, _) => nn < 10L || nn >= 20L },
+      s"a deleted id resurfaced as a neighbor: ${rows.mkString(",")}")
+    val disk = spark.read.parquet(storeB)
+    assert(disk.filter($"c_id" >= 10L && $"c_id" < 20L).isEmpty,
+      "deleted ids survived on disk")
+    assert(disk.count() == 50L, "survivor count off after the rewrite")
+  }
+
   test("ivfDecontamRecall: probing every cell recovers the exact audit (recall 1.0)") {
     // With nprobe = k the indexed search is exhaustive, so the recall
     // gate MUST read 1.0 — the self-consistency anchor for v26 (a

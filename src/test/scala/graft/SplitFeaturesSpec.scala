@@ -204,4 +204,31 @@ class SplitFeaturesSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(rolled == o26, s"manifest rollup $rolled != o26 report $o26")
   }
+
+  test("packTokens windows concatenate back to the hashed token stream") {
+    // Same 3/4/2 stream, ctxLen 4, vocab 64: three windows of 4/4/1
+    // hashed ids whose in-order concatenation must be EXACTLY the
+    // doc-id-ordered token stream through the same pmod(polyhash) — one
+    // token misplaced, dropped, or double-emitted breaks the identity.
+    val docsDf = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-o28").toString
+    val w = Split.packTokens(docsDf, "text", "doc_id", ctxLen = 4,
+      vocab = 64, outDir = out)
+      .orderBy("bin_id").as[(Long, Long, Long, String)].collect()
+    assert(w.map(_._2).toSeq == Seq(4L, 4L, 1L), s"window sizes: ${w.toSeq}")
+    val ids = docsDf.orderBy("doc_id")
+      .select(posexplode(graft.ops.TextOps.tokens($"text"))
+        .as(Seq("p", "tok")))
+      .select(pmod(graft.functions.Hashing.polyHash($"tok"), lit(64))
+        .cast("int"))
+      .as[Int].collect()
+    assert(w.map(_._4).mkString(" ") == ids.mkString(" "),
+      "window concatenation diverged from the token stream")
+    assert(w.map(_._3).sum == ids.map(_.toLong).sum, "sum_tid off")
+    // The gate columns are derived from the on-disk artifact.
+    val disk = spark.read.parquet(out)
+    assert(disk.columns.toSet == Set("bin_id", "tokens"))
+    assert(disk.count() == 3L)
+  }
 }
