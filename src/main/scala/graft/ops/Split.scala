@@ -636,8 +636,8 @@ object Split {
     * map side, ~⌈n/ctxLen⌉+1 rows per document, all-integer arithmetic.
     */
   def packManifest(docs: DataFrame, textCol: String, idCol: String,
-      ctxLen: Int): DataFrame =
-    packedSegments(docs, textCol, idCol, ctxLen)
+      ctxLen: Int, offset: Long = 0L): DataFrame =
+    packedSegments(docs, textCol, idCol, ctxLen, offset)
       .select(col("bin_id"), col(idCol),
         (greatest(col("_s"), col("bin_id") * ctxLen) - col("_s"))
           .as("doc_offset"),
@@ -705,18 +705,22 @@ object Split {
     * length. All-integer interval math — bit-reproducible in any engine.
     */
   private def packedSegments(docs: DataFrame, textCol: String,
-      idCol: String, ctxLen: Int): DataFrame = {
+      idCol: String, ctxLen: Int, offset: Long = 0L): DataFrame = {
     require(ctxLen > 0, "packSequences needs ctxLen > 0")
     val withTok = docs.select(col(idCol),
       size(graft.ops.TextOps.tokens(col(textCol))).cast("long").as("_nt"))
+    // `offset` shifts the whole batch's token intervals: a stream that has
+    // already packed `offset` tokens continues mid-window exactly where it
+    // stopped (e20's per-micro-batch carry); batch callers leave it at 0.
     globalCumSum(withTok, "_nt", idCol, idCol)
       .filter(col("_nt") > 0)
-      .withColumn("_s", col("cum") - col("_nt"))
+      .withColumn("_e", col("cum") + lit(offset))
+      .withColumn("_s", col("_e") - col("_nt"))
       .withColumn("bin_id",
         explode(sequence(expr(s"_s div $ctxLen"),
-          expr(s"(cum - 1) div $ctxLen"))))
+          expr(s"(_e - 1) div $ctxLen"))))
       .withColumn("_t",
-        least(col("cum"), (col("bin_id") + 1) * ctxLen)
+        least(col("_e"), (col("bin_id") + 1) * ctxLen)
           - greatest(col("_s"), col("bin_id") * ctxLen))
   }
 }

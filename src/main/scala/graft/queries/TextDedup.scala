@@ -1090,6 +1090,73 @@ object TextDedup {
         .select("doc_id", "n_tokens", "n_kept", "n_cuts")
     }),
 
+    // STREAMING SEQUENCE PACKING — o26's concat-and-chunk contract under
+    // CONTINUOUS ingest: each micro-batch emits its o27 segment manifest
+    // shifted by the CARRY (the token offset the stream has packed to so
+    // far — one scalar of cross-batch state), so a context window left
+    // partial at a batch boundary is CONTINUED by the next batch's first
+    // segments, never padded or restarted. Manifests land bucketed by
+    // window id through the e12 exactly-once ledger (final batch replayed
+    // — must be a no-op; a double-append would double every boundary
+    // window's segments), and the report is a zero-exchange rollup of the
+    // bucketed store. Gate: the rollup must hash-equal BATCH o26 over the
+    // whole corpus — the stream and the batch engine must agree on every
+    // window to the token.
+    "e20_stream_pack" -> ((s, dir) => {
+      val cur = "graft_pack_e20_" + Tables.dirTag(dir)
+      val curLoc = Tables.scratch(cur + "_db")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $cur LOCATION '$curLoc'")
+      graft.ops.Bucketing.reset(s, s"$cur.seg_bkt",
+        new java.io.File(curLoc, "seg_bkt"))
+      graft.ops.Bucketing.writeBucketed(
+        graft.ops.Split.packManifest(docs(s, dir).limit(0), "text",
+          "doc_id", 512),
+        s"$cur.seg_bkt", nBuckets = 8, keys = Seq("bin_id"))
+      val ledger = new java.io.File(Tables.scratch(cur + "_ledger"))
+      Option(ledger.listFiles()).foreach(_.foreach(_.delete()))
+      var carry = 0L
+      var nextBatch = 0L
+      def phase(name: String, lo: Long, hi: Long): Unit = {
+        val part = s.readStream
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        graft.streaming.StreamingWindows.runForeachBatch(part, name) {
+          (batch, _) =>
+            val m = graft.engine.Caches.persisted(
+              graft.ops.Split.packManifest(batch, "text", "doc_id", 512,
+                carry))
+            graft.ops.Bucketing.appendBucketedExactlyOnce(m,
+              s"$cur.seg_bkt", nBuckets = 8, keys = Seq("bin_id"),
+              ledgerDir = ledger, batchId = nextBatch)
+            carry += m.agg(coalesce(sum("len"), lit(0L))).head().getLong(0)
+            nextBatch += 1
+            ()
+        }
+      }
+      phase("e20a", 0L, 250L)
+      phase("e20b", 250L, Long.MaxValue)
+      require(nextBatch >= 2,
+        "expected at least one micro-batch per phase " +
+          "(pathGlobFilter matched no files?)")
+      // Redeliver the final micro-batch under its committed ledger id:
+      // the append must be suppressed (a deliberately WRONG offset rides
+      // the replay, so a ledger failure corrupts a window and flips the
+      // hash instead of passing silently).
+      val replayed = graft.ops.Bucketing.appendBucketedExactlyOnce(
+        graft.ops.Split.packManifest(
+          docs(s, dir).filter(col("doc_id") >= 250L), "text", "doc_id",
+          512),
+        s"$cur.seg_bkt", nBuckets = 8, keys = Seq("bin_id"),
+        ledgerDir = ledger, batchId = nextBatch - 1)
+      require(!replayed, "ledger failed to suppress a replayed micro-batch")
+      s.catalog.refreshTable(s"$cur.seg_bkt")
+      s.table(s"$cur.seg_bkt")
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    }),
+
     // SKEW-HARDENED dedup — the LSH chain under a deliberately viral span:
     // 30% of the corpus is REPLACED by one shared boilerplate block, so
     // those docs' signatures agree in every band and each band's hot
@@ -1431,6 +1498,26 @@ object TextDedup {
 
   private def toksSrcFrom(src: String): String =
     s"toks AS (SELECT doc_id, $wsSql AS ws FROM $src)"
+
+  /** The o26 packing report — whitespace token counts, one running sum in
+    * doc-id order, integer window intervals. Shared verbatim by the batch
+    * (o26) and streaming (e20) legs: both must produce this exact table.
+    */
+  private lazy val packReportSql =
+    s"""WITH $toksSrc,
+       |n AS (SELECT doc_id, len(ws) AS nt FROM toks),
+       |c AS (SELECT doc_id, nt,
+       |        CAST(sum(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM n),
+       |iv AS (SELECT doc_id, cum - nt AS s, cum AS e FROM c WHERE nt > 0),
+       |bx AS (SELECT doc_id, s, e,
+       |        unnest(range(s // 512, (e - 1) // 512 + 1)) AS bin FROM iv),
+       |ov AS (SELECT bin, doc_id,
+       |        least(e, (bin + 1) * 512) - greatest(s, bin * 512) AS t
+       |       FROM bx)
+       |SELECT CAST(bin AS BIGINT) AS bin_id, count(*) AS n_docs,
+       |  CAST(sum(t) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM ov GROUP BY bin""".stripMargin
 
   private val toksSrc = toksSrcFrom("documents")
 
@@ -2648,21 +2735,10 @@ object TextDedup {
          |GROUP BY doc_id HAVING count(*) >= 3""".stripMargin,
     // o26: the identical packing arithmetic — whitespace token counts,
     // one running sum in doc-id order, integer window intervals.
-    "o26_sequence_pack" ->
-      s"""WITH $toksSrc,
-         |n AS (SELECT doc_id, len(ws) AS nt FROM toks),
-         |c AS (SELECT doc_id, nt,
-         |        CAST(sum(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM n),
-         |iv AS (SELECT doc_id, cum - nt AS s, cum AS e FROM c WHERE nt > 0),
-         |bx AS (SELECT doc_id, s, e,
-         |        unnest(range(s // 512, (e - 1) // 512 + 1)) AS bin FROM iv),
-         |ov AS (SELECT bin, doc_id,
-         |        least(e, (bin + 1) * 512) - greatest(s, bin * 512) AS t
-         |       FROM bx)
-         |SELECT CAST(bin AS BIGINT) AS bin_id, count(*) AS n_docs,
-         |  CAST(sum(t) AS BIGINT) AS n_tokens,
-         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM ov GROUP BY bin""".stripMargin,
+    "o26_sequence_pack" -> packReportSql,
+    // e20: the stream must converge to EXACTLY the batch packing — same
+    // oracle; any carry drift or double-appended boundary window diverges.
+    "e20_stream_pack" -> packReportSql,
     // o27: the same packing interval arithmetic emitted per SEGMENT —
     // the o26 CTEs minus the rollup, plus the two offset projections.
     "o27_pack_manifest" ->

@@ -205,6 +205,27 @@ class SplitFeaturesSpec extends AnyFunSuite {
     assert(rolled == o26, s"manifest rollup $rolled != o26 report $o26")
   }
 
+  test("packManifest composes across batch boundaries via the carry offset") {
+    // Split the 3/4/2 stream mid-window: batch 1 = doc 1, batch 2 = docs
+    // 2-3 continuing at the carry (batch 1's token total). The union of
+    // the two manifests must equal the whole-corpus manifest exactly —
+    // the identity e20's streaming leg rests on.
+    val docsDf = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i")).toDF("doc_id", "text")
+    val whole = Split.packManifest(docsDf, "text", "doc_id", 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val m1 = Split.packManifest(docsDf.filter($"doc_id" <= 1L), "text",
+      "doc_id", 4)
+    val carry = m1.agg(sum("len")).head().getLong(0)
+    assert(carry == 3L)
+    val m2 = Split.packManifest(docsDf.filter($"doc_id" >= 2L), "text",
+      "doc_id", 4, offset = carry)
+    val stitched = (m1.as[(Long, Long, Long, Long, Long)].collect() ++
+      m2.as[(Long, Long, Long, Long, Long)].collect()).toSet
+    assert(stitched == whole,
+      s"stitched $stitched != whole-corpus manifest $whole")
+  }
+
   test("packTokens windows concatenate back to the hashed token stream") {
     // Same 3/4/2 stream, ctxLen 4, vocab 64: three windows of 4/4/1
     // hashed ids whose in-order concatenation must be EXACTLY the
