@@ -109,7 +109,11 @@ object ScaleProbe {
         // round-17 (VERDICT r16 item 4): the exact-dedup guard must turn
         // d22's by-construction-quadratic viral corpus ~linear — the
         // pair set collapses to distinct texts before enumeration.
-        "d33_guarded_dedup")
+        "d33_guarded_dedup",
+        // round-17 second wave: the packing family's manifest, token
+        // export, and streaming legs — all one-cumsum shapes that must
+        // track the token stream linearly.
+        "o27_pack_manifest", "o28_pack_tokens", "e20_stream_pack")
     val scales = Seq("sf0.1" -> base, "sf1" -> big) ++
       (if (deep) Seq("sf3" -> big30) else Nil)
     for (name <- names; (label, dir) <- scales) {

@@ -684,17 +684,21 @@ object Split {
         (col("_woff") + col("_pos") - col("_doff")).as("_widx"),
         col("_tid"))
       .groupBy("bin_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("_widx"), col("_tid")))),
-        x => x.getField("_tid").cast("int")).as("tokens"))
+      // No per-element lambda anywhere on this corpus-scale path: the
+      // ordered id array comes out of the sorted struct list via the
+      // native array-of-struct field extractor + cast, and the checksum
+      // is a plain codegen'd sum — the whole chain stays in whole-stage
+      // codegen (PlanAuditSpec gates this).
+      .agg(
+        array_sort(collect_list(struct(col("_widx"), col("_tid"))))
+          .getField("_tid").cast("array<int>").as("tokens"),
+        sum("_tid").as("sum_tid"))
       .write.mode("overwrite").parquet(outDir)
     docs.sparkSession.read.parquet(outDir)
       .select(col("bin_id"),
         size(col("tokens")).cast("long").as("n_tokens"),
-        aggregate(col("tokens"), lit(0L), (a, x) => a + x.cast("long"))
-          .as("sum_tid"),
-        array_join(transform(col("tokens"), _.cast("string")), " ")
-          .as("tok_str"))
+        col("sum_tid"),
+        array_join(col("tokens").cast("array<string>"), " ").as("tok_str"))
   }
 
   /** Shared segment pass of [[packSequences]]/[[packManifest]]: per

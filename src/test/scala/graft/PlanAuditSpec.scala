@@ -117,6 +117,13 @@ class PlanAuditSpec extends AnyFunSuite {
                                // (write side) + query-table side; the
                                // search itself is a keyed partition-
                                // pruned join on cell
+    "v27_ann_store_delete" -> 2, // the v17 pattern over the post-delete
+                               // store: one-row codebook on the query-
+                               // table side + the one-row auto-train
+                               // count gate; the search is the keyed
+                               // DPP-pruned cell join, and the build /
+                               // append / delete-rewrite attaches ran
+                               // inside their write jobs
     "v16_recall_nprobe" -> 12, // one-row codebook (invert + query sides) ×
                                // the per-nprobe union branches + the
                                // bounded 20-query exact ground-truth scan

@@ -249,7 +249,7 @@ class SplitFeaturesSpec extends AnyFunSuite {
     assert(w.map(_._3).sum == ids.map(_.toLong).sum, "sum_tid off")
     // The gate columns are derived from the on-disk artifact.
     val disk = spark.read.parquet(out)
-    assert(disk.columns.toSet == Set("bin_id", "tokens"))
+    assert(disk.columns.toSet == Set("bin_id", "tokens", "sum_tid"))
     assert(disk.count() == 3L)
   }
 }
