@@ -1117,9 +1117,17 @@ object TextDedup {
       var carry = 0L
       var nextBatch = 0L
       def phase(name: String, lo: Long, hi: Long): Unit = {
-        val part = s.readStream
+        // The documents table is a single FILE in the driver testdata but
+        // a DIRECTORY of part files in the ScaleProbe replicas. A file
+        // stream needs dir + pathGlobFilter (a bare file path fails
+        // "basePath must be a directory"); a directory streams directly
+        // (the glob would match leaf names and see no part file).
+        val tbl = new java.io.File(dir, "documents.parquet")
+        val reader = s.readStream
           .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val part = (if (tbl.isDirectory) reader.parquet(tbl.toString)
+          else reader.option("pathGlobFilter", "documents.parquet")
+            .parquet(dir))
           .filter(col("doc_id") >= lo && col("doc_id") < hi)
         graft.streaming.StreamingWindows.runForeachBatch(part, name) {
           (batch, _) =>
