@@ -80,6 +80,28 @@ object ScaleProbe {
       println("WARNING: replica built THIS run — timings are contaminated" +
         " by the build job; re-run ScaleProbe for the publishable table")
     }
+    // Embeddings replica: 10x CORPUS VECTORS with the eval/query/standing
+    // id bands fixed (replica k offsets vec_id by k*10^7 and shifts every
+    // component by k/1000, so vectors stay distinct but keep the cluster
+    // geometry). The v-family constants (eval < 50, queries < 20,
+    // standing >= 100) make the bounded sides stay bounded while the
+    // corpus side grows — the decontam-audit and store-lifecycle scale
+    // shape the 100-TB claim rests on.
+    if (!new java.io.File(bigDir, "embeddings.parquet").exists()) {
+      val v = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until 10).map { k =>
+        if (k == 0) v
+        else v.select((col("vec_id") + k * 10000000L).as("vec_id"),
+          expr(s"transform(embedding, x -> cast(x + ${k * 0.001} as float))")
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+      println(s"built 10x embeddings replica at $big")
+      println("WARNING: replica built THIS run — timings are contaminated" +
+        " by the build job; re-run ScaleProbe for the publishable table")
+    }
     val names = if (qArgs.nonEmpty) qArgs
       else Seq("d2_minhash_lsh", "d8_dup_clusters", "d19_keep_longest",
         "c1_clean_corpus", "c2_cut_spans", "c4_cut_long_spans",
@@ -113,7 +135,12 @@ object ScaleProbe {
         // round-17 second wave: the packing family's manifest, token
         // export, and streaming legs — all one-cumsum shapes that must
         // track the token stream linearly.
-        "o27_pack_manifest", "o28_pack_tokens", "e20_stream_pack")
+        "o27_pack_manifest", "o28_pack_tokens", "e20_stream_pack",
+        // round-17 third wave: the v-family's first direct scale
+        // evidence (embeddings replica) — the exact-vs-indexed decontam
+        // audits, the persisted-index build+search, and the delete leg.
+        "v25_semantic_decontam", "v26_ivf_decontam",
+        "v27_ann_store_delete", "v13_ivf_pq", "v17_ivf_store_search")
     val scales = Seq("sf0.1" -> base, "sf1" -> big) ++
       (if (deep) Seq("sf3" -> big30) else Nil)
     for (name <- names; (label, dir) <- scales) {
