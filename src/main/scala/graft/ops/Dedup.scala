@@ -814,6 +814,45 @@ object Dedup {
         lower(col("text")), n)).as("h"))
       .distinct()
 
+  /** d34: EVAL-SIDE DIRTINESS REPORT (the GPT-3 appendix-C dirty/clean
+    * split metric, Brown et al. 2020): per EVAL document, how many of its
+    * k-gram windows occur anywhere in the training corpus, the integer
+    * coverage fraction, and the dirty flag. d32 answers the TRAINING-side
+    * question (which corpus docs carry eval text — for removal); this
+    * answers the eval-side one (which benchmark items are compromised —
+    * for reporting results on the clean split).
+    *
+    * Scale shape: the corpus shingle stream is LEFT-SEMI-pruned by the
+    * bounded eval fingerprint set (broadcast — benchmarks are small by
+    * construction) BEFORE the distinct, so everything downstream is
+    * bounded by eval fingerprint mass, never corpus mass — d32's
+    * discipline. One corpus pass, one bounded keyed join, one
+    * eval-bounded rollup.
+    */
+  def evalDirtiness(evalDocs: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val evOcc = evalDocs.select(col("doc_id").as("eval_id"),
+        posexplode(graft.functions.PolyShinglesExpr.column(
+          lower(col("text")), k)).as(Seq("pos", "h")))
+      .persistTracked()
+    val trHits = corpus.select(explode(graft.functions.PolyShinglesExpr
+        .column(lower(col("text")), k)).as("h"))
+      .join(broadcast(evOcc.select("h").distinct()), Seq("h"), "left_semi")
+      .distinct()
+    val dirty = evOcc.join(trHits, Seq("h"), "left_semi")
+      .groupBy("eval_id").agg(count(lit(1)).as("n_dirty"))
+    evalDocs.select(col("doc_id").as("eval_id"),
+        size(graft.functions.PolyShinglesExpr.column(lower(col("text")), k))
+          .cast("long").as("n_windows"))
+      .join(dirty, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("n_dirty"))
+      .select(col("eval_id"), col("n_windows"), col("n_dirty"),
+        when(col("n_windows") > 0,
+          expr("n_dirty * 1000000 div n_windows")).otherwise(lit(0L))
+          .as("dirtiness_e6"),
+        (col("n_dirty") > 0).as("is_dirty"))
+  }
+
   /** [[cutEvalSpans]] against an ALREADY-EXTRACTED fingerprint set — the
     * per-batch kernel of streaming decontamination (e19): one shingle
     * pass over the batch, the keyed join against the standing

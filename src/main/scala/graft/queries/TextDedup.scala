@@ -800,6 +800,19 @@ object TextDedup {
         docs(s, dir).filter(col("doc_id") < LdsEvalSplit),
         k = LdsK, minLen = LdsMinLen, maxAnchorFreq = LdsMaxFreq)),
 
+    // EVAL-SIDE DIRTINESS — the GPT-3 appendix-C dirty/clean split
+    // metric: per eval document, how many of its 3-gram windows occur
+    // anywhere in the training corpus, the integer coverage fraction,
+    // and the dirty flag. d32 says which TRAINING docs to clean; this
+    // says which BENCHMARK items are compromised — the row an eval
+    // harness reads to publish results on the clean split. Gate: the
+    // window counts, the per-position hit counting, the floor-division
+    // fraction, and the flag.
+    "d34_eval_dirtiness" -> ((s, dir) =>
+      Dedup.evalDirtiness(
+        docs(s, dir).filter(col("doc_id") < LdsEvalSplit),
+        docs(s, dir).filter(col("doc_id") >= LdsEvalSplit), k = 3)),
+
     // exact-verify stage of the dedup funnel: Levenshtein on normalized
     // text over the LSH candidate pairs only (quadratic cost bounded by
     // the recall stage, never corpus-wide).
@@ -2741,6 +2754,31 @@ object TextDedup {
          |SELECT doc_id, count(*) AS n_shared
          |FROM tr JOIN ev USING (h)
          |GROUP BY doc_id HAVING count(*) >= 3""".stripMargin,
+    // d34: per-position 3-gram hashes (the sh CTE with the position kept),
+    // eval positions counted against the DISTINCT training hash set, the
+    // same floor-division fraction and flag as the engine.
+    "d34_eval_dirtiness" ->
+      s"""WITH $toksSrc,
+         |shp AS (
+         |  SELECT doc_id, i AS pos,
+         |    ${Hashing.polyHashSql("ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]")} AS h
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(range(1, greatest(len(ws) - 1, 1))) AS i
+         |        FROM toks)),
+         |ev AS (SELECT doc_id AS eval_id, pos, h FROM shp WHERE doc_id < 50),
+         |tr AS (SELECT DISTINCT h FROM shp WHERE doc_id >= 50),
+         |d AS (SELECT eval_id, count(*) AS n_dirty
+         |      FROM ev JOIN tr USING (h) GROUP BY eval_id),
+         |w AS (SELECT doc_id AS eval_id,
+         |        CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_windows
+         |      FROM toks WHERE doc_id < 50)
+         |SELECT w.eval_id, w.n_windows,
+         |  CAST(coalesce(d.n_dirty, 0) AS BIGINT) AS n_dirty,
+         |  CAST(CASE WHEN w.n_windows > 0
+         |    THEN coalesce(d.n_dirty, 0) * 1000000 // w.n_windows
+         |    ELSE 0 END AS BIGINT) AS dirtiness_e6,
+         |  coalesce(d.n_dirty, 0) > 0 AS is_dirty
+         |FROM w LEFT JOIN d USING (eval_id)""".stripMargin,
     // o26: the identical packing arithmetic — whitespace token counts,
     // one running sum in doc-id order, integer window intervals.
     "o26_sequence_pack" -> packReportSql,

@@ -599,4 +599,27 @@ class DedupTextSpec extends AnyFunSuite {
         s"viral rep must carry copies=10: $p")
     }
   }
+
+  test("evalDirtiness counts contaminated windows per eval item") {
+    // Eval doc 1 "a b c d" has 3-gram windows {"a b c", "b c d"}; the
+    // corpus contains "a b c" but not "b c d" → 1 of 2 dirty (500000
+    // e6). Eval doc 2 is shorter than a window → 0 windows, clean by
+    // definition. Eval doc 3 shares nothing → clean. A REPEATED dirty
+    // window in an eval doc counts once per POSITION (doc 4: "a b c a
+    // b c" has windows at 4 positions, 2 of them the dirty "a b c"...
+    // plus "b c a" and "c a b", both absent → 2 of 4 dirty).
+    val eval = Seq(
+      (1L, "a b c d"), (2L, "q r"), (3L, "u v w"),
+      (4L, "a b c a b c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "x y a b c z"),
+      (11L, "completely unrelated training content here")).toDF("doc_id", "text")
+    val got = Dedup.evalDirtiness(eval, corpus, k = 3)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 1L, 500000L, true),
+      (2L, 0L, 0L, 0L, false),
+      (3L, 1L, 0L, 0L, false),
+      (4L, 4L, 2L, 500000L, true)), s"got $got")
+  }
 }
