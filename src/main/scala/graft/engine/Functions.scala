@@ -26,6 +26,11 @@ object Functions {
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_int8_codes",
+      exprs => graft.functions.Int8CodesExpr(exprs.head),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rep_stats",
       exprs => RepetitionStatsExpr(exprs.head),
       "built-in"

@@ -83,3 +83,57 @@ object Int8QuantizeExpr {
 
   def column(v: Column): Column = call_function("graft_int8_quantize", v)
 }
+
+/** `graft_int8_codes(v)`: the int8 code VECTOR itself — q_i =
+  * ⌊x_i·127/max|x| + 0.5⌋ as `array<int>`, NULL when max|x| ≤ 0. The
+  * storage form SQ8 search ranks on (v28); [[Int8QuantizeExpr]] is the
+  * summary twin. Same single codegen'd call per row: no posexplode, no
+  * per-element lambda, stays inside the scan's whole-stage-codegen span.
+  */
+case class Int8CodesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == ArrayType(DoubleType, true) ||
+        child.dataType == ArrayType(DoubleType, false))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_int8_codes requires array<double>, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(IntegerType, false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_int8_codes"
+
+  override def nullSafeEval(v: Any): Any =
+    Int8CodesExpr.codes(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Int8CodesExpr.codes($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Int8CodesExpr =
+    copy(child = c)
+}
+
+object Int8CodesExpr {
+  def codes(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > amax) amax = a
+      i += 1
+    }
+    if (amax <= 0) return null
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(v.getDouble(i) * 127.0 / amax + 0.5).toInt
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  def column(v: Column): Column = call_function("graft_int8_codes", v)
+}

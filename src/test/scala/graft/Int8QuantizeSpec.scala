@@ -71,4 +71,56 @@ class Int8QuantizeSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Double)].collect().toSet
     assert(native === ref)
   }
+
+  test("Int8CodesExpr emits the code vector the summary twin norms") {
+    // Same hand case as the summary test: codes must be the vector whose
+    // self-dot is the summary's qnorm2, and the all-zero vector stays
+    // null in both.
+    val df = Seq((1L, Seq(1.0, -2.0, 0.5, 0.0)), (2L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val got = df.select($"vec_id",
+        graft.functions.Int8CodesExpr.column($"v").as("qc"))
+      .filter($"qc".isNotNull)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got == Map(1L -> Seq(64, -127, 32, 0)))
+    // interpreted path agrees with codegen
+    val interp = graft.functions.Int8CodesExpr.codes(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(1.0, -2.0, 0.5, 0.0)))
+    assert(interp.toIntArray().toSeq == Seq(64, -127, 32, 0))
+  }
+
+  test("sq8Search re-ranks the quantized shortlist to the exact neighbor") {
+    // Clustered fixture: each vec_id's vector points along direction
+    // (id % 4); the exact nearest neighbor of query q is another member
+    // of its own cluster. The quantized estimate must shortlist it and
+    // the exact re-rank must return it with the true rounded distance.
+    val vecs = (0L until 40L).map { i =>
+      val d = (i % 4).toInt
+      (i, Array.tabulate(8)(j =>
+        (if (j == d * 2) 10f + (i / 4).toFloat / 10f else 0.1f * j)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.sq8Search(vecs, nQueries = 4, shortlist = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 4)
+    got.foreach { case (q, nn, d2) =>
+      assert(nn % 4 == q % 4, s"query $q matched cross-cluster $nn")
+      assert(nn != q && d2 >= 0.0)
+    }
+    // Brute-force exact top-1 must agree: the shortlist is deep enough
+    // that re-ranking recovers the true neighbor on this geometry.
+    val v = vecs.select($"vec_id", $"embedding".cast("array<double>").as("dv"))
+    val exact = v.as("a").crossJoin(v.as("b"))
+      .filter($"a.vec_id" < 4 && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("q_id"), $"b.vec_id".as("c_id"),
+        round(expr("graft_dot(a.dv, a.dv) + graft_dot(b.dv, b.dv)" +
+          " - 2 * graft_dot(a.dv, b.dv)"), 6).as("d2"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy($"d2", $"c_id")))
+      .filter($"rk" === 1)
+      .select($"q_id", $"c_id", $"d2")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.toSet == exact, s"sq8 ${got.toSet} != exact $exact")
+  }
 }

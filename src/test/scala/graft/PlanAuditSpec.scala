@@ -117,6 +117,10 @@ class PlanAuditSpec extends AnyFunSuite {
                                // (write side) + query-table side; the
                                // search itself is a keyed partition-
                                // pruned join on cell
+    "v28_sq8_search" -> 1,     // the bounded query-codes broadcast (the
+                               // v9 ADC-scan pattern: query side bounded
+                               // by construction); the re-rank joins are
+                               // keyed on q_id/c_id
     "v27_ann_store_delete" -> 2, // the v17 pattern over the post-delete
                                // store: one-row codebook on the query-
                                // table side + the one-row auto-train
