@@ -141,7 +141,7 @@ object ScaleProbe {
         // audits, the persisted-index build+search, and the delete leg.
         "v25_semantic_decontam", "v26_ivf_decontam",
         "v27_ann_store_delete", "v13_ivf_pq", "v17_ivf_store_search",
-        "d34_eval_dirtiness", "v28_sq8_search")
+        "d34_eval_dirtiness", "v28_sq8_search", "d35_containment")
     val scales = Seq("sf0.1" -> base, "sf1" -> big) ++
       (if (deep) Seq("sf3" -> big30) else Nil)
     for (name <- names; (label, dir) <- scales) {

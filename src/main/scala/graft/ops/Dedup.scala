@@ -1053,14 +1053,74 @@ object Dedup {
     * The hash frame is persisted — it feeds the signature pipeline, both
     * intersection sides, and the per-doc counts.
     */
-  def ngramJaccard(docs: DataFrame, minBands: Int = 2): DataFrame = {
+  def ngramJaccard(docs: DataFrame, minBands: Int = 2): DataFrame =
+    verifiedOverlap(docs, minBands)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+
+  /** d35: CONTAINMENT scoring — the asymmetric complement of d5's
+    * Jaccard (Broder 1997's containment c(A,B) = |A∩B|/|A|): a short
+    * excerpt quoted inside a long document scores near-zero Jaccard (the
+    * union is dominated by the long side) but containment ≈ 1 on the
+    * short side — the quote/boilerplate/excerpt duplication symmetric
+    * measures cannot see. Candidates deliberately do NOT come from the
+    * MinHash-LSH generator (whose collision probability tracks Jaccard —
+    * it would miss exactly the low-J/high-c pairs this operator exists
+    * for): any pair sharing ONE verbatim `winN`-token window is a
+    * candidate, with window hashes above `maxWindowFreq` docs dropped
+    * (the d31 hub discipline — viral boilerplate would otherwise build a
+    * quadratic bucket). Emits both containment directions, the Jaccard
+    * for reference, and the classification — `near_dup` (high Jaccard),
+    * `containment` (one side mostly inside the other), `overlap` — with
+    * every threshold compared on the 6-dp ROUNDED values so the class is
+    * bit-stable cross-engine.
+    *
+    * Scale shape: one distinct-window pass, a frequency-capped keyed
+    * self-join on the window hash (pairs bounded by cap² per window),
+    * then d5's verify tail on the candidate slice only.
+    */
+  def ngramContainment(docs: DataFrame, winN: Int = 10,
+      maxWindowFreq: Int = 64): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+        explode(graft.functions.PolyShinglesExpr.column(
+          lower(col("text")), winN)).as("h"))
+      .distinct().persistTracked()
+    val capped = occ.join(
+      occ.groupBy("h").agg(count(lit(1)).as("wf"))
+        .filter(col("wf") <= maxWindowFreq).select("h"), "h")
+    val cand = capped.as("a").join(capped.as("b"), "h")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifiedOverlapOf(docs, cand)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") / col("n_a"), 6).as("cont_a"),
+        round(col("n_inter").cast("double") / col("n_b"), 6).as("cont_b"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+      .withColumn("relation",
+        when(col("jaccard") >= 0.8, "near_dup")
+          .when(greatest(col("cont_a"), col("cont_b")) >= 0.8, "containment")
+          .otherwise("overlap"))
+  }
+
+  /** Shared verify core of d5/d35: exact shingle-set overlap counted per
+    * candidate pair, both set sizes attached. Returns (doc_a, doc_b,
+    * n_inter, n_a, n_b).
+    */
+  private def verifiedOverlap(docs: DataFrame, minBands: Int): DataFrame = {
     // Standard two-stage dedup prunes before the (shingle-level) verify
     // join: only candidates colliding in >= minBands bands are worth exact
     // verification — single-band collisions are overwhelmingly false
     // positives at the 4x4 banding operating point.
     val cand = candidatePairs(lshBuckets(minhashSignatures(shingleHashes(docs))))
       .filter(col("n_bands") >= minBands).select("doc_a", "doc_b")
-      .persistTracked()
+    verifiedOverlapOf(docs, cand)
+  }
+
+  private def verifiedOverlapOf(docs: DataFrame, cand0: DataFrame): DataFrame = {
+    val cand = cand0.persistTracked()
     // Verify only against the shingles of docs that survived candidate
     // generation (a semi-join): persisting the FULL corpus shingle frame
     // costs more than one recompute at bench scale, and at 100 TB caching
@@ -1082,9 +1142,6 @@ object Dedup {
     inter
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
   }
 
   /** o18: NEAR-DUP-SAFE SPLIT — train/test assignment where every

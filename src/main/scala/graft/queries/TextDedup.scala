@@ -434,6 +434,14 @@ object TextDedup {
     // exact n-gram Jaccard verification of LSH candidates.
     "d5_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
 
+    // CONTAINMENT scoring (Broder's asymmetric c(A,B) = |A∩B|/|A|) over
+    // the same verified candidate pairs as d5 — the quote/excerpt/
+    // boilerplate duplication a symmetric Jaccard cannot see (a short
+    // doc quoted inside a long one unions away). Both directions, the
+    // Jaccard for reference, and the near_dup/containment/overlap class,
+    // every threshold compared on the rounded values.
+    "d35_containment" -> ((s, dir) => Dedup.ngramContainment(docs(s, dir))),
+
     // LSH OPERATING-POINT CALIBRATION (the band/row tuning report every
     // LSH deployment runs before committing a threshold): on a BOUNDED
     // sub-corpus (doc_id < 200 — the d10 bounded-gate discipline, where
@@ -3020,6 +3028,47 @@ object TextDedup {
          |FROM inter i
          |  JOIN counts ca ON ca.doc_id = i.doc_a
          |  JOIN counts cb ON cb.doc_id = i.doc_b""".stripMargin,
+    // d35: window-shared candidates (frequency-capped 10-token window
+    // hashes — NOT the Jaccard-biased LSH generator), then d5's verify
+    // chain with both containment directions and the rounded-threshold
+    // classification.
+    "d35_containment" ->
+      s"""WITH $toksSrc, $shSrc, $hashedSrc,
+         |sh10 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
+         |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         |           ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
+         |           ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
+         |           ws[i + 9])) AS shingle
+         |  FROM toks),
+         |h10 AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh10),
+         |okw AS (SELECT h FROM h10 GROUP BY h
+         |        HAVING count(*) >= 2 AND count(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM h10 a JOIN okw USING (h) JOIN h10 b USING (h)
+         |  WHERE a.doc_id < b.doc_id),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand c
+         |    JOIN hashed a ON a.doc_id = c.doc_a
+         |    JOIN hashed b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / ca.n_sh, 6) AS cont_a,
+         |    round(CAST(n_inter AS DOUBLE) / cb.n_sh, 6) AS cont_b,
+         |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+         |  FROM inter i
+         |    JOIN counts ca ON ca.doc_id = i.doc_a
+         |    JOIN counts cb ON cb.doc_id = i.doc_b)
+         |SELECT doc_a, doc_b, cont_a, cont_b, jaccard,
+         |  CASE WHEN jaccard >= 0.8 THEN 'near_dup'
+         |       WHEN greatest(cont_a, cont_b) >= 0.8 THEN 'containment'
+         |       ELSE 'overlap' END AS relation
+         |FROM m""".stripMargin,
     "d25_lsh_calibration" ->
       s"""WITH $boundedTruthCtes,
          |candj AS (SELECT c.doc_a, c.doc_b, coalesce(t.j_e6, 0) AS j_e6

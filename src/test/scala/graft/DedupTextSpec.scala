@@ -600,6 +600,35 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramContainment sees the excerpt a symmetric Jaccard cannot") {
+    // Doc 2 is a verbatim EXCERPT of the long doc 1 (its first half), so
+    // every doc-2 shingle is inside doc 1: cont on the short side = 1.0
+    // while the Jaccard is well under the near-dup bar. Docs 10/11 are
+    // genuine near-identical twins (one token differs) → near_dup. The
+    // classification must come out of the rounded thresholds.
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val excerpt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docsDf = Seq(
+      (1L, long1), (2L, excerpt),
+      (10L, "one two three four five six seven eight nine ten eleven"),
+      (11L, "one two three four five six seven eight nine ten twelve"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramContainment(docsDf)
+      .as[(Long, Long, Double, Double, Double, String)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    got.get((1L, 2L)).foreach { case (_, _, ca, cb, j, rel) =>
+      assert(cb == 1.0, s"excerpt must be fully contained: $cb")
+      assert(j < 0.8 && rel == "containment", s"got j=$j rel=$rel")
+    }
+    assert(got.contains((1L, 2L)) || got.contains((2L, 1L)),
+      s"excerpt pair must survive LSH candidacy: ${got.keys}")
+    got.get((10L, 11L)).foreach { case (_, _, _, _, j, rel) =>
+      assert(j >= 0.8 && rel == "near_dup", s"twins: j=$j rel=$rel")
+    }
+    assert(got.contains((10L, 11L)), s"twin pair missing: ${got.keys}")
+  }
+
   test("evalDirtiness counts contaminated windows per eval item") {
     // Eval doc 1 "a b c d" has 3-gram windows {"a b c", "b c d"}; the
     // corpus contains "a b c" but not "b c d" → 1 of 2 dirty (500000
