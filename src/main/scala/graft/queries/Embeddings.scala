@@ -253,9 +253,8 @@ object Embeddings {
         s"$db.cells", nBuckets = 4, keys = Seq("cell"))
       val ledger = new java.io.File(Tables.scratch(db + "_ledger"))
       Option(ledger.listFiles()).foreach(_.foreach(_.delete()))
-      val delta = s.readStream
-        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val delta = Tables.streamT(s, dir, "embeddings",
+          "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
         .filter(col("vec_id") < StandingMin)
       val seenBatches = scala.collection.mutable.ArrayBuffer.empty[Long]
       def append(batch: DataFrame, id: Long): Boolean =
@@ -268,7 +267,7 @@ object Embeddings {
       // nonEmpty guard: a glob matching no files yields zero micro-batches;
       // fail with the data-layout cause, not .last's NoSuchElementException.
       require(seenBatches.nonEmpty, "stream produced no micro-batches " +
-        "(pathGlobFilter matched no files?)")
+        "(stream source matched no files?)")
       val replayed = append(
         all.filter(col("vec_id") < StandingMin), seenBatches.last)
       require(!replayed, "ledger failed to suppress a replayed micro-batch")

@@ -24,12 +24,9 @@ object Events {
   private def rawEventStream(s: SparkSession, dir: String): DataFrame = {
     Session.prepare(s)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    Tables.normalizeTs(
-      s.readStream
-        .schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet") // stream source needs a dir
-        .parquet(dir))
+    // Layout-aware (file vs replica directory) stream; schema probed from
+    // the batch footer, then the same ts canonicalization as Tables.events.
+    Tables.normalizeTs(Tables.streamT(s, dir, "events"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -361,7 +358,7 @@ object Events {
       phase("e15a", stream.filter(to_date(col("ts")) <= lit(mid)))
       phase("e15b", stream.filter(to_date(col("ts")) > lit(mid)))
       require(rows != null, "stream produced no micro-batches " +
-        "(pathGlobFilter matched no files?)")
+        "(stream source matched no files?)")
       rows.select("user_id", "d", "v_e6", "ewma_e6")
     }),
 

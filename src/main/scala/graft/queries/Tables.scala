@@ -43,6 +43,28 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Layout-aware STREAMING reader for `<name>.parquet`. The driver
+    * testdata ships each table as a single FILE — a bare file path fails
+    * Spark's "basePath must be a directory", so those stream as the data
+    * dir plus a leaf-name glob. The ScaleProbe replicas are DIRECTORIES
+    * of part files — there the leaf-name glob matches no part file and
+    * the stream silently produces zero micro-batches (the bug that made
+    * e10's 10× probe time only its store build), so directories stream
+    * by their path directly. `schema` null ⇒ probe the batch reader's.
+    */
+  def streamT(spark: SparkSession, dir: String, name: String,
+      schema: String = null): DataFrame = {
+    Session.prepare(spark)
+    val tbl = new java.io.File(dir, s"$name.parquet")
+    val r = Option(schema) match {
+      case Some(s) => spark.readStream.schema(s)
+      case None => spark.readStream
+        .schema(spark.read.parquet(tbl.toString).schema)
+    }
+    if (tbl.isDirectory) r.parquet(tbl.toString)
+    else r.option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
+
   /** events.parquet's physical ts type has varied across testdata
     * generations: TIMESTAMP(NANOS) (which Spark only reads as a raw LONG
     * under nanosAsLong), native timestamp[us] without UTC adjustment

@@ -865,9 +865,8 @@ object TextDedup {
     "e9_stream_incremental" -> ((s, dir) => {
       val store = buildSigStore(s, dir, "graft_sigstore_e9_" + Tables.dirTag(dir))
       graft.streaming.StreamingWindows.withStatePartitions(s, 4) {
-        val delta = s.readStream
-          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val delta = Tables.streamT(s, dir, "documents",
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
           .filter(col("doc_id") < 50)
           .select(col("doc_id").as("doc_new"),
             posexplode(Dedup.lshBandsPerRow(col("text")))
@@ -917,9 +916,8 @@ object TextDedup {
     "e11_stream_append" -> ((s, dir) => {
       val db = "graft_sigstore_e11_" + Tables.dirTag(dir)
       buildSigStore(s, dir, db)
-      val delta = s.readStream
-        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val delta = Tables.streamT(s, dir, "documents",
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
         .filter(col("doc_id") < 50)
       graft.streaming.StreamingWindows.runForeachBatch(delta, "e11") {
         (batch, _) =>
@@ -958,9 +956,8 @@ object TextDedup {
       // resets the store each time — the ledger must reset with it or the
       // second invocation's batch 0 would be wrongly skipped.
       Option(ledger.listFiles()).foreach(_.foreach(_.delete()))
-      val delta = s.readStream
-        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val delta = Tables.streamT(s, dir, "documents",
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
         .filter(col("doc_id") < 50)
       val seenBatches = scala.collection.mutable.ArrayBuffer.empty[Long]
       def append(batch: DataFrame, id: Long): Boolean =
@@ -977,7 +974,7 @@ object TextDedup {
       // produces ZERO micro-batches — surface that as a named data-layout
       // error, not an opaque NoSuchElementException.)
       require(seenBatches.nonEmpty, "stream produced no micro-batches " +
-        "(pathGlobFilter matched no files?)")
+        "(stream source matched no files?)")
       val replayed = append(
         docs(s, dir).filter(col("doc_id") < 50), seenBatches.last)
       require(!replayed, "ledger failed to suppress a replayed micro-batch")
@@ -1039,15 +1036,14 @@ object TextDedup {
         graft.ops.Bucketing.appendBucketedExactlyOnce(curate(b),
           s"$cur.docs_bkt", nBuckets = 8, keys = Seq("doc_id"),
           ledgerDir = ledger, batchId = id)
-      val delta = s.readStream
-        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val delta = Tables.streamT(s, dir, "documents",
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
         .filter(col("doc_id") < 50)
       graft.streaming.StreamingWindows.runForeachBatch(delta, "e14") {
         (batch, id) => seen += id; append(batch, id); ()
       }
       require(seen.nonEmpty, "stream produced no micro-batches " +
-        "(pathGlobFilter matched no files?)")
+        "(stream source matched no files?)")
       val replayed = append(
         docs(s, dir).filter(col("doc_id") < 50), seen.last)
       require(!replayed, "ledger failed to suppress a replayed micro-batch")
@@ -1094,15 +1090,14 @@ object TextDedup {
         graft.ops.Bucketing.appendBucketedExactlyOnce(clean(b),
           s"$cur.clean_bkt", nBuckets = 8, keys = Seq("doc_id"),
           ledgerDir = ledger, batchId = id)
-      val delta = s.readStream
-        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val delta = Tables.streamT(s, dir, "documents",
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
         .filter(col("doc_id") >= LdsEvalSplit)
       graft.streaming.StreamingWindows.runForeachBatch(delta, "e19") {
         (batch, id) => seen += id; append(batch, id); ()
       }
       require(seen.nonEmpty, "stream produced no micro-batches " +
-        "(pathGlobFilter matched no files?)")
+        "(stream source matched no files?)")
       val replayed = append(
         docs(s, dir).filter(col("doc_id") >= LdsEvalSplit), seen.last)
       require(!replayed, "ledger failed to suppress a replayed micro-batch")
@@ -1138,17 +1133,8 @@ object TextDedup {
       var carry = 0L
       var nextBatch = 0L
       def phase(name: String, lo: Long, hi: Long): Unit = {
-        // The documents table is a single FILE in the driver testdata but
-        // a DIRECTORY of part files in the ScaleProbe replicas. A file
-        // stream needs dir + pathGlobFilter (a bare file path fails
-        // "basePath must be a directory"); a directory streams directly
-        // (the glob would match leaf names and see no part file).
-        val tbl = new java.io.File(dir, "documents.parquet")
-        val reader = s.readStream
-          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-        val part = (if (tbl.isDirectory) reader.parquet(tbl.toString)
-          else reader.option("pathGlobFilter", "documents.parquet")
-            .parquet(dir))
+        val part = Tables.streamT(s, dir, "documents",
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
           .filter(col("doc_id") >= lo && col("doc_id") < hi)
         graft.streaming.StreamingWindows.runForeachBatch(part, name) {
           (batch, _) =>
@@ -1167,7 +1153,7 @@ object TextDedup {
       phase("e20b", 250L, Long.MaxValue)
       require(nextBatch >= 2,
         "expected at least one micro-batch per phase " +
-          "(pathGlobFilter matched no files?)")
+          "(stream source matched no files?)")
       // Redeliver the final micro-batch under its committed ledger id:
       // the append must be suppressed (a deliberately WRONG offset rides
       // the replay, so a ledger failure corrupts a window and flips the
@@ -1259,9 +1245,8 @@ object TextDedup {
       buildSigStore(s, dir, db, minDocId = 200)
       def probe(lo: Long, hi: Long): DataFrame =
         graft.streaming.StreamingWindows.withStatePartitions(s, 4) {
-          val delta = s.readStream
-            .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          val delta = Tables.streamT(s, dir, "documents",
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
             .filter(col("doc_id") >= lo && col("doc_id") < hi)
             .select(col("doc_id").as("doc_new"),
               posexplode(Dedup.lshBandsPerRow(col("text")))
@@ -1305,9 +1290,8 @@ object TextDedup {
               batch.select("doc_id", "n_chars"), store)
             ()
         }
-      val stream = s.readStream
-        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val stream = Tables.streamT(s, dir, "documents",
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
       phase("e18a", stream.filter(pmod(col("doc_id"), lit(2)) === 0))
       phase("e18b", stream.filter(pmod(col("doc_id"), lit(2)) === 1))
       require(versions.nonEmpty, "stream produced no micro-batches")
@@ -1346,13 +1330,12 @@ object TextDedup {
             state = ns; floor = nf
             ()
         }
-      val stream = s.readStream
-        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val stream = Tables.streamT(s, dir, "documents",
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
       phase("e17a", stream.filter(pmod(col("doc_id"), lit(2)) === 0))
       phase("e17b", stream.filter(pmod(col("doc_id"), lit(2)) === 1))
       require(state != null, "stream produced no micro-batches " +
-        "(pathGlobFilter matched no files?)")
+        "(stream source matched no files?)")
       val exact = docs(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("true_cnt"))
