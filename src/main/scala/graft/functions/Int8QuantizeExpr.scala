@@ -62,6 +62,11 @@ object Int8QuantizeExpr {
     var amax = 0.0
     var i = 0
     while (i < n) {
+      // A null element poisons the whole vector (the oracle's semantics:
+      // NULL propagates through list_transform/list_max and the row drops
+      // at the amax filter) — without this check getDouble on a safe row
+      // NPEs and on an unsafe row silently reads 0.0 (ADVICE r17).
+      if (v.isNullAt(i)) return null
       val a = math.abs(v.getDouble(i))
       if (a > amax) amax = a
       i += 1
@@ -121,6 +126,9 @@ object Int8CodesExpr {
     var amax = 0.0
     var i = 0
     while (i < n) {
+      // Same null-element contract as [[Int8QuantizeExpr.quantize]]: a null
+      // slot yields a NULL result, matching the oracle's NULL propagation.
+      if (v.isNullAt(i)) return null
       val a = math.abs(v.getDouble(i))
       if (a > amax) amax = a
       i += 1

@@ -157,10 +157,65 @@ object Bucketing {
     clearDir(location)
   }
 
-  /** Recursively delete a directory (idempotent; missing dir is a no-op). */
-  def clearDir(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(clearDir)); f.delete(); ()
+  /** The Hadoop Configuration the store-commit primitives resolve their
+    * FileSystem from: the active/default session's `hadoopConfiguration`
+    * (which carries the cluster's fs.* bindings — HDFS namenode, S3A
+    * credentials), falling back to a vanilla Configuration when no session
+    * is up (spec setup paths).
+    */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Resolve the FileSystem owning `path` — the same `Path.getFileSystem`
+    * call Spark's own committers make, so `file://`, `hdfs://`, `s3a://`
+    * (etc.) paths all take the scheme's registered implementation.
+    */
+  def fsFor(path: String): (org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(hadoopConf), p)
   }
+
+  /** Recursively delete `path` through the Hadoop FileSystem API
+    * (idempotent; a missing path is a no-op) — the cluster-portable form
+    * of a local recursive delete: identical semantics on local/HDFS, and
+    * on object stores it degrades to the store's recursive delete.
+    */
+  def deletePath(path: String): Unit = {
+    val (fs, p) = fsFor(path)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** Atomically swap a staged directory into its live location: delete the
+    * live path, then rename staged → live through the owning FileSystem.
+    * `rename` is the metadata-only atomic commit on local/HDFS-class
+    * filesystems (the same primitive Spark's HadoopMapReduceCommitProtocol
+    * relies on). Honest S3 caveat: S3A emulates directory rename by
+    * copy+delete, so the swap loses atomicity there — on object-store
+    * deployments the staged-swap lifecycle belongs behind a transactional
+    * table format (Delta/Iceberg), whose manifest commit replaces this
+    * rename; the per-cell REWRITE plumbing above it is unchanged.
+    */
+  def swapPath(staged: String, live: String): Unit = {
+    val (fs, livePath) = fsFor(live)
+    val stagedPath = new org.apache.hadoop.fs.Path(staged)
+    fs.delete(livePath, true)
+    // A stage that produced nothing (every member deleted) simply leaves
+    // the live path absent.
+    if (fs.exists(stagedPath)) {
+      require(fs.rename(stagedPath, livePath),
+        s"failed to swap staged path $staged into $live")
+    }
+  }
+
+  /** Recursively delete a directory (idempotent; missing dir is a no-op).
+    * Routed through [[deletePath]] — java.io.File callers (scratch-dir
+    * hygiene) and cluster-path callers share one commit primitive.
+    */
+  def clearDir(f: java.io.File): Unit = deletePath(f.getAbsolutePath)
 
   /** Count the parquet data files under a table directory — the
     * observable the append-then-compact lifecycle moves: appends grow it

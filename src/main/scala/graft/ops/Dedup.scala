@@ -1081,7 +1081,22 @@ object Dedup {
     * then d5's verify tail on the candidate slice only.
     */
   def ngramContainment(docs: DataFrame, winN: Int = 10,
-      maxWindowFreq: Int = 64): DataFrame = {
+      maxWindowFreq: Int = 64): DataFrame =
+    containmentScored(docs, winN, maxWindowFreq)
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"),
+        col("jaccard"))
+      .withColumn("relation",
+        when(col("jaccard") >= 0.8, "near_dup")
+          .when(greatest(col("cont_a"), col("cont_b")) >= 0.8, "containment")
+          .otherwise("overlap"))
+
+  /** Shared scored frame of d35/c10: the frequency-capped window-shared
+    * candidates through d5's verify tail, with BOTH rounded containment
+    * directions, the Jaccard, and the exact shingle-set sizes (the c10
+    * shorter-side tie-break key).
+    */
+  private def containmentScored(docs: DataFrame, winN: Int,
+      maxWindowFreq: Int): DataFrame = {
     val occ = docs.select(col("doc_id"),
         explode(graft.functions.PolyShinglesExpr.column(
           lower(col("text")), winN)).as("h"))
@@ -1098,12 +1113,53 @@ object Dedup {
         round(col("n_inter").cast("double") / col("n_a"), 6).as("cont_a"),
         round(col("n_inter").cast("double") / col("n_b"), 6).as("cont_b"),
         round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
-      .withColumn("relation",
-        when(col("jaccard") >= 0.8, "near_dup")
-          .when(greatest(col("cont_a"), col("cont_b")) >= 0.8, "containment")
-          .otherwise("overlap"))
+          (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"),
+        col("n_a"), col("n_b"))
   }
+
+  /** c10: CONTAINMENT REMOVAL — the action d35's scan implies (the
+    * c-family discipline: every scan gets its removal — d32→c9, c1→c8).
+    * Policy, decided per CONTAINMENT pair (jaccard < 0.8 on the rounded
+    * value — near-dup pairs already belong to the c1 dedup chain — and
+    * max rounded containment ≥ `minCont`): the CONTAINED side is dropped —
+    * the side with the higher containment, which is by construction the
+    * shorter document (cont = n_inter / n_own; same n_inter, smaller set
+    * ⇒ larger cont); exact containment ties break to the smaller shingle
+    * set, then to the LARGER doc_id (the survivor is the smaller id, c8's
+    * keeper convention). One report row per dropped doc with c8's
+    * provenance contract: the deterministic keeper witness (min container
+    * id), how many containers matched, and the strongest containment in
+    * exact e6 integer space.
+    *
+    * A container that is itself contained elsewhere still appears as a
+    * keeper witness — drops are pairwise facts; the transitive sweep is
+    * the caller's policy (exactly like c8, where a keeper may itself fail
+    * the quality rule). Scale shape: d35's candidates (frequency-capped
+    * keyed self-join, cap² bound per window) + one keyed rollup over the
+    * drop slice — no new corpus-wide work.
+    */
+  def containmentDrops(docs: DataFrame, winN: Int = 10,
+      maxWindowFreq: Int = 64, minCont: Double = 0.8): DataFrame =
+    containmentScored(docs, winN, maxWindowFreq)
+      .filter(col("jaccard") < 0.8 &&
+        greatest(col("cont_a"), col("cont_b")) >= minCont)
+      .select(
+        when(col("cont_a") > col("cont_b"), col("doc_a"))
+          .when(col("cont_b") > col("cont_a"), col("doc_b"))
+          .when(col("n_a") < col("n_b"), col("doc_a"))
+          .when(col("n_b") < col("n_a"), col("doc_b"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"),
+        when(col("cont_a") > col("cont_b"), col("doc_b"))
+          .when(col("cont_b") > col("cont_a"), col("doc_a"))
+          .when(col("n_a") < col("n_b"), col("doc_b"))
+          .when(col("n_b") < col("n_a"), col("doc_a"))
+          .otherwise(least(col("doc_a"), col("doc_b"))).as("container"),
+        round(greatest(col("cont_a"), col("cont_b")) * 1e6, 0)
+          .cast("long").as("cont_e6"))
+      .groupBy("doc_id")
+      .agg(min("container").as("keeper_id"),
+        count(lit(1)).as("n_containers"),
+        max("cont_e6").as("max_cont_e6"))
 
   /** Shared verify core of d5/d35: exact shingle-set overlap counted per
     * candidate pair, both set sizes attached. Returns (doc_a, doc_b,

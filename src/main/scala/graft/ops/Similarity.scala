@@ -825,16 +825,16 @@ object Similarity {
       .filter(col("cell").isin(delCells.map(Integer.valueOf): _*) && !isDel)
       .repartition(math.max(delCells.length, 1), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(stagePath)
+    // Per-cell commit through the Hadoop FileSystem API (delete live,
+    // rename staged → live), resolved from the session's Hadoop conf — the
+    // same code path runs unchanged against file://, hdfs://, or any
+    // registered scheme; Bucketing.swapPath documents the S3 rename
+    // caveat. A cell whose every member was deleted stages no directory at
+    // all; the empty inverted list is simply gone from the index.
     for (c <- delCells) {
-      val live = new java.io.File(storePath, s"cell=$c")
-      val staged = new java.io.File(stagePath, s"cell=$c")
-      graft.ops.Bucketing.clearDir(live)
-      // A cell whose every member was deleted stages no directory at all;
-      // the empty inverted list is simply gone from the index.
-      if (staged.exists()) {
-        require(staged.renameTo(live),
-          s"failed to swap staged partition for cell=$c")
-      }
+      graft.ops.Bucketing.swapPath(
+        new java.io.File(stagePath, s"cell=$c").getAbsolutePath,
+        new java.io.File(storePath, s"cell=$c").getAbsolutePath)
     }
     val store = spark.read.parquet(storePath)
     require(store.filter(isDel).isEmpty,

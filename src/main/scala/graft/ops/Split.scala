@@ -665,6 +665,21 @@ object Split {
     */
   def packTokens(docs: DataFrame, textCol: String, idCol: String,
       ctxLen: Int, vocab: Int, outDir: String): DataFrame = {
+    packedWindows(docs, textCol, idCol, ctxLen, vocab)
+      .write.mode("overwrite").parquet(outDir)
+    docs.sparkSession.read.parquet(outDir)
+      .select(col("bin_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        col("sum_tid"),
+        array_join(col("tokens").cast("array<string>"), " ").as("tok_str"))
+  }
+
+  /** The computed packed-window frame o28/o29 write: one row per context
+    * window with the ordered ctxLen-slot hashed-token-id array and its
+    * integer checksum.
+    */
+  private def packedWindows(docs: DataFrame, textCol: String, idCol: String,
+      ctxLen: Int, vocab: Int): DataFrame = {
     val seg = packedSegments(docs, textCol, idCol, ctxLen)
       .select(col("bin_id"), col(idCol),
         (greatest(col("_s"), col("bin_id") * ctxLen) - col("_s"))
@@ -693,9 +708,38 @@ object Split {
         array_sort(collect_list(struct(col("_widx"), col("_tid"))))
           .getField("_tid").cast("array<int>").as("tokens"),
         sum("_tid").as("sum_tid"))
-      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** o29: the [[packTokens]] export in the SHARDED on-disk layout a
+    * distributed dataloader actually mounts — o12's discipline completed
+    * for the packing family: windows are written `partitionBy(shard)`
+    * with `shard = bin_id % nShards` (exact ±1 window balance AND each
+    * shard an interleaved sample of the window stream, so per-rank
+    * training order stays corpus-representative — the same property
+    * [[shardedExport]] gives row exports), bounded to one writer task
+    * per shard directory, and every returned gate column is derived from
+    * the READ-BACK files — including the shard partition column itself,
+    * recovered from the directory name, so a window landing in the wrong
+    * directory flips its row against the oracle's `bin_id % nShards`
+    * arithmetic (SplitFeaturesSpec additionally pins one file per shard
+    * directory).
+    *
+    * Scale shape: [[packTokens]]'s one-cumsum segment pass + keyed
+    * window rollup, then ONE repartition to nShards writer tasks (each
+    * writes exactly one directory's file). nShards tracks the training
+    * world size, not the corpus — the repartition is the last, bounded
+    * exchange of the pipeline.
+    */
+  def packTokensSharded(docs: DataFrame, textCol: String, idCol: String,
+      ctxLen: Int, vocab: Int, nShards: Int, outDir: String): DataFrame = {
+    require(nShards > 0, "packTokensSharded needs nShards > 0")
+    packedWindows(docs, textCol, idCol, ctxLen, vocab)
+      .withColumn("shard",
+        pmod(col("bin_id"), lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
     docs.sparkSession.read.parquet(outDir)
-      .select(col("bin_id"),
+      .select(col("bin_id"), col("shard").cast("int").as("shard"),
         size(col("tokens")).cast("long").as("n_tokens"),
         col("sum_tid"),
         array_join(col("tokens").cast("array<string>"), " ").as("tok_str"))

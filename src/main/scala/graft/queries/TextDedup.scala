@@ -442,6 +442,17 @@ object TextDedup {
     // every threshold compared on the rounded values.
     "d35_containment" -> ((s, dir) => Dedup.ngramContainment(docs(s, dir))),
 
+    // CONTAINMENT REMOVAL — the action d35's scan implies (the c-family
+    // contract: every scan gets its removal leg, as d32→c9 and c1→c8).
+    // Per containment pair (jaccard < 0.8, max containment >= 0.8, both
+    // on the 6-dp rounded values) the CONTAINED = shorter side is dropped;
+    // one provenance row per dropped doc: deterministic keeper witness
+    // (min container id), container count, strongest containment in exact
+    // e6 integers. Gate: the pair classification, the drop-side choice
+    // with its tie-breaks, and the rollup arithmetic.
+    "c10_containment_drop" -> ((s, dir) =>
+      Dedup.containmentDrops(docs(s, dir))),
+
     // LSH OPERATING-POINT CALIBRATION (the band/row tuning report every
     // LSH deployment runs before committing a threshold): on a BOUNDED
     // sub-corpus (doc_id < 200 — the d10 bounded-gate discipline, where
@@ -659,6 +670,17 @@ object TextDedup {
       graft.ops.Split.packTokens(docs(s, dir), textCol = "text",
         idCol = "doc_id", ctxLen = 512, vocab = 32768,
         outDir = Tables.scratch("graft_o28_" + Tables.dirTag(dir)))),
+
+    // SHARDED packed-window export — o28's windows in the on-disk layout
+    // a distributed dataloader mounts: partitionBy(shard = bin_id % 4),
+    // one writer task (one file) per shard directory, the witness read
+    // FROM the written files with the shard recovered from the directory
+    // name. Gate: o28's full per-window id strings PLUS the shard
+    // arithmetic — a window in the wrong directory flips its row.
+    "o29_pack_sharded" -> ((s, dir) =>
+      graft.ops.Split.packTokensSharded(docs(s, dir), textCol = "text",
+        idCol = "doc_id", ctxLen = 512, vocab = 32768, nShards = 4,
+        outDir = Tables.scratch("graft_o29_" + Tables.dirTag(dir)))),
 
     // TEMPERATURE-SMOOTHED DOMAIN MIX (α = 0.5, the XLM/mT5 exponential
     // smoothing): per-source quotas ∝ √n_d to a 40% budget via capped
@@ -1130,28 +1152,43 @@ object TextDedup {
         s"$cur.seg_bkt", nBuckets = 8, keys = Seq("bin_id"))
       val ledger = new java.io.File(Tables.scratch(cur + "_ledger"))
       Option(ledger.listFiles()).foreach(_.foreach(_.delete()))
+      // Cross-batch state: the token offset packed so far, plus the LAST
+      // ledger id committed (for the replay probe below) and the appended-
+      // batch count. The ledger is keyed on phaseBase + Spark's OWN
+      // delivered batchId (ADVICE r17): a genuine micro-batch redelivery
+      // re-presents the SAME id, so the marker suppresses it — a local
+      // counter would mint a fresh id and double-append. carry advances
+      // ONLY when the append really happened, so a suppressed redelivery
+      // cannot double-count the offset either.
       var carry = 0L
-      var nextBatch = 0L
-      def phase(name: String, lo: Long, hi: Long): Unit = {
+      var nAppended = 0L
+      var lastLedgerId = -1L
+      def phase(name: String, phaseBase: Long, lo: Long, hi: Long): Unit = {
         val part = Tables.streamT(s, dir, "documents",
             "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
           .filter(col("doc_id") >= lo && col("doc_id") < hi)
         graft.streaming.StreamingWindows.runForeachBatch(part, name) {
-          (batch, _) =>
+          (batch, id) =>
+            val ledgerId = phaseBase + id
             val m = graft.engine.Caches.persisted(
               graft.ops.Split.packManifest(batch, "text", "doc_id", 512,
                 carry))
-            graft.ops.Bucketing.appendBucketedExactlyOnce(m,
-              s"$cur.seg_bkt", nBuckets = 8, keys = Seq("bin_id"),
-              ledgerDir = ledger, batchId = nextBatch)
-            carry += m.agg(coalesce(sum("len"), lit(0L))).head().getLong(0)
-            nextBatch += 1
+            if (graft.ops.Bucketing.appendBucketedExactlyOnce(m,
+                s"$cur.seg_bkt", nBuckets = 8, keys = Seq("bin_id"),
+                ledgerDir = ledger, batchId = ledgerId)) {
+              carry += m.agg(coalesce(sum("len"), lit(0L))).head().getLong(0)
+              nAppended += 1
+              lastLedgerId = ledgerId
+            }
             ()
         }
       }
-      phase("e20a", 0L, 250L)
-      phase("e20b", 250L, Long.MaxValue)
-      require(nextBatch >= 2,
+      // Each phase runs its own query (batch ids restart at 0), so phases
+      // get disjoint ledger id ranges — id collisions across phases would
+      // wrongly suppress the second phase's batches.
+      phase("e20a", 0L, 0L, 250L)
+      phase("e20b", 1000000L, 250L, Long.MaxValue)
+      require(nAppended >= 2,
         "expected at least one micro-batch per phase " +
           "(stream source matched no files?)")
       // Redeliver the final micro-batch under its committed ledger id:
@@ -1163,7 +1200,7 @@ object TextDedup {
           docs(s, dir).filter(col("doc_id") >= 250L), "text", "doc_id",
           512),
         s"$cur.seg_bkt", nBuckets = 8, keys = Seq("bin_id"),
-        ledgerDir = ledger, batchId = nextBatch - 1)
+        ledgerDir = ledger, batchId = lastLedgerId)
       require(!replayed, "ledger failed to suppress a replayed micro-batch")
       s.catalog.refreshTable(s"$cur.seg_bkt")
       s.table(s"$cur.seg_bkt")
@@ -2819,6 +2856,33 @@ object TextDedup {
          |  CAST(sum(tid) AS BIGINT) AS sum_tid,
          |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY widx) AS tok_str
          |FROM wt GROUP BY bin""".stripMargin,
+    // o29: o28's window oracle + the shard-directory arithmetic the
+    // read-back recovers from the partition layout.
+    "o29_pack_sharded" ->
+      s"""WITH $toksSrc,
+         |n AS (SELECT doc_id, len(ws) AS nt FROM toks),
+         |c AS (SELECT doc_id, nt,
+         |        CAST(sum(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM n),
+         |iv AS (SELECT doc_id, cum - nt AS s, cum AS e FROM c WHERE nt > 0),
+         |bx AS (SELECT doc_id, s, e,
+         |        unnest(range(s // 512, (e - 1) // 512 + 1)) AS bin FROM iv),
+         |sg AS (SELECT bin, doc_id,
+         |        greatest(s, bin * 512) - s AS doff,
+         |        greatest(s, bin * 512) - bin * 512 AS woff,
+         |        least(e, (bin + 1) * 512) - greatest(s, bin * 512) AS len
+         |       FROM bx),
+         |tk AS (SELECT t.doc_id, t.i - 1 AS pos,
+         |        ${graft.functions.Hashing.polyHashSql("t.ws[t.i]")} % 32768 AS tid
+         |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+         |             FROM toks) t),
+         |wt AS (SELECT sg.bin, sg.woff + tk.pos - sg.doff AS widx, tk.tid
+         |       FROM sg JOIN tk ON tk.doc_id = sg.doc_id
+         |        AND tk.pos >= sg.doff AND tk.pos < sg.doff + sg.len)
+         |SELECT CAST(bin AS BIGINT) AS bin_id,
+         |  CAST(bin % 4 AS INT) AS shard, count(*) AS n_tokens,
+         |  CAST(sum(tid) AS BIGINT) AS sum_tid,
+         |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY widx) AS tok_str
+         |FROM wt GROUP BY bin""".stripMargin,
     "o14_length_batching" ->
       """WITH num AS (
         |  SELECT doc_id, n_chars,
@@ -3052,6 +3116,60 @@ object TextDedup {
          |       WHEN greatest(cont_a, cont_b) >= 0.8 THEN 'containment'
          |       ELSE 'overlap' END AS relation
          |FROM m""".stripMargin,
+    // c10: d35's scored chain (window-shared candidates + verify tail,
+    // here with the set sizes kept for the tie-break), the containment
+    // drop policy, and the per-dropped-doc provenance rollup.
+    "c10_containment_drop" ->
+      s"""WITH $toksSrc, $shSrc, $hashedSrc,
+         |sh10 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
+         |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         |           ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
+         |           ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
+         |           ws[i + 9])) AS shingle
+         |  FROM toks),
+         |h10 AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh10),
+         |okw AS (SELECT h FROM h10 GROUP BY h
+         |        HAVING count(*) >= 2 AND count(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM h10 a JOIN okw USING (h) JOIN h10 b USING (h)
+         |  WHERE a.doc_id < b.doc_id),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand c
+         |    JOIN hashed a ON a.doc_id = c.doc_a
+         |    JOIN hashed b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / ca.n_sh, 6) AS cont_a,
+         |    round(CAST(n_inter AS DOUBLE) / cb.n_sh, 6) AS cont_b,
+         |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard,
+         |    ca.n_sh AS n_a, cb.n_sh AS n_b
+         |  FROM inter i
+         |    JOIN counts ca ON ca.doc_id = i.doc_a
+         |    JOIN counts cb ON cb.doc_id = i.doc_b),
+         |drops AS (
+         |  SELECT
+         |    CASE WHEN cont_a > cont_b THEN doc_a
+         |         WHEN cont_b > cont_a THEN doc_b
+         |         WHEN n_a < n_b THEN doc_a
+         |         WHEN n_b < n_a THEN doc_b
+         |         ELSE greatest(doc_a, doc_b) END AS doc_id,
+         |    CASE WHEN cont_a > cont_b THEN doc_b
+         |         WHEN cont_b > cont_a THEN doc_a
+         |         WHEN n_a < n_b THEN doc_b
+         |         WHEN n_b < n_a THEN doc_a
+         |         ELSE least(doc_a, doc_b) END AS container,
+         |    CAST(round(greatest(cont_a, cont_b) * 1e6) AS BIGINT) AS cont_e6
+         |  FROM m
+         |  WHERE jaccard < 0.8 AND greatest(cont_a, cont_b) >= 0.8)
+         |SELECT doc_id, min(container) AS keeper_id,
+         |  count(*) AS n_containers, max(cont_e6) AS max_cont_e6
+         |FROM drops GROUP BY doc_id""".stripMargin,
     "d25_lsh_calibration" ->
       s"""WITH $boundedTruthCtes,
          |candj AS (SELECT c.doc_a, c.doc_b, coalesce(t.j_e6, 0) AS j_e6

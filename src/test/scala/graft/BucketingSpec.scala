@@ -154,4 +154,46 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("store commits run through the Hadoop FileSystem API on file:// URIs") {
+    // The v27/b7/d21 store lifecycles commit via deletePath/swapPath; this
+    // pins that those primitives resolve the scheme's FileSystem (the same
+    // API path a cluster takes to hdfs://) and honor delete/rename/absent-
+    // stage semantics. Everything below runs on explicit file:// URIs.
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val root = new java.io.File(graft.queries.Tables.scratch("fscommit_spec"))
+    Bucketing.clearDir(root)
+    val live = new java.io.File(root, "cell=1")
+    val staged = new java.io.File(root, "stage/cell=1")
+    staged.mkdirs(); live.mkdirs()
+    java.nio.file.Files.write(new java.io.File(live, "old.parquet").toPath,
+      "old".getBytes)
+    java.nio.file.Files.write(new java.io.File(staged, "new.parquet").toPath,
+      "new".getBytes)
+    val liveUri = "file://" + live.getAbsolutePath
+    val stagedUri = "file://" + staged.getAbsolutePath
+    // fsFor resolves through Path.getFileSystem — same instance as
+    // FileSystem.get on the URI with the session's Hadoop conf.
+    val (fs, livePath) = Bucketing.fsFor(liveUri)
+    assert(fs.getUri == FileSystem.get(java.net.URI.create(liveUri),
+      spark.sparkContext.hadoopConfiguration).getUri)
+    assert(fs.exists(livePath) && fs.exists(new Path(stagedUri)))
+
+    // Swap: live's old file must be gone, staged content promoted, staged
+    // path gone.
+    Bucketing.swapPath(stagedUri, liveUri)
+    assert(new java.io.File(live, "new.parquet").isFile)
+    assert(!new java.io.File(live, "old.parquet").exists)
+    assert(!staged.exists)
+
+    // Absent stage (fully-deleted cell): the live path is simply removed.
+    Bucketing.swapPath("file://" + new java.io.File(root, "stage/cell=2")
+      .getAbsolutePath, liveUri)
+    assert(!live.exists)
+
+    // deletePath is recursive and idempotent.
+    Bucketing.deletePath("file://" + root.getAbsolutePath)
+    assert(!root.exists)
+    Bucketing.deletePath("file://" + root.getAbsolutePath)
+  }
 }

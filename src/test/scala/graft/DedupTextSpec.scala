@@ -629,6 +629,37 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got.contains((10L, 11L)), s"twin pair missing: ${got.keys}")
   }
 
+  test("containmentDrops removes the contained excerpt with provenance") {
+    // Same geometry as the d35 case: doc 2 is a verbatim excerpt of the
+    // long doc 1 → containment pair → doc 2 (shorter, higher cont) is
+    // dropped with doc 1 as keeper. The near-dup twins 10/11 (jaccard >=
+    // 0.8) must NOT be dropped here — they belong to the c1 dedup chain.
+    // Doc 3 is a second, longer container of the same excerpt: the keeper
+    // witness is the MIN container id and n_containers counts both.
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val long3 = long1 + " extra closing words here now"
+    val excerpt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docsDf = Seq(
+      (1L, long1), (2L, excerpt), (3L, long3),
+      (10L, "one two three four five six seven eight nine ten eleven"),
+      (11L, "one two three four five six seven eight nine ten twelve"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentDrops(docsDf)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.contains(2L), s"excerpt must be dropped: ${got.keys}")
+    val (_, keeper, nCont, contE6) = got(2L)
+    assert(keeper == 1L, s"keeper must be the min container: $keeper")
+    assert(nCont >= 2L, s"both containers must count: $nCont")
+    assert(contE6 == 1000000L, s"full containment must read 1e6: $contE6")
+    assert(!got.contains(10L) && !got.contains(11L),
+      s"near-dup twins are not containment drops: ${got.keys}")
+    // Doc 1 is itself a (near-)subset of doc 3 via its shared prefix, but
+    // only if its containment clears 0.8 with jaccard < 0.8 — whatever the
+    // scores say, no row may ever drop a doc that is its own keeper.
+    got.values.foreach { case (d, k, _, _) => assert(d != k) }
+  }
+
   test("evalDirtiness counts contaminated windows per eval item") {
     // Eval doc 1 "a b c d" has 3-gram windows {"a b c", "b c d"}; the
     // corpus contains "a b c" but not "b c d" → 1 of 2 dirty (500000

@@ -34,6 +34,27 @@ class Int8QuantizeSpec extends AnyFunSuite {
     assert(got === 0L)
   }
 
+  test("a null element poisons the vector to NULL (oracle propagation)") {
+    // ADVICE r17: ArrayType(Double, containsNull=true) is accepted, so a
+    // null slot must yield NULL (the DuckDB oracle's list_transform/amax
+    // NULL propagation), never NPE or silently read 0.0.
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 0.5)),
+      (2L, Seq[java.lang.Double](1.0, -2.0))).toDF("vec_id", "v")
+    val summary = df.select($"vec_id", Int8QuantizeExpr.column($"v").as("z"))
+      .filter($"z".isNotNull).select($"vec_id").as[Long].collect().toSeq
+    assert(summary === Seq(2L))
+    val codes = df.select($"vec_id",
+        graft.functions.Int8CodesExpr.column($"v").as("qc"))
+      .filter($"qc".isNotNull).select($"vec_id").as[Long].collect().toSeq
+    assert(codes === Seq(2L))
+    // interpreted path agrees with the codegen'd one
+    val withNull = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array[Any](1.0, null, 0.5))
+    assert(Int8QuantizeExpr.quantize(withNull) == null)
+    assert(graft.functions.Int8CodesExpr.codes(withNull) == null)
+  }
+
   test("interpreted eval agrees with the codegen'd DataFrame path") {
     val vec = Seq(0.3, -1.7, 2.9, 0.0, -0.4)
     // interpreted: direct nullSafeEval on catalyst ArrayData

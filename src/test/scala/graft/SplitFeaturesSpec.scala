@@ -252,4 +252,35 @@ class SplitFeaturesSpec extends AnyFunSuite {
     assert(disk.columns.toSet == Set("bin_id", "tokens", "sum_tid"))
     assert(disk.count() == 3L)
   }
+
+  test("packTokensSharded writes one file per shard dir and agrees with o28") {
+    // 10 docs of 4 tokens, ctxLen 4 → 10 windows; nShards 3 → shard
+    // populations 4/3/3 (bin % 3). The windows must be o28's windows
+    // exactly, each in directory shard=<bin % 3>, ONE parquet file per
+    // shard directory (the writer-fan-out bound a dataloader mounts).
+    val docsDf = (1L to 10L)
+      .map(i => (i, s"w${i}a w${i}b w${i}c w${i}d")).toDF("doc_id", "text")
+    val flat = java.nio.file.Files.createTempDirectory("graft-o28f").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-o29").toString
+    val plain = Split.packTokens(docsDf, "text", "doc_id", ctxLen = 4,
+      vocab = 64, outDir = flat)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val sharded = Split.packTokensSharded(docsDf, "text", "doc_id",
+      ctxLen = 4, vocab = 64, nShards = 3, outDir = out)
+      .as[(Long, Int, Long, Long, String)].collect()
+    assert(sharded.length == 10, s"expected 10 windows: ${sharded.length}")
+    sharded.foreach { case (bin, shard, n, sum, toks) =>
+      assert(shard == (bin % 3).toInt, s"bin $bin landed in shard $shard")
+      assert(plain(bin) == ((bin, n, sum, toks)),
+        s"window $bin diverged from the flat o28 export")
+    }
+    // Layout: exactly the 3 shard directories, one data file in each.
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(dirs.map(_.getName).toSeq == Seq("shard=0", "shard=1", "shard=2"))
+    dirs.foreach { d =>
+      assert(graft.ops.Bucketing.dataFileCount(d) == 1,
+        s"${d.getName} must hold exactly one parquet file")
+    }
+  }
 }
