@@ -282,6 +282,42 @@ object TimeSeries {
       alphaNum, alphaDen).drop("_ewma_off") // empty input: schema only
   }
 
+  /** ts9: AUTO-ROUTED long-history EWMA — the caller stops choosing
+    * between [[ewmaDaily]] (O(d²) per key, cheapest on short histories
+    * where chunking's per-chunk state-carry jobs dominate) and
+    * [[ewmaDailyChunked]] (O(d·chunkDays), the only viable form on
+    * multi-year keys). The rule comes from the measured crossover
+    * (PERF.md: chunked reads 0.7× of unchunked at 365-day keys and 3.3×
+    * at 3,650-day keys → the break sits near history ≈ 2 × chunkDays):
+    * route CHUNKED iff the LONGEST per-key history span exceeds
+    * chunkDays × spanMult. The gate is DECLARATIVE in the fitAuto/v24
+    * sense — one bounded aggregate (max per-key span, a single row — the
+    * same driver-side control read every chunked fold already does for
+    * its chunk list) decides the plan shape, and the CHOICE rides along
+    * (`mode`, `max_span`) so the oracle replicates and hashes the
+    * routing itself, not just the series (the c5 chosen-rung
+    * discipline). Both regimes produce the identical recurrence output
+    * by the e15 seeded-carry identity, so the routing can never change a
+    * value — only the plan.
+    */
+  def ewmaDailyAuto(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, alphaNum: Int = 3, alphaDen: Int = 10,
+      chunkDays: Int = 365, spanMult: Int = 2): DataFrame = {
+    val maxSpan = dailyE6(df, keyCol, tsCol, valCol)
+      .groupBy(col(keyCol))
+      .agg((datediff(max(col("d")), min(col("d"))) + 1).as("_span"))
+      .agg(coalesce(max(col("_span")), lit(0)).cast("long"))
+      .head().getLong(0)
+    val chunked = maxSpan > chunkDays.toLong * spanMult
+    val series =
+      if (chunked) ewmaDailyChunked(df, keyCol, tsCol, valCol, alphaNum,
+        alphaDen, chunkDays)
+      else ewmaDaily(df, keyCol, tsCol, valCol, alphaNum, alphaDen)
+    series
+      .withColumn("mode", lit(if (chunked) "chunked" else "unchunked"))
+      .withColumn("max_span", lit(maxSpan))
+  }
+
   /** [[cusumDaily]] in the same chunked form — the recurrence's per-key
     * constants (μ over the FULL history, the self-scaling threshold h,
     * the day count) are ONE keyed aggregate up front, then the S⁺ folds

@@ -311,6 +311,24 @@ object Events {
         keyCol = "user_id", tsCol = "ts", valCol = "value", hMult = 1,
         chunkDays = 7)),
 
+    // AUTO-ROUTED long-history EWMA — the ts6/ts8 crossover rule as a
+    // declarative gate: chunked iff max per-key span > chunkDays × 2
+    // (spanMult from the measured 0.7×-at-365d / 3.3×-at-3650d
+    // crossover). Run at BOTH operating points over the one-month
+    // fixture — chunkDays=7 (span ≈ 30 > 14 → routes CHUNKED) and
+    // chunkDays=365 (30 < 730 → routes UNCHUNKED) — so one hash gates
+    // both routing directions AND the regime identity (both must emit
+    // the identical recurrence). The chosen mode + measured span ride
+    // along as columns, c5's chosen-rung discipline.
+    "ts9_ewma_auto" -> ((s, dir) => {
+      def at(chunkDays: Int) =
+        graft.ops.TimeSeries.ewmaDailyAuto(eventsT(s, dir),
+          keyCol = "user_id", tsCol = "ts", valCol = "value",
+          chunkDays = chunkDays)
+          .withColumn("chunk_days", lit(chunkDays))
+      at(7).unionByName(at(365))
+    }),
+
     // STATEFUL INCREMENTAL ANALYTICS across micro-batches — the
     // store-lifecycle pattern (e9–e14 maintain signature/vector/doc
     // stores) applied to NUMERIC state: the event history arrives as two
@@ -742,6 +760,41 @@ object Events {
         |  unnest(list_transform(l, x -> x - 1000000000000)) AS v_e6,
         |  unnest(list_transform(ew, x -> x - 1000000000000)) AS ewma_e6
         |FROM e""".stripMargin,
+    // ts9: the ts3 recurrence (both regimes emit it identically — that
+    // IS the regime identity being gated) + the declarative routing rule
+    // replicated in SQL over both operating points: mode = chunked iff
+    // max per-key span > chunk_days × 2, with span and mode riding along.
+    "ts9_ewma_auto" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(round(round(avg(value), 6) * 1e6) AS BIGINT) AS v_e6
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |arr AS (
+        |  SELECT user_id,
+        |    list(d ORDER BY d) AS ds,
+        |    list(v_e6 + 1000000000000 ORDER BY d) AS l
+        |  FROM daily GROUP BY user_id),
+        |e AS (
+        |  SELECT user_id, ds, l,
+        |    list_transform(range(1, len(l) + 1), i ->
+        |      list_reduce(l[1:i], (acc, y) -> (3*y + 7*acc) // 10)) AS ew
+        |  FROM arr),
+        |base AS (
+        |  SELECT user_id, unnest(ds) AS d,
+        |    unnest(list_transform(l, x -> x - 1000000000000)) AS v_e6,
+        |    unnest(list_transform(ew, x -> x - 1000000000000)) AS ewma_e6
+        |  FROM e),
+        |span AS (
+        |  SELECT CAST(max(date_diff('day', mind, maxd) + 1) AS BIGINT)
+        |    AS max_span
+        |  FROM (SELECT user_id, min(d) AS mind, max(d) AS maxd
+        |        FROM daily GROUP BY user_id)),
+        |cd AS (SELECT CAST(unnest([7, 365]) AS INT) AS chunk_days)
+        |SELECT b.user_id, b.d, b.v_e6, b.ewma_e6,
+        |  CASE WHEN s.max_span > cd.chunk_days * 2 THEN 'chunked'
+        |       ELSE 'unchunked' END AS mode,
+        |  s.max_span, cd.chunk_days
+        |FROM base b CROSS JOIN span s CROSS JOIN cd""".stripMargin,
     // ts3: the identical integer recurrence as prefix list_reduce folds
     // over the date-ordered e6 values (offset +1e12 exactly as the
     // engine does; parallel unnests zip positionally).

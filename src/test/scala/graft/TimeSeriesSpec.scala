@@ -202,6 +202,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(chunked == full)
   }
 
+  test("ewmaDailyAuto routes by the span rule and never changes a value") {
+    // One case on EACH side of the crossover gate (chunked iff max
+    // per-key span > chunkDays × 2). Short history, chunkDays=365:
+    // 120 < 730 → unchunked. Same history, chunkDays=30: 120 > 60 →
+    // chunked. Either way the series must equal the plain recurrence —
+    // routing is a plan choice, never a value change.
+    val df = longSeries(120)
+    val full = TimeSeries.ewmaDaily(df, "user_id", "ts", "value")
+      .as[(Long, java.sql.Date, Long, Long)].collect().toSet
+    val un = TimeSeries.ewmaDailyAuto(df, "user_id", "ts", "value",
+      chunkDays = 365)
+    assert(un.select("mode").distinct().as[String].collect().toSeq ==
+      Seq("unchunked"))
+    assert(un.select("max_span").head().getLong(0) == 120L)
+    val ch = TimeSeries.ewmaDailyAuto(df, "user_id", "ts", "value",
+      chunkDays = 30)
+    assert(ch.select("mode").distinct().as[String].collect().toSeq ==
+      Seq("chunked"))
+    for (r <- Seq(un, ch)) {
+      assert(r.select("user_id", "d", "v_e6", "ewma_e6")
+        .as[(Long, java.sql.Date, Long, Long)].collect().toSet == full)
+    }
+    // Boundary pin: span exactly chunkDays × 2 stays UNCHUNKED (strict >).
+    val edge = TimeSeries.ewmaDailyAuto(df, "user_id", "ts", "value",
+      chunkDays = 60)
+    assert(edge.select("mode").distinct().as[String].collect().toSeq ==
+      Seq("unchunked"))
+  }
+
   test("cusumDailyChunked over 3 years equals the unchunked recurrence") {
     val df = longSeries(1100)
     val full = TimeSeries.cusumDaily(df, "user_id", "ts", "value")
