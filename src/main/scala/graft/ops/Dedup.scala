@@ -1090,6 +1090,15 @@ object Dedup {
           .when(greatest(col("cont_a"), col("cont_b")) >= 0.8, "containment")
           .otherwise("overlap"))
 
+  /** The per-row distinct `winN`-token window-hash array — the pure
+    * function of the text both d35's batch candidate pass and e21's
+    * streaming probe explode (per-row, stateless: the streaming side
+    * needs no aggregation to compute it).
+    */
+  def windowHashesPerRow(textCol: Column, winN: Int): Column =
+    array_distinct(graft.functions.PolyShinglesExpr.column(
+      lower(textCol), winN))
+
   /** Shared scored frame of d35/c10: the frequency-capped window-shared
     * candidates through d5's verify tail, with BOTH rounded containment
     * directions, the Jaccard, and the exact shingle-set sizes (the c10
@@ -1108,6 +1117,12 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    scoredOf(docs, cand)
+  }
+
+  /** d5's verify tail + both containment directions over an arbitrary
+    * (doc_a < doc_b) candidate set. */
+  private def scoredOf(docs: DataFrame, cand: DataFrame): DataFrame =
     verifiedOverlapOf(docs, cand)
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter").cast("double") / col("n_a"), 6).as("cont_a"),
@@ -1115,7 +1130,21 @@ object Dedup {
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"),
         col("n_a"), col("n_b"))
-  }
+
+  /** d35's verify tail + classification over an EXTERNAL candidate pair
+    * set (doc_a < doc_b) — the batch kernel of the streaming containment
+    * probe (e21): candidates arrive from the stream-static window-hash
+    * store probe; everything downstream of candidacy is [[ngramContainment]]
+    * unchanged, which is exactly the gate (same oracle as d35).
+    */
+  def containmentVerify(docs: DataFrame, cand: DataFrame): DataFrame =
+    scoredOf(docs, cand)
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"),
+        col("jaccard"))
+      .withColumn("relation",
+        when(col("jaccard") >= 0.8, "near_dup")
+          .when(greatest(col("cont_a"), col("cont_b")) >= 0.8, "containment")
+          .otherwise("overlap"))
 
   /** c10: CONTAINMENT REMOVAL — the action d35's scan implies (the
     * c-family discipline: every scan gets its removal — d32→c9, c1→c8).

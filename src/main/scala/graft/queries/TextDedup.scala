@@ -1209,6 +1209,52 @@ object TextDedup {
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
     }),
 
+    // STREAMING CONTAINMENT PROBE — d35's excerpt/boilerplate signal on
+    // INGEST (the duplication that arrives continuously): the capped
+    // distinct window-hash store is built ONCE over the corpus (bucketed
+    // on the hash — the store side of every per-batch probe join stays
+    // Exchange-free), each arriving micro-batch explodes its docs'
+    // per-row window hashes (a pure function of the text — e9's
+    // stateless stream-static pattern: no watermark, no state store) and
+    // probes the store; matched pairs land in the sink and ONE batch
+    // pass runs d35's verify tail over the collected candidates. Gate:
+    // the result must hash-equal BATCH d35 over the same corpus (same
+    // oracle text) — the stream may neither miss a candidate pair
+    // (a dropped match loses a containment row) nor invent one that
+    // survives verification differently.
+    "e21_stream_containment" -> ((s, dir) => {
+      val db = "graft_contstore_e21_" + Tables.dirTag(dir)
+      val dbLoc = Tables.scratch(db + "_db")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
+      graft.ops.Bucketing.reset(s, s"$db.win_bkt",
+        new java.io.File(dbLoc, "win_bkt"))
+      val occ = docs(s, dir).select(col("doc_id").as("doc_old"),
+        explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+      graft.ops.Bucketing.writeBucketed(
+        occ.join(occ.groupBy("h").agg(count(lit(1)).as("wf"))
+          .filter(col("wf") <= 64).select("h"), "h")
+          .select("h", "doc_old"),
+        s"$db.win_bkt", nBuckets = 8, keys = Seq("h"))
+      val store = s.table(s"$db.win_bkt")
+      graft.streaming.StreamingWindows.withStatePartitions(s, 4) {
+        val delta = Tables.streamT(s, dir, "documents",
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .select(col("doc_id").as("doc_new"),
+            explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+        val matches = delta.join(store, Seq("h"))
+          .filter(col("doc_new") =!= col("doc_old"))
+          .select("doc_new", "doc_old")
+        val cand = graft.streaming.StreamingWindows.runToMemory(
+          matches,
+          "e21_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+          .select(least(col("doc_new"), col("doc_old")).as("doc_a"),
+            greatest(col("doc_new"), col("doc_old")).as("doc_b"))
+          .distinct()
+        Dedup.containmentVerify(docs(s, dir), cand)
+      }
+    }),
+
     // SKEW-HARDENED dedup — the LSH chain under a deliberately viral span:
     // 30% of the corpus is REPLACED by one shared boilerplate block, so
     // those docs' signatures agree in every band and each band's hot
@@ -1552,6 +1598,48 @@ object TextDedup {
     * doc-id order, integer window intervals. Shared verbatim by the batch
     * (o26) and streaming (e20) legs: both must produce this exact table.
     */
+  // d35/e21 shared oracle: window-shared candidates (frequency-capped
+  // 10-token window hashes — NOT the Jaccard-biased LSH generator),
+  // then d5's verify chain with both containment directions and the
+  // rounded-threshold classification.
+  private lazy val containmentReportSql =
+    s"""WITH $toksSrc, $shSrc, $hashedSrc,
+         |sh10 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
+         |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         |           ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
+         |           ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
+         |           ws[i + 9])) AS shingle
+         |  FROM toks),
+         |h10 AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh10),
+         |okw AS (SELECT h FROM h10 GROUP BY h
+         |        HAVING count(*) >= 2 AND count(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM h10 a JOIN okw USING (h) JOIN h10 b USING (h)
+         |  WHERE a.doc_id < b.doc_id),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand c
+         |    JOIN hashed a ON a.doc_id = c.doc_a
+         |    JOIN hashed b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / ca.n_sh, 6) AS cont_a,
+         |    round(CAST(n_inter AS DOUBLE) / cb.n_sh, 6) AS cont_b,
+         |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+         |  FROM inter i
+         |    JOIN counts ca ON ca.doc_id = i.doc_a
+         |    JOIN counts cb ON cb.doc_id = i.doc_b)
+         |SELECT doc_a, doc_b, cont_a, cont_b, jaccard,
+         |  CASE WHEN jaccard >= 0.8 THEN 'near_dup'
+         |       WHEN greatest(cont_a, cont_b) >= 0.8 THEN 'containment'
+         |       ELSE 'overlap' END AS relation
+         |FROM m""".stripMargin
+
   private lazy val packReportSql =
     s"""WITH $toksSrc,
        |n AS (SELECT doc_id, len(ws) AS nt FROM toks),
@@ -3079,43 +3167,11 @@ object TextDedup {
     // hashes — NOT the Jaccard-biased LSH generator), then d5's verify
     // chain with both containment directions and the rounded-threshold
     // classification.
-    "d35_containment" ->
-      s"""WITH $toksSrc, $shSrc, $hashedSrc,
-         |sh10 AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
-         |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
-         |           ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
-         |           ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
-         |           ws[i + 9])) AS shingle
-         |  FROM toks),
-         |h10 AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh10),
-         |okw AS (SELECT h FROM h10 GROUP BY h
-         |        HAVING count(*) >= 2 AND count(*) <= 64),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM h10 a JOIN okw USING (h) JOIN h10 b USING (h)
-         |  WHERE a.doc_id < b.doc_id),
-         |counts AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-         |  FROM cand c
-         |    JOIN hashed a ON a.doc_id = c.doc_a
-         |    JOIN hashed b ON b.doc_id = c.doc_b AND b.h = a.h
-         |  GROUP BY 1, 2),
-         |m AS (
-         |  SELECT i.doc_a, i.doc_b,
-         |    round(CAST(n_inter AS DOUBLE) / ca.n_sh, 6) AS cont_a,
-         |    round(CAST(n_inter AS DOUBLE) / cb.n_sh, 6) AS cont_b,
-         |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
-         |  FROM inter i
-         |    JOIN counts ca ON ca.doc_id = i.doc_a
-         |    JOIN counts cb ON cb.doc_id = i.doc_b)
-         |SELECT doc_a, doc_b, cont_a, cont_b, jaccard,
-         |  CASE WHEN jaccard >= 0.8 THEN 'near_dup'
-         |       WHEN greatest(cont_a, cont_b) >= 0.8 THEN 'containment'
-         |       ELSE 'overlap' END AS relation
-         |FROM m""".stripMargin,
+    "d35_containment" -> containmentReportSql,
+    // e21: the stream must converge to EXACTLY the batch containment
+    // report — same oracle; a dropped or invented candidate pair, or
+    // a divergent verify, flips a row.
+    "e21_stream_containment" -> containmentReportSql,
     // c10: d35's scored chain (window-shared candidates + verify tail,
     // here with the set sizes kept for the tie-break), the containment
     // drop policy, and the per-dropped-doc provenance rollup.
