@@ -23,6 +23,34 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Fixed host-speed probes (engine-independent SQL over the same parquet):
+# their total is this host+round's DuckDB speed yardstick. Recorded into
+# the bench JSON and the PERF.md header so round-over-round AGGREGATE
+# ratios can be normalized for host weather instead of caveated (the
+# r16->r17 0.39x->0.50x swing was a contended DuckDB sweep, not an engine
+# change). Never change these queries: the normalization is only valid
+# against an identical probe set.
+CALIBRATION = {
+    "cal_scan_agg": "SELECT count(*) AS n, sum(l_quantity) AS s FROM lineitem",
+    "cal_group": "SELECT l_returnflag, count(*) AS n, "
+                 "round(avg(l_extendedprice), 3) AS a FROM lineitem "
+                 "GROUP BY 1 ORDER BY 1",
+    "cal_text": "SELECT count(*) AS n, sum(len(text)) AS s FROM documents",
+}
+
+
+def calibrate(con):
+    out = {}
+    for name, sql in CALIBRATION.items():
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            con.sql(sql).fetchall()
+            ts.append(time.time() - t0)
+        out[name] = round(statistics.median(ts), 4)
+    out["total"] = round(sum(out.values()), 4)
+    return out
+
 
 def main(sf_dir, oracle_path, bench_path, md_path=None, prev_path=None):
     con = duckdb.connect()
@@ -30,6 +58,14 @@ def main(sf_dir, oracle_path, bench_path, md_path=None, prev_path=None):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(oracle_path))
     bench = json.load(open(bench_path))
+    # Host-speed calibration: run first (cold caches hit the probes, not a
+    # query), record into the bench JSON so the round artifact carries it.
+    cal = calibrate(con)
+    bench["duckdb_calibration"] = cal
+    with open(bench_path, "w") as f:
+        f.write(json.dumps(bench))
+    print(f"duckdb_calibration total {cal['total']:.4f} s "
+          + " ".join(f"{k}={cal[k]:.4f}" for k in CALIBRATION))
     spark_times = bench.get("queries", {})
     noise_floor = bench.get("noise_floor")
     rows = []
@@ -58,9 +94,28 @@ def main(sf_dir, oracle_path, bench_path, md_path=None, prev_path=None):
         print(f"{name:28s} spark {s:>8s}  duckdb {d:>8s}  ratio {r}")
     ok = [r for r in rows if r[3] is not None]
     tot_s = sum(r[1] for r in ok)
-    tot_d = sum(r[2] for r in ok)
+    tot_d = sum(r[2] for r in ok) or 1e-9  # degenerate oracle subsets
     print(f"{'TOTAL(comparable)':28s} spark {tot_s:8.3f}  duckdb {tot_d:8.3f}  "
           f"ratio {tot_s / tot_d:.2f}x  (n={len(ok)})")
+    # Normalized aggregate: scale the DuckDB total by the calibration
+    # factor vs the previous round's probes (same SQL, same parquet), so
+    # the round-over-round aggregate compares engine work, not host
+    # weather. normalized = raw_ratio * (cal_now / cal_prev).
+    norm_note = None
+    if prev_path:
+        prev_cal = json.load(open(prev_path)).get("duckdb_calibration")
+        if prev_cal and prev_cal.get("total"):
+            factor = cal["total"] / prev_cal["total"]
+            norm = (tot_s / tot_d) * factor
+            norm_note = (f"duckdb calibration factor vs prev round: "
+                         f"{factor:.3f} (probes {prev_cal['total']:.3f} s -> "
+                         f"{cal['total']:.3f} s); host-normalized aggregate "
+                         f"ratio: {norm:.2f}x (raw {tot_s / tot_d:.2f}x)")
+        else:
+            norm_note = (f"prev bench carries no duckdb_calibration; this "
+                         f"round's probe total {cal['total']:.3f} s becomes "
+                         "the first normalization baseline")
+        print(norm_note)
     if noise_floor is not None:
         print(f"noise_floor (median pass spread of this sweep): "
               f"{noise_floor * 100:.1f}%")
@@ -122,6 +177,13 @@ def main(sf_dir, oracle_path, bench_path, md_path=None, prev_path=None):
                         "rule: a per-query delta is a regression only if it "
                         "clears max(40%, 2× the floor) relative AND 0.3 s "
                         "absolute, in two consecutive rounds.\n\n")
+            f.write(f"DuckDB host-speed calibration (3 pinned probes, "
+                    f"median of 5): **{cal['total']:.3f} s** ("
+                    + ", ".join(f"{k} {cal[k]:.3f}" for k in CALIBRATION)
+                    + ").")
+            if norm_note:
+                f.write(f" {norm_note}.")
+            f.write("\n\n")
             if prev_path:
                 if regressions:
                     f.write(f"Regression candidates vs `{prev_path}`: " +
