@@ -141,7 +141,15 @@ object ScaleProbe {
         // audits, the persisted-index build+search, and the delete leg.
         "v25_semantic_decontam", "v26_ivf_decontam",
         "v27_ann_store_delete", "v13_ivf_pq", "v17_ivf_store_search",
-        "d34_eval_dirtiness", "v28_sq8_search", "d35_containment")
+        "d34_eval_dirtiness", "v28_sq8_search", "d35_containment",
+        // round-18: the containment removal + streaming probe (both ride
+        // d35's capped candidate chain — same expected slope), the
+        // sharded packed-window export (one-cumsum + bounded writer
+        // fan-out), and the auto-routed fold (its gate must route the
+        // 10x-longer replica histories CHUNKED — the probe measures the
+        // routed plan, with the one-row span aggregate riding along).
+        "c10_containment_drop", "e21_stream_containment",
+        "o29_pack_sharded", "ts9_ewma_auto")
     val scales = Seq("sf0.1" -> base, "sf1" -> big) ++
       (if (deep) Seq("sf3" -> big30) else Nil)
     for (name <- names; (label, dir) <- scales) {
