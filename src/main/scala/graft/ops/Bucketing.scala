@@ -169,8 +169,9 @@ object Bucketing {
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   /** Resolve the FileSystem owning `path` — the same `Path.getFileSystem`
-    * call Spark's own committers make, so `file://`, `hdfs://`, `s3a://`
-    * (etc.) paths all take the scheme's registered implementation.
+    * call Spark's own committers make, so `file://`, `hdfs://`, and
+    * object-store-scheme (S3A-class) paths all take the scheme's
+    * registered implementation.
     */
   def fsFor(path: String): (org.apache.hadoop.fs.FileSystem,
       org.apache.hadoop.fs.Path) = {
