@@ -318,6 +318,32 @@ object TimeSeries {
       .withColumn("max_span", lit(maxSpan))
   }
 
+  /** ts10: [[ewmaDailyAuto]]'s routing rule applied to the CUSUM pair
+    * (ts5 unchunked / ts7 chunked) — the same declarative span gate, the
+    * same ride-along `mode`/`max_span` columns, the same both-regimes-
+    * identical guarantee (the chunked fold's five-field carry reproduces
+    * the unchunked recurrence exactly, ts7's gate). One rule now routes
+    * BOTH long-history fold families; a caller never chooses a fold
+    * shape by hand.
+    */
+  def cusumDailyAuto(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, hMult: Int = 1, chunkDays: Int = 365,
+      spanMult: Int = 2): DataFrame = {
+    val maxSpan = dailyE6(df, keyCol, tsCol, valCol)
+      .groupBy(col(keyCol))
+      .agg((datediff(max(col("d")), min(col("d"))) + 1).as("_span"))
+      .agg(coalesce(max(col("_span")), lit(0)).cast("long"))
+      .head().getLong(0)
+    val chunked = maxSpan > chunkDays.toLong * spanMult
+    val series =
+      if (chunked) cusumDailyChunked(df, keyCol, tsCol, valCol, hMult,
+        chunkDays)
+      else cusumDaily(df, keyCol, tsCol, valCol, hMult)
+    series
+      .withColumn("mode", lit(if (chunked) "chunked" else "unchunked"))
+      .withColumn("max_span", lit(maxSpan))
+  }
+
   /** [[cusumDaily]] in the same chunked form — the recurrence's per-key
     * constants (μ over the FULL history, the self-scaling threshold h,
     * the day count) are ONE keyed aggregate up front, then the S⁺ folds

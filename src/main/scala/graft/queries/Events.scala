@@ -329,6 +329,20 @@ object Events {
       at(7).unionByName(at(365))
     }),
 
+    // ts9's routing rule on the CUSUM family — one declarative gate now
+    // routes BOTH long-history fold families; same both-operating-points
+    // witness shape (7-day chunks route chunked over the one-month
+    // fixture, 365-day unchunked) and both regimes must emit the
+    // identical summary rows.
+    "ts10_cusum_auto" -> ((s, dir) => {
+      def at(chunkDays: Int) =
+        graft.ops.TimeSeries.cusumDailyAuto(eventsT(s, dir),
+          keyCol = "user_id", tsCol = "ts", valCol = "value",
+          chunkDays = chunkDays)
+          .withColumn("chunk_days", lit(chunkDays))
+      at(7).unionByName(at(365))
+    }),
+
     // STATEFUL INCREMENTAL ANALYTICS across micro-batches — the
     // store-lifecycle pattern (e9–e14 maintain signature/vector/doc
     // stores) applied to NUMERIC state: the event history arrives as two
@@ -760,6 +774,48 @@ object Events {
         |  unnest(list_transform(l, x -> x - 1000000000000)) AS v_e6,
         |  unnest(list_transform(ew, x -> x - 1000000000000)) AS ewma_e6
         |FROM e""".stripMargin,
+    // ts10: ts5's recurrence + the same routing CTEs as ts9 over both
+    // operating points.
+    "ts10_cusum_auto" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(round(round(avg(value), 6) * 1e6) AS BIGINT) AS v_e6
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT user_id, list(d ORDER BY d) AS ds,
+        |    list(v_e6 ORDER BY d) AS l
+        |  FROM daily GROUP BY user_id),
+        |m AS (
+        |  SELECT user_id, ds, l, len(l) AS n,
+        |    CAST(list_sum(l) AS BIGINT) // len(l) AS mu,
+        |    CAST(list_max(l) - list_min(l) AS BIGINT) AS h
+        |  FROM arr),
+        |s AS (
+        |  SELECT user_id, ds, n, mu, h,
+        |    list_transform(range(1, n + 1), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(l[1:i], z -> z - mu)),
+        |        (acc, y) -> greatest(CAST(0 AS BIGINT), acc + y))) AS sc
+        |  FROM m),
+        |base AS (
+        |  SELECT user_id, CAST(n AS BIGINT) AS n_days, mu AS mu_e6,
+        |    CAST(list_max(sc) AS BIGINT) AS max_cusum_e6,
+        |    CAST(len(list_filter(sc, x -> x > h)) AS BIGINT) AS n_alarms,
+        |    h AS h_e6,
+        |    ds[list_position(list_transform(sc, x -> x > h), true)]
+        |      AS first_alarm
+        |  FROM s),
+        |span AS (
+        |  SELECT CAST(max(date_diff('day', mind, maxd) + 1) AS BIGINT)
+        |    AS max_span
+        |  FROM (SELECT user_id, min(d) AS mind, max(d) AS maxd
+        |        FROM daily GROUP BY user_id)),
+        |cd AS (SELECT CAST(unnest([7, 365]) AS INT) AS chunk_days)
+        |SELECT b.*,
+        |  CASE WHEN s2.max_span > cd.chunk_days * 2 THEN 'chunked'
+        |       ELSE 'unchunked' END AS mode,
+        |  s2.max_span, cd.chunk_days
+        |FROM base b CROSS JOIN span s2 CROSS JOIN cd""".stripMargin,
     // ts9: the ts3 recurrence (both regimes emit it identically — that
     // IS the regime identity being gated) + the declarative routing rule
     // replicated in SQL over both operating points: mode = chunked iff

@@ -160,9 +160,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "v12_ivf_trained", // one-row trained-codebook assembly (transform/flatten)
     "v13_ivf_pq", // one-row trained-codebook assembly (transform/flatten)
     "d16_semdedup", // centroid-table assembly, 10 post-aggregation rows
-    "ts5_cusum" // per-key CUSUM readout over the POST-AGGREGATION per-key
-                // array frame (#keys rows, the v5 shape); the corpus-scale
-                // work is the daily groupBy feeding it
+    "ts5_cusum", // per-key CUSUM readout over the POST-AGGREGATION per-key
+                 // array frame (#keys rows, the v5 shape); the corpus-scale
+                 // work is the daily groupBy feeding it
+    "ts10_cusum_auto" // the unchunked branch IS ts5's readout (same
+                      // post-aggregation #keys-rows Project); the routing
+                      // gate adds no row-level lambda
   )
 
   test("corpus-scale plans contain no interpreted per-element lambdas") {

@@ -231,6 +231,28 @@ class TimeSeriesSpec extends AnyFunSuite {
       Seq("unchunked"))
   }
 
+  test("cusumDailyAuto routes by the same span rule, values unchanged") {
+    // ts9's gate on the CUSUM family: each side of the crossover routes
+    // correctly and both regimes emit ts5's exact summary rows.
+    val df = longSeries(120)
+    val full = TimeSeries.cusumDaily(df, "user_id", "ts", "value")
+      .as[(Long, Long, Long, Long, Long, Long, Option[java.sql.Date])]
+      .collect().toSet
+    val un = TimeSeries.cusumDailyAuto(df, "user_id", "ts", "value",
+      chunkDays = 365)
+    assert(un.select("mode").distinct().as[String].collect().toSeq ==
+      Seq("unchunked"))
+    val ch = TimeSeries.cusumDailyAuto(df, "user_id", "ts", "value",
+      chunkDays = 30)
+    assert(ch.select("mode").distinct().as[String].collect().toSeq ==
+      Seq("chunked"))
+    for (r <- Seq(un, ch)) {
+      assert(r.drop("mode", "max_span")
+        .as[(Long, Long, Long, Long, Long, Long, Option[java.sql.Date])]
+        .collect().toSet == full)
+    }
+  }
+
   test("cusumDailyChunked over 3 years equals the unchunked recurrence") {
     val df = longSeries(1100)
     val full = TimeSeries.cusumDaily(df, "user_id", "ts", "value")
