@@ -1152,34 +1152,23 @@ object TextDedup {
         s"$cur.seg_bkt", nBuckets = 8, keys = Seq("bin_id"))
       val ledger = new java.io.File(Tables.scratch(cur + "_ledger"))
       Option(ledger.listFiles()).foreach(_.foreach(_.delete()))
-      // Cross-batch state: the token offset packed so far, plus the LAST
-      // ledger id committed (for the replay probe below) and the appended-
-      // batch count. The ledger is keyed on phaseBase + Spark's OWN
-      // delivered batchId (ADVICE r17): a genuine micro-batch redelivery
-      // re-presents the SAME id, so the marker suppresses it — a local
-      // counter would mint a fresh id and double-append. carry advances
-      // ONLY when the append really happened, so a suppressed redelivery
-      // cannot double-count the offset either.
-      var carry = 0L
-      var nAppended = 0L
-      var lastLedgerId = -1L
+      // Cross-batch state machine: graft.streaming.PackingStream (the
+      // ADVICE-r17 hardening, redelivery-tested in ExactlyOnceSpec) —
+      // ledger keyed on phaseBase + Spark's OWN delivered batchId, carry
+      // advanced only on a real append.
+      var st = graft.streaming.PackingStream.Fresh
       def phase(name: String, phaseBase: Long, lo: Long, hi: Long): Unit = {
         val part = Tables.streamT(s, dir, "documents",
             "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
           .filter(col("doc_id") >= lo && col("doc_id") < hi)
         graft.streaming.StreamingWindows.runForeachBatch(part, name) {
           (batch, id) =>
-            val ledgerId = phaseBase + id
             val m = graft.engine.Caches.persisted(
               graft.ops.Split.packManifest(batch, "text", "doc_id", 512,
-                carry))
-            if (graft.ops.Bucketing.appendBucketedExactlyOnce(m,
-                s"$cur.seg_bkt", nBuckets = 8, keys = Seq("bin_id"),
-                ledgerDir = ledger, batchId = ledgerId)) {
-              carry += m.agg(coalesce(sum("len"), lit(0L))).head().getLong(0)
-              nAppended += 1
-              lastLedgerId = ledgerId
-            }
+                st.carry))
+            st = graft.streaming.PackingStream.step(m, s"$cur.seg_bkt",
+              nBuckets = 8, ledgerDir = ledger, ledgerId = phaseBase + id,
+              st = st)
             ()
         }
       }
@@ -1188,7 +1177,7 @@ object TextDedup {
       // wrongly suppress the second phase's batches.
       phase("e20a", 0L, 0L, 250L)
       phase("e20b", 1000000L, 250L, Long.MaxValue)
-      require(nAppended >= 2,
+      require(st.nAppended >= 2,
         "expected at least one micro-batch per phase " +
           "(stream source matched no files?)")
       // Redeliver the final micro-batch under its committed ledger id:
@@ -1200,7 +1189,7 @@ object TextDedup {
           docs(s, dir).filter(col("doc_id") >= 250L), "text", "doc_id",
           512),
         s"$cur.seg_bkt", nBuckets = 8, keys = Seq("bin_id"),
-        ledgerDir = ledger, batchId = lastLedgerId)
+        ledgerDir = ledger, batchId = st.lastLedgerId)
       require(!replayed, "ledger failed to suppress a replayed micro-batch")
       s.catalog.refreshTable(s"$cur.seg_bkt")
       s.table(s"$cur.seg_bkt")

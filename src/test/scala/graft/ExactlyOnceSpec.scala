@@ -55,6 +55,58 @@ class ExactlyOnceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Bucketing.isCommitted(ledger, 2L))
   }
 
+  test("PackingStream: a mid-stream redelivery advances neither carry nor store") {
+    // The ADVICE-r17 failure mode, driven directly on the extracted
+    // kernel: Structured Streaming redelivers an in-flight micro-batch
+    // with the SAME batch id after a restart. The redelivered manifest is
+    // recomputed against the post-advance carry (deliberately wrong —
+    // exactly what the e20 closure would do), so a ledger miss here would
+    // BOTH double the boundary window's segments and shift every later
+    // window by the doubled carry. The state machine must come back
+    // bit-identical and the store row count must not move.
+    import graft.streaming.PackingStream
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '/tmp/$db'")
+    Bucketing.reset(spark, s"$db.pack", new java.io.File(s"/tmp/$db/pack"))
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft-eo-pack").toFile
+    import spark.implicits._
+    def manifest(docs: Seq[(Long, String)], carry: Long) =
+      graft.ops.Split.packManifest(docs.toDF("doc_id", "text"), "text",
+        "doc_id", ctxLen = 4, offset = carry)
+    val b1 = Seq(1L -> "a b c", 2L -> "d e f g")   // 7 tokens
+    val b2 = Seq(3L -> "h i j", 4L -> "k l")       // 5 tokens
+    Bucketing.writeBucketed(manifest(Nil, 0L), s"$db.pack", 4,
+      Seq("bin_id"))
+
+    // Batch 0 (phase base 0) appends and advances the carry by 7.
+    val s1 = PackingStream.step(manifest(b1, 0L), s"$db.pack", 4, ledger,
+      ledgerId = 0L, st = PackingStream.Fresh)
+    assert(s1 == PackingStream.State(7L, 1L, 0L))
+    // Batch 1 continues mid-window from token 7.
+    val s2 = PackingStream.step(manifest(b2, s1.carry), s"$db.pack", 4,
+      ledger, ledgerId = 1L, st = s1)
+    assert(s2 == PackingStream.State(12L, 2L, 1L))
+    spark.catalog.refreshTable(s"$db.pack")
+    val rows = spark.table(s"$db.pack").count()
+
+    // REDELIVERY of batch 1: same ledger id, manifest recomputed at the
+    // (now wrong) post-advance carry. Suppressed: state unchanged, store
+    // unchanged.
+    val s3 = PackingStream.step(manifest(b2, s2.carry), s"$db.pack", 4,
+      ledger, ledgerId = 1L, st = s2)
+    assert(s3 == s2, s"redelivery mutated the state: $s3 vs $s2")
+    spark.catalog.refreshTable(s"$db.pack")
+    assert(spark.table(s"$db.pack").count() === rows,
+      "redelivery appended rows")
+
+    // A NEW phase reuses Spark batch id 0 — the phase base keeps the
+    // ledger keys disjoint, so it must append, not be suppressed.
+    val s4 = PackingStream.step(manifest(b1, s3.carry), s"$db.pack", 4,
+      ledger, ledgerId = 1000000L, st = s3)
+    assert(s4.nAppended == 3L && s4.carry == 19L &&
+      s4.lastLedgerId == 1000000L)
+  }
+
   test("pruneLedger drops only markers below the horizon") {
     val ledger = java.nio.file.Files
       .createTempDirectory("graft-eo-prune").toFile
