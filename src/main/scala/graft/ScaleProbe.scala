@@ -149,7 +149,8 @@ object ScaleProbe {
         // 10x-longer replica histories CHUNKED — the probe measures the
         // routed plan, with the one-row span aggregate riding along).
         "c10_containment_drop", "e21_stream_containment",
-        "o29_pack_sharded", "ts9_ewma_auto", "ts10_cusum_auto")
+        "o29_pack_sharded", "ts9_ewma_auto", "ts10_cusum_auto",
+        "e22_containment_ingest")
     val scales = Seq("sf0.1" -> base, "sf1" -> big) ++
       (if (deep) Seq("sf3" -> big30) else Nil)
     for (name <- names; (label, dir) <- scales) {

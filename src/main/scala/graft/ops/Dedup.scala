@@ -1131,6 +1131,27 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"),
         col("n_a"), col("n_b"))
 
+  /** e22's drop policy: [[containmentDrops]] with the dropped side PINNED
+    * to `doc_a` (the ARRIVING document of a cross-corpus candidate pair —
+    * every e22 candidate is (arrival, standing) with arrival ids below
+    * the standing band, so doc_a < doc_b already encodes the direction).
+    * An arrival is quarantined iff it is mostly inside some standing doc
+    * (cont_a ≥ minCont on the rounded value) without being a near-dup
+    * (jaccard < 0.8 — that band belongs to the dedup chain); an arrival
+    * that CONTAINS a standing doc is NOT dropped (new longer versions of
+    * standing content must land). Same provenance contract as c10: min
+    * standing container as the keeper witness, container count, max
+    * containment in exact e6 integers.
+    */
+  def arrivalContainmentDrops(all: DataFrame, cand: DataFrame,
+      minCont: Double = 0.8): DataFrame =
+    scoredOf(all, cand)
+      .filter(col("jaccard") < 0.8 && col("cont_a") >= minCont)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min("doc_b").as("keeper_id"),
+        count(lit(1)).as("n_containers"),
+        max(round(col("cont_a") * 1e6, 0).cast("long")).as("max_cont_e6"))
+
   /** d35's verify tail + classification over an EXTERNAL candidate pair
     * set (doc_a < doc_b) — the batch kernel of the streaming containment
     * probe (e21): candidates arrive from the stream-static window-hash

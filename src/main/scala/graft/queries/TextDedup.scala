@@ -1244,6 +1244,81 @@ object TextDedup {
       }
     }),
 
+    // CONTAINMENT-GUARDED INGEST — the action e21's probe implies (the
+    // c-family contract on the streaming side: e21 scans arriving docs
+    // for containment, e22 ACTS before anything lands): per micro-batch,
+    // arrivals are probed against the STANDING corpus' capped window-hash
+    // store, the candidate pairs run c10's verify tail, and each arrival
+    // is decided — QUARANTINED with full provenance if it is mostly
+    // inside some standing doc (cont ≥ 0.8, jaccard < 0.8 — an arrival
+    // that CONTAINS a standing doc still lands: longer new versions are
+    // content, not duplication), else LANDED. Decisions append to one
+    // bucketed store through the e12 exactly-once ledger (final batch
+    // replayed — must be a no-op) and the readout is the STORE, not the
+    // plan. Gate: the batch expression of the same policy — a wrongly
+    // quarantined/landed arrival, lost provenance, or double-appended
+    // decision flips its row.
+    "e22_containment_ingest" -> ((s, dir) => {
+      val standing = graft.engine.Caches.persisted(
+        docs(s, dir).filter(col("doc_id") >= LdsEvalSplit))
+      val db = "graft_ingest_e22_" + Tables.dirTag(dir)
+      val dbLoc = Tables.scratch(db + "_db")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
+      // Standing capped window-hash store (the e21 probe side, standing
+      // slice only — the cap is a property of the standing corpus).
+      graft.ops.Bucketing.reset(s, s"$db.win_bkt",
+        new java.io.File(dbLoc, "win_bkt"))
+      val occS = standing.select(col("doc_id").as("doc_b"),
+        explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+      graft.ops.Bucketing.writeBucketed(
+        occS.join(occS.groupBy("h").agg(count(lit(1)).as("wf"))
+          .filter(col("wf") <= 64).select("h"), "h")
+          .select("h", "doc_b"),
+        s"$db.win_bkt", nBuckets = 8, keys = Seq("h"))
+      val winStore = s.table(s"$db.win_bkt")
+      // Decision store: one row per arrival, landed or quarantined.
+      graft.ops.Bucketing.reset(s, s"$db.ingest_bkt",
+        new java.io.File(dbLoc, "ingest_bkt"))
+      def decide(batch: DataFrame): DataFrame = {
+        val cand = batch
+          .select(col("doc_id").as("doc_a"),
+            explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+          .join(winStore, Seq("h"))
+          .select("doc_a", "doc_b").distinct()
+        val drops = Dedup.arrivalContainmentDrops(
+          standing.unionByName(batch), cand)
+        batch.select("doc_id").join(drops, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("keeper_id").isNull.as("landed"),
+            col("keeper_id"),
+            coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+            coalesce(col("max_cont_e6"), lit(0L)).as("max_cont_e6"))
+      }
+      graft.ops.Bucketing.writeBucketed(decide(docs(s, dir).limit(0)),
+        s"$db.ingest_bkt", nBuckets = 8, keys = Seq("doc_id"))
+      val ledger = new java.io.File(Tables.scratch(db + "_ledger"))
+      Option(ledger.listFiles()).foreach(_.foreach(_.delete()))
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def append(b: DataFrame, id: Long): Boolean =
+        graft.ops.Bucketing.appendBucketedExactlyOnce(decide(b),
+          s"$db.ingest_bkt", nBuckets = 8, keys = Seq("doc_id"),
+          ledgerDir = ledger, batchId = id)
+      val delta = Tables.streamT(s, dir, "documents",
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .filter(col("doc_id") < LdsEvalSplit)
+      graft.streaming.StreamingWindows.runForeachBatch(delta, "e22") {
+        (batch, id) => seen += id; append(batch, id); ()
+      }
+      require(seen.nonEmpty, "stream produced no micro-batches " +
+        "(stream source matched no files?)")
+      val replayed = append(
+        docs(s, dir).filter(col("doc_id") < LdsEvalSplit), seen.last)
+      require(!replayed, "ledger failed to suppress a replayed micro-batch")
+      s.catalog.refreshTable(s"$db.ingest_bkt")
+      s.table(s"$db.ingest_bkt")
+        .select("doc_id", "landed", "keeper_id", "n_containers",
+          "max_cont_e6")
+    }),
+
     // SKEW-HARDENED dedup — the LSH chain under a deliberately viral span:
     // 30% of the corpus is REPLACED by one shared boilerplate block, so
     // those docs' signatures agree in every band and each band's hot
@@ -3215,6 +3290,53 @@ object TextDedup {
          |SELECT doc_id, min(container) AS keeper_id,
          |  count(*) AS n_containers, max(cont_e6) AS max_cont_e6
          |FROM drops GROUP BY doc_id""".stripMargin,
+    // e22: the batch expression of the containment-guarded ingest — the
+    // c10 chain with candidates restricted to (arrival, standing) pairs,
+    // the cap computed on the STANDING slice only, the drop side pinned
+    // to the arrival, and every arrival emitted with its landed/
+    // quarantined decision + provenance.
+    "e22_containment_ingest" ->
+      s"""WITH $toksSrc, $shSrc, $hashedSrc,
+         |sh10 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
+         |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         |           ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
+         |           ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
+         |           ws[i + 9])) AS shingle
+         |  FROM toks),
+         |h10 AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh10),
+         |okws AS (SELECT h FROM h10 WHERE doc_id >= $LdsEvalSplit
+         |         GROUP BY h HAVING count(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM h10 a JOIN okws USING (h) JOIN h10 b USING (h)
+         |  WHERE a.doc_id < $LdsEvalSplit AND b.doc_id >= $LdsEvalSplit),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand c
+         |    JOIN hashed a ON a.doc_id = c.doc_a
+         |    JOIN hashed b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / ca.n_sh, 6) AS cont_a,
+         |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+         |  FROM inter i
+         |    JOIN counts ca ON ca.doc_id = i.doc_a
+         |    JOIN counts cb ON cb.doc_id = i.doc_b),
+         |drops AS (
+         |  SELECT doc_a AS doc_id, min(doc_b) AS keeper_id,
+         |    count(*) AS n_containers,
+         |    CAST(max(round(cont_a * 1e6)) AS BIGINT) AS max_cont_e6
+         |  FROM m WHERE jaccard < 0.8 AND cont_a >= 0.8
+         |  GROUP BY doc_a)
+         |SELECT d.doc_id, dr.doc_id IS NULL AS landed, dr.keeper_id,
+         |  coalesce(dr.n_containers, 0) AS n_containers,
+         |  coalesce(dr.max_cont_e6, 0) AS max_cont_e6
+         |FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+         |WHERE d.doc_id < $LdsEvalSplit""".stripMargin,
     "d25_lsh_calibration" ->
       s"""WITH $boundedTruthCtes,
          |candj AS (SELECT c.doc_a, c.doc_b, coalesce(t.j_e6, 0) AS j_e6

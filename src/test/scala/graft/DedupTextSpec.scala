@@ -660,6 +660,31 @@ class DedupTextSpec extends AnyFunSuite {
     got.values.foreach { case (d, k, _, _) => assert(d != k) }
   }
 
+  test("arrivalContainmentDrops quarantines excerpts, lands supersets") {
+    // e22's policy kernel on a hand fixture: standing doc 100 is the
+    // long document; arrival 1 is its verbatim excerpt (cont_a = 1.0,
+    // jaccard < 0.8) → quarantined with doc 100 as keeper; arrival 2
+    // CONTAINS doc 101 (it is the longer side: cont_a < 0.8 while the
+    // standing side's containment is 1.0) → must NOT be dropped — new
+    // longer versions of standing content are content, not duplication.
+    val long100 = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val excerpt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val short101 = "one two three four five six seven eight nine ten eleven"
+    val superset = short101 + " twelve thirteen fourteen fifteen sixteen " +
+      "seventeen eighteen nineteen twenty twentyone"
+    val all = Seq((1L, excerpt), (2L, superset),
+      (100L, long100), (101L, short101)).toDF("doc_id", "text")
+    // Candidates as e22 builds them: (arrival, standing) pairs sharing a
+    // capped standing window.
+    val cand = Seq((1L, 100L), (2L, 101L)).toDF("doc_a", "doc_b")
+    val got = Dedup.arrivalContainmentDrops(all, cand)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L), s"only the excerpt drops: ${got.keys}")
+    val (_, keeper, n, contE6) = got(1L)
+    assert(keeper == 100L && n == 1L && contE6 == 1000000L)
+  }
+
   test("evalDirtiness counts contaminated windows per eval item") {
     // Eval doc 1 "a b c d" has 3-gram windows {"a b c", "b c d"}; the
     // corpus contains "a b c" but not "b c d" → 1 of 2 dirty (500000
