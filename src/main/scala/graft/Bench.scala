@@ -229,10 +229,27 @@ object Bench {
       else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"detail":"BENCH_full.json","sf":"$sfDir"}"""
     println(last)
     // Persist the complete full-name record to a file the driver (or the
-    // judge) can lift verbatim.
+    // judge) can lift verbatim. An existing record is ARCHIVED first,
+    // stamped with its own mtime: the round-over-round comparison
+    // (tools/compare_bench.py --prev) needs the previous sweep's `queries`
+    // map and `duckdb_calibration` probes, and an in-place overwrite was
+    // one forgotten manual copy away from losing that baseline forever.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    catch { case e: java.io.IOException =>
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      if (java.nio.file.Files.exists(p)) {
+        val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.nio.file.Files.getLastModifiedTime(p).toInstant)
+        val arch = p.resolveSibling(
+          p.getFileName.toString.stripSuffix(".json") + s"_$ts.json")
+        java.nio.file.Files.move(p, arch,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        System.err.println(s"[bench] archived previous $outFile -> $arch")
+      }
+      java.nio.file.Files.writeString(p, json + "\n")
+      ()
+    } catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()

@@ -55,40 +55,66 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Has `batchId` already been folded into the store this ledger guards? */
-  def isCommitted(ledgerDir: java.io.File, batchId: Long): Boolean =
-    new java.io.File(ledgerDir, s"batch-$batchId").exists()
-
-  /** Record `batchId` as committed: write-fsync-atomic-rename-fsync so a
-    * marker is either fully present or absent — a crash mid-write can't
-    * leave a half-marker that a replay would misread as committed, and a
-    * POWER LOSS after return can't lose a published marker while the
-    * appended parquet data survives (which would re-widen the at-least-once
-    * window past the documented append-to-publish gap): the file channel is
-    * force()d before the rename and the DIRECTORY is fsynced after it, the
-    * same marker-durability discipline as Spark's own
-    * HDFSMetadataLog/CheckpointFileManager rename commits.
+  /** Has `batchId` already been folded into the store this ledger guards?
+    * The ledger is addressed by URI and resolved through the Hadoop
+    * `FileSystem` API ([[fsFor]]) — on a shared filesystem a driver
+    * restarted on a DIFFERENT node consults the same markers, which is
+    * what makes the exactly-once appends cluster-restartable instead of
+    * single-driver-correct.
     */
-  def commit(ledgerDir: java.io.File, batchId: Long, note: String): Unit = {
-    import java.nio.file.StandardOpenOption._
-    ledgerDir.mkdirs()
-    val tmp = new java.io.File(ledgerDir, s".batch-$batchId.tmp").toPath
-    val ch = java.nio.channels.FileChannel.open(tmp, CREATE, WRITE,
-      TRUNCATE_EXISTING)
-    try {
-      ch.write(java.nio.ByteBuffer.wrap(
-        note.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      ch.force(true)
-    } finally ch.close()
-    java.nio.file.Files.move(tmp,
-      new java.io.File(ledgerDir, s"batch-$batchId").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // Durable rename: fsync the parent directory entry (POSIX requires it
-    // for the rename itself to survive power loss).
-    val dch = java.nio.channels.FileChannel.open(ledgerDir.toPath,
-      java.nio.file.StandardOpenOption.READ)
-    try dch.force(true) finally dch.close()
+  def isCommitted(ledgerUri: String, batchId: Long): Boolean = {
+    val (fs, dir) = fsFor(ledgerUri)
+    fs.exists(new org.apache.hadoop.fs.Path(dir, s"batch-$batchId"))
   }
+
+  /** [[isCommitted]] for a local ledger directory (spec/sandbox callers);
+    * qualified to the LOCAL filesystem via `toURI` — a bare string path
+    * would resolve against `fs.defaultFS` and silently address HDFS on a
+    * cluster session.
+    */
+  def isCommitted(ledgerDir: java.io.File, batchId: Long): Boolean =
+    isCommitted(ledgerDir.toURI.toString, batchId)
+
+  /** Record `batchId` as committed: write-sync-rename through the ledger
+    * URI's own FileSystem so a marker is either fully present or absent —
+    * a crash mid-write can't leave a half-marker that a replay would
+    * misread as committed. Durability discipline by scheme: the stream is
+    * hsync'd (falling back to hflush where a scheme doesn't support sync)
+    * before the rename, and on LOCAL ledgers the parent directory entry is
+    * additionally fsynced after it (POSIX requires the directory sync for
+    * the rename itself to survive power loss — HDFS journals renames, so
+    * no equivalent call exists or is needed there). Same marker discipline
+    * as Spark's own HDFSMetadataLog/CheckpointFileManager rename commits.
+    */
+  def commit(ledgerUri: String, batchId: Long, note: String): Unit = {
+    val (fs, dir) = fsFor(ledgerUri)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".batch-$batchId.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      out.write(note.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.hsync()
+      catch { case _: UnsupportedOperationException => out.hflush() }
+    } finally out.close()
+    val marker = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
+    // Re-commit of an existing marker (idempotent by contract): clear it
+    // first — rename-onto-existing semantics vary by FileSystem.
+    fs.delete(marker, false)
+    require(fs.rename(tmp, marker),
+      s"failed to publish ledger marker $marker")
+    val u = dir.toUri
+    if (u.getScheme == null || u.getScheme == "file") {
+      val dch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(u.getPath),
+        java.nio.file.StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
+    }
+  }
+
+  /** [[commit]] for a local ledger directory (see [[isCommitted]] on why
+    * the File form qualifies through `toURI`). */
+  def commit(ledgerDir: java.io.File, batchId: Long, note: String): Unit =
+    commit(ledgerDir.toURI.toString, batchId, note)
 
   /** Retention for the committed-batchId ledger: drop markers for batches
     * below `upToBatchId`. Structured Streaming replays only the IN-FLIGHT
@@ -98,14 +124,21 @@ object Bucketing {
     * any N ≥ 1 bounds the ledger at N+1 files instead of one file per
     * batch forever.
     */
-  def pruneLedger(ledgerDir: java.io.File, upToBatchId: Long): Unit =
-    Option(ledgerDir.listFiles()).foreach(_.foreach { f =>
-      val n = f.getName
-      if (n.startsWith("batch-") &&
-          n.stripPrefix("batch-").toLongOption.exists(_ < upToBatchId)) {
-        f.delete(); ()
+  def pruneLedger(ledgerUri: String, upToBatchId: Long): Unit = {
+    val (fs, dir) = fsFor(ledgerUri)
+    if (fs.exists(dir))
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch-") &&
+            n.stripPrefix("batch-").toLongOption.exists(_ < upToBatchId)) {
+          fs.delete(st.getPath, false); ()
+        }
       }
-    })
+  }
+
+  /** [[pruneLedger]] for a local ledger directory. */
+  def pruneLedger(ledgerDir: java.io.File, upToBatchId: Long): Unit =
+    pruneLedger(ledgerDir.toURI.toString, upToBatchId)
 
   /** [[appendBucketed]] guarded by a committed-batchId ledger — the
     * idempotent-sink contract a `foreachBatch` append needs: Structured
@@ -125,10 +158,19 @@ object Bucketing {
     */
   def appendBucketedExactlyOnce(df: DataFrame, table: String, nBuckets: Int,
       keys: Seq[String], ledgerDir: java.io.File, batchId: Long): Boolean =
-    if (isCommitted(ledgerDir, batchId)) false
+    appendBucketedExactlyOnce(df, table, nBuckets, keys,
+      ledgerDir.toURI.toString, batchId)
+
+  /** [[appendBucketedExactlyOnce]] with the ledger addressed by URI — the
+    * cluster form: point it at a shared-filesystem directory and the
+    * check-append-commit survives a driver restart on another node.
+    */
+  def appendBucketedExactlyOnce(df: DataFrame, table: String, nBuckets: Int,
+      keys: Seq[String], ledgerUri: String, batchId: Long): Boolean =
+    if (isCommitted(ledgerUri, batchId)) false
     else {
       appendBucketed(df, table, nBuckets, keys)
-      commit(ledgerDir, batchId, s"table=$table buckets=$nBuckets")
+      commit(ledgerUri, batchId, s"table=$table buckets=$nBuckets")
       true
     }
 
@@ -190,33 +232,49 @@ object Bucketing {
     ()
   }
 
-  /** Atomically swap a staged directory into its live location: delete the
-    * live path, then rename staged → live through the owning FileSystem.
-    * `rename` is the metadata-only atomic commit on local/HDFS-class
-    * filesystems (the same primitive Spark's HadoopMapReduceCommitProtocol
-    * relies on). Honest S3 caveat: S3A emulates directory rename by
-    * copy+delete, so the swap loses atomicity there — on object-store
-    * deployments the staged-swap lifecycle belongs behind a transactional
-    * table format (Delta/Iceberg), whose manifest commit replaces this
-    * rename; the per-cell REWRITE plumbing above it is unchanged.
+  /** Swap a staged directory into its live location through the owning
+    * FileSystem, never holding zero copies: the live path is first renamed
+    * ASIDE to a hidden `.<name>.old` sibling (dot-prefixed — parquet scans
+    * skip hidden paths, so a crash can't leak stale rows into readers),
+    * then staged promotes to live, then the old copy is dropped. A crash
+    * or rename failure between any two steps leaves either the old or the
+    * new data recoverable at a well-known sibling — the delete-live-first
+    * ordering could destroy the only surviving copy. `rename` is the
+    * metadata-only atomic commit on local/HDFS-class filesystems (the same
+    * primitive Spark's HadoopMapReduceCommitProtocol relies on). Honest S3
+    * caveat: S3A emulates directory rename by copy+delete, so each step
+    * loses atomicity there — on object-store deployments the staged-swap
+    * lifecycle belongs behind a transactional table format
+    * (Delta/Iceberg), whose manifest commit replaces this rename; the
+    * per-cell REWRITE plumbing above it is unchanged.
     */
   def swapPath(staged: String, live: String): Unit = {
     val (fs, livePath) = fsFor(live)
     val stagedPath = new org.apache.hadoop.fs.Path(staged)
-    fs.delete(livePath, true)
+    val old = new org.apache.hadoop.fs.Path(
+      livePath.getParent, "." + livePath.getName + ".old")
+    fs.delete(old, true)
+    val hadLive = fs.exists(livePath)
+    if (hadLive) require(fs.rename(livePath, old),
+      s"failed to move live path $live aside to $old")
     // A stage that produced nothing (every member deleted) simply leaves
     // the live path absent.
     if (fs.exists(stagedPath)) {
       require(fs.rename(stagedPath, livePath),
         s"failed to swap staged path $staged into $live")
     }
+    if (hadLive) { fs.delete(old, true); () }
   }
 
   /** Recursively delete a directory (idempotent; missing dir is a no-op).
     * Routed through [[deletePath]] — java.io.File callers (scratch-dir
-    * hygiene) and cluster-path callers share one commit primitive.
+    * hygiene) and cluster-path callers share one commit primitive. The
+    * File is qualified via `toURI` so it ALWAYS resolves to the local
+    * filesystem: a bare absolute path resolves against `fs.defaultFS`,
+    * which on an HDFS-default cluster would silently target an HDFS path
+    * and leave the real local directory untouched.
     */
-  def clearDir(f: java.io.File): Unit = deletePath(f.getAbsolutePath)
+  def clearDir(f: java.io.File): Unit = deletePath(f.toURI.toString)
 
   /** Count the parquet data files under a table directory — the
     * observable the append-then-compact lifecycle moves: appends grow it

@@ -831,10 +831,13 @@ object Similarity {
     // registered scheme; Bucketing.swapPath documents the S3 rename
     // caveat. A cell whose every member was deleted stages no directory at
     // all; the empty inverted list is simply gone from the index.
+    // Child paths built with Hadoop Path, not java.io.File: File would
+    // mangle a scheme-qualified store URI (hdfs-class schemes get
+    // cwd-prefixed), defeating swapPath's scheme portability.
     for (c <- delCells) {
       graft.ops.Bucketing.swapPath(
-        new java.io.File(stagePath, s"cell=$c").getAbsolutePath,
-        new java.io.File(storePath, s"cell=$c").getAbsolutePath)
+        new org.apache.hadoop.fs.Path(stagePath, s"cell=$c").toString,
+        new org.apache.hadoop.fs.Path(storePath, s"cell=$c").toString)
     }
     val store = spark.read.parquet(storePath)
     require(store.filter(isDel).isEmpty,

@@ -107,6 +107,34 @@ class ExactlyOnceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s4.lastLedgerId == 1000000L)
   }
 
+  test("ledger markers run through a file:// URI FileSystem (cluster-portable)") {
+    // The r18 seam: store commits went through the Hadoop FS API but the
+    // ledger markers were java.io.File — a driver restarted on another
+    // node would lose the ledger and replay batches into the stores. This
+    // drives commit/isCommitted/pruneLedger through an explicit file://
+    // URI (the same resolution path hdfs:// takes), and checks the
+    // java.io.File overloads address the SAME ledger.
+    val dir = java.nio.file.Files.createTempDirectory("graft-eo-uri").toFile
+    val uri = dir.toURI.toString
+    assert(uri.startsWith("file:"), s"toURI must yield a file scheme: $uri")
+    assert(!Bucketing.isCommitted(uri, 7L))
+    Bucketing.commit(uri, 7L, "portable")
+    assert(Bucketing.isCommitted(uri, 7L))
+    assert(Bucketing.isCommitted(dir, 7L),
+      "File and URI spellings must address one ledger")
+    // Re-commit of the same marker is idempotent, not an error.
+    Bucketing.commit(uri, 7L, "portable-again")
+    assert(Bucketing.isCommitted(uri, 7L))
+    Bucketing.commit(dir, 9L, "via-file-overload")
+    assert(Bucketing.isCommitted(uri, 9L))
+    Bucketing.pruneLedger(uri, upToBatchId = 9L)
+    assert(!Bucketing.isCommitted(uri, 7L) && Bucketing.isCommitted(uri, 9L))
+    // No half-written temp marker may survive a completed commit.
+    val leftovers = Option(dir.listFiles()).map(_.map(_.getName).toSeq)
+      .getOrElse(Nil).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"commit leaked temp markers: $leftovers")
+  }
+
   test("pruneLedger drops only markers below the horizon") {
     val ledger = java.nio.file.Files
       .createTempDirectory("graft-eo-prune").toFile

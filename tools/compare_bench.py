@@ -16,7 +16,7 @@ regressions ONLY when they clear max(40%, 2x the floor) relative AND
 0.3 s absolute; a flag counts as real only if it repeats in two
 consecutive rounds.
 """
-import json, statistics, sys, time
+import json, os, statistics, sys, time
 
 import duckdb
 
@@ -62,8 +62,12 @@ def main(sf_dir, oracle_path, bench_path, md_path=None, prev_path=None):
     # query), record into the bench JSON so the round artifact carries it.
     cal = calibrate(con)
     bench["duckdb_calibration"] = cal
-    with open(bench_path, "w") as f:
+    # Atomic replace: the bench JSON is a round evidence artifact — a crash
+    # mid-write must not corrupt it (write to a temp sibling, then rename).
+    tmp_path = bench_path + ".tmp"
+    with open(tmp_path, "w") as f:
         f.write(json.dumps(bench))
+    os.replace(tmp_path, bench_path)
     print(f"duckdb_calibration total {cal['total']:.4f} s "
           + " ".join(f"{k}={cal[k]:.4f}" for k in CALIBRATION))
     spark_times = bench.get("queries", {})
