@@ -150,7 +150,12 @@ object ScaleProbe {
         // routed plan, with the one-row span aggregate riding along).
         "c10_containment_drop", "e21_stream_containment",
         "o29_pack_sharded", "ts9_ewma_auto", "ts10_cusum_auto",
-        "e22_containment_ingest")
+        "e22_containment_ingest",
+        // round-19: the self-extending ingest loop (e22 + per-window
+        // store extension + decision-store compaction) and the
+        // corpus-derived containment threshold (one extra ladder survey
+        // over d35's scored chain — same expected slope as c10).
+        "e23_containment_ingest_ext", "c11_containment_auto")
     val scales = Seq("sf0.1" -> base, "sf1" -> big) ++
       (if (deep) Seq("sf3" -> big30) else Nil)
     for (name <- names; (label, dir) <- scales) {

@@ -1211,6 +1211,66 @@ object Dedup {
         count(lit(1)).as("n_containers"),
         max("cont_e6").as("max_cont_e6"))
 
+  /** c11: [[containmentDrops]] at a CORPUS-DERIVED operating point — the
+    * c5 chosen-rung discipline applied to the containment threshold:
+    * instead of a hand-set minCont, a ladder of e6-integer rungs surveys
+    * the corpus's own containment mass (per would-be-dropped doc, its max
+    * pairwise containment over d35's scored chain) and the SMALLEST rung
+    * whose drop count is at most 1/fracDen of the corpus becomes the
+    * threshold (none qualifying → the widest rung). Rationale mirrors
+    * autoMinRun: excerpt/boilerplate duplication is rare by definition —
+    * a rung that would drop more than ~5% of documents is classifying
+    * ordinary topical overlap as containment, not quoting. The chosen
+    * rung rides along as `min_cont_e6`, so the gate hashes the CHOICE as
+    * well as the drops. All comparisons run in exact e6 integer space
+    * (each 6-dp containment recovers its integer form losslessly) — the
+    * survey and the cut are bit-reproducible in any engine.
+    *
+    * Scale shape: d35's scored chain is computed ONCE (persisted) and
+    * feeds both the survey and the cut; the survey rollup is ≤ |ladder|
+    * rows, a model-sized driver decision (the kmeans-collect class).
+    */
+  def containmentDropsAuto(docs: DataFrame, winN: Int = 10,
+      maxWindowFreq: Int = 64, ladder: Seq[Long] = Seq(600000L, 700000L,
+        800000L, 900000L), fracDen: Long = 20L): DataFrame = {
+    require(ladder.nonEmpty, "containmentDropsAuto needs a threshold ladder")
+    val scored = containmentScored(docs, winN, maxWindowFreq).persistTracked()
+    // Per containment-band pair (near-dups belong to the dedup chain),
+    // c10's drop-side selection with its tie-breaks, in e6 space.
+    val dropRows = scored
+      .filter(col("jaccard") < 0.8)
+      .select(
+        when(col("cont_a") > col("cont_b"), col("doc_a"))
+          .when(col("cont_b") > col("cont_a"), col("doc_b"))
+          .when(col("n_a") < col("n_b"), col("doc_a"))
+          .when(col("n_b") < col("n_a"), col("doc_b"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"),
+        when(col("cont_a") > col("cont_b"), col("doc_b"))
+          .when(col("cont_b") > col("cont_a"), col("doc_a"))
+          .when(col("n_a") < col("n_b"), col("doc_b"))
+          .when(col("n_b") < col("n_a"), col("doc_a"))
+          .otherwise(least(col("doc_a"), col("doc_b"))).as("container"),
+        round(greatest(col("cont_a"), col("cont_b")) * 1e6, 0)
+          .cast("long").as("cont_e6"))
+      .persistTracked()
+    val sortedLadder = ladder.sorted
+    val nDocs = docs.count()
+    // Survey: per rung, how many docs the cut at that rung would drop.
+    val byRung = dropRows.groupBy("doc_id").agg(max("cont_e6").as("mx"))
+      .select(explode(array(sortedLadder.map(lit): _*)).as("r"), col("mx"))
+      .filter(col("mx") >= col("r"))
+      .groupBy("r").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chosen = sortedLadder.find(r => byRung.getOrElse(r, 0L) <= nDocs / fracDen)
+      .getOrElse(sortedLadder.last)
+    dropRows.filter(col("cont_e6") >= chosen)
+      .groupBy("doc_id")
+      .agg(min("container").as("keeper_id"),
+        count(lit(1)).as("n_containers"),
+        max("cont_e6").as("max_cont_e6"))
+      .withColumn("min_cont_e6", lit(chosen))
+  }
+
   /** Shared verify core of d5/d35: exact shingle-set overlap counted per
     * candidate pair, both set sizes attached. Returns (doc_a, doc_b,
     * n_inter, n_a, n_b).

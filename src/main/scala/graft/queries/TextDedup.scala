@@ -453,6 +453,93 @@ object TextDedup {
     "c10_containment_drop" -> ((s, dir) =>
       Dedup.containmentDrops(docs(s, dir))),
 
+    // SELF-TUNING containment removal — c10 with minCont chosen from the
+    // corpus itself (the c5 chosen-rung discipline on the containment
+    // axis): an e6-integer rung ladder surveys the corpus's containment
+    // mass (per would-be-dropped doc, its max pairwise containment over
+    // d35's scored chain) and the smallest rung dropping ≤ 5% of docs
+    // becomes the threshold; the choice rides along as `min_cont_e6` so
+    // the gate hashes the SELECTION as well as the cut. The fixture's
+    // natural window-shared pairs are ALL near-dups (zero containment
+    // band at every SF — c10 gates an empty drop set), so the input is a
+    // containment-SPECTRUM corpus (the d22 deliberate-corpus discipline):
+    // every doc_id % 10 == 7 doc is replaced by a 20-token excerpt of its
+    // doc_id−5 neighbor plus m of its own tokens, m stepping 3/6/9/12 by
+    // decade — containment ≈ .86/.75/.67/.60, real mass on every rung, so
+    // the survey must genuinely choose (at sf0.01 it picks 800000: the
+    // 700000 rung would drop 26 docs vs the 25-doc cap).
+    "c11_containment_auto" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val src = base.select((col("doc_id") + 5).as("doc_id"),
+        slice(split(lower(col("text")), "\\s+"), 1, 20).as("_src"))
+      val m = (lit(3) * (lit(1) +
+        pmod(expr("doc_id div 10"), lit(4)))).cast("int")
+      val spectrum = base.join(src, Seq("doc_id"), "left")
+        .withColumn("text",
+          when(col("doc_id") % 10 === 7 && col("_src").isNotNull,
+            array_join(concat(col("_src"),
+              slice(split(lower(col("text")), "\\s+"), lit(1), m)), " "))
+            .otherwise(col("text")))
+        .select("doc_id", "text")
+      Dedup.containmentDropsAuto(spectrum)
+    }),
+
+    // BATCH CURATION CAPSTONE — the c-family legs composed into ONE plan
+    // (the composition is where operator seams actually break: cache
+    // hygiene, exchange reuse, provenance columns colliding): gopher gate
+    // (t16's pass) → exact-dup collapse (d33's min-id keeper) → decontam
+    // drop (any 10-token window shared with the eval set, d32's signal as
+    // a drop policy) → containment drop (c10's policy among survivors) →
+    // sequence-pack the result (o27's manifest), reported as c3's funnel
+    // contract: one all-integer row with every stage's survivor count and
+    // the packed stream's window/segment/token totals plus a boundary
+    // checksum — one doc wrongly dropped or kept at ANY stage, or one
+    // packed boundary off by one, flips the row. Every stage boundary is
+    // persisted once and feeds both its funnel count and the next stage —
+    // the d33 exact-collapse exchange is REUSED, never recomputed. Every
+    // tenth doc is an excerpt of its successor (the c11 injection) so the
+    // containment stage has real drop mass to account for.
+    "c12_curation_pipeline" -> ((s, dir) => {
+      val all = docs(s, dir)
+      val exSrc = all.select((col("doc_id") - 1).as("doc_id"),
+        array_join(slice(split(lower(col("text")), "\\s+"), 1, 30), " ")
+          .as("_ex"))
+      val corpus = graft.engine.Caches.persisted(
+        all.filter(col("doc_id") >= LdsEvalSplit)
+          .join(exSrc, Seq("doc_id"), "left")
+          .withColumn("text",
+            when(col("doc_id") % 10 === 3 && col("_ex").isNotNull,
+              col("_ex")).otherwise(col("text")))
+          .select("doc_id", "text"))
+      val s1 = graft.engine.Caches.persisted(
+        corpus.filter(TextOps.gopherPass(col("text"))))
+      val s2 = graft.engine.Caches.persisted(
+        s1.join(s1.groupBy("text").agg(min("doc_id").as("doc_id"))
+          .select("doc_id"), Seq("doc_id"), "left_semi"))
+      val dirty = s2.select(col("doc_id"),
+          explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+        .join(Dedup.evalFingerprints(
+          all.filter(col("doc_id") < LdsEvalSplit), 10), Seq("h"))
+        .select("doc_id").distinct()
+      val s3 = graft.engine.Caches.persisted(
+        s2.join(dirty, Seq("doc_id"), "left_anti"))
+      val s4 = graft.engine.Caches.persisted(
+        s3.join(Dedup.containmentDrops(s3).select("doc_id"),
+          Seq("doc_id"), "left_anti"))
+      val pk = graft.ops.Split.packManifest(s4, "text", "doc_id", 512)
+        .agg(countDistinct("bin_id").as("n_windows"),
+          count(lit(1)).as("n_segments"),
+          sum("len").as("n_tokens"),
+          sum(col("bin_id") * col("len") + col("doc_offset") +
+            col("win_offset")).as("pack_checksum"))
+      corpus.agg(count(lit(1)).as("n_total"))
+        .crossJoin(s1.agg(count(lit(1)).as("after_gopher")))
+        .crossJoin(s2.agg(count(lit(1)).as("after_exact")))
+        .crossJoin(s3.agg(count(lit(1)).as("after_decontam")))
+        .crossJoin(s4.agg(count(lit(1)).as("after_containment")))
+        .crossJoin(pk)
+    }),
+
     // LSH OPERATING-POINT CALIBRATION (the band/row tuning report every
     // LSH deployment runs before committing a threshold): on a BOUNDED
     // sub-corpus (doc_id < 200 — the d10 bounded-gate discipline, where
@@ -1315,6 +1402,146 @@ object TextDedup {
       require(!replayed, "ledger failed to suppress a replayed micro-batch")
       s.catalog.refreshTable(s"$db.ingest_bkt")
       s.table(s"$db.ingest_bkt")
+        .select("doc_id", "landed", "keeper_id", "n_containers",
+          "max_cont_e6")
+    }),
+
+    // SELF-EXTENDING containment ingest — closes e22's build-once seam
+    // (an arrival that is an excerpt of an EARLIER ARRIVAL sailed
+    // through, because landed arrivals never joined the standing
+    // window-hash store): after each ingest window, the landed arrivals'
+    // capped window hashes are d21-appended INTO the store under the same
+    // exactly-once ledger discipline, so the next window's probe sees
+    // standing ∪ previously-landed. Two explicit windows (the e20 phase
+    // pattern — phase-disambiguated ledger ids): A = doc_id [0,25),
+    // B = [25,50), with every fifth B arrival REPLACED by a 30-token
+    // excerpt of its (doc_id−25) phase-A neighbor — the quote-an-earlier-
+    // arrival shape that MUST quarantine here and provably lands under
+    // e22's standing-only policy. The decision store is then COMPACTED
+    // back to one file per bucket (b7's lifecycle on the ingest store —
+    // every append added a file per touched bucket) and the readout is
+    // the COMPACTED store: a compaction that loses, duplicates, or
+    // mis-buckets one decision flips its row. Gate: the sequential batch
+    // replay of the same policy — each window decided against standing ∪
+    // previously-landed, caps computed per appended slice.
+    "e23_containment_ingest_ext" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val standing = graft.engine.Caches.persisted(
+        base.filter(col("doc_id") >= LdsEvalSplit))
+      // Phase-B excerpt rewrite (the d22 deliberate-corpus discipline):
+      // ids 27/32/37/42/47 become 30-token excerpts of ids 2/7/12/17/22.
+      val exSrc = base.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 25).as("doc_id"),
+          array_join(slice(split(lower(col("text")), "\\s+"), 1, 30), " ")
+            .as("_ex"))
+      def mutate(b: DataFrame): DataFrame =
+        b.join(exSrc, Seq("doc_id"), "left")
+          .withColumn("text",
+            when(col("doc_id") % 5 === 2 && col("_ex").isNotNull, col("_ex"))
+              .otherwise(col("text")))
+          .drop("_ex")
+      val arrAll = graft.engine.Caches.persisted(
+        mutate(base.filter(col("doc_id") < LdsEvalSplit)))
+      val db = "graft_ingest_e23_" + Tables.dirTag(dir)
+      val dbLoc = Tables.scratch(db + "_db")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
+      // Standing capped window-hash store (e22's build; the cap is a
+      // property of each appended slice — standing here, each window's
+      // landed arrivals below).
+      graft.ops.Bucketing.reset(s, s"$db.win_bkt",
+        new java.io.File(dbLoc, "win_bkt"))
+      val occS = standing.select(col("doc_id").as("doc_b"),
+        explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+      graft.ops.Bucketing.writeBucketed(
+        occS.join(occS.groupBy("h").agg(count(lit(1)).as("wf"))
+          .filter(col("wf") <= 64).select("h"), "h")
+          .select("h", "doc_b"),
+        s"$db.win_bkt", nBuckets = 8, keys = Seq("h"))
+      graft.ops.Bucketing.reset(s, s"$db.ingest_bkt",
+        new java.io.File(dbLoc, "ingest_bkt"))
+      // Decide against the CURRENT store — resolved fresh per batch, so
+      // each window's probe sees every extension committed before it.
+      def decide(batch0: DataFrame): DataFrame = {
+        val batch = mutate(batch0)
+        val cand = batch
+          .select(col("doc_id").as("doc_a"),
+            explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+          .join(s.table(s"$db.win_bkt"), Seq("h"))
+          .select("doc_a", "doc_b").distinct()
+        val drops = Dedup.arrivalContainmentDrops(
+          standing.unionByName(arrAll), cand)
+        batch.select("doc_id").join(drops, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("keeper_id").isNull.as("landed"),
+            col("keeper_id"),
+            coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+            coalesce(col("max_cont_e6"), lit(0L)).as("max_cont_e6"))
+      }
+      graft.ops.Bucketing.writeBucketed(decide(base.limit(0)),
+        s"$db.ingest_bkt", nBuckets = 8, keys = Seq("doc_id"))
+      val ledgerI = new java.io.File(Tables.scratch(db + "_ledgerI"))
+      val ledgerS = new java.io.File(Tables.scratch(db + "_ledgerS"))
+      Seq(ledgerI, ledgerS).foreach(l =>
+        Option(l.listFiles()).foreach(_.foreach(_.delete())))
+      def append(b: DataFrame, id: Long): Boolean =
+        graft.ops.Bucketing.appendBucketedExactlyOnce(decide(b),
+          s"$db.ingest_bkt", nBuckets = 8, keys = Seq("doc_id"),
+          ledgerDir = ledgerI, batchId = id)
+      // Store EXTENSION: the window's landed arrivals (read back from the
+      // COMMITTED decision store — the loop is driven by what actually
+      // landed, not by in-memory state), their capped window hashes
+      // appended under the extension ledger.
+      def extend(lo: Long, hi: Long, id: Long): Boolean = {
+        s.catalog.refreshTable(s"$db.ingest_bkt")
+        val landed = s.table(s"$db.ingest_bkt")
+          .filter(col("landed") && col("doc_id") >= lo && col("doc_id") < hi)
+          .select("doc_id")
+        val occ = arrAll.join(landed, Seq("doc_id"))
+          .select(col("doc_id").as("doc_b"),
+            explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+        val capped = occ.join(occ.groupBy("h").agg(count(lit(1)).as("wf"))
+          .filter(col("wf") <= 64).select("h"), "h")
+          .select("h", "doc_b")
+        val appended = graft.ops.Bucketing.appendBucketedExactlyOnce(capped,
+          s"$db.win_bkt", nBuckets = 8, keys = Seq("h"),
+          ledgerDir = ledgerS, batchId = id)
+        s.catalog.refreshTable(s"$db.win_bkt")
+        appended
+      }
+      var lastId = -1L
+      def phase(name: String, phaseBase: Long, lo: Long, hi: Long): Unit = {
+        val part = Tables.streamT(s, dir, "documents",
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        graft.streaming.StreamingWindows.runForeachBatch(part, name) {
+          (batch, id) => lastId = phaseBase + id; append(batch, lastId); ()
+        }
+      }
+      phase("e23a", 0L, 0L, 25L)
+      require(lastId >= 0L, "phase A produced no micro-batches " +
+        "(stream source matched no files?)")
+      require(extend(0L, 25L, 0L), "phase-A store extension did not append")
+      phase("e23b", 1000000L, 25L, LdsEvalSplit)
+      require(lastId >= 1000000L, "phase B produced no micro-batches")
+      require(extend(25L, LdsEvalSplit, 1L),
+        "phase-B store extension did not append")
+      // Replay probes: the final ingest window AND the phase-A extension
+      // redelivered under their committed ids must both be suppressed (the
+      // extension replay would double every landed-A store row, and the
+      // ingest replay rides a full-arrival-set batch whose decisions
+      // would flip rows if appended).
+      require(!append(base.filter(col("doc_id") < LdsEvalSplit), lastId),
+        "ledger failed to suppress a replayed ingest window")
+      require(!extend(0L, 25L, 0L),
+        "ledger failed to suppress a replayed store extension")
+      // Compaction leg: every append left a file per touched bucket;
+      // compact back to one file per bucket and read the RESULT from the
+      // compacted store (BucketingSpec pins the file counts).
+      graft.ops.Bucketing.reset(s, s"$db.ingest_cmp",
+        new java.io.File(dbLoc, "ingest_cmp"))
+      graft.ops.Bucketing.compactBucketed(s,
+        new java.io.File(dbLoc, "ingest_bkt").toString,
+        s"$db.ingest_cmp", nBuckets = 8, keys = Seq("doc_id"))
+      s.table(s"$db.ingest_cmp")
         .select("doc_id", "landed", "keeper_id", "n_containers",
           "max_cont_e6")
     }),
@@ -3290,6 +3517,211 @@ object TextDedup {
          |SELECT doc_id, min(container) AS keeper_id,
          |  count(*) AS n_containers, max(cont_e6) AS max_cont_e6
          |FROM drops GROUP BY doc_id""".stripMargin,
+    // c11 = the c10 drop chain over the containment-SPECTRUM corpus with
+    // the threshold a SCALAR SUBQUERY over the rung-ladder survey: chosen
+    // = min rung whose would-drop doc count is at most N // 20 (else the
+    // widest rung). Same integer rule as Dedup.containmentDropsAuto; all
+    // containments compared in exact e6 integer space.
+    "c11_containment_auto" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id + 5 AS doc_id,
+         |    string_split_regex(lower(text), '\\s+')[1:20] AS src
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 10 = 7 AND ex.src IS NOT NULL
+         |      THEN array_to_string(list_concat(ex.src,
+         |        string_split_regex(lower(d.text), '\\s+')
+         |          [1:(3 * (1 + (d.doc_id // 10) % 4))]), ' ')
+         |      ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN ex USING (doc_id)),
+         |${toksSrcFrom("corpus")}, $shSrc, $hashedSrc,
+         |sh10 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
+         |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         |           ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
+         |           ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
+         |           ws[i + 9])) AS shingle
+         |  FROM toks),
+         |h10 AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh10),
+         |okw AS (SELECT h FROM h10 GROUP BY h
+         |        HAVING count(*) >= 2 AND count(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM h10 a JOIN okw USING (h) JOIN h10 b USING (h)
+         |  WHERE a.doc_id < b.doc_id),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand c
+         |    JOIN hashed a ON a.doc_id = c.doc_a
+         |    JOIN hashed b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / ca.n_sh, 6) AS cont_a,
+         |    round(CAST(n_inter AS DOUBLE) / cb.n_sh, 6) AS cont_b,
+         |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard,
+         |    ca.n_sh AS n_a, cb.n_sh AS n_b
+         |  FROM inter i
+         |    JOIN counts ca ON ca.doc_id = i.doc_a
+         |    JOIN counts cb ON cb.doc_id = i.doc_b),
+         |dr AS (
+         |  SELECT
+         |    CASE WHEN cont_a > cont_b THEN doc_a
+         |         WHEN cont_b > cont_a THEN doc_b
+         |         WHEN n_a < n_b THEN doc_a
+         |         WHEN n_b < n_a THEN doc_b
+         |         ELSE greatest(doc_a, doc_b) END AS doc_id,
+         |    CASE WHEN cont_a > cont_b THEN doc_b
+         |         WHEN cont_b > cont_a THEN doc_a
+         |         WHEN n_a < n_b THEN doc_b
+         |         WHEN n_b < n_a THEN doc_a
+         |         ELSE least(doc_a, doc_b) END AS container,
+         |    CAST(round(greatest(cont_a, cont_b) * 1e6) AS BIGINT) AS cont_e6
+         |  FROM m WHERE jaccard < 0.8),
+         |md AS (SELECT doc_id, max(cont_e6) AS mx FROM dr GROUP BY doc_id),
+         |chosen AS (
+         |  SELECT coalesce(min(r), 900000) AS r
+         |  FROM (VALUES (600000), (700000), (800000), (900000)) lr(r)
+         |  WHERE (SELECT count(*) FROM md WHERE mx >= r)
+         |        <= (SELECT count(*) FROM corpus) // 20)
+         |SELECT doc_id, min(container) AS keeper_id,
+         |  count(*) AS n_containers, max(cont_e6) AS max_cont_e6,
+         |  CAST((SELECT r FROM chosen) AS BIGINT) AS min_cont_e6
+         |FROM dr WHERE cont_e6 >= (SELECT r FROM chosen)
+         |GROUP BY doc_id""".stripMargin,
+    // c12: the staged funnel replayed literally — each stage's survivor
+    // set a CTE feeding the next (gopher = t16's rule text, exact = d33's
+    // min-id keeper, decontam = d32's window signal as a drop, containment
+    // = c10's chain over stage-3 survivors, pack = o26/o27's interval
+    // CTEs over stage-4 survivors), with the one-row report assembled
+    // from scalar subqueries.
+    "c12_curation_pipeline" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id - 1 AS doc_id,
+         |    array_to_string(
+         |      string_split_regex(lower(text), '\\s+')[1:30], ' ') AS ex_text
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 10 = 3 AND ex.ex_text IS NOT NULL
+         |      THEN ex.ex_text ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN ex USING (doc_id)
+         |  WHERE d.doc_id >= $LdsEvalSplit),
+         |gt AS (SELECT doc_id, text,
+         |  string_split_regex(
+         |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ws
+         |  FROM corpus),
+         |gm AS (SELECT doc_id, text, len(ws) AS n,
+         |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+         |    / len(ws) AS mwl,
+         |  len(list_filter(ws, w -> list_contains($stopList, w))) AS stops,
+         |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dr,
+         |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+         |    AS DOUBLE) / len(ws) AS ar
+         |  FROM gt),
+         |s1 AS (SELECT doc_id, text FROM gm
+         |  WHERE n BETWEEN 25 AND 90 AND mwl >= 3.5 AND mwl <= 5.0
+         |    AND stops >= 2 AND dr >= 0.35 AND ar >= 0.8),
+         |s2 AS (SELECT doc_id, text FROM s1
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM s1 GROUP BY text)),
+         |et AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |       FROM documents WHERE doc_id < $LdsEvalSplit),
+         |esh AS (
+         |  SELECT unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
+         |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         |         ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
+         |         ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
+         |         ws[i + 9])) AS shingle
+         |  FROM et),
+         |evw AS (SELECT DISTINCT ${Hashing.polyHashSql("shingle")} AS h FROM esh),
+         |s2t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |        FROM s2),
+         |s2sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
+         |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         |         ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
+         |         ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
+         |         ws[i + 9])) AS shingle
+         |  FROM s2t),
+         |s2w AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM s2sh),
+         |dirty AS (SELECT DISTINCT doc_id FROM s2w JOIN evw USING (h)),
+         |s3 AS (SELECT doc_id, text FROM s2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |t3 AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |       FROM s3),
+         |sh3 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+         |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS shingle
+         |  FROM t3),
+         |h3 AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh3),
+         |w3 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
+         |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         |         ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
+         |         ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
+         |         ws[i + 9])) AS shingle
+         |  FROM t3),
+         |hw3 AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM w3),
+         |okw3 AS (SELECT h FROM hw3 GROUP BY h
+         |         HAVING count(*) >= 2 AND count(*) <= 64),
+         |cand3 AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM hw3 a JOIN okw3 USING (h) JOIN hw3 b USING (h)
+         |  WHERE a.doc_id < b.doc_id),
+         |cnt3 AS (SELECT doc_id, count(*) AS n_sh FROM h3 GROUP BY doc_id),
+         |int3 AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand3 c
+         |    JOIN h3 a ON a.doc_id = c.doc_a
+         |    JOIN h3 b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |m3 AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / ca.n_sh, 6) AS cont_a,
+         |    round(CAST(n_inter AS DOUBLE) / cb.n_sh, 6) AS cont_b,
+         |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard,
+         |    ca.n_sh AS n_a, cb.n_sh AS n_b
+         |  FROM int3 i
+         |    JOIN cnt3 ca ON ca.doc_id = i.doc_a
+         |    JOIN cnt3 cb ON cb.doc_id = i.doc_b),
+         |dr3 AS (
+         |  SELECT
+         |    CASE WHEN cont_a > cont_b THEN doc_a
+         |         WHEN cont_b > cont_a THEN doc_b
+         |         WHEN n_a < n_b THEN doc_a
+         |         WHEN n_b < n_a THEN doc_b
+         |         ELSE greatest(doc_a, doc_b) END AS doc_id
+         |  FROM m3
+         |  WHERE jaccard < 0.8 AND greatest(cont_a, cont_b) >= 0.8),
+         |s4 AS (SELECT doc_id, text FROM s3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dr3)),
+         |p0 AS (SELECT doc_id,
+         |  len(string_split_regex(lower(text), '\\s+')) AS nt FROM s4),
+         |pc AS (SELECT doc_id, nt,
+         |  CAST(sum(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM p0),
+         |pv AS (SELECT doc_id, cum - nt AS s, cum AS e FROM pc WHERE nt > 0),
+         |pb AS (SELECT doc_id, s, e,
+         |  unnest(range(s // 512, (e - 1) // 512 + 1)) AS bin FROM pv),
+         |po AS (SELECT bin, doc_id, s, greatest(s, bin * 512) AS seg_s,
+         |  least(e, (bin + 1) * 512) - greatest(s, bin * 512) AS t FROM pb),
+         |pk AS (SELECT count(DISTINCT bin) AS n_windows,
+         |  count(*) AS n_segments, CAST(sum(t) AS BIGINT) AS n_tokens,
+         |  CAST(sum(bin * t + (seg_s - s) + (seg_s - bin * 512)) AS BIGINT)
+         |    AS pack_checksum
+         |  FROM po)
+         |SELECT (SELECT count(*) FROM corpus) AS n_total,
+         |  (SELECT count(*) FROM s1) AS after_gopher,
+         |  (SELECT count(*) FROM s2) AS after_exact,
+         |  (SELECT count(*) FROM s3) AS after_decontam,
+         |  (SELECT count(*) FROM s4) AS after_containment,
+         |  n_windows, n_segments, n_tokens, pack_checksum
+         |FROM pk""".stripMargin,
     // e22: the batch expression of the containment-guarded ingest — the
     // c10 chain with candidates restricted to (arrival, standing) pairs,
     // the cap computed on the STANDING slice only, the drop side pinned
@@ -3332,6 +3764,96 @@ object TextDedup {
          |    CAST(max(round(cont_a * 1e6)) AS BIGINT) AS max_cont_e6
          |  FROM m WHERE jaccard < 0.8 AND cont_a >= 0.8
          |  GROUP BY doc_a)
+         |SELECT d.doc_id, dr.doc_id IS NULL AS landed, dr.keeper_id,
+         |  coalesce(dr.n_containers, 0) AS n_containers,
+         |  coalesce(dr.max_cont_e6, 0) AS max_cont_e6
+         |FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+         |WHERE d.doc_id < $LdsEvalSplit""".stripMargin,
+    // e23: the SEQUENTIAL batch replay of the self-extending policy over
+    // the excerpt-rewritten corpus — window A ([0,25)) decided against the
+    // standing store, its landed docs' capped window hashes folded in,
+    // window B ([25,50)) decided against standing ∪ landed-A (each store
+    // slice capped within itself). The excerpt ids (%5==2 in B) must
+    // quarantine against their window-A sources — pairs that exist ONLY
+    // through the extension.
+    "e23_containment_ingest_ext" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id + 25 AS doc_id,
+         |    array_to_string(
+         |      string_split_regex(lower(text), '\\s+')[1:30], ' ') AS ex_text
+         |  FROM documents WHERE doc_id < 25),
+         |corpus AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 5 = 2 AND ex.ex_text IS NOT NULL
+         |      THEN ex.ex_text ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN ex USING (doc_id)),
+         |${toksSrcFrom("corpus")}, $shSrc, $hashedSrc,
+         |sh10 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
+         |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         |           ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
+         |           ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
+         |           ws[i + 9])) AS shingle
+         |  FROM toks),
+         |h10 AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh10),
+         |okws AS (SELECT h FROM h10 WHERE doc_id >= $LdsEvalSplit
+         |         GROUP BY h HAVING count(*) <= 64),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
+         |candA AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM h10 a JOIN okws USING (h) JOIN h10 b USING (h)
+         |  WHERE a.doc_id < 25 AND b.doc_id >= $LdsEvalSplit),
+         |interA AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM candA c
+         |    JOIN hashed a ON a.doc_id = c.doc_a
+         |    JOIN hashed b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |mA AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / ca.n_sh, 6) AS cont_a,
+         |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+         |  FROM interA i
+         |    JOIN counts ca ON ca.doc_id = i.doc_a
+         |    JOIN counts cb ON cb.doc_id = i.doc_b),
+         |dropsA AS (
+         |  SELECT doc_a AS doc_id, min(doc_b) AS keeper_id,
+         |    count(*) AS n_containers,
+         |    CAST(max(round(cont_a * 1e6)) AS BIGINT) AS max_cont_e6
+         |  FROM mA WHERE jaccard < 0.8 AND cont_a >= 0.8
+         |  GROUP BY doc_a),
+         |landedA AS (SELECT doc_id FROM corpus WHERE doc_id < 25
+         |            AND doc_id NOT IN (SELECT doc_id FROM dropsA)),
+         |okwA AS (SELECT h FROM h10 JOIN landedA USING (doc_id)
+         |         GROUP BY h HAVING count(*) <= 64),
+         |candB AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM h10 a JOIN h10 b USING (h)
+         |  WHERE a.doc_id >= 25 AND a.doc_id < $LdsEvalSplit
+         |    AND ((b.doc_id >= $LdsEvalSplit AND h IN (SELECT h FROM okws))
+         |      OR (b.doc_id IN (SELECT doc_id FROM landedA)
+         |          AND h IN (SELECT h FROM okwA)))),
+         |interB AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM candB c
+         |    JOIN hashed a ON a.doc_id = c.doc_a
+         |    JOIN hashed b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |mB AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / ca.n_sh, 6) AS cont_a,
+         |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+         |  FROM interB i
+         |    JOIN counts ca ON ca.doc_id = i.doc_a
+         |    JOIN counts cb ON cb.doc_id = i.doc_b),
+         |dropsB AS (
+         |  SELECT doc_a AS doc_id, min(doc_b) AS keeper_id,
+         |    count(*) AS n_containers,
+         |    CAST(max(round(cont_a * 1e6)) AS BIGINT) AS max_cont_e6
+         |  FROM mB WHERE jaccard < 0.8 AND cont_a >= 0.8
+         |  GROUP BY doc_a),
+         |drops AS (SELECT * FROM dropsA UNION ALL SELECT * FROM dropsB)
          |SELECT d.doc_id, dr.doc_id IS NULL AS landed, dr.keeper_id,
          |  coalesce(dr.n_containers, 0) AS n_containers,
          |  coalesce(dr.max_cont_e6, 0) AS max_cont_e6

@@ -155,6 +155,30 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ingest decision store: appends grow files, compaction restores one per bucket") {
+    // The e22 retention gap: every exactly-once append adds a file per
+    // touched bucket and the decision store grows files forever. e23
+    // closes it with a b7-style compaction leg — this pins the file-count
+    // observable on the real query's stores (the readout itself is
+    // oracle-gated; here we check the LAYOUT the compaction exists for).
+    val sf = "/root/testdata/sf0.001"
+    val n = SparkEntry.queries("e23_containment_ingest_ext")(spark, sf).count()
+    assert(n == 50L, s"expected one decision per arrival, got $n")
+    val dbLoc = new java.io.File(graft.queries.Tables.scratch(
+      "graft_ingest_e23_" + graft.queries.Tables.dirTag(sf) + "_db"))
+    val bkt = Bucketing.dataFileCount(new java.io.File(dbLoc, "ingest_bkt"))
+    val cmp = Bucketing.dataFileCount(new java.io.File(dbLoc, "ingest_cmp"))
+    assert(cmp > 0 && cmp <= 8,
+      s"compaction must restore at most one file per bucket, got $cmp")
+    assert(bkt > cmp,
+      s"two appended windows must leave more files than the compacted " +
+        s"store ($bkt vs $cmp)")
+    // And the rewrite lost nothing: row parity between the stores.
+    val e23db = "graft_ingest_e23_" + graft.queries.Tables.dirTag(sf)
+    assert(spark.table(s"$e23db.ingest_cmp").count() ==
+      spark.table(s"$e23db.ingest_bkt").count())
+  }
+
   test("store commits run through the Hadoop FileSystem API on file:// URIs") {
     // The v27/b7/d21 store lifecycles commit via deletePath/swapPath; this
     // pins that those primitives resolve the scheme's FileSystem (the same

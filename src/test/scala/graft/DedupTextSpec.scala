@@ -685,6 +685,56 @@ class DedupTextSpec extends AnyFunSuite {
     assert(keeper == 100L && n == 1L && contE6 == 1000000L)
   }
 
+  test("containmentDropsAuto picks the smallest rung within the drop budget") {
+    // Hand fixture with mass on two rungs: excerpt 1 is fully inside
+    // source 100 (cont 1.0); excerpt 2 is 60% inside source 101 (8 source
+    // tokens + 4 novel → 6 of 10 shingles shared, cont_e6 = 600000).
+    // Six filler docs pad the corpus to 10 so the 1/fracDen budget is
+    // round. winN = 3 keeps the short docs window-candidate-visible.
+    val a = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val ex1 = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val ex2 = ((1 to 8).map(i => s"beta$i") ++
+      (1 to 4).map(i => s"nov$i")).mkString(" ")
+    val fill = (1 to 6).map(k =>
+      (200L + k, (1 to 12).map(i => s"f${k}x$i").mkString(" ")))
+    val docs = (Seq((1L, ex1), (2L, ex2), (100L, a), (101L, b)) ++ fill)
+      .toDF("doc_id", "text")
+    // Budget 1/10 → cap 1 doc: the 600000 rung would drop 2, so the
+    // survey must walk up to 900000 and drop only the full excerpt.
+    val strict = Dedup.containmentDropsAuto(docs, winN = 3,
+        ladder = Seq(600000L, 900000L), fracDen = 10L)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(strict.keySet == Set(1L), s"got ${strict.keySet}")
+    assert(strict(1L) == ((1L, 100L, 1L, 1000000L, 900000L)))
+    // Budget 1/5 → cap 2: the SMALLEST qualifying rung (600000) wins and
+    // both excerpts drop, each with its source as keeper.
+    val loose = Dedup.containmentDropsAuto(docs, winN = 3,
+        ladder = Seq(600000L, 900000L), fracDen = 5L)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(loose.keySet == Set(1L, 2L), s"got ${loose.keySet}")
+    assert(loose(1L) == ((1L, 100L, 1L, 1000000L, 600000L)))
+    assert(loose(2L) == ((2L, 101L, 1L, 600000L, 600000L)))
+  }
+
+  test("e23 self-extending ingest quarantines excerpts of earlier arrivals") {
+    // The e22 seam this closes: its standing-only store can only produce
+    // containers with doc_id >= 50 — a window-B arrival quoting a
+    // window-A arrival sails through. e23's five rewritten B arrivals
+    // (%5==2: 27/32/37/42/47, each a 30-token excerpt of doc_id−25) must
+    // all quarantine, and each keeper must be an EARLIER ARRIVAL
+    // (doc_id < 25): a pair that exists only through the store extension.
+    val out = SparkEntry.queries("e23_containment_ingest_ext")(
+        spark, "/root/testdata/sf0.001")
+      .filter(!col("landed"))
+      .select("doc_id", "keeper_id").as[(Long, Long)].collect().toMap
+    val excerpts = Set(27L, 32L, 37L, 42L, 47L)
+    assert(excerpts.subsetOf(out.keySet),
+      s"excerpt arrivals not quarantined: ${excerpts -- out.keySet}")
+    excerpts.foreach(d => assert(out(d) < 25L,
+      s"keeper of $d must be a window-A arrival, got ${out(d)}"))
+  }
+
   test("evalDirtiness counts contaminated windows per eval item") {
     // Eval doc 1 "a b c d" has 3-gram windows {"a b c", "b c d"}; the
     // corpus contains "a b c" but not "b c d" → 1 of 2 dirty (500000

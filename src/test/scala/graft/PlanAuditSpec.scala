@@ -58,6 +58,10 @@ class PlanAuditSpec extends AnyFunSuite {
                                // attaches over the #domains-row
                                // localCheckpoint'd loss frame — all
                                // bounded one-row broadcasts
+    "c12_curation_pipeline" -> 5, // the funnel report row: five one-row
+                               // stage-count aggregates crossJoined onto
+                               // the packing rollup (c3's contract as one
+                               // row) — every BNLJ side is exactly one row
     "t7_tfidf_top_term" -> 1,  // one-row doc-count aggregate
     "t15_dsir_weights" -> 1,   // one-row target/raw-total aggregate (the
                                // 64-row log-ratio table is a keyed join)
