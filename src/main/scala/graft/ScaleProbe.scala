@@ -155,7 +155,8 @@ object ScaleProbe {
         // store extension + decision-store compaction) and the
         // corpus-derived containment threshold (one extra ladder survey
         // over d35's scored chain — same expected slope as c10).
-        "e23_containment_ingest_ext", "c11_containment_auto")
+        "e23_containment_ingest_ext", "c11_containment_auto",
+        "c12_curation_pipeline")
     val scales = Seq("sf0.1" -> base, "sf1" -> big) ++
       (if (deep) Seq("sf3" -> big30) else Nil)
     for (name <- names; (label, dir) <- scales) {

@@ -1234,10 +1234,14 @@ object Dedup {
       maxWindowFreq: Int = 64, ladder: Seq[Long] = Seq(600000L, 700000L,
         800000L, 900000L), fracDen: Long = 20L): DataFrame = {
     require(ladder.nonEmpty, "containmentDropsAuto needs a threshold ladder")
-    val scored = containmentScored(docs, winN, maxWindowFreq).persistTracked()
     // Per containment-band pair (near-dups belong to the dedup chain),
     // c10's drop-side selection with its tie-breaks, in e6 space.
-    val dropRows = scored
+    // MATERIALIZED once (eager localCheckpoint): the frame is tiny (one
+    // row per drop-candidate pair) and feeds two separate actions — the
+    // survey collect and the returned cut — and a lazy persist would
+    // leave the whole scored chain (with its nested candidate/verify
+    // caches) under the second action's lineage, re-deriving it.
+    val dropRows = containmentScored(docs, winN, maxWindowFreq)
       .filter(col("jaccard") < 0.8)
       .select(
         when(col("cont_a") > col("cont_b"), col("doc_a"))
@@ -1252,7 +1256,7 @@ object Dedup {
           .otherwise(least(col("doc_a"), col("doc_b"))).as("container"),
         round(greatest(col("cont_a"), col("cont_b")) * 1e6, 0)
           .cast("long").as("cont_e6"))
-      .persistTracked()
+      .localCheckpoint()
     val sortedLadder = ladder.sorted
     val nDocs = docs.count()
     // Survey: per rung, how many docs the cut at that rung would drop.

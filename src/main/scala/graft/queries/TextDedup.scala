@@ -474,6 +474,9 @@ object TextDedup {
         slice(split(lower(col("text")), "\\s+"), 1, 20).as("_src"))
       val m = (lit(3) * (lit(1) +
         pmod(expr("doc_id div 10"), lit(4)))).cast("int")
+      // Materialized once: the spectrum feeds three consumers inside the
+      // auto op (the corpus count, the window-candidate pass, and the
+      // verify re-shingle) — without it each re-runs the rewrite join.
       val spectrum = base.join(src, Seq("doc_id"), "left")
         .withColumn("text",
           when(col("doc_id") % 10 === 7 && col("_src").isNotNull,
@@ -481,6 +484,7 @@ object TextDedup {
               slice(split(lower(col("text")), "\\s+"), lit(1), m)), " "))
             .otherwise(col("text")))
         .select("doc_id", "text")
+        .localCheckpoint()
       Dedup.containmentDropsAuto(spectrum)
     }),
 
@@ -495,37 +499,44 @@ object TextDedup {
     // the packed stream's window/segment/token totals plus a boundary
     // checksum — one doc wrongly dropped or kept at ANY stage, or one
     // packed boundary off by one, flips the row. Every stage boundary is
-    // persisted once and feeds both its funnel count and the next stage —
-    // the d33 exact-collapse exchange is REUSED, never recomputed. Every
-    // tenth doc is an excerpt of its successor (the c11 injection) so the
-    // containment stage has real drop mass to account for.
+    // MATERIALIZED once (eager localCheckpoint — the staged-pipeline
+    // discipline: each stage output feeds two consumers, its funnel count
+    // and the next stage, and the packing cumsum alone launches several
+    // jobs over stage 4; a lazy persist leaves the full five-stage lineage
+    // under every one of those jobs, and the containment subtree's nested
+    // caches re-derive per job — measured 90+ s vs ~15 s checkpointed at
+    // sf0.1. At 100 TB this materialization IS the design: a production
+    // curation run writes each stage's survivor set before the next), so
+    // the d33 exact-collapse is computed exactly once. Every tenth doc is
+    // an excerpt of its successor (the c11 injection) so the containment
+    // stage has real drop mass to account for.
     "c12_curation_pipeline" -> ((s, dir) => {
       val all = docs(s, dir)
       val exSrc = all.select((col("doc_id") - 1).as("doc_id"),
         array_join(slice(split(lower(col("text")), "\\s+"), 1, 30), " ")
           .as("_ex"))
-      val corpus = graft.engine.Caches.persisted(
-        all.filter(col("doc_id") >= LdsEvalSplit)
-          .join(exSrc, Seq("doc_id"), "left")
-          .withColumn("text",
-            when(col("doc_id") % 10 === 3 && col("_ex").isNotNull,
-              col("_ex")).otherwise(col("text")))
-          .select("doc_id", "text"))
-      val s1 = graft.engine.Caches.persisted(
-        corpus.filter(TextOps.gopherPass(col("text"))))
-      val s2 = graft.engine.Caches.persisted(
-        s1.join(s1.groupBy("text").agg(min("doc_id").as("doc_id"))
-          .select("doc_id"), Seq("doc_id"), "left_semi"))
+      val corpus = all.filter(col("doc_id") >= LdsEvalSplit)
+        .join(exSrc, Seq("doc_id"), "left")
+        .withColumn("text",
+          when(col("doc_id") % 10 === 3 && col("_ex").isNotNull,
+            col("_ex")).otherwise(col("text")))
+        .select("doc_id", "text")
+        .localCheckpoint()
+      val s1 = corpus.filter(TextOps.gopherPass(col("text")))
+        .localCheckpoint()
+      val s2 = s1.join(s1.groupBy("text").agg(min("doc_id").as("doc_id"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        .localCheckpoint()
       val dirty = s2.select(col("doc_id"),
           explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
         .join(Dedup.evalFingerprints(
           all.filter(col("doc_id") < LdsEvalSplit), 10), Seq("h"))
         .select("doc_id").distinct()
-      val s3 = graft.engine.Caches.persisted(
-        s2.join(dirty, Seq("doc_id"), "left_anti"))
-      val s4 = graft.engine.Caches.persisted(
-        s3.join(Dedup.containmentDrops(s3).select("doc_id"),
-          Seq("doc_id"), "left_anti"))
+      val s3 = s2.join(dirty, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val s4 = s3.join(Dedup.containmentDrops(s3).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val pk = graft.ops.Split.packManifest(s4, "text", "doc_id", 512)
         .agg(countDistinct("bin_id").as("n_windows"),
           count(lit(1)).as("n_segments"),

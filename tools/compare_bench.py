@@ -52,6 +52,33 @@ def calibrate(con):
     return out
 
 
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    for i in range(30_000_000):
+        x += i * i
+    return time.time() - t0
+
+
+def parallelism_probe():
+    """Effective-core probe: the DuckDB probes above measure single-thread
+    host speed, but a virtualized box can deliver full single-thread speed
+    while starving WIDE parallel stages (r19: 32-way burn achieved ~20
+    effective cores on an idle VM — every shuffle/iteration-heavy Spark
+    query inflated 1.5-2x while scan-light queries and the DuckDB probes
+    moved ~6%). Recording both axes makes that weather attributable
+    instead of a mystery regression."""
+    import multiprocessing as mp
+    n = os.cpu_count() or 1
+    solo = _burn(0)
+    t0 = time.time()
+    with mp.Pool(n) as p:
+        p.map(_burn, range(n))
+    wall = time.time() - t0
+    return {"procs": n, "solo_s": round(solo, 3), "wall_s": round(wall, 3),
+            "effective_cores": round(n * solo / wall, 1)}
+
+
 def main(sf_dir, oracle_path, bench_path, md_path=None, prev_path=None):
     con = duckdb.connect()
     for t in TABLES:
@@ -62,6 +89,8 @@ def main(sf_dir, oracle_path, bench_path, md_path=None, prev_path=None):
     # query), record into the bench JSON so the round artifact carries it.
     cal = calibrate(con)
     bench["duckdb_calibration"] = cal
+    par = parallelism_probe()
+    bench["parallelism_probe"] = par
     # Atomic replace: the bench JSON is a round evidence artifact — a crash
     # mid-write must not corrupt it (write to a temp sibling, then rename).
     tmp_path = bench_path + ".tmp"
@@ -70,6 +99,9 @@ def main(sf_dir, oracle_path, bench_path, md_path=None, prev_path=None):
     os.replace(tmp_path, bench_path)
     print(f"duckdb_calibration total {cal['total']:.4f} s "
           + " ".join(f"{k}={cal[k]:.4f}" for k in CALIBRATION))
+    print(f"parallelism_probe: {par['effective_cores']} effective cores "
+          f"of {par['procs']} (solo {par['solo_s']} s, "
+          f"{par['procs']}-way wall {par['wall_s']} s)")
     spark_times = bench.get("queries", {})
     noise_floor = bench.get("noise_floor")
     rows = []
@@ -184,7 +216,13 @@ def main(sf_dir, oracle_path, bench_path, md_path=None, prev_path=None):
             f.write(f"DuckDB host-speed calibration (3 pinned probes, "
                     f"median of 5): **{cal['total']:.3f} s** ("
                     + ", ".join(f"{k} {cal[k]:.3f}" for k in CALIBRATION)
-                    + ").")
+                    + f"). Parallelism probe: **{par['effective_cores']} "
+                    f"effective cores of {par['procs']}** (solo burn "
+                    f"{par['solo_s']} s, {par['procs']}-way wall "
+                    f"{par['wall_s']} s) — single-thread speed and wide-"
+                    "stage throughput are separate weather axes; a deficit "
+                    "here inflates shuffle/iteration-heavy queries while "
+                    "scan-light queries and the DuckDB probes stay flat.")
             if norm_note:
                 f.write(f" {norm_note}.")
             f.write("\n\n")
