@@ -15,10 +15,41 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
+  /** Effective-core probe: N threads of a fixed integer burn vs one. A
+    * virtualized host can deliver full single-thread speed (the DuckDB
+    * calibration probes) while starving WIDE parallel stages — r19
+    * measured 20–22 effective cores of 32 on an idle box, inflating every
+    * shuffle/iteration-heavy query 1.5–2× while scan-light queries moved
+    * ~6%. Emitting the probe with the sweep makes that weather
+    * attributable in the artifact itself. The burn is warmed once so the
+    * solo baseline is JIT-compiled before it is timed.
+    */
+  def effectiveCores(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    def burn(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0L; var i = 0L
+      while (i < 50000000L) { x += i * i; i += 1 }
+      // keep the fold observable so the JIT can't elide the loop
+      if (x == Long.MinValue) System.err.print("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    burn() // JIT warmup
+    val solo = burn()
+    val t0 = System.nanoTime()
+    val threads = (1 to n).map(_ => new Thread(() => { burn(); () }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    math.round(n * solo / wall * 10.0) / 10.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // Weather probe BEFORE the sweep (and again after — a 12-minute sweep
+    // can cross a weather change): effective cores at full fan-out.
+    val ecBefore = effectiveCores()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -183,12 +214,14 @@ object Bench {
     // so in two consecutive rounds; anything under the floor is the
     // machine, not the code.
     val noiseFloor = median(spreads.toSeq)
+    val ecAfter = effectiveCores()
+    val ec = s"[${fmt(ecBefore)},${fmt(ecAfter)}]"
     val phs = phaseRows.map { case (q, ph) =>
       s"\"" + q + "\":" + ph.map { case (p, v) => s"\"" + p + "\":" + fmt(v) }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noise_floor":${fmt(noiseFloor)},"queries":$qs,"phases":$phs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noise_floor":${fmt(noiseFloor)},"effective_cores":$ec,"queries":$qs,"phases":$phs,"errors":$errs,"sf":"$sfDir"}"""
     // The driver captures only the LAST 2000 bytes of stdout and parses the
     // final line; the full-name queries map alone is >3 KB, so a single
     // full-fidelity line can never parse whole from the tail (r05-r07 all
@@ -217,10 +250,10 @@ object Bench {
     // Errors are normally empty; under a pathological error burst the names
     // alone could re-overflow the tail, so degrade to a count past 1900 B.
     val compact0 =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noise_floor":${fmt(noiseFloor)},"n_queries":${results.size},"qunit":"cs","qn":"$qNames","qcs":$qCs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noise_floor":${fmt(noiseFloor)},"ec":$ec,"n_queries":${results.size},"qunit":"cs","qn":"$qNames","qcs":$qCs,"errors":$errs,"sf":"$sfDir"}"""
     val compact =
       if (compact0.length <= 1900) compact0
-      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noise_floor":${fmt(noiseFloor)},"n_queries":${results.size},"qunit":"cs","qn":"$qNames","qcs":$qCs,"n_errors":${errors.size},"sf":"$sfDir"}"""
+      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noise_floor":${fmt(noiseFloor)},"ec":$ec,"n_queries":${results.size},"qunit":"cs","qn":"$qNames","qcs":$qCs,"n_errors":${errors.size},"sf":"$sfDir"}"""
     // Even the array form has a ceiling (~330 queries at avg 3-char ids);
     // past it, keep the line PARSEABLE — drop per-query detail before
     // dropping validity, and say so in the line itself.
