@@ -105,6 +105,16 @@ class RegressionPinSpec extends AnyFunSuite {
     assert(autoS == fullS, "at or under the threshold, auto fit = full train")
   }
 
+  test("Bench.effectiveCores reads a physically-possible value") {
+    // The weather probe must never report more parallelism than the box
+    // has (or a nonsensical non-positive value) — a broken probe would
+    // silently poison every round-over-round adjudication that reads it.
+    val n = Runtime.getRuntime.availableProcessors()
+    val ec = Bench.effectiveCores()
+    assert(ec > 0.0 && ec <= n * 1.1,
+      s"effectiveCores=$ec outside (0, ${n * 1.1}]")
+  }
+
   test("Bench.median averages the two middle elements for even sizes") {
     // ADVICE r16: the upper-middle shortcut overstated the even-size
     // median noise floor that compare_bench.py doubles into the
