@@ -271,10 +271,19 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get(outFile)
       if (java.nio.file.Files.exists(p)) {
+        // Archive into a dedicated gitignored directory, not the repo
+        // root: the working tree otherwise accumulates stale timestamped
+        // evidence files that can be confused with the current round's
+        // artifact (ADVICE r19).
         val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
           .withZone(java.time.ZoneOffset.UTC)
           .format(java.nio.file.Files.getLastModifiedTime(p).toInstant)
-        val arch = p.resolveSibling(
+        val archDir = (Option(p.getParent) match {
+          case Some(parent) => parent.resolve("bench_archive")
+          case None         => java.nio.file.Paths.get("bench_archive")
+        })
+        java.nio.file.Files.createDirectories(archDir)
+        val arch = archDir.resolve(
           p.getFileName.toString.stripSuffix(".json") + s"_$ts.json")
         java.nio.file.Files.move(p, arch,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)

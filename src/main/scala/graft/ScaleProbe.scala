@@ -24,8 +24,15 @@ object ScaleProbe {
     // actual slope the 100-TB claim rests on. Requires explicit query
     // names: the full default list at 30x is not a spot probe.
     val deep = args.contains("--deep")
-    val qArgs = args.filterNot(_ == "--deep").toSeq
-    require(!deep || qArgs.nonEmpty, "--deep needs explicit query names")
+    // --deep4: a FOURTH decade point (100x documents replica, sf10) for
+    // the named queries — the composed-pipeline question (VERDICT r19
+    // item 7) is whether c12's stage-boundary materializations stay
+    // floor-dominated once every stage holds real mass, and the third
+    // decade alone can't separate "flat" from "not yet awake".
+    val deep4 = args.contains("--deep4")
+    val qArgs = args.filterNot(a => a == "--deep" || a == "--deep4").toSeq
+    require((!deep && !deep4) || qArgs.nonEmpty,
+      "--deep/--deep4 need explicit query names")
     val spark = graft.engine.Session.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
@@ -61,6 +68,10 @@ object ScaleProbe {
     val big30Dir = new java.io.File(big30)
     if (deep && !new java.io.File(big30Dir, "documents.parquet").exists())
       buildDocsReplica(big30Dir, 30)
+    val big100 = graft.queries.Tables.scratch("sf10_documents")
+    val big100Dir = new java.io.File(big100)
+    if (deep4 && !new java.io.File(big100Dir, "documents.parquet").exists())
+      buildDocsReplica(big100Dir, 100)
     // Events replica: 10x LONGER per-key history (each replica shifts
     // ~370 days, so every user's one-month series becomes ~10 months
     // spread over ~10 YEARS) — the long-history regime the chunked
@@ -158,7 +169,8 @@ object ScaleProbe {
         "e23_containment_ingest_ext", "c11_containment_auto",
         "c12_curation_pipeline")
     val scales = Seq("sf0.1" -> base, "sf1" -> big) ++
-      (if (deep) Seq("sf3" -> big30) else Nil)
+      (if (deep) Seq("sf3" -> big30) else Nil) ++
+      (if (deep4) Seq("sf10" -> big100) else Nil)
     for (name <- names; (label, dir) <- scales) {
       val fn = SparkEntry.queries(name)
       // one warmup (codegen/JIT), then min of two timed passes

@@ -79,31 +79,49 @@ object Bucketing {
     * URI's own FileSystem so a marker is either fully present or absent —
     * a crash mid-write can't leave a half-marker that a replay would
     * misread as committed. Durability discipline by scheme: the stream is
-    * hsync'd (falling back to hflush where a scheme doesn't support sync)
-    * before the rename, and on LOCAL ledgers the parent directory entry is
-    * additionally fsynced after it (POSIX requires the directory sync for
-    * the rename itself to survive power loss — HDFS journals renames, so
-    * no equivalent call exists or is needed there). Same marker discipline
-    * as Spark's own HDFSMetadataLog/CheckpointFileManager rename commits.
+    * hsync'd only where it REPORTS the capability (HDFS-class schemes —
+    * probing `StreamCapabilities` matters because `hsync()` on a
+    * non-Syncable stream silently degrades to a buffered flush rather
+    * than throwing); on LOCAL ledgers, whose `LocalFileSystem` streams are
+    * never Syncable, the tmp marker's bytes are re-forced to disk through
+    * NIO before the rename and the parent directory entry is fsynced
+    * after it (POSIX requires the directory sync for the rename itself to
+    * survive power loss — HDFS journals renames, so no equivalent call
+    * exists or is needed there). Same marker discipline as Spark's own
+    * HDFSMetadataLog/CheckpointFileManager rename commits.
+    *
+    * Re-commit of an existing marker is a no-op: a published marker is
+    * NEVER unpublished (a delete-then-rename re-commit would reopen the
+    * replay window if the process died between the two steps), so a
+    * rename that fails with the marker already present — a concurrent
+    * committer won the publish race — is success.
     */
   def commit(ledgerUri: String, batchId: Long, note: String): Unit = {
     val (fs, dir) = fsFor(ledgerUri)
+    val marker = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
+    if (fs.exists(marker)) return
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".batch-$batchId.tmp")
     val out = fs.create(tmp, true)
     try {
       out.write(note.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      try out.hsync()
-      catch { case _: UnsupportedOperationException => out.hflush() }
+      if (out.hasCapability(org.apache.hadoop.fs.StreamCapabilities.HSYNC))
+        out.hsync()
+      else out.hflush()
     } finally out.close()
-    val marker = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
-    // Re-commit of an existing marker (idempotent by contract): clear it
-    // first — rename-onto-existing semantics vary by FileSystem.
-    fs.delete(marker, false)
-    require(fs.rename(tmp, marker),
-      s"failed to publish ledger marker $marker")
     val u = dir.toUri
-    if (u.getScheme == null || u.getScheme == "file") {
+    val isLocal = u.getScheme == null || u.getScheme == "file"
+    if (isLocal) {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(u.getPath, s".batch-$batchId.tmp"),
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    }
+    if (!fs.rename(tmp, marker)) {
+      require(fs.exists(marker), s"failed to publish ledger marker $marker")
+      fs.delete(tmp, false)
+    }
+    if (isLocal) {
       val dch = java.nio.channels.FileChannel.open(
         java.nio.file.Paths.get(u.getPath),
         java.nio.file.StandardOpenOption.READ)
@@ -188,6 +206,45 @@ object Bucketing {
       destTable: String, nBuckets: Int, keys: Seq[String]): Unit =
     writeBucketed(spark.read.parquet(sourceLocation), destTable, nBuckets, keys)
 
+  /** Rewrite one bucketed table IN PLACE (same catalog name) through
+    * `transform` with a single read + write: write into a same-bucketing
+    * `_rewriting` side table, rename the original ASIDE to `_old`, RENAME
+    * the side table into place (the catalog moves the directory;
+    * bucket-spec metadata rides the table entry), then drop `_old`. With
+    * `identity` this is the in-place COMPACTION of the append-then-compact
+    * lifecycle: each [[appendBucketed]] left one file per touched bucket,
+    * the rewrite restores one-file-per-bucket under the name every
+    * downstream probe already reads. Not crash-atomic, but every crash
+    * point leaves a COMPLETE servable copy under some name: before the
+    * first rename the original serves; between the renames both `_old`
+    * and `_rewriting` hold full copies; after, the new table serves (a
+    * leftover `_old` is garbage-collected by the next rewrite). Recovery
+    * is one catalog rename by the retrying orchestrator — no window where
+    * the only copy is a dropped directory, unlike drop-then-rename.
+    */
+  def rewriteBucketedInPlace(spark: SparkSession, db: String, tbl: String,
+      keys: Seq[String], nBuckets: Int)
+      (transform: DataFrame => DataFrame): Unit = {
+    val full = s"$db.$tbl"
+    val side = s"$db.${tbl}_rewriting"
+    val old = s"$db.${tbl}_old"
+    spark.sql(s"DROP TABLE IF EXISTS $side")
+    // Read the table's FILES, not the table: a bucketed-table read hands
+    // the planner a partitioning that displaces writeBucketed's explicit
+    // repartition with the write's own conf-sized AQE-coalescible
+    // shuffle — tasks then hold several buckets each and the rewrite
+    // lands one file per (task, bucket) instead of one per bucket. A
+    // plain parquet scan has unknown partitioning, so the repartition
+    // survives and the compact layout is guaranteed.
+    val files = org.apache.spark.sql.classic.GraftBridge
+      .tableLocation(spark, db, tbl)
+    writeBucketed(transform(spark.read.parquet(files)), side, nBuckets, keys)
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    spark.sql(s"ALTER TABLE $full RENAME TO $old")
+    spark.sql(s"ALTER TABLE $side RENAME TO $full")
+    spark.sql(s"DROP TABLE $old")
+  }
+
   /** Drop `table` and remove its on-disk location. A managed table's
     * directory survives a previous session whose in-memory catalog is gone,
     * and CTAS then refuses to create the "new" managed table over the
@@ -253,6 +310,16 @@ object Bucketing {
     val stagedPath = new org.apache.hadoop.fs.Path(staged)
     val old = new org.apache.hadoop.fs.Path(
       livePath.getParent, "." + livePath.getName + ".old")
+    // SELF-HEAL a crashed previous swap: an orphaned `.old` with the live
+    // path absent means the crash hit between the aside-rename and the
+    // promote — the aside copy is the ONLY surviving copy, so restore it
+    // to live before proceeding (this retry's own aside-rename then moves
+    // it back out of the way). An `.old` WITH live present is the other
+    // crash point — after the promote, before the cleanup delete — and is
+    // stale, handled by the unconditional delete below.
+    if (fs.exists(old) && !fs.exists(livePath))
+      require(fs.rename(old, livePath),
+        s"failed to restore crashed-swap aside copy $old to $live")
     fs.delete(old, true)
     val hadLive = fs.exists(livePath)
     if (hadLive) require(fs.rename(livePath, old),

@@ -1152,6 +1152,24 @@ object Dedup {
         count(lit(1)).as("n_containers"),
         max(round(col("cont_a") * 1e6, 0).cast("long")).as("max_cont_e6"))
 
+  /** [[arrivalContainmentDrops]] with the threshold in exact e6 INTEGER
+    * space — the form a corpus-DERIVED operating point arrives in (c11's
+    * chosen rung is an e6 integer by construction, and comparing the
+    * 6-dp-rounded containment as its lossless integer form keeps the cut
+    * bit-reproducible in any engine instead of trusting a double literal
+    * at the rung boundary). This is the c13 unification seam: the batch
+    * survey chooses the rung, the ingest decide applies it unchanged.
+    */
+  def arrivalContainmentDropsE6(all: DataFrame, cand: DataFrame,
+      minContE6: Long): DataFrame =
+    scoredOf(all, cand)
+      .filter(col("jaccard") < 0.8 &&
+        round(col("cont_a") * 1e6, 0).cast("long") >= minContE6)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min("doc_b").as("keeper_id"),
+        count(lit(1)).as("n_containers"),
+        max(round(col("cont_a") * 1e6, 0).cast("long")).as("max_cont_e6"))
+
   /** d35's verify tail + classification over an EXTERNAL candidate pair
     * set (doc_a < doc_b) — the batch kernel of the streaming containment
     * probe (e21): candidates arrive from the stream-static window-hash
@@ -1231,17 +1249,34 @@ object Dedup {
     * rows, a model-sized driver decision (the kmeans-collect class).
     */
   def containmentDropsAuto(docs: DataFrame, winN: Int = 10,
-      maxWindowFreq: Int = 64, ladder: Seq[Long] = Seq(600000L, 700000L,
-        800000L, 900000L), fracDen: Long = 20L): DataFrame = {
-    require(ladder.nonEmpty, "containmentDropsAuto needs a threshold ladder")
-    // Per containment-band pair (near-dups belong to the dedup chain),
-    // c10's drop-side selection with its tie-breaks, in e6 space.
-    // MATERIALIZED once (eager localCheckpoint): the frame is tiny (one
-    // row per drop-candidate pair) and feeds two separate actions — the
-    // survey collect and the returned cut — and a lazy persist would
-    // leave the whole scored chain (with its nested candidate/verify
-    // caches) under the second action's lineage, re-deriving it.
-    val dropRows = containmentScored(docs, winN, maxWindowFreq)
+      maxWindowFreq: Int = 64, ladder: Seq[Long] = ContainmentLadder,
+      fracDen: Long = 20L): DataFrame = {
+    val dropRows = containmentDropRows(docs, winN, maxWindowFreq)
+    val chosen = surveyContainmentRung(dropRows, docs.count(), ladder, fracDen)
+    dropRows.filter(col("cont_e6") >= chosen)
+      .groupBy("doc_id")
+      .agg(min("container").as("keeper_id"),
+        count(lit(1)).as("n_containers"),
+        max("cont_e6").as("max_cont_e6"))
+      .withColumn("min_cont_e6", lit(chosen))
+  }
+
+  /** The default e6-integer threshold ladder of the c11 survey. */
+  val ContainmentLadder: Seq[Long] =
+    Seq(600000L, 700000L, 800000L, 900000L)
+
+  /** c11's drop-candidate frame: per containment-band pair (near-dups
+    * belong to the dedup chain), c10's drop-side selection with its
+    * tie-breaks, in e6 space. MATERIALIZED once (eager localCheckpoint):
+    * the frame is tiny (one row per drop-candidate pair) and feeds two
+    * separate actions — the survey collect and the cut — and a lazy
+    * persist would leave the whole scored chain (with its nested
+    * candidate/verify caches) under the second action's lineage,
+    * re-deriving it.
+    */
+  def containmentDropRows(docs: DataFrame, winN: Int = 10,
+      maxWindowFreq: Int = 64): DataFrame =
+    containmentScored(docs, winN, maxWindowFreq)
       .filter(col("jaccard") < 0.8)
       .select(
         when(col("cont_a") > col("cont_b"), col("doc_a"))
@@ -1257,22 +1292,26 @@ object Dedup {
         round(greatest(col("cont_a"), col("cont_b")) * 1e6, 0)
           .cast("long").as("cont_e6"))
       .localCheckpoint()
+
+  /** The c11 rung survey, exposed so the BATCH-derived operating point can
+    * be applied to OTHER passes (the c13 unification: one rung chosen from
+    * the corpus's containment mass governs the batch cut, the c12 curation
+    * stage, and the ingest decide alike): per rung, how many docs the cut
+    * would drop; the smallest rung dropping at most `nDocs/fracDen` wins
+    * (none qualifying → the widest). The rollup is ≤ |ladder| rows — a
+    * model-sized driver decision (the kmeans-collect class).
+    */
+  def surveyContainmentRung(dropRows: DataFrame, nDocs: Long,
+      ladder: Seq[Long] = ContainmentLadder, fracDen: Long = 20L): Long = {
+    require(ladder.nonEmpty, "the containment survey needs a threshold ladder")
     val sortedLadder = ladder.sorted
-    val nDocs = docs.count()
-    // Survey: per rung, how many docs the cut at that rung would drop.
     val byRung = dropRows.groupBy("doc_id").agg(max("cont_e6").as("mx"))
       .select(explode(array(sortedLadder.map(lit): _*)).as("r"), col("mx"))
       .filter(col("mx") >= col("r"))
       .groupBy("r").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val chosen = sortedLadder.find(r => byRung.getOrElse(r, 0L) <= nDocs / fracDen)
+    sortedLadder.find(r => byRung.getOrElse(r, 0L) <= nDocs / fracDen)
       .getOrElse(sortedLadder.last)
-    dropRows.filter(col("cont_e6") >= chosen)
-      .groupBy("doc_id")
-      .agg(min("container").as("keeper_id"),
-        count(lit(1)).as("n_containers"),
-        max("cont_e6").as("max_cont_e6"))
-      .withColumn("min_cont_e6", lit(chosen))
   }
 
   /** Shared verify core of d5/d35: exact shingle-set overlap counted per

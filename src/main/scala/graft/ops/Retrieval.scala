@@ -395,42 +395,13 @@ object Retrieval {
       .saveAsTable(s"$db.corpus_stats")
   }
 
-  /** Rewrite one bucketed store table through `transform` with a single
-    * read + write: write into a same-bucketing `_rewriting` side table,
-    * rename the original ASIDE to `_old`, RENAME the side table into
-    * place (the catalog moves the directory; bucket-spec metadata rides
-    * the table entry), then drop `_old`. Not crash-atomic, but every
-    * crash point leaves a COMPLETE servable copy under some name: before
-    * the first rename the original serves; between the renames both
-    * `_old` and `_rewriting` hold full copies; after, the new table
-    * serves (a leftover `_old` is garbage-collected by the next rewrite).
-    * Recovery is one catalog rename by the retrying orchestrator — no
-    * window where the only copy is a dropped directory, unlike
-    * drop-then-rename (ADVICE r12).
-    */
+  /** [[Bucketing.rewriteBucketedInPlace]] under the store's historical
+    * local name (the single-read-single-write side-table rewrite with a
+    * servable copy at every crash point — ADVICE r12). */
   private def rewriteStoreTable(spark: SparkSession, db: String, tbl: String,
       keys: Seq[String], nBuckets: Int)
-      (transform: DataFrame => DataFrame): Unit = {
-    val full = s"$db.$tbl"
-    val side = s"$db.${tbl}_rewriting"
-    val old = s"$db.${tbl}_old"
-    spark.sql(s"DROP TABLE IF EXISTS $side")
-    // Read the table's FILES, not the table: a bucketed-table read hands
-    // the planner a partitioning that displaces writeBucketed's explicit
-    // repartition with the write's own conf-sized AQE-coalescible
-    // shuffle — tasks then hold several buckets each and the rewrite
-    // lands one file per (task, bucket) instead of one per bucket. A
-    // plain parquet scan has unknown partitioning, so the repartition
-    // survives and the compact layout is guaranteed.
-    val files = org.apache.spark.sql.classic.GraftBridge
-      .tableLocation(spark, db, tbl)
-    Bucketing.writeBucketed(transform(spark.read.parquet(files)),
-      side, nBuckets, keys)
-    spark.sql(s"DROP TABLE IF EXISTS $old")
-    spark.sql(s"ALTER TABLE $full RENAME TO $old")
-    spark.sql(s"ALTER TABLE $side RENAME TO $full")
-    spark.sql(s"DROP TABLE $old")
-  }
+      (transform: DataFrame => DataFrame): Unit =
+    Bucketing.rewriteBucketedInPlace(spark, db, tbl, keys, nBuckets)(transform)
 
   /** BM25 top-k against a [[buildPostingStore]] store. Two probe shapes,
     * chosen by the query batch's distinct-vocabulary size, measured with a

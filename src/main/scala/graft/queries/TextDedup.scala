@@ -488,6 +488,75 @@ object TextDedup {
       Dedup.containmentDropsAuto(spectrum)
     }),
 
+    // UNIFIED containment operating point — closes the c11↔e22 seam: c11
+    // derives minCont from the corpus's own containment mass, but the
+    // ingest decide (e22/e23) pinned 0.8 by fiat, so batch curation and
+    // ingest could disagree about the SAME document. Here one rung is
+    // chosen by the c11 ladder survey over the STANDING corpus (the
+    // corpus you have is what calibrates the policy you apply to what
+    // arrives) and applied UNCHANGED — as the same e6 integer, no double
+    // round-trip — to the arrival decide. Standing gets c11's
+    // containment-SPECTRUM injection (ids %10==7 become 20-token excerpts
+    // of id−5 plus 3/6/9/12 own tokens by decade — real mass on every
+    // rung, so the survey genuinely chooses); arrivals get the e23-style
+    // quote-a-standing-doc rewrite (ids %5==2 become 30-token excerpts of
+    // standing doc 2·id+100 — ids ≡4 mod 10, never themselves rewritten).
+    // Gate: the rung CHOICE (hashed into every row as min_cont_e6) and
+    // every arrival's landed/quarantined decision at that rung — a cut at
+    // 0.8-by-fiat flips rows whenever the survey picks any other rung.
+    "c13_containment_unified" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val srcS = base.select((col("doc_id") + 5).as("doc_id"),
+        slice(split(lower(col("text")), "\\s+"), 1, 20).as("_src"))
+      val m = (lit(3) * (lit(1) +
+        pmod(expr("doc_id div 10"), lit(4)))).cast("int")
+      val standing = graft.engine.Caches.persisted(
+        base.filter(col("doc_id") >= LdsEvalSplit)
+          .join(srcS, Seq("doc_id"), "left")
+          .withColumn("text",
+            when(col("doc_id") % 10 === 7 && col("_src").isNotNull,
+              array_join(concat(col("_src"),
+                slice(split(lower(col("text")), "\\s+"), lit(1), m)), " "))
+              .otherwise(col("text")))
+          .select("doc_id", "text"))
+      val exA = base.filter(col("doc_id") >= lit(100) && col("doc_id") % 2 === 0)
+        .select(((col("doc_id") - 100) / 2).cast("long").as("doc_id"),
+          array_join(slice(split(lower(col("text")), "\\s+"), 1, 30), " ")
+            .as("_ex"))
+      val arrivals = graft.engine.Caches.persisted(
+        base.filter(col("doc_id") < LdsEvalSplit)
+          .join(exA, Seq("doc_id"), "left")
+          .withColumn("text",
+            when(col("doc_id") % 5 === 2 && col("_ex").isNotNull, col("_ex"))
+              .otherwise(col("text")))
+          .select("doc_id", "text"))
+      // The batch survey over the standing corpus picks the rung...
+      val rung = Dedup.surveyContainmentRung(
+        Dedup.containmentDropRows(standing), standing.count())
+      // ...and the ingest decide applies it unchanged: e22's candidate
+      // shape (arrival windows probe the frequency-capped standing
+      // windows; the cap is a property of the standing slice).
+      val occS = standing.select(col("doc_id").as("doc_b"),
+        explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+      val winStore = occS.join(
+        occS.groupBy("h").agg(count(lit(1)).as("wf"))
+          .filter(col("wf") <= 64).select("h"), "h")
+        .select("h", "doc_b")
+      val cand = arrivals
+        .select(col("doc_id").as("doc_a"),
+          explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+        .join(winStore, Seq("h"))
+        .select("doc_a", "doc_b").distinct()
+      val drops = Dedup.arrivalContainmentDropsE6(
+        standing.unionByName(arrivals), cand, minContE6 = rung)
+      arrivals.select("doc_id").join(drops, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("keeper_id").isNull.as("landed"),
+          col("keeper_id"),
+          coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+          coalesce(col("max_cont_e6"), lit(0L)).as("max_cont_e6"),
+          lit(rung).as("min_cont_e6"))
+    }),
+
     // BATCH CURATION CAPSTONE — the c-family legs composed into ONE plan
     // (the composition is where operator seams actually break: cache
     // hygiene, exchange reuse, provenance columns colliding): gopher gate
@@ -1423,7 +1492,11 @@ object TextDedup {
     // window-hash store): after each ingest window, the landed arrivals'
     // capped window hashes are d21-appended INTO the store under the same
     // exactly-once ledger discipline, so the next window's probe sees
-    // standing ∪ previously-landed. Two explicit windows (the e20 phase
+    // standing ∪ previously-landed — and each extension is followed by an
+    // IN-PLACE compaction of win_bkt (the b7 rewrite under the store's
+    // own name), so the next window's decide reads one file per bucket
+    // instead of one more file per bucket per extension forever (the r19
+    // retention gap). Two explicit windows (the e20 phase
     // pattern — phase-disambiguated ledger ids): A = doc_id [0,25),
     // B = [25,50), with every fifth B arrival REPLACED by a 30-token
     // excerpt of its (doc_id−25) phase-A neighbor — the quote-an-earlier-
@@ -1515,6 +1588,16 @@ object TextDedup {
         val appended = graft.ops.Bucketing.appendBucketedExactlyOnce(capped,
           s"$db.win_bkt", nBuckets = 8, keys = Seq("h"),
           ledgerDir = ledgerS, batchId = id)
+        // COMPACT the self-extending store back to one file per bucket
+        // under its own name (the b7 in-place rewrite applied to win_bkt —
+        // without it every extension leaves one more file per touched
+        // bucket FOREVER, and each window's probe pays an ever-deeper
+        // per-bucket merge): the NEXT window's decide reads the compacted
+        // store. A suppressed replay appended nothing, so it compacts
+        // nothing.
+        if (appended)
+          graft.ops.Bucketing.rewriteBucketedInPlace(s, db, "win_bkt",
+            Seq("h"), 8)(identity)
         s.catalog.refreshTable(s"$db.win_bkt")
         appended
       }
@@ -1555,6 +1638,135 @@ object TextDedup {
       s.table(s"$db.ingest_cmp")
         .select("doc_id", "landed", "keeper_id", "n_containers",
           "max_cont_e6")
+    }),
+
+    // BATCH↔STREAM CURATION PARITY — the seam c12 and e14 leave open:
+    // c12 composes the batch curation funnel, e14 streams a subset of its
+    // legs, and nothing pinned the two pipelines to EACH OTHER — the
+    // place where micro-batch boundaries silently change drop decisions.
+    // Here c12's corpus is streamed through THREE id-ordered ingest
+    // windows ([50,150), [150,300), [300,∞) — the e20/e23 phase pattern),
+    // each window's per-doc stage decisions made against window ∪
+    // accumulated store and appended exactly-once into a bucketed
+    // decision store:
+    //  - gopher: per-row, stateless — boundary-invariant by construction;
+    //  - exact-collapse: keep iff the text is unseen among the store's
+    //    keepers AND the doc is the min id for that text within its own
+    //    window — equal to the batch min-id collapse BECAUSE windows
+    //    arrive in ascending id order (the first window holding a text
+    //    holds its global-min id);
+    //  - decontam: anti-join against the STATIC eval fingerprints —
+    //    stateless.
+    // The containment stage is deliberately NOT decided per window: its
+    // policy is symmetric (the SHORTER side drops regardless of arrival
+    // order), so a per-window irrevocable decision is order-dependent by
+    // construction — the honest streaming answer is decide-at-compaction:
+    // one batch containment pass over the accumulated stage-3 survivors,
+    // then the pack. A replay probe re-delivers the last window under its
+    // committed id (must be suppressed). The readout is c12's EXACT
+    // one-row funnel contract computed FROM THE STORE — the oracle is
+    // c12's oracle verbatim: one decision changed by a window boundary,
+    // one row lost or doubled by the appends, and the funnel flips.
+    "e24_curation_parity" -> ((s, dir) => {
+      val all = docs(s, dir)
+      val exSrc = all.select((col("doc_id") - 1).as("doc_id"),
+        array_join(slice(split(lower(col("text")), "\\s+"), 1, 30), " ")
+          .as("_ex"))
+      def mutate(b: DataFrame): DataFrame =
+        b.join(exSrc, Seq("doc_id"), "left")
+          .withColumn("text",
+            when(col("doc_id") % 10 === 3 && col("_ex").isNotNull,
+              col("_ex")).otherwise(col("text")))
+          .select("doc_id", "text")
+      val evalFp = graft.engine.Caches.persisted(Dedup.evalFingerprints(
+        all.filter(col("doc_id") < LdsEvalSplit), 10))
+      val db = "graft_cur_e24_" + Tables.dirTag(dir)
+      val dbLoc = Tables.scratch(db + "_db")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
+      graft.ops.Bucketing.reset(s, s"$db.stage_bkt",
+        new java.io.File(dbLoc, "stage_bkt"))
+      // Per-window stage decisions against window ∪ accumulated store.
+      def decide(batch0: DataFrame): DataFrame = {
+        val b1 = mutate(batch0).filter(TextOps.gopherPass(col("text")))
+        val keepers = s.table(s"$db.stage_bkt")
+          .filter(col("exact_kept")).select("text").distinct()
+          .withColumn("_seen", lit(true))
+        val minIn = b1.groupBy("text").agg(min("doc_id").as("_min_id"))
+        val dirty = b1.select(col("doc_id"),
+            explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+          .join(evalFp, Seq("h"))
+          .select("doc_id").distinct().withColumn("_dirty", lit(true))
+        b1.join(minIn, Seq("text"))
+          .join(keepers, Seq("text"), "left")
+          .join(dirty, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("text"),
+            (col("_seen").isNull && col("doc_id") === col("_min_id"))
+              .as("exact_kept"),
+            col("_dirty").isNull.as("decontam_kept"))
+      }
+      // Schema seed WITHOUT reading the store (decide() consults the
+      // store's keepers, and the table doesn't exist yet).
+      graft.ops.Bucketing.writeBucketed(
+        mutate(all.limit(0)).withColumn("exact_kept", lit(true))
+          .withColumn("decontam_kept", lit(true)),
+        s"$db.stage_bkt", nBuckets = 8, keys = Seq("doc_id"))
+      val ledger = new java.io.File(Tables.scratch(db + "_ledger"))
+      Option(ledger.listFiles()).foreach(_.foreach(_.delete()))
+      var lastId = -1L
+      def append(b: DataFrame, id: Long): Boolean = {
+        // PIN the window's decisions against the PRE-append store before
+        // the write touches that same store (the read side must never
+        // observe files its own append is creating).
+        val decided = decide(b).localCheckpoint()
+        val appended = graft.ops.Bucketing.appendBucketedExactlyOnce(
+          decided, s"$db.stage_bkt", nBuckets = 8, keys = Seq("doc_id"),
+          ledgerDir = ledger, batchId = id)
+        s.catalog.refreshTable(s"$db.stage_bkt")
+        appended
+      }
+      def phase(name: String, phaseBase: Long, lo: Long, hi: Long): Unit = {
+        val part = Tables.streamT(s, dir, "documents",
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        graft.streaming.StreamingWindows.runForeachBatch(part, name) {
+          (batch, id) => lastId = phaseBase + id; append(batch, lastId); ()
+        }
+      }
+      phase("e24a", 0L, LdsEvalSplit, 150L)
+      require(lastId >= 0L, "window 1 produced no micro-batches " +
+        "(stream source matched no files?)")
+      phase("e24b", 1000000L, 150L, 300L)
+      phase("e24c", 2000000L, 300L, Long.MaxValue)
+      // Replay probe: the last committed window redelivered under its id
+      // (with the decisions recomputed against the post-advance store —
+      // deliberately wrong, exactly what a restart does) must not append.
+      require(!append(all.filter(col("doc_id") >= 300L), lastId),
+        "ledger failed to suppress a replayed ingest window")
+      // Decide-at-compaction tail over the accumulated store: one batch
+      // containment pass over the stage-3 survivors, then the pack —
+      // identical operators to c12's stages 4-5.
+      val store = graft.engine.Caches.persisted(s.table(s"$db.stage_bkt")
+        .select("doc_id", "text", "exact_kept", "decontam_kept"))
+      val s3 = store.filter(col("exact_kept") && col("decontam_kept"))
+        .select("doc_id", "text")
+        .localCheckpoint()
+      val s4 = s3.join(Dedup.containmentDrops(s3).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val pk = graft.ops.Split.packManifest(s4, "text", "doc_id", 512)
+        .agg(countDistinct("bin_id").as("n_windows"),
+          count(lit(1)).as("n_segments"),
+          sum("len").as("n_tokens"),
+          sum(col("bin_id") * col("len") + col("doc_offset") +
+            col("win_offset")).as("pack_checksum"))
+      all.filter(col("doc_id") >= LdsEvalSplit)
+        .agg(count(lit(1)).as("n_total"))
+        .crossJoin(store.agg(count(lit(1)).as("after_gopher")))
+        .crossJoin(store.filter(col("exact_kept"))
+          .agg(count(lit(1)).as("after_exact")))
+        .crossJoin(s3.agg(count(lit(1)).as("after_decontam")))
+        .crossJoin(s4.agg(count(lit(1)).as("after_containment")))
+        .crossJoin(pk)
     }),
 
     // SKEW-HARDENED dedup — the LSH chain under a deliberately viral span:
@@ -1895,6 +2107,135 @@ object TextDedup {
 
   private def toksSrcFrom(src: String): String =
     s"toks AS (SELECT doc_id, $wsSql AS ws FROM $src)"
+
+  /** The c12 batch-curation funnel as one DuckDB query — SHARED by c12
+    * (the batch composition) and e24 (the streamed path): batch-stream
+    * parity is literally "both hash against this one contract".
+    */
+  private lazy val curationFunnelSql =
+    s"""WITH ex AS (
+       |  SELECT doc_id - 1 AS doc_id,
+       |    array_to_string(
+       |      string_split_regex(lower(text), '\\s+')[1:30], ' ') AS ex_text
+       |  FROM documents),
+         |corpus AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 10 = 3 AND ex.ex_text IS NOT NULL
+         |      THEN ex.ex_text ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN ex USING (doc_id)
+         |  WHERE d.doc_id >= $LdsEvalSplit),
+         |gt AS (SELECT doc_id, text,
+         |  string_split_regex(
+         |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ws
+         |  FROM corpus),
+         |gm AS (SELECT doc_id, text, len(ws) AS n,
+         |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+         |    / len(ws) AS mwl,
+         |  len(list_filter(ws, w -> list_contains($stopList, w))) AS stops,
+         |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dr,
+         |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+         |    AS DOUBLE) / len(ws) AS ar
+         |  FROM gt),
+         |s1 AS (SELECT doc_id, text FROM gm
+         |  WHERE n BETWEEN 25 AND 90 AND mwl >= 3.5 AND mwl <= 5.0
+         |    AND stops >= 2 AND dr >= 0.35 AND ar >= 0.8),
+         |s2 AS (SELECT doc_id, text FROM s1
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM s1 GROUP BY text)),
+         |et AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |       FROM documents WHERE doc_id < $LdsEvalSplit),
+         |esh AS (
+         |  SELECT unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
+         |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         |         ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
+         |         ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
+         |         ws[i + 9])) AS shingle
+         |  FROM et),
+         |evw AS (SELECT DISTINCT ${Hashing.polyHashSql("shingle")} AS h FROM esh),
+         |s2t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |        FROM s2),
+         |s2sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
+         |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         |         ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
+         |         ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
+         |         ws[i + 9])) AS shingle
+         |  FROM s2t),
+         |s2w AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM s2sh),
+         |dirty AS (SELECT DISTINCT doc_id FROM s2w JOIN evw USING (h)),
+         |s3 AS (SELECT doc_id, text FROM s2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |t3 AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |       FROM s3),
+         |sh3 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+         |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS shingle
+         |  FROM t3),
+         |h3 AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh3),
+         |w3 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
+         |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         |         ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
+         |         ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
+         |         ws[i + 9])) AS shingle
+         |  FROM t3),
+         |hw3 AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM w3),
+         |okw3 AS (SELECT h FROM hw3 GROUP BY h
+         |         HAVING count(*) >= 2 AND count(*) <= 64),
+         |cand3 AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM hw3 a JOIN okw3 USING (h) JOIN hw3 b USING (h)
+         |  WHERE a.doc_id < b.doc_id),
+         |cnt3 AS (SELECT doc_id, count(*) AS n_sh FROM h3 GROUP BY doc_id),
+         |int3 AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand3 c
+         |    JOIN h3 a ON a.doc_id = c.doc_a
+         |    JOIN h3 b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |m3 AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / ca.n_sh, 6) AS cont_a,
+         |    round(CAST(n_inter AS DOUBLE) / cb.n_sh, 6) AS cont_b,
+         |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard,
+         |    ca.n_sh AS n_a, cb.n_sh AS n_b
+         |  FROM int3 i
+         |    JOIN cnt3 ca ON ca.doc_id = i.doc_a
+         |    JOIN cnt3 cb ON cb.doc_id = i.doc_b),
+         |dr3 AS (
+         |  SELECT
+         |    CASE WHEN cont_a > cont_b THEN doc_a
+         |         WHEN cont_b > cont_a THEN doc_b
+         |         WHEN n_a < n_b THEN doc_a
+         |         WHEN n_b < n_a THEN doc_b
+         |         ELSE greatest(doc_a, doc_b) END AS doc_id
+         |  FROM m3
+         |  WHERE jaccard < 0.8 AND greatest(cont_a, cont_b) >= 0.8),
+         |s4 AS (SELECT doc_id, text FROM s3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dr3)),
+         |p0 AS (SELECT doc_id,
+         |  len(string_split_regex(lower(text), '\\s+')) AS nt FROM s4),
+         |pc AS (SELECT doc_id, nt,
+         |  CAST(sum(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM p0),
+         |pv AS (SELECT doc_id, cum - nt AS s, cum AS e FROM pc WHERE nt > 0),
+         |pb AS (SELECT doc_id, s, e,
+         |  unnest(range(s // 512, (e - 1) // 512 + 1)) AS bin FROM pv),
+         |po AS (SELECT bin, doc_id, s, greatest(s, bin * 512) AS seg_s,
+         |  least(e, (bin + 1) * 512) - greatest(s, bin * 512) AS t FROM pb),
+         |pk AS (SELECT count(DISTINCT bin) AS n_windows,
+         |  count(*) AS n_segments, CAST(sum(t) AS BIGINT) AS n_tokens,
+         |  CAST(sum(bin * t + (seg_s - s) + (seg_s - bin * 512)) AS BIGINT)
+         |    AS pack_checksum
+         |  FROM po)
+         |SELECT (SELECT count(*) FROM corpus) AS n_total,
+         |  (SELECT count(*) FROM s1) AS after_gopher,
+         |  (SELECT count(*) FROM s2) AS after_exact,
+         |  (SELECT count(*) FROM s3) AS after_decontam,
+         |  (SELECT count(*) FROM s4) AS after_containment,
+         |  n_windows, n_segments, n_tokens, pack_checksum
+         |FROM pk""".stripMargin
 
   /** The o26 packing report — whitespace token counts, one running sum in
     * doc-id order, integer window intervals. Shared verbatim by the batch
@@ -3603,136 +3944,128 @@ object TextDedup {
          |  CAST((SELECT r FROM chosen) AS BIGINT) AS min_cont_e6
          |FROM dr WHERE cont_e6 >= (SELECT r FROM chosen)
          |GROUP BY doc_id""".stripMargin,
+    // c13: ONE rung — chosen by the c11 ladder survey over the STANDING
+    // spectrum — governs the arrival decide: the survey CTEs are c11's
+    // restricted to standing-internal pairs, the arrival pass is e22's
+    // with the 0.8 fiat replaced by the chosen rung compared in exact e6
+    // integer space.
+    "c13_containment_unified" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id + 5 AS doc_id,
+         |    string_split_regex(lower(text), '\\s+')[1:20] AS src
+         |  FROM documents),
+         |exa AS (
+         |  SELECT (doc_id - 100) // 2 AS doc_id,
+         |    array_to_string(
+         |      string_split_regex(lower(text), '\\s+')[1:30], ' ') AS ex_text
+         |  FROM documents WHERE doc_id >= 100 AND doc_id % 2 = 0),
+         |corpus AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 10 = 7 AND ex.src IS NOT NULL
+         |      THEN array_to_string(list_concat(ex.src,
+         |        string_split_regex(lower(d.text), '\\s+')
+         |          [1:(3 * (1 + (d.doc_id // 10) % 4))]), ' ')
+         |      ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN ex USING (doc_id)
+         |  WHERE d.doc_id >= $LdsEvalSplit
+         |  UNION ALL
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 5 = 2 AND exa.ex_text IS NOT NULL
+         |      THEN exa.ex_text ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN exa USING (doc_id)
+         |  WHERE d.doc_id < $LdsEvalSplit),
+         |${toksSrcFrom("corpus")}, $shSrc, $hashedSrc,
+         |sh10 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
+         |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
+         |           ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
+         |           ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
+         |           ws[i + 9])) AS shingle
+         |  FROM toks),
+         |h10 AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh10),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
+         |okw AS (SELECT h FROM h10 WHERE doc_id >= $LdsEvalSplit
+         |        GROUP BY h HAVING count(*) >= 2 AND count(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM h10 a JOIN okw USING (h) JOIN h10 b USING (h)
+         |  WHERE a.doc_id < b.doc_id AND a.doc_id >= $LdsEvalSplit),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand c
+         |    JOIN hashed a ON a.doc_id = c.doc_a
+         |    JOIN hashed b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / ca.n_sh, 6) AS cont_a,
+         |    round(CAST(n_inter AS DOUBLE) / cb.n_sh, 6) AS cont_b,
+         |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard,
+         |    ca.n_sh AS n_a, cb.n_sh AS n_b
+         |  FROM inter i
+         |    JOIN counts ca ON ca.doc_id = i.doc_a
+         |    JOIN counts cb ON cb.doc_id = i.doc_b),
+         |dr AS (
+         |  SELECT
+         |    CASE WHEN cont_a > cont_b THEN doc_a
+         |         WHEN cont_b > cont_a THEN doc_b
+         |         WHEN n_a < n_b THEN doc_a
+         |         WHEN n_b < n_a THEN doc_b
+         |         ELSE greatest(doc_a, doc_b) END AS doc_id,
+         |    CAST(round(greatest(cont_a, cont_b) * 1e6) AS BIGINT) AS cont_e6
+         |  FROM m WHERE jaccard < 0.8),
+         |md AS (SELECT doc_id, max(cont_e6) AS mx FROM dr GROUP BY doc_id),
+         |chosen AS (
+         |  SELECT coalesce(min(r), 900000) AS r
+         |  FROM (VALUES (600000), (700000), (800000), (900000)) lr(r)
+         |  WHERE (SELECT count(*) FROM md WHERE mx >= r)
+         |        <= (SELECT count(*) FROM corpus
+         |            WHERE doc_id >= $LdsEvalSplit) // 20),
+         |okws AS (SELECT h FROM h10 WHERE doc_id >= $LdsEvalSplit
+         |         GROUP BY h HAVING count(*) <= 64),
+         |candA AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM h10 a JOIN okws USING (h) JOIN h10 b USING (h)
+         |  WHERE a.doc_id < $LdsEvalSplit AND b.doc_id >= $LdsEvalSplit),
+         |interA AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM candA c
+         |    JOIN hashed a ON a.doc_id = c.doc_a
+         |    JOIN hashed b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |mA AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / ca.n_sh, 6) AS cont_a,
+         |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+         |  FROM interA i
+         |    JOIN counts ca ON ca.doc_id = i.doc_a
+         |    JOIN counts cb ON cb.doc_id = i.doc_b),
+         |drops AS (
+         |  SELECT doc_a AS doc_id, min(doc_b) AS keeper_id,
+         |    count(*) AS n_containers,
+         |    CAST(max(round(cont_a * 1e6)) AS BIGINT) AS max_cont_e6
+         |  FROM mA WHERE jaccard < 0.8
+         |    AND CAST(round(cont_a * 1e6) AS BIGINT) >= (SELECT r FROM chosen)
+         |  GROUP BY doc_a)
+         |SELECT d.doc_id, dp.doc_id IS NULL AS landed, dp.keeper_id,
+         |  coalesce(dp.n_containers, 0) AS n_containers,
+         |  coalesce(dp.max_cont_e6, 0) AS max_cont_e6,
+         |  CAST((SELECT r FROM chosen) AS BIGINT) AS min_cont_e6
+         |FROM documents d LEFT JOIN drops dp ON d.doc_id = dp.doc_id
+         |WHERE d.doc_id < $LdsEvalSplit""".stripMargin,
     // c12: the staged funnel replayed literally — each stage's survivor
     // set a CTE feeding the next (gopher = t16's rule text, exact = d33's
     // min-id keeper, decontam = d32's window signal as a drop, containment
     // = c10's chain over stage-3 survivors, pack = o26/o27's interval
     // CTEs over stage-4 survivors), with the one-row report assembled
     // from scalar subqueries.
-    "c12_curation_pipeline" ->
-      s"""WITH ex AS (
-         |  SELECT doc_id - 1 AS doc_id,
-         |    array_to_string(
-         |      string_split_regex(lower(text), '\\s+')[1:30], ' ') AS ex_text
-         |  FROM documents),
-         |corpus AS (
-         |  SELECT d.doc_id,
-         |    CASE WHEN d.doc_id % 10 = 3 AND ex.ex_text IS NOT NULL
-         |      THEN ex.ex_text ELSE d.text END AS text
-         |  FROM documents d LEFT JOIN ex USING (doc_id)
-         |  WHERE d.doc_id >= $LdsEvalSplit),
-         |gt AS (SELECT doc_id, text,
-         |  string_split_regex(
-         |    regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS ws
-         |  FROM corpus),
-         |gm AS (SELECT doc_id, text, len(ws) AS n,
-         |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
-         |    / len(ws) AS mwl,
-         |  len(list_filter(ws, w -> list_contains($stopList, w))) AS stops,
-         |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dr,
-         |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
-         |    AS DOUBLE) / len(ws) AS ar
-         |  FROM gt),
-         |s1 AS (SELECT doc_id, text FROM gm
-         |  WHERE n BETWEEN 25 AND 90 AND mwl >= 3.5 AND mwl <= 5.0
-         |    AND stops >= 2 AND dr >= 0.35 AND ar >= 0.8),
-         |s2 AS (SELECT doc_id, text FROM s1
-         |  WHERE doc_id IN (SELECT min(doc_id) FROM s1 GROUP BY text)),
-         |et AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
-         |       FROM documents WHERE doc_id < $LdsEvalSplit),
-         |esh AS (
-         |  SELECT unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
-         |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
-         |         ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
-         |         ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
-         |         ws[i + 9])) AS shingle
-         |  FROM et),
-         |evw AS (SELECT DISTINCT ${Hashing.polyHashSql("shingle")} AS h FROM esh),
-         |s2t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
-         |        FROM s2),
-         |s2sh AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
-         |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
-         |         ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
-         |         ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
-         |         ws[i + 9])) AS shingle
-         |  FROM s2t),
-         |s2w AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM s2sh),
-         |dirty AS (SELECT DISTINCT doc_id FROM s2w JOIN evw USING (h)),
-         |s3 AS (SELECT doc_id, text FROM s2
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
-         |t3 AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
-         |       FROM s3),
-         |sh3 AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
-         |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS shingle
-         |  FROM t3),
-         |h3 AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM sh3),
-         |w3 AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, greatest(len(ws) - 8, 1)),
-         |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] || ' ' ||
-         |         ws[i + 3] || ' ' || ws[i + 4] || ' ' || ws[i + 5] || ' ' ||
-         |         ws[i + 6] || ' ' || ws[i + 7] || ' ' || ws[i + 8] || ' ' ||
-         |         ws[i + 9])) AS shingle
-         |  FROM t3),
-         |hw3 AS (SELECT DISTINCT doc_id, ${Hashing.polyHashSql("shingle")} AS h FROM w3),
-         |okw3 AS (SELECT h FROM hw3 GROUP BY h
-         |         HAVING count(*) >= 2 AND count(*) <= 64),
-         |cand3 AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM hw3 a JOIN okw3 USING (h) JOIN hw3 b USING (h)
-         |  WHERE a.doc_id < b.doc_id),
-         |cnt3 AS (SELECT doc_id, count(*) AS n_sh FROM h3 GROUP BY doc_id),
-         |int3 AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-         |  FROM cand3 c
-         |    JOIN h3 a ON a.doc_id = c.doc_a
-         |    JOIN h3 b ON b.doc_id = c.doc_b AND b.h = a.h
-         |  GROUP BY 1, 2),
-         |m3 AS (
-         |  SELECT i.doc_a, i.doc_b,
-         |    round(CAST(n_inter AS DOUBLE) / ca.n_sh, 6) AS cont_a,
-         |    round(CAST(n_inter AS DOUBLE) / cb.n_sh, 6) AS cont_b,
-         |    round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard,
-         |    ca.n_sh AS n_a, cb.n_sh AS n_b
-         |  FROM int3 i
-         |    JOIN cnt3 ca ON ca.doc_id = i.doc_a
-         |    JOIN cnt3 cb ON cb.doc_id = i.doc_b),
-         |dr3 AS (
-         |  SELECT
-         |    CASE WHEN cont_a > cont_b THEN doc_a
-         |         WHEN cont_b > cont_a THEN doc_b
-         |         WHEN n_a < n_b THEN doc_a
-         |         WHEN n_b < n_a THEN doc_b
-         |         ELSE greatest(doc_a, doc_b) END AS doc_id
-         |  FROM m3
-         |  WHERE jaccard < 0.8 AND greatest(cont_a, cont_b) >= 0.8),
-         |s4 AS (SELECT doc_id, text FROM s3
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM dr3)),
-         |p0 AS (SELECT doc_id,
-         |  len(string_split_regex(lower(text), '\\s+')) AS nt FROM s4),
-         |pc AS (SELECT doc_id, nt,
-         |  CAST(sum(nt) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM p0),
-         |pv AS (SELECT doc_id, cum - nt AS s, cum AS e FROM pc WHERE nt > 0),
-         |pb AS (SELECT doc_id, s, e,
-         |  unnest(range(s // 512, (e - 1) // 512 + 1)) AS bin FROM pv),
-         |po AS (SELECT bin, doc_id, s, greatest(s, bin * 512) AS seg_s,
-         |  least(e, (bin + 1) * 512) - greatest(s, bin * 512) AS t FROM pb),
-         |pk AS (SELECT count(DISTINCT bin) AS n_windows,
-         |  count(*) AS n_segments, CAST(sum(t) AS BIGINT) AS n_tokens,
-         |  CAST(sum(bin * t + (seg_s - s) + (seg_s - bin * 512)) AS BIGINT)
-         |    AS pack_checksum
-         |  FROM po)
-         |SELECT (SELECT count(*) FROM corpus) AS n_total,
-         |  (SELECT count(*) FROM s1) AS after_gopher,
-         |  (SELECT count(*) FROM s2) AS after_exact,
-         |  (SELECT count(*) FROM s3) AS after_decontam,
-         |  (SELECT count(*) FROM s4) AS after_containment,
-         |  n_windows, n_segments, n_tokens, pack_checksum
-         |FROM pk""".stripMargin,
+    "c12_curation_pipeline" -> curationFunnelSql,
+    // e24: batch↔stream parity — the streamed path must converge to the
+    // BATCH curation funnel bit-for-bit, so the oracle IS c12's: any
+    // micro-batch boundary that changes a stage decision, or an append
+    // that loses/doubles a row, flips the shared one-row contract.
+    "e24_curation_parity" -> curationFunnelSql,
     // e22: the batch expression of the containment-guarded ingest — the
     // c10 chain with candidates restricted to (arrival, standing) pairs,
     // the cap computed on the STANDING slice only, the drop side pinned

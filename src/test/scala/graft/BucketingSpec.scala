@@ -177,6 +177,14 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e23db = "graft_ingest_e23_" + graft.queries.Tables.dirTag(sf)
     assert(spark.table(s"$e23db.ingest_cmp").count() ==
       spark.table(s"$e23db.ingest_bkt").count())
+    // The SELF-EXTENDING window-hash store is compacted in place after
+    // every extension (the r19 retention gap): after the run — a standing
+    // build plus two committed extensions — win_bkt must sit at one file
+    // per bucket, not base + one more file per touched bucket per
+    // extension.
+    val winFiles = Bucketing.dataFileCount(new java.io.File(dbLoc, "win_bkt"))
+    assert(winFiles > 0 && winFiles <= 8,
+      s"extended win_bkt store must be compacted in place, got $winFiles files")
   }
 
   test("store commits run through the Hadoop FileSystem API on file:// URIs") {
@@ -219,5 +227,83 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Bucketing.deletePath("file://" + root.getAbsolutePath)
     assert(!root.exists)
     Bucketing.deletePath("file://" + root.getAbsolutePath)
+  }
+
+  test("swapPath self-heals a crash between the aside-rename and the promote") {
+    // Simulated crash state: the previous swap moved live aside to .old
+    // and died before promoting staged — live is ABSENT and .old holds the
+    // only committed copy. The retry (same staged dir, still on disk) must
+    // first restore .old, then run the normal swap; a swapPath that just
+    // deleted .old on entry would destroy the only copy if THIS attempt
+    // also failed before the promote.
+    val root = new java.io.File(graft.queries.Tables.scratch("swapheal_spec"))
+    Bucketing.clearDir(root)
+    val live = new java.io.File(root, "cell=1")
+    val old = new java.io.File(root, ".cell=1.old")
+    val staged = new java.io.File(root, "stage/cell=1")
+    old.mkdirs(); staged.mkdirs()
+    java.nio.file.Files.write(new java.io.File(old, "v1.parquet").toPath,
+      "v1".getBytes)
+    java.nio.file.Files.write(new java.io.File(staged, "v2.parquet").toPath,
+      "v2".getBytes)
+    Bucketing.swapPath("file://" + staged.getAbsolutePath,
+      "file://" + live.getAbsolutePath)
+    assert(new java.io.File(live, "v2.parquet").isFile,
+      "retry must complete the swap")
+    assert(!old.exists, "the restored-then-replaced aside copy is cleaned up")
+    // Crash state with NO staged dir (pure recovery): the orphaned .old is
+    // restored as live rather than silently deleted... and the absent
+    // stage then means "cell deleted", so live is removed — net identical
+    // to a completed delete, never a lost copy mid-retry.
+    Bucketing.clearDir(root)
+    old.mkdirs()
+    java.nio.file.Files.write(new java.io.File(old, "v1.parquet").toPath,
+      "v1".getBytes)
+    Bucketing.swapPath("file://" + staged.getAbsolutePath,
+      "file://" + live.getAbsolutePath)
+    assert(!live.exists && !old.exists)
+    Bucketing.clearDir(root)
+  }
+
+  test("rewriteBucketedInPlace compacts an extended store under its own name") {
+    // The e23 win_bkt lifecycle: a standing window-hash store is EXTENDED
+    // once per ingest window via exactly-once appends (one more file per
+    // touched bucket per extension, forever), then compacted IN PLACE so
+    // the next window's decide reads one file per bucket under the SAME
+    // table name. Pins the file counts and content parity across the
+    // rewrite.
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '/tmp/$db'")
+    val tblDir = new java.io.File(s"/tmp/$db/ext_store")
+    Bucketing.reset(spark, s"$db.ext_store", tblDir)
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft-ext-ledger").toFile
+    def slice(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select((col("id") % 101).as("h"), col("id").as("doc_b"))
+    Bucketing.writeBucketed(slice(0, 400), s"$db.ext_store", 8, Seq("h"))
+    val base = Bucketing.dataFileCount(tblDir)
+    assert(base > 0 && base <= 8, s"fresh store must be compact, got $base")
+    assert(Bucketing.appendBucketedExactlyOnce(slice(400, 600),
+      s"$db.ext_store", 8, Seq("h"), ledger, 0L))
+    assert(Bucketing.appendBucketedExactlyOnce(slice(600, 800),
+      s"$db.ext_store", 8, Seq("h"), ledger, 1L))
+    val extended = Bucketing.dataFileCount(tblDir)
+    assert(extended > base,
+      s"two extensions must grow the file count ($base -> $extended)")
+    spark.catalog.refreshTable(s"$db.ext_store")
+    val before = spark.table(s"$db.ext_store")
+      .groupBy("h").agg(count(lit(1)).as("n"), sum("doc_b").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Bucketing.rewriteBucketedInPlace(spark, db, "ext_store", Seq("h"), 8)(identity)
+    val compacted = Bucketing.dataFileCount(
+      new java.io.File(s"/tmp/$db/ext_store"))
+    assert(compacted > 0 && compacted <= 8,
+      s"in-place compaction must restore at most one file per bucket, got $compacted")
+    val after = spark.table(s"$db.ext_store")
+      .groupBy("h").agg(count(lit(1)).as("n"), sum("doc_b").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before, "compaction changed the store's content")
+    // Committed extensions stay committed: compaction changes layout, not
+    // the ledger.
+    assert(Bucketing.isCommitted(ledger, 0L) && Bucketing.isCommitted(ledger, 1L))
   }
 }

@@ -245,6 +245,31 @@ class CurationSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  // ---- e24 batch↔stream curation parity ------------------------------------
+
+  test("e24: the streamed funnel equals c12's batch funnel, window by window") {
+    // The parity contract at the driver gate's own SF: the corpus streamed
+    // through three id-ordered windows with per-window stage decisions and
+    // a decide-at-compaction containment tail must land on the EXACT
+    // one-row funnel the composed batch plan reports. And the run must not
+    // be vacuous: the ledger must carry all three phase-disambiguated
+    // window ids (0, 1e6, 2e6 — one micro-batch per window at this
+    // single-file layout), or the boundary seam was never exercised.
+    val dir = "/root/testdata/sf0.01"
+    val streamed = graft.SparkEntry.queries("e24_curation_parity")(spark, dir)
+      .collect()
+    val batch = graft.SparkEntry.queries("c12_curation_pipeline")(spark, dir)
+      .collect()
+    assert(streamed.length == 1 && batch.length == 1)
+    assert(streamed.head == batch.head,
+      s"stream/batch funnel mismatch:\n  ${streamed.head}\n  ${batch.head}")
+    val ledger = new java.io.File(graft.queries.Tables.scratch(
+      "graft_cur_e24_" + graft.queries.Tables.dirTag(dir) + "_ledger"))
+    for (id <- Seq(0L, 1000000L, 2000000L))
+      assert(graft.ops.Bucketing.isCommitted(ledger, id),
+        s"window $id missing from the ledger — the stream ran fewer windows")
+  }
+
   // ---- d24 sourceOverlap --------------------------------------------------
 
   test("sourceOverlap: normalized matrix matches the verified pairs") {

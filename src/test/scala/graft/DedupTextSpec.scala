@@ -717,6 +717,44 @@ class DedupTextSpec extends AnyFunSuite {
     assert(loose(2L) == ((2L, 101L, 1L, 600000L, 600000L)))
   }
 
+  test("c13: the survey-derived rung governs the arrival decide (not the 0.8 fiat)") {
+    // The unification seam made observable: a standing corpus whose own
+    // containment mass drives the survey to 900000 (the 600000 rung would
+    // drop 2 of 10 docs against a 1-doc budget — the containmentDropsAuto
+    // fixture's geometry, shifted into standing ids), and an arrival at
+    // cont 6/7 = 857143 that LANDS at the derived rung but would
+    // quarantine under e22's pinned 0.8. A second arrival at cont 1.0
+    // must still drop — the rung tightens the cut, it doesn't disable it.
+    val a = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val ex1 = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val ex2 = ((1 to 8).map(i => s"beta$i") ++
+      (1 to 4).map(i => s"nov$i")).mkString(" ")
+    val fill = (1 to 6).map(k =>
+      (200L + k, (1 to 12).map(i => s"f${k}x$i").mkString(" ")))
+    val standing = (Seq((51L, ex1), (52L, ex2), (100L, a), (101L, b)) ++ fill)
+      .toDF("doc_id", "text")
+    val rung = Dedup.surveyContainmentRung(
+      Dedup.containmentDropRows(standing, winN = 3),
+      nDocs = 10L, ladder = Seq(600000L, 900000L), fracDen = 10L)
+    assert(rung == 900000L, s"survey must walk past the over-dropping rung: $rung")
+    // Arrival 1: 8 source tokens + 1 novel → 6 of 7 shingles shared
+    // (857143); arrival 2: a verbatim 10-token excerpt (1000000).
+    val arr1 = ((1 to 8).map(i => s"alpha$i") :+ "novel").mkString(" ")
+    val all = standing.unionByName(
+      Seq((1L, arr1), (2L, ex1)).toDF("doc_id", "text"))
+    val cand = Seq((1L, 100L), (2L, 100L)).toDF("doc_a", "doc_b")
+    val atRung = Dedup.arrivalContainmentDropsE6(all, cand, minContE6 = rung)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(atRung.keySet == Set(2L),
+      s"at the derived rung only the verbatim excerpt drops: ${atRung.keySet}")
+    assert(atRung(2L) == ((2L, 100L, 1L, 1000000L)))
+    val atFiat = Dedup.arrivalContainmentDrops(all, cand)
+      .as[(Long, Long, Long, Long)].collect().map(_._1).toSet
+    assert(atFiat == Set(1L, 2L),
+      s"the 0.8 fiat would also quarantine the 857143 arrival: $atFiat")
+  }
+
   test("e23 self-extending ingest quarantines excerpts of earlier arrivals") {
     // The e22 seam this closes: its standing-only store can only produce
     // containers with doc_id >= 50 — a window-B arrival quoting a

@@ -122,9 +122,20 @@ class ExactlyOnceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bucketing.isCommitted(uri, 7L))
     assert(Bucketing.isCommitted(dir, 7L),
       "File and URI spellings must address one ledger")
-    // Re-commit of the same marker is idempotent, not an error.
+    // The marker's note bytes actually reached the published file (the
+    // NIO force before the rename ran against real, non-empty content —
+    // an hsync that silently degraded to a no-op flush on a closed-early
+    // stream would leave an empty marker here).
+    val marker7 = new java.io.File(dir, "batch-7")
+    assert(java.nio.file.Files.readString(marker7.toPath) == "portable",
+      "published marker must hold the commit note")
+    // Re-commit of the same marker is idempotent AND never unpublishes:
+    // the first publication survives untouched (a delete-then-rename
+    // re-commit would have a crash window with no marker on disk).
     Bucketing.commit(uri, 7L, "portable-again")
     assert(Bucketing.isCommitted(uri, 7L))
+    assert(java.nio.file.Files.readString(marker7.toPath) == "portable",
+      "re-commit must leave the published marker untouched")
     Bucketing.commit(dir, 9L, "via-file-overload")
     assert(Bucketing.isCommitted(uri, 9L))
     Bucketing.pruneLedger(uri, upToBatchId = 9L)

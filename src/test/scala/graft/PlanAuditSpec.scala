@@ -62,6 +62,10 @@ class PlanAuditSpec extends AnyFunSuite {
                                // stage-count aggregates crossJoined onto
                                // the packing rollup (c3's contract as one
                                // row) — every BNLJ side is exactly one row
+    "e24_curation_parity" -> 5, // the SAME funnel contract assembled from
+                               // the streamed decision store: five one-row
+                               // stage-count aggregates onto the packing
+                               // rollup — every BNLJ side is exactly one row
     "t7_tfidf_top_term" -> 1,  // one-row doc-count aggregate
     "t15_dsir_weights" -> 1,   // one-row target/raw-total aggregate (the
                                // 64-row log-ratio table is a keyed join)

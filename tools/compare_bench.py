@@ -60,6 +60,10 @@ def _burn(_):
     return time.time() - t0
 
 
+def _noop(_):
+    return None
+
+
 def parallelism_probe():
     """Effective-core probe: the DuckDB probes above measure single-thread
     host speed, but a virtualized box can deliver full single-thread speed
@@ -70,11 +74,17 @@ def parallelism_probe():
     instead of a mystery regression."""
     import multiprocessing as mp
     n = os.cpu_count() or 1
+    _burn(0)  # warmup pass, matching the Scala probe's discipline
     solo = _burn(0)
-    t0 = time.time()
     with mp.Pool(n) as p:
+        # Warm the pool OUTSIDE the measured wall: Pool() creation forks n
+        # processes (import cost on spawn platforms), and timing that spawn
+        # systematically deflates effective_cores — probe bias that would
+        # masquerade as host weather in round-over-round flag adjudication.
+        p.map(_noop, range(n))
+        t0 = time.time()
         p.map(_burn, range(n))
-    wall = time.time() - t0
+        wall = time.time() - t0
     return {"procs": n, "solo_s": round(solo, 3), "wall_s": round(wall, 3),
             "effective_cores": round(n * solo / wall, 1)}
 
