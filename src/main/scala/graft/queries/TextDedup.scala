@@ -1742,6 +1742,14 @@ object TextDedup {
       // deliberately wrong, exactly what a restart does) must not append.
       require(!append(all.filter(col("doc_id") >= 300L), lastId),
         "ledger failed to suppress a replayed ingest window")
+      // The decision store accreted one file per touched bucket per
+      // window; compact it IN PLACE (the e23 win_bkt discipline) so the
+      // decide tail — and every later consumer — reads one file per
+      // bucket. "Decide at compaction" is then literal: the containment
+      // pass runs over the store the compaction just rewrote.
+      graft.ops.Bucketing.rewriteBucketedInPlace(s, db, "stage_bkt",
+        Seq("doc_id"), 8)(identity)
+      s.catalog.refreshTable(s"$db.stage_bkt")
       // Decide-at-compaction tail over the accumulated store: one batch
       // containment pass over the stage-3 survivors, then the pack —
       // identical operators to c12's stages 4-5.

@@ -268,6 +268,15 @@ class CurationSpec extends AnyFunSuite {
     for (id <- Seq(0L, 1000000L, 2000000L))
       assert(graft.ops.Bucketing.isCommitted(ledger, id),
         s"window $id missing from the ledger — the stream ran fewer windows")
+    // Three appended windows left a file per touched bucket each; the
+    // pre-decide in-place compaction must have restored one per bucket.
+    val storeFiles = graft.ops.Bucketing.dataFileCount(new java.io.File(
+      graft.queries.Tables.scratch(
+        "graft_cur_e24_" + graft.queries.Tables.dirTag(dir) + "_db"),
+      "stage_bkt"))
+    assert(storeFiles > 0 && storeFiles <= 8,
+      s"decision store must be compacted in place before the decide, " +
+        s"got $storeFiles files")
   }
 
   // ---- d24 sourceOverlap --------------------------------------------------
