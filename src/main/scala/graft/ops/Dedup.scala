@@ -31,17 +31,20 @@ object Dedup {
       .select("keep_id", "n_copies")
 
   /** (doc_id, shingle-hash h) — distinct word-ShingleN-grams, polyhashed.
-    * Hash-first, then distinct: the shuffle carries (long, long) instead of
-    * shingle strings — at corpus scale that is the difference between
-    * shuffling the corpus ~3× over and shuffling 16 bytes/row. (Min over the
-    * hash multiset equals min over the distinct-string set, so minhash
+    * Hash-first, then PER-ROW array_distinct: h is deduped within each
+    * doc's array before the explode, and doc_id differs across rows, so
+    * the exploded pairs are globally distinct WITH ZERO SHUFFLE — the
+    * previous `.distinct()` exchanged every exploded hash corpus-wide to
+    * dedup pairs that were already unique per doc (guide §2.4: a distinct
+    * on data that is already unique is an accidental exchange). (Min over
+    * the hash multiset equals min over the distinct-string set, so minhash
     * semantics are unchanged; the DuckDB oracle does the same.)
     */
   def shingleHashes(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        explode(graft.functions.PolyShinglesExpr.column(lower(col("text")), ShingleN)).as("h"))
-      .distinct()
+        explode(array_distinct(graft.functions.PolyShinglesExpr.column(
+          lower(col("text")), ShingleN))).as("h"))
 
   /** WINNOWING fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003):
     * from the ORDERED shingle-hash sequence, take the min of every window
@@ -528,10 +531,10 @@ object Dedup {
     * large.
     */
   def spanDupCounts(docs: DataFrame, n: Int): DataFrame = {
+    // Per-row array_distinct ⇒ globally distinct (doc_id, h) pairs with
+    // no corpus-wide distinct exchange (the shingleHashes rationale).
     val sh = docs.select(col("doc_id"),
-        explode(graft.functions.PolyShinglesExpr.column(
-          lower(col("text")), n)).as("h"))
-      .distinct()
+        explode(windowHashesPerRow(col("text"), n)).as("h"))
       .persistTracked()
     val shared = sh.groupBy("h")
       .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("h")
@@ -550,10 +553,12 @@ object Dedup {
     * corpus-sized.
     */
   def spanDupCountsSweep(docs: DataFrame, ns: Seq[Int]): DataFrame = {
+    // Per-row array_distinct ⇒ globally distinct (doc_id, nh) pairs with
+    // no corpus-wide distinct exchange (the shingleHashes rationale; nh
+    // packs (n, hash), so within-doc dedup is per (width, hash) pair).
     val sh = docs.select(col("doc_id"),
-        explode(graft.functions.MultiShinglesExpr.column(
-          lower(col("text")), ns)).as("nh"))
-      .distinct()
+        explode(array_distinct(graft.functions.MultiShinglesExpr.column(
+          lower(col("text")), ns))).as("nh"))
       .persistTracked()
     val shared = sh.groupBy("nh")
       .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("nh")
@@ -1106,10 +1111,16 @@ object Dedup {
     */
   private def containmentScored(docs: DataFrame, winN: Int,
       maxWindowFreq: Int): DataFrame = {
+    // Distinct (doc_id, h) pairs WITHOUT a corpus-wide shuffle: the
+    // per-row array_distinct (windowHashesPerRow) already dedups h within
+    // each doc, and doc_id differs across rows, so the exploded pairs are
+    // globally distinct by construction — the old `.distinct()` here was
+    // a full exchange of every exploded window hash for a no-op
+    // (guide §2.4: remove shuffles outright — a distinct on data that is
+    // already unique).
     val occ = docs.select(col("doc_id"),
-        explode(graft.functions.PolyShinglesExpr.column(
-          lower(col("text")), winN)).as("h"))
-      .distinct().persistTracked()
+        explode(windowHashesPerRow(col("text"), winN)).as("h"))
+      .persistTracked()
     val capped = occ.join(
       occ.groupBy("h").agg(count(lit(1)).as("wf"))
         .filter(col("wf") <= maxWindowFreq).select("h"), "h")

@@ -103,16 +103,16 @@ object TimeSeries {
     */
   def ewmaDaily(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, alphaNum: Int = 3, alphaDen: Int = 10): DataFrame = {
-    val empty = df.sparkSession.createDataFrame(
-      df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(keyCol,
-          df.schema(keyCol).dataType),
-        org.apache.spark.sql.types.StructField("_s_off",
-          org.apache.spark.sql.types.LongType))))
-    ewmaDailySeeded(dailyE6(df, keyCol, tsCol, valCol), empty, keyCol,
+    val daily = dailyE6(df, keyCol, tsCol, valCol)
+    ewmaDailySeeded(daily, freshState(daily, keyCol), keyCol,
       alphaNum, alphaDen).drop("_ewma_off")
   }
+
+  /** The empty (key, _s_off) state frame a fresh (unseeded) fold starts
+    * from — schema-only, derived from the daily frame itself.
+    */
+  private def freshState(of: DataFrame, keyCol: String): DataFrame =
+    of.select(col(keyCol), lit(null).cast("long").as("_s_off")).limit(0)
 
   /** The e6-snapped per-key daily series [[ewmaDailySeeded]] folds. */
   def dailyE6(df: DataFrame, keyCol: String, tsCol: String,
@@ -135,12 +135,26 @@ object TimeSeries {
     * the offset.
     */
   def ewmaDailySeeded(daily: DataFrame, state: DataFrame, keyCol: String,
-      alphaNum: Int = 3, alphaDen: Int = 10): DataFrame = {
-    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
-    val Off = EwmaOffset
-    val arr = daily.groupBy(col(keyCol))
+      alphaNum: Int = 3, alphaDen: Int = 10): DataFrame =
+    ewmaSeededFromArr(ewmaArr(daily, state, keyCol), keyCol,
+      alphaNum, alphaDen)
+
+  /** Shared grouped frame of the seeded fold: per key the date-sorted
+    * (d, v_e6) array with the prior `_s_off` state attached. Split out so
+    * the chunked loop can derive BOTH the chunk output and the carried
+    * state from one grouped frame (one groupBy per chunk, not two).
+    */
+  private def ewmaArr(daily: DataFrame, state: DataFrame,
+      keyCol: String): DataFrame =
+    daily.groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("d"), col("v_e6")))).as("a"))
       .join(state.select(col(keyCol), col("_s_off")), Seq(keyCol), "left")
+
+  /** [[ewmaDailySeeded]]'s per-row fold over the [[ewmaArr]] frame. */
+  private def ewmaSeededFromArr(arr: DataFrame, keyCol: String,
+      alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val Off = EwmaOffset
     arr.select(col(keyCol), explode(expr(
         s"""transform(a, (x, i) -> named_struct(
            |  'd', x.d,
@@ -157,6 +171,28 @@ object TimeSeries {
       .select(col(keyCol), col("r.d").as("d"), col("r.v_e6").as("v_e6"),
         (col("r._ewma_off") - lit(Off)).as("ewma_e6"),
         col("r._ewma_off").as("_ewma_off"))
+  }
+
+  /** The post-chunk state in ONE O(len) whole-array fold over the
+    * [[ewmaArr]] frame — the same recurrence, the same slice/seed rule as
+    * [[ewmaSeededFromArr]] at i = size−1 (its max-date row), without
+    * re-running the O(len²) per-row transform and a second groupBy over
+    * the chunk output just to harvest the last element.
+    */
+  private def ewmaChunkState(arr: DataFrame, keyCol: String,
+      alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val Off = EwmaOffset
+    arr.select(col(keyCol), expr(
+      s"""aggregate(
+         |    slice(transform(a, z -> z.v_e6 + ${Off}L),
+         |      CASE WHEN _s_off IS NULL THEN 2 ELSE 1 END,
+         |      size(a) - CASE WHEN _s_off IS NULL THEN 1 ELSE 0 END),
+         |    coalesce(_s_off,
+         |      element_at(transform(a, z -> z.v_e6 + ${Off}L), 1)),
+         |    (acc, y) -> (${alphaNum}L * y
+         |      + ${alphaDen - alphaNum}L * acc) div ${alphaDen}L)"""
+        .stripMargin).as("_s_off"))
   }
 
   /** ONE-SIDED CUSUM drift detection over the per-key daily series — the
@@ -188,9 +224,16 @@ object TimeSeries {
     * chunks, O(d · chunkDays) instead of O(d²).
     */
   def cusumDaily(df: DataFrame, keyCol: String, tsCol: String,
-      valCol: String, hMult: Int = 1): DataFrame = {
+      valCol: String, hMult: Int = 1): DataFrame =
+    cusumFromDaily(dailyE6(df, keyCol, tsCol, valCol), keyCol, hMult)
+
+  /** [[cusumDaily]] over a PRECOMPUTED [[dailyE6]] frame (the auto
+    * router's reuse seam).
+    */
+  private def cusumFromDaily(daily: DataFrame, keyCol: String,
+      hMult: Int): DataFrame = {
     require(hMult >= 1, "cusumDaily needs hMult >= 1")
-    dailyE6(df, keyCol, tsCol, valCol)
+    daily
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("d"), col("v_e6")))).as("a"))
       .withColumn("_vs", expr("transform(a, z -> z.v_e6)"))
@@ -242,44 +285,54 @@ object TimeSeries {
     */
   def ewmaDailyChunked(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, alphaNum: Int = 3, alphaDen: Int = 10,
-      chunkDays: Int = 365): DataFrame = {
+      chunkDays: Int = 365): DataFrame =
+    ewmaChunkedFromDaily(dailyE6(df, keyCol, tsCol, valCol), keyCol,
+      alphaNum, alphaDen, chunkDays)
+
+  /** [[ewmaDailyChunked]] over a PRECOMPUTED [[dailyE6]] frame — the reuse
+    * seam for the auto router, whose span probe already aggregated the
+    * daily grain (one corpus pass, not one per consumer).
+    */
+  private[ops] def ewmaChunkedFromDaily(daily0: DataFrame, keyCol: String,
+      alphaNum: Int, alphaDen: Int, chunkDays: Int): DataFrame = {
     require(chunkDays >= 2, "ewmaDailyChunked needs chunkDays >= 2")
-    val daily = dailyE6(df, keyCol, tsCol, valCol)
-      .withColumn("_ck", chunkId(chunkDays))
+    // Repartitioned BY KEY before the persist: every per-chunk groupBy
+    // below then reuses the cached HashPartitioning (guide §2.4 — two
+    // operations keyed the same way share one exchange) instead of paying
+    // one Exchange per chunk over the loop.
+    val daily = daily0.withColumn("_ck", chunkId(chunkDays))
+      .repartition(col(keyCol))
       .persistTracked()
     val chunks = daily.select("_ck").distinct()
       .collect().map(_.getInt(0)).sorted
-    def freshState(of: DataFrame) =
-      of.select(col(keyCol), lit(null).cast("long").as("_s_off")).limit(0)
     var state: DataFrame = null
     var out: DataFrame = null
     for (c <- chunks) {
       val part = daily.filter(col("_ck") === c).drop("_ck")
-      // Only the STATE is checkpointed (one bounded #keys-row frame per
-      // chunk — the sequential carry that must not re-derive its whole
-      // prefix). The chunk OUTPUTS stay lazy plans over the cached daily
-      // + the checkpointed state: materializing them per chunk would
-      // persist the full corpus-sized result once per chunk — fixture
-      // noise here, a blockmanager flood at 100 TB.
-      val r = ewmaDailySeeded(part,
-        if (state != null) state else freshState(part),
-        keyCol, alphaNum, alphaDen)
-      // New standing state: each key's max-date row, still in offset
-      // space; keys untouched this chunk keep their prior state.
-      val latest = r.groupBy(keyCol)
-        .agg(max(struct(col("d"), col("_ewma_off"))).as("m"))
-        .select(col(keyCol), col("m._ewma_off").as("_s_off"))
+      // One grouped frame per chunk feeds BOTH the chunk output and the
+      // carried state. Only the STATE is materialized per chunk (one
+      // bounded #keys-row frame — the sequential carry that must not
+      // re-derive its whole prefix), via the O(len) whole-chunk fold; the
+      // chunk OUTPUTS stay lazy plans over the cached daily + the
+      // checkpointed state: materializing them per chunk would persist
+      // the full corpus-sized result once per chunk — fixture noise here,
+      // a blockmanager flood at 100 TB.
+      val arr = ewmaArr(part,
+        if (state != null) state else freshState(part, keyCol), keyCol)
+      val latest = ewmaChunkState(arr, keyCol, alphaNum, alphaDen)
+      // Keys untouched this chunk keep their prior state.
       state =
         (if (state == null) latest
          else latest.unionByName(
            state.join(latest, Seq(keyCol), "left_anti")))
           .localCheckpoint()
-      val pub = r.drop("_ewma_off")
+      val pub = ewmaSeededFromArr(arr, keyCol, alphaNum, alphaDen)
+        .drop("_ewma_off")
       out = if (out == null) pub else out.unionByName(pub)
     }
     if (out != null) out
-    else ewmaDailySeeded(daily.drop("_ck"), freshState(daily), keyCol,
-      alphaNum, alphaDen).drop("_ewma_off") // empty input: schema only
+    else ewmaDailySeeded(daily.drop("_ck"), freshState(daily, keyCol),
+      keyCol, alphaNum, alphaDen).drop("_ewma_off") // empty input: schema only
   }
 
   /** ts9: AUTO-ROUTED long-history EWMA — the caller stops choosing
@@ -302,21 +355,41 @@ object TimeSeries {
     */
   def ewmaDailyAuto(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, alphaNum: Int = 3, alphaDen: Int = 10,
+      chunkDays: Int = 365, spanMult: Int = 2): DataFrame =
+    ewmaDailyAutoFromDaily(
+      dailyE6(df, keyCol, tsCol, valCol).persistTracked(),
+      keyCol, alphaNum, alphaDen, chunkDays, spanMult)
+
+  /** [[ewmaDailyAuto]] over a PRECOMPUTED (caller-persisted) [[dailyE6]]
+    * frame: the span probe, the chunk loop, and the seeded recurrence all
+    * read ONE daily aggregate instead of each re-scanning and re-grouping
+    * the raw events (guide §1.2 — don't compute the same pass per
+    * consumer). A witness that runs the router at several operating
+    * points (ts9/ts10) shares one daily frame across all of them.
+    */
+  def ewmaDailyAutoFromDaily(daily: DataFrame, keyCol: String,
+      alphaNum: Int = 3, alphaDen: Int = 10,
       chunkDays: Int = 365, spanMult: Int = 2): DataFrame = {
-    val maxSpan = dailyE6(df, keyCol, tsCol, valCol)
-      .groupBy(col(keyCol))
-      .agg((datediff(max(col("d")), min(col("d"))) + 1).as("_span"))
-      .agg(coalesce(max(col("_span")), lit(0)).cast("long"))
-      .head().getLong(0)
+    val maxSpan = maxSpanOf(daily, keyCol)
     val chunked = maxSpan > chunkDays.toLong * spanMult
     val series =
-      if (chunked) ewmaDailyChunked(df, keyCol, tsCol, valCol, alphaNum,
-        alphaDen, chunkDays)
-      else ewmaDaily(df, keyCol, tsCol, valCol, alphaNum, alphaDen)
+      if (chunked) ewmaChunkedFromDaily(daily, keyCol, alphaNum, alphaDen,
+        chunkDays)
+      else ewmaDailySeeded(daily, freshState(daily, keyCol), keyCol,
+        alphaNum, alphaDen).drop("_ewma_off")
     series
       .withColumn("mode", lit(if (chunked) "chunked" else "unchunked"))
       .withColumn("max_span", lit(maxSpan))
   }
+
+  /** The routers' span gate: the longest per-key history span (days),
+    * one bounded aggregate over the daily frame.
+    */
+  private def maxSpanOf(daily: DataFrame, keyCol: String): Long =
+    daily.groupBy(col(keyCol))
+      .agg((datediff(max(col("d")), min(col("d"))) + 1).as("_span"))
+      .agg(coalesce(max(col("_span")), lit(0)).cast("long"))
+      .head().getLong(0)
 
   /** ts10: [[ewmaDailyAuto]]'s routing rule applied to the CUSUM pair
     * (ts5 unchunked / ts7 chunked) — the same declarative span gate, the
@@ -328,17 +401,23 @@ object TimeSeries {
     */
   def cusumDailyAuto(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, hMult: Int = 1, chunkDays: Int = 365,
-      spanMult: Int = 2): DataFrame = {
-    val maxSpan = dailyE6(df, keyCol, tsCol, valCol)
-      .groupBy(col(keyCol))
-      .agg((datediff(max(col("d")), min(col("d"))) + 1).as("_span"))
-      .agg(coalesce(max(col("_span")), lit(0)).cast("long"))
-      .head().getLong(0)
+      spanMult: Int = 2): DataFrame =
+    cusumDailyAutoFromDaily(
+      dailyE6(df, keyCol, tsCol, valCol).persistTracked(),
+      keyCol, hMult, chunkDays, spanMult)
+
+  /** [[cusumDailyAuto]] over a PRECOMPUTED (caller-persisted) [[dailyE6]]
+    * frame — same reuse seam as [[ewmaDailyAutoFromDaily]]: one daily
+    * aggregate feeds the span probe and whichever fold the gate routes
+    * to.
+    */
+  def cusumDailyAutoFromDaily(daily: DataFrame, keyCol: String,
+      hMult: Int = 1, chunkDays: Int = 365, spanMult: Int = 2): DataFrame = {
+    val maxSpan = maxSpanOf(daily, keyCol)
     val chunked = maxSpan > chunkDays.toLong * spanMult
     val series =
-      if (chunked) cusumDailyChunked(df, keyCol, tsCol, valCol, hMult,
-        chunkDays)
-      else cusumDaily(df, keyCol, tsCol, valCol, hMult)
+      if (chunked) cusumChunkedFromDaily(daily, keyCol, hMult, chunkDays)
+      else cusumFromDaily(daily, keyCol, hMult)
     series
       .withColumn("mode", lit(if (chunked) "chunked" else "unchunked"))
       .withColumn("max_span", lit(maxSpan))
@@ -355,11 +434,23 @@ object TimeSeries {
     * the summary row.
     */
   def cusumDailyChunked(df: DataFrame, keyCol: String, tsCol: String,
-      valCol: String, hMult: Int = 1, chunkDays: Int = 365): DataFrame = {
+      valCol: String, hMult: Int = 1, chunkDays: Int = 365): DataFrame =
+    cusumChunkedFromDaily(dailyE6(df, keyCol, tsCol, valCol), keyCol,
+      hMult, chunkDays)
+
+  /** [[cusumDailyChunked]] over a PRECOMPUTED [[dailyE6]] frame (the auto
+    * router's reuse seam). Repartitioned BY KEY before the persist so the
+    * per-chunk groupBys and the global-constants aggregate all reuse one
+    * cached HashPartitioning instead of paying an Exchange per chunk
+    * (guide §2.4).
+    */
+  private[ops] def cusumChunkedFromDaily(daily0: DataFrame, keyCol: String,
+      hMult: Int, chunkDays: Int): DataFrame = {
     require(hMult >= 1, "cusumDailyChunked needs hMult >= 1")
     require(chunkDays >= 2, "cusumDailyChunked needs chunkDays >= 2")
-    val daily = dailyE6(df, keyCol, tsCol, valCol)
+    val daily = daily0
       .withColumn("_ck", chunkId(chunkDays))
+      .repartition(col(keyCol))
       .persistTracked()
     val glob = daily.groupBy(col(keyCol))
       .agg(expr("sum(v_e6) div count(1)").as("mu_e6"),

@@ -321,10 +321,15 @@ object Events {
     // the identical recurrence). The chosen mode + measured span ride
     // along as columns, c5's chosen-rung discipline.
     "ts9_ewma_auto" -> ((s, dir) => {
+      // ONE daily aggregate feeds both operating points (and each point's
+      // span probe + fold) — the raw events are scanned once, not once
+      // per probe per point (guide §1.2).
+      val daily = graft.engine.Caches.persisted(
+        graft.ops.TimeSeries.dailyE6(eventsT(s, dir),
+          keyCol = "user_id", tsCol = "ts", valCol = "value"))
       def at(chunkDays: Int) =
-        graft.ops.TimeSeries.ewmaDailyAuto(eventsT(s, dir),
-          keyCol = "user_id", tsCol = "ts", valCol = "value",
-          chunkDays = chunkDays)
+        graft.ops.TimeSeries.ewmaDailyAutoFromDaily(daily,
+          keyCol = "user_id", chunkDays = chunkDays)
           .withColumn("chunk_days", lit(chunkDays))
       at(7).unionByName(at(365))
     }),
@@ -335,10 +340,13 @@ object Events {
     // fixture, 365-day unchunked) and both regimes must emit the
     // identical summary rows.
     "ts10_cusum_auto" -> ((s, dir) => {
+      // The ts9 sharing discipline: one daily aggregate for both points.
+      val daily = graft.engine.Caches.persisted(
+        graft.ops.TimeSeries.dailyE6(eventsT(s, dir),
+          keyCol = "user_id", tsCol = "ts", valCol = "value"))
       def at(chunkDays: Int) =
-        graft.ops.TimeSeries.cusumDailyAuto(eventsT(s, dir),
-          keyCol = "user_id", tsCol = "ts", valCol = "value",
-          chunkDays = chunkDays)
+        graft.ops.TimeSeries.cusumDailyAutoFromDaily(daily,
+          keyCol = "user_id", chunkDays = chunkDays)
           .withColumn("chunk_days", lit(chunkDays))
       at(7).unionByName(at(365))
     }),

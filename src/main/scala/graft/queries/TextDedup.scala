@@ -1669,9 +1669,14 @@ object TextDedup {
     // one row lost or doubled by the appends, and the funnel flips.
     "e24_curation_parity" -> ((s, dir) => {
       val all = docs(s, dir)
-      val exSrc = all.select((col("doc_id") - 1).as("doc_id"),
-        array_join(slice(split(lower(col("text")), "\\s+"), 1, 30), " ")
-          .as("_ex"))
+      // Persisted: mutate() joins this frame once per ingest window (and
+      // once more for the replay probe) — unpersisted, every window paid
+      // a fresh full-corpus scan + regex tokenization just to rebuild the
+      // same excerpt table (guide §1.2).
+      val exSrc = graft.engine.Caches.persisted(
+        all.select((col("doc_id") - 1).as("doc_id"),
+          array_join(slice(split(lower(col("text")), "\\s+"), 1, 30), " ")
+            .as("_ex")))
       def mutate(b: DataFrame): DataFrame =
         b.join(exSrc, Seq("doc_id"), "left")
           .withColumn("text",
@@ -1714,6 +1719,12 @@ object TextDedup {
       Option(ledger.listFiles()).foreach(_.foreach(_.delete()))
       var lastId = -1L
       def append(b: DataFrame, id: Long): Boolean = {
+        // An already-committed batchId is suppressed BEFORE the window's
+        // decisions are materialized — the same check
+        // appendBucketedExactlyOnce front-loads, hoisted so a replayed
+        // window doesn't pay a full (discarded) decide pass just to be
+        // told no (the restart-path cost a production sink also skips).
+        if (graft.ops.Bucketing.isCommitted(ledger, id)) return false
         // PIN the window's decisions against the PRE-append store before
         // the write touches that same store (the read side must never
         // observe files its own append is creating).
