@@ -1104,6 +1104,28 @@ object Dedup {
     array_distinct(graft.functions.PolyShinglesExpr.column(
       lower(textCol), winN))
 
+  /** Distinct (doc_id, h) window-hash occurrences WITHOUT a corpus-wide
+    * shuffle: the per-row array_distinct (windowHashesPerRow) already
+    * dedups h within each doc, and doc_id differs across rows, so the
+    * exploded pairs are globally distinct by construction (guide §2.4: a
+    * distinct on data that is already unique is an accidental exchange).
+    * Public so a query composing SEVERAL containment legs over one corpus
+    * slice (c13's survey + ingest decide) can build this frame ONCE.
+    */
+  def windowOcc(docs: DataFrame, winN: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(windowHashesPerRow(col("text"), winN)).as("h"))
+
+  /** [[windowOcc]] restricted to hashes at or under the frequency cap —
+    * the shared "capped occurrence" frame every containment candidate
+    * pass self- or probe-joins (the cap bounds a window's pair fan-out at
+    * cap²).
+    */
+  def cappedWindowOcc(occ: DataFrame, maxWindowFreq: Int): DataFrame =
+    occ.join(
+      occ.groupBy("h").agg(count(lit(1)).as("wf"))
+        .filter(col("wf") <= maxWindowFreq).select("h"), "h")
+
   /** Shared scored frame of d35/c10: the frequency-capped window-shared
     * candidates through d5's verify tail, with BOTH rounded containment
     * directions, the Jaccard, and the exact shingle-set sizes (the c10
@@ -1111,19 +1133,15 @@ object Dedup {
     */
   private def containmentScored(docs: DataFrame, winN: Int,
       maxWindowFreq: Int): DataFrame = {
-    // Distinct (doc_id, h) pairs WITHOUT a corpus-wide shuffle: the
-    // per-row array_distinct (windowHashesPerRow) already dedups h within
-    // each doc, and doc_id differs across rows, so the exploded pairs are
-    // globally distinct by construction — the old `.distinct()` here was
-    // a full exchange of every exploded window hash for a no-op
-    // (guide §2.4: remove shuffles outright — a distinct on data that is
-    // already unique).
-    val occ = docs.select(col("doc_id"),
-        explode(windowHashesPerRow(col("text"), winN)).as("h"))
-      .persistTracked()
-    val capped = occ.join(
-      occ.groupBy("h").agg(count(lit(1)).as("wf"))
-        .filter(col("wf") <= maxWindowFreq).select("h"), "h")
+    val occ = windowOcc(docs, winN).persistTracked()
+    scoredOfCapped(docs, cappedWindowOcc(occ, maxWindowFreq))
+  }
+
+  /** The candidate self-join + verify tail over a prebuilt capped
+    * occurrence frame (caller owns its persistence) — the reuse seam for
+    * multi-leg containment queries.
+    */
+  private def scoredOfCapped(docs: DataFrame, capped: DataFrame): DataFrame = {
     val cand = capped.as("a").join(capped.as("b"), "h")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -1287,7 +1305,21 @@ object Dedup {
     */
   def containmentDropRows(docs: DataFrame, winN: Int = 10,
       maxWindowFreq: Int = 64): DataFrame =
-    containmentScored(docs, winN, maxWindowFreq)
+    dropRowsOf(containmentScored(docs, winN, maxWindowFreq))
+
+  /** [[containmentDropRows]] over a PREBUILT capped occurrence frame
+    * ([[cappedWindowOcc]]; caller owns its persistence) — the c13 seam:
+    * the rung survey and the ingest decide probe the SAME standing
+    * corpus's capped windows, so the query builds occ/capped once and
+    * both legs consume it instead of each re-deriving the full
+    * window-hash explode + frequency cap (guide §1.2, §2.4).
+    */
+  def containmentDropRowsFromCapped(docs: DataFrame,
+      capped: DataFrame): DataFrame =
+    dropRowsOf(scoredOfCapped(docs, capped))
+
+  private def dropRowsOf(scored: DataFrame): DataFrame =
+    scored
       .filter(col("jaccard") < 0.8)
       .select(
         when(col("cont_a") > col("cont_b"), col("doc_a"))

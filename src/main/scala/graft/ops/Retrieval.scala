@@ -316,17 +316,23 @@ object Retrieval {
     new java.io.File(dbLoc, "_append_ledger")
 
   /** Index MAINTENANCE: fold a delta corpus into a standing
-    * [[buildPostingStore]] store. Postings and norms append bucket-aligned
-    * (each delta row lands in the bucket layout the store was written
-    * with — no rewrite, the d21 discipline); the DERIVED tables are then
-    * rebuilt, because document frequency and the corpus totals are GLOBAL
-    * quantities an append invalidates — the classic inverted-index
-    * maintenance cost. The rebuild reads the bucketed postings, so its
-    * per-term groupBy plans with ZERO exchanges (the bucketing satisfies
-    * the aggregation's distribution; RetrievalSpec asserts it) — at
-    * 100 TB the maintenance pays the delta write plus a shuffle-free
-    * stats pass, never a corpus re-shuffle. Delta doc_ids must be
-    * disjoint from the standing corpus (append, not upsert).
+    * [[buildPostingStore]] store. EVERYTHING appends — the segment model
+    * of a real inverted index (Lucene's): postings and norms land
+    * bucket-aligned in the standing layout (the d21 discipline), and the
+    * derived GLOBAL stats append as PER-BATCH PARTIALS — the delta's own
+    * df rows into the term-bucketed `term_stats` and the delta's one
+    * (n_docs, total_tokens) row into `corpus_stats`. Append doc_ids are
+    * disjoint from the standing corpus by contract, so df and the totals
+    * are additive, and [[termStatsOf]]/[[corpusStatsOf]] (the probe's
+    * read views) sum the partials exactly. An append therefore costs
+    * O(delta) — full stop: the previous design re-AGGREGATED the whole
+    * postings store into a fresh term_stats (and re-scanned every norm
+    * row for two totals) on EVERY delta append, an O(store) stats pass
+    * that dwarfs the delta at 100 TB. [[compactPostingStore]] folds the
+    * accumulated partials back to one row per term (the same lifecycle
+    * that restores one file per bucket). RetrievalSpec proves the
+    * appended store's VIEWS equal a fresh full build, and the compacted
+    * store raw-equal, table by table.
     */
   def appendPostingStore(spark: SparkSession, delta: DataFrame, idCol: String,
       textCol: String, db: String, nBuckets: Int,
@@ -334,20 +340,42 @@ object Retrieval {
     // REPLAY SAFETY (the d21/e12 committed-batchId discipline): a driver
     // retry of an already-committed batch is suppressed entirely —
     // re-appending would silently double every delta posting AND the
-    // rebuilt global stats. The marker publishes only after both appends
-    // and both stats rebuilds land.
+    // appended stats partials. The marker publishes only after all four
+    // appends land.
     if (Bucketing.isCommitted(ledgerDir, batchId)) return
-    Bucketing.appendBucketed(postings(delta, idCol, textCol),
-      s"$db.postings", nBuckets, Seq("term"))
-    Bucketing.appendBucketed(docLengths(delta, idCol, textCol),
-      s"$db.doc_stats", nBuckets, Seq("doc_id"))
-    Bucketing.writeBucketed(documentFrequencies(spark.table(s"$db.postings")),
-      s"$db.term_stats", nBuckets, Seq("term"))
-    corpusStats(spark.table(s"$db.doc_stats"))
-      .write.mode("overwrite").format("parquet")
+    // The delta's postings/norms each feed TWO appends (rows + their
+    // stats partial) — persist, or each consumer re-tokenizes the delta.
+    val post = postings(delta, idCol, textCol).persistTracked()
+    val dl = docLengths(delta, idCol, textCol).persistTracked()
+    Bucketing.appendBucketed(post, s"$db.postings", nBuckets, Seq("term"))
+    Bucketing.appendBucketed(dl, s"$db.doc_stats", nBuckets, Seq("doc_id"))
+    Bucketing.appendBucketed(documentFrequencies(post), s"$db.term_stats",
+      nBuckets, Seq("term"))
+    corpusStats(dl).write.mode("append").format("parquet")
       .saveAsTable(s"$db.corpus_stats")
     Bucketing.commit(ledgerDir, batchId, s"posting-store append into $db")
   }
+
+  /** The canonical per-term df view over a store's (possibly partial)
+    * `term_stats` rows: appends add one partial row per (batch, term), so
+    * the true df is the SUM per term. The groupBy runs on the bucketed
+    * term key — Exchange-free — and on a freshly built or compacted store
+    * it folds single rows (a no-op by value). `pre` narrows the scan
+    * (term pushdown / semi-join) BEFORE the fold.
+    */
+  private[graft] def termStatsOf(spark: SparkSession, db: String)
+      (pre: DataFrame => DataFrame): DataFrame =
+    pre(spark.table(s"$db.term_stats"))
+      .groupBy("term").agg(sum("df").as("df"))
+
+  /** The one-row corpus-totals view over the (possibly partial)
+    * `corpus_stats` rows — same fold as [[termStatsOf]], over a
+    * #appends-row table.
+    */
+  private[graft] def corpusStatsOf(spark: SparkSession, db: String): DataFrame =
+    spark.table(s"$db.corpus_stats")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("total_tokens").as("total_tokens"))
 
   /** Store MAINTENANCE: COMPACTION. Each [[appendPostingStore]] adds one
     * file per touched bucket; after N appends every probe pays an N-way
@@ -357,16 +385,27 @@ object Retrieval {
     * same-bucketing side table that is catalog-RENAMEd over the original;
     * no second copy, no corpus shuffle: the repartition inside
     * [[Bucketing.writeBucketed]] re-buckets rows that are already
-    * hash-placed, which AQE executes as a local rewrite). Derived tables
-    * (`term_stats`, `corpus_stats`) are rebuilt-in-full on every append,
-    * so they are already compact. The append ledger is NOT touched:
-    * compaction changes layout, not content, so committed batches stay
-    * committed.
+    * hash-placed, which AQE executes as a local rewrite). The derived
+    * stats FOLD here too: appends accumulate per-batch df/total PARTIALS
+    * (one row per batch per term — the segment model), and compaction
+    * sums them back to the canonical one row per term / one corpus row —
+    * the same read view the probe computes ([[termStatsOf]]), made
+    * physical. The append ledger is NOT touched: compaction changes
+    * layout, not content (the folded views are value-identical), so
+    * committed batches stay committed.
     */
   def compactPostingStore(spark: SparkSession, db: String,
       nBuckets: Int): Unit = {
     rewriteStoreTable(spark, db, "postings", Seq("term"), nBuckets)(identity)
     rewriteStoreTable(spark, db, "doc_stats", Seq("doc_id"), nBuckets)(identity)
+    rewriteStoreTable(spark, db, "term_stats", Seq("term"), nBuckets)(
+      _.groupBy("term").agg(sum("df").as("df")))
+    // corpus_stats is a plain one-row-per-batch parquet table (no
+    // buckets): fold to one row through an eager checkpoint so the
+    // overwrite never reads the files it is replacing.
+    val folded = corpusStatsOf(spark, db).localCheckpoint()
+    folded.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"$db.corpus_stats")
   }
 
   /** Store MAINTENANCE: targeted DELETE (the right-to-be-forgotten path).
@@ -374,12 +413,20 @@ object Retrieval {
     * by construction — the doomed postings are scattered across every
     * term bucket — so the honest cost is one anti-join rewrite of
     * `postings` and `doc_stats` (delete set broadcast; the rewrite stays
-    * bucket-aligned, no corpus shuffle) plus the same global-stats
-    * rebuild an append pays: df, n_docs, and avgdl all shift when
-    * documents leave, and a store that kept serving the old stats would
-    * leak the deleted documents' statistics. The stats rebuild reads the
-    * rewritten bucketed postings, so its per-term groupBy plans with
-    * ZERO exchanges.
+    * bucket-aligned, no corpus shuffle) plus a global-stats update: df,
+    * n_docs, and avgdl all shift when documents leave, and a store that
+    * kept serving the old stats would leak the deleted documents'
+    * statistics. The stats rebuild reads the rewritten bucketed postings
+    * (per-term groupBy, ZERO exchanges on the bucketing) — a full-index
+    * stats pass is the RIGHT cost here, unlike the append case: the
+    * delete already rewrites O(store) bytes, so an O(store) stats pass
+    * changes nothing asymptotically, and rebuilding from the rewritten
+    * postings also folds any accumulated per-batch stats partials back to
+    * canonical single rows for free. (An incremental subtract —
+    * term_stats − df(doomed postings) — was built and measured in r22:
+    * it needs the SAME two full postings scans plus an extra checkpoint,
+    * merge join, and catalog rename per delete, and lost to this form at
+    * bench scale while winning nothing at 100 TB.)
     */
   def deleteFromPostingStore(spark: SparkSession, db: String, nBuckets: Int,
       deleteIds: DataFrame): Unit = {
@@ -426,17 +473,20 @@ object Retrieval {
     val terms = qterms.select("term").distinct()
     val probe = terms.limit(maxPushdownTerms + 1)
       .collect().map(_.getString(0))
+    // term_stats/corpus_stats read through their partial-folding views
+    // (appends land per-batch stats partials — the segment model): the
+    // df fold is an Exchange-free groupBy on the bucketed term key over
+    // the query-pruned slice, and the totals fold is one row per append.
     val (post, dfreq) =
       if (probe.length <= maxPushdownTerms) {
         val termList = probe.sorted
         (spark.table(s"$db.postings")
            .filter(col("term").isin(termList: _*)),
-         spark.table(s"$db.term_stats")
-           .filter(col("term").isin(termList: _*)))
+         termStatsOf(spark, db)(_.filter(col("term").isin(termList: _*))))
       } else
         (spark.table(s"$db.postings").join(terms, Seq("term"), "left_semi"),
-         spark.table(s"$db.term_stats").join(terms, Seq("term"), "left_semi"))
-    val stats = spark.table(s"$db.corpus_stats")
+         termStatsOf(spark, db)(_.join(terms, Seq("term"), "left_semi")))
+    val stats = corpusStatsOf(spark, db)
     scoreHits(post.join(dfreq, "term").join(broadcast(qterms), "term"),
       spark.table(s"$db.doc_stats"), stats, k, k1, b)
   }

@@ -100,8 +100,9 @@ object Lexical {
     // INDEX-MAINTENANCE leg of the posting store (the d21 lifecycle
     // applied to lexical search): standing index built on docs ≥ 50, the
     // < 50 delta appended bucket-aligned, the GLOBAL derived tables (df,
-    // corpus totals) rebuilt from the bucketed postings with a
-    // zero-exchange groupBy. Gate: search over the appended store must
+    // corpus totals) appended as PER-BATCH PARTIALS the probe's read
+    // views fold exactly (O(delta) maintenance, never an O(store)
+    // re-aggregation per append). Gate: search over the appended store must
     // hash-equal the full-corpus oracle — b2's exact SQL — so a lost,
     // doubled, or mis-bucketed posting (or a stale df) flips the hash.
     "b5_store_append" -> ((s, dir) => {

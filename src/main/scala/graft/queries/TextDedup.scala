@@ -530,18 +530,23 @@ object TextDedup {
             when(col("doc_id") % 5 === 2 && col("_ex").isNotNull, col("_ex"))
               .otherwise(col("text")))
           .select("doc_id", "text"))
+      // ONE standing window-hash occurrence frame + ONE frequency-capped
+      // frame feed BOTH legs (guide §1.2, §2.4): the rung survey's
+      // candidate self-join and the ingest decide's probe store consumed
+      // identical (winN = 10, cap = 64) subtrees that were previously
+      // each rebuilt from the raw standing corpus.
+      val occS = graft.engine.Caches.persisted(
+        Dedup.windowOcc(standing, 10))
+      val capped = graft.engine.Caches.persisted(
+        Dedup.cappedWindowOcc(occS, 64))
       // The batch survey over the standing corpus picks the rung...
       val rung = Dedup.surveyContainmentRung(
-        Dedup.containmentDropRows(standing), standing.count())
+        Dedup.containmentDropRowsFromCapped(standing, capped),
+        standing.count())
       // ...and the ingest decide applies it unchanged: e22's candidate
       // shape (arrival windows probe the frequency-capped standing
       // windows; the cap is a property of the standing slice).
-      val occS = standing.select(col("doc_id").as("doc_b"),
-        explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
-      val winStore = occS.join(
-        occS.groupBy("h").agg(count(lit(1)).as("wf"))
-          .filter(col("wf") <= 64).select("h"), "h")
-        .select("h", "doc_b")
+      val winStore = capped.select(col("h"), col("doc_id").as("doc_b"))
       val cand = arrivals
         .select(col("doc_id").as("doc_a"),
           explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
@@ -717,11 +722,18 @@ object TextDedup {
     // rows.)
     "d28_cc_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
-      val standing = Dedup.dupClusters(d.filter(col("doc_id") >= 100))
-      val delta = Dedup.candidatePairs(Dedup.lshBuckets(
-          Dedup.minhashSignatures(Dedup.shingleHashes(d))))
-        .filter(col("doc_a") < 100 || col("doc_b") < 100)
-        .select("doc_a", "doc_b")
+      // ONE signature→LSH→pair build feeds both legs: a doc's bucket rows
+      // are a pure function of its own text, so the full-corpus pair set
+      // restricted to (both ids ≥ 100) IS the standing-only pair set —
+      // row- and n_bands-identical to running the chain on the filtered
+      // corpus (the r21 verdict's d28 ask: the two chains shared no work).
+      val pairs = graft.engine.Caches.persisted(
+        Dedup.candidatePairs(Dedup.lshBuckets(
+            Dedup.minhashSignatures(Dedup.shingleHashes(d))))
+          .select("doc_a", "doc_b"))
+      val standing = Dedup.connectedComponents(
+        pairs.filter(col("doc_a") >= 100 && col("doc_b") >= 100))
+      val delta = pairs.filter(col("doc_a") < 100 || col("doc_b") < 100)
       Dedup.connectedComponentsIncremental(standing, delta)
     }),
 
@@ -1384,8 +1396,12 @@ object TextDedup {
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dbLoc'")
       graft.ops.Bucketing.reset(s, s"$db.win_bkt",
         new java.io.File(dbLoc, "win_bkt"))
-      val occ = docs(s, dir).select(col("doc_id").as("doc_old"),
-        explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+      // Persisted: the cap join consumes this frame TWICE (the wf groupBy
+      // side and the probe side) inside one write job — unpersisted, the
+      // corpus window-hash explode ran twice (guide §1.2).
+      val occ = graft.engine.Caches.persisted(
+        docs(s, dir).select(col("doc_id").as("doc_old"),
+          explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h")))
       graft.ops.Bucketing.writeBucketed(
         occ.join(occ.groupBy("h").agg(count(lit(1)).as("wf"))
           .filter(col("wf") <= 64).select("h"), "h")
@@ -1435,8 +1451,11 @@ object TextDedup {
       // slice only — the cap is a property of the standing corpus).
       graft.ops.Bucketing.reset(s, s"$db.win_bkt",
         new java.io.File(dbLoc, "win_bkt"))
-      val occS = standing.select(col("doc_id").as("doc_b"),
-        explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+      // Persisted: the cap join consumes this frame twice inside the one
+      // store-build write (the wf groupBy + the probe side) — guide §1.2.
+      val occS = graft.engine.Caches.persisted(
+        standing.select(col("doc_id").as("doc_b"),
+          explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h")))
       graft.ops.Bucketing.writeBucketed(
         occS.join(occS.groupBy("h").agg(count(lit(1)).as("wf"))
           .filter(col("wf") <= 64).select("h"), "h")
@@ -1534,8 +1553,11 @@ object TextDedup {
       // landed arrivals below).
       graft.ops.Bucketing.reset(s, s"$db.win_bkt",
         new java.io.File(dbLoc, "win_bkt"))
-      val occS = standing.select(col("doc_id").as("doc_b"),
-        explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+      // Persisted: the cap join consumes this frame twice inside the one
+      // store-build write (the wf groupBy + the probe side) — guide §1.2.
+      val occS = graft.engine.Caches.persisted(
+        standing.select(col("doc_id").as("doc_b"),
+          explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h")))
       graft.ops.Bucketing.writeBucketed(
         occS.join(occS.groupBy("h").agg(count(lit(1)).as("wf"))
           .filter(col("wf") <= 64).select("h"), "h")

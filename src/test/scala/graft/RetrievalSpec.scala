@@ -139,7 +139,7 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(semi.toSeq == direct.toSeq)
   }
 
-  test("append + derived-stats rebuild equals a fresh full build, shuffle-free") {
+  test("append lands stats partials whose folded views equal a fresh build, shuffle-free") {
     val docs = spark.range(300).select(col("id").as("doc_id"),
       concat_ws(" ", expr("concat('w', id % 40)"),
         expr("concat('w', (id + 3) % 40)"),
@@ -170,16 +170,32 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles.isEmpty,
       s"bucketed df rebuild should be exchange-free:\n$plan")
 
-    // Appended store == fresh full build, table by table.
+    // Appended store == fresh full build. Row tables compare raw; the
+    // derived stats accumulate PER-BATCH PARTIALS on append (the segment
+    // model), so they compare through the probe's folding views — which
+    // on the fresh build are value-identity over single rows.
     val dbB = s"${db}_full"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbB LOCATION '/tmp/$dbB'")
     Retrieval.buildPostingStore(spark, docs, "doc_id", "text", dbB,
       s"/tmp/$dbB", nBuckets = 8)
-    for (tbl <- Seq("postings", "term_stats", "doc_stats", "corpus_stats")) {
+    for (tbl <- Seq("postings", "doc_stats")) {
       val a = spark.table(s"$dbA.$tbl").collect().map(_.toSeq).sortBy(_.toString)
       val b = spark.table(s"$dbB.$tbl").collect().map(_.toSeq).sortBy(_.toString)
       assert(a.toSeq == b.toSeq, s"$tbl differs between append and rebuild")
     }
+    // The appended store really holds partials (every vocab term is in
+    // both halves, so each term has base + delta df rows)...
+    assert(spark.table(s"$dbA.term_stats").count() >
+      spark.table(s"$dbB.term_stats").count(),
+      "append should land stats partials, not a rebuilt canonical table")
+    assert(spark.table(s"$dbA.corpus_stats").count() == 2L)
+    // ...and the folded views equal the fresh build's canonical tables.
+    def folded(d: String) = (
+      Retrieval.termStatsOf(spark, d)(identity)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq,
+      Retrieval.corpusStatsOf(spark, d).collect().map(_.toSeq).toSeq)
+    assert(folded(dbA) == folded(dbB),
+      "folded stats views differ between append and rebuild")
     spark.sql(s"DROP DATABASE IF EXISTS $dbA CASCADE")
     spark.sql(s"DROP DATABASE IF EXISTS $dbB CASCADE")
   }
@@ -211,6 +227,14 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filesAfter < filesBefore,
       s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
     assert(filesAfter <= 8, s"expected one file per bucket, got $filesAfter")
+    // Compaction folds the accumulated stats partials back to canonical:
+    // one row per term, one corpus row.
+    val termRows = spark.table(s"$dbC.term_stats")
+    assert(termRows.count() ==
+      termRows.select("term").distinct().count(),
+      "compaction must fold term_stats partials to one row per term")
+    assert(spark.table(s"$dbC.corpus_stats").count() == 1L,
+      "compaction must fold corpus_stats partials to one row")
     val after = Retrieval.bm25FromStore(spark, dbC, q, k = 10)
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(after.toSeq == before.toSeq, "compaction changed search results")
