@@ -164,7 +164,15 @@ object Bench {
         val spread = ok2.size == 2 && ok2.max > 2 * ok2.min
         val overWarmup = ok2.nonEmpty &&
           warmupDt.get(name).exists(w => ok2.min > 1.2 * w && ok2.min - w > 0.25)
-        if (spread || overWarmup) { System.gc(); two :+ onePass() } else two
+        if (spread || overWarmup) { System.gc(); two :+ onePass() }
+        // Expensive queries always get a THIRD pass (min-of-3): the top-20
+        // queries carry most of the sweep total, so their single-pass noise
+        // dominates every round-over-round comparison (r21 verdict item 7:
+        // single cold pairs kept burning judge/builder time on weather
+        // attribution). Additions-only — more passes can only firm up the
+        // min; the timed region and the JSON contract are unchanged.
+        else if (ok2.nonEmpty && ok2.min > 1.5) two :+ onePass()
+        else two
       }
       // min over SUCCESSFUL passes only — a transient failure's
       // time-to-crash must not undercut a valid run's time. If every pass
