@@ -1533,10 +1533,14 @@ object TextDedup {
         base.filter(col("doc_id") >= LdsEvalSplit))
       // Phase-B excerpt rewrite (the d22 deliberate-corpus discipline):
       // ids 27/32/37/42/47 become 30-token excerpts of ids 2/7/12/17/22.
-      val exSrc = base.filter(col("doc_id") < 25)
-        .select((col("doc_id") + 25).as("doc_id"),
-          array_join(slice(split(lower(col("text")), "\\s+"), 1, 30), " ")
-            .as("_ex"))
+      // Persisted: mutate() joins this frame once per ingest window plus
+      // the replay probe — unpersisted, every window re-scanned the base
+      // corpus and re-ran the regex tokenize (the e24 exSrc fix, r21).
+      val exSrc = graft.engine.Caches.persisted(
+        base.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 25).as("doc_id"),
+            array_join(slice(split(lower(col("text")), "\\s+"), 1, 30), " ")
+              .as("_ex")))
       def mutate(b: DataFrame): DataFrame =
         b.join(exSrc, Seq("doc_id"), "left")
           .withColumn("text",
@@ -1558,17 +1562,22 @@ object TextDedup {
       val occS = graft.engine.Caches.persisted(
         standing.select(col("doc_id").as("doc_b"),
           explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h")))
-      graft.ops.Bucketing.writeBucketed(
-        occS.join(occS.groupBy("h").agg(count(lit(1)).as("wf"))
-          .filter(col("wf") <= 64).select("h"), "h")
-          .select("h", "doc_b"),
-        s"$db.win_bkt", nBuckets = 8, keys = Seq("h"))
+      graft.engine.PhaseTimer.time("build") {
+        graft.ops.Bucketing.writeBucketed(
+          occS.join(occS.groupBy("h").agg(count(lit(1)).as("wf"))
+            .filter(col("wf") <= 64).select("h"), "h")
+            .select("h", "doc_b"),
+          s"$db.win_bkt", nBuckets = 8, keys = Seq("h"))
+      }
       graft.ops.Bucketing.reset(s, s"$db.ingest_bkt",
         new java.io.File(dbLoc, "ingest_bkt"))
       // Decide against the CURRENT store — resolved fresh per batch, so
       // each window's probe sees every extension committed before it.
       def decide(batch0: DataFrame): DataFrame = {
-        val batch = mutate(batch0)
+        // Persisted: the window's mutated batch feeds the candidate
+        // explode AND the final doc_id join — unpersisted, each re-read
+        // the micro-batch source and re-ran the mutate join (guide §1.2).
+        val batch = graft.engine.Caches.persisted(mutate(batch0))
         val cand = batch
           .select(col("doc_id").as("doc_a"),
             explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
@@ -1601,9 +1610,13 @@ object TextDedup {
         val landed = s.table(s"$db.ingest_bkt")
           .filter(col("landed") && col("doc_id") >= lo && col("doc_id") < hi)
           .select("doc_id")
-        val occ = arrAll.join(landed, Seq("doc_id"))
-          .select(col("doc_id").as("doc_b"),
-            explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h"))
+        // Persisted: the cap join consumes this frame twice inside the
+        // one extension append (the wf groupBy + the probe side) —
+        // unpersisted, the landed window's hash explode ran twice.
+        val occ = graft.engine.Caches.persisted(
+          arrAll.join(landed, Seq("doc_id"))
+            .select(col("doc_id").as("doc_b"),
+              explode(Dedup.windowHashesPerRow(col("text"), 10)).as("h")))
         val capped = occ.join(occ.groupBy("h").agg(count(lit(1)).as("wf"))
           .filter(col("wf") <= 64).select("h"), "h")
           .select("h", "doc_b")
@@ -1632,14 +1645,22 @@ object TextDedup {
           (batch, id) => lastId = phaseBase + id; append(batch, lastId); ()
         }
       }
-      phase("e23a", 0L, 0L, 25L)
-      require(lastId >= 0L, "phase A produced no micro-batches " +
-        "(stream source matched no files?)")
-      require(extend(0L, 25L, 0L), "phase-A store extension did not append")
-      phase("e23b", 1000000L, 25L, LdsEvalSplit)
-      require(lastId >= 1000000L, "phase B produced no micro-batches")
-      require(extend(25L, LdsEvalSplit, 1L),
-        "phase-B store extension did not append")
+      graft.engine.PhaseTimer.time("stream") {
+        phase("e23a", 0L, 0L, 25L)
+        require(lastId >= 0L, "phase A produced no micro-batches " +
+          "(stream source matched no files?)")
+      }
+      graft.engine.PhaseTimer.time("extend") {
+        require(extend(0L, 25L, 0L), "phase-A store extension did not append")
+      }
+      graft.engine.PhaseTimer.time("stream") {
+        phase("e23b", 1000000L, 25L, LdsEvalSplit)
+        require(lastId >= 1000000L, "phase B produced no micro-batches")
+      }
+      graft.engine.PhaseTimer.time("extend") {
+        require(extend(25L, LdsEvalSplit, 1L),
+          "phase-B store extension did not append")
+      }
       // Replay probes: the final ingest window AND the phase-A extension
       // redelivered under their committed ids must both be suppressed (the
       // extension replay would double every landed-A store row, and the
@@ -1652,11 +1673,13 @@ object TextDedup {
       // Compaction leg: every append left a file per touched bucket;
       // compact back to one file per bucket and read the RESULT from the
       // compacted store (BucketingSpec pins the file counts).
-      graft.ops.Bucketing.reset(s, s"$db.ingest_cmp",
-        new java.io.File(dbLoc, "ingest_cmp"))
-      graft.ops.Bucketing.compactBucketed(s,
-        new java.io.File(dbLoc, "ingest_bkt").toString,
-        s"$db.ingest_cmp", nBuckets = 8, keys = Seq("doc_id"))
+      graft.engine.PhaseTimer.time("compact") {
+        graft.ops.Bucketing.reset(s, s"$db.ingest_cmp",
+          new java.io.File(dbLoc, "ingest_cmp"))
+        graft.ops.Bucketing.compactBucketed(s,
+          new java.io.File(dbLoc, "ingest_bkt").toString,
+          s"$db.ingest_cmp", nBuckets = 8, keys = Seq("doc_id"))
+      }
       s.table(s"$db.ingest_cmp")
         .select("doc_id", "landed", "keeper_id", "n_containers",
           "max_cont_e6")
@@ -1714,7 +1737,12 @@ object TextDedup {
         new java.io.File(dbLoc, "stage_bkt"))
       // Per-window stage decisions against window ∪ accumulated store.
       def decide(batch0: DataFrame): DataFrame = {
-        val b1 = mutate(batch0).filter(TextOps.gopherPass(col("text")))
+        // Persisted: b1 feeds THREE consumers inside the window's one
+        // decide job (the text-keyed min, the decontam explode, and the
+        // final join) — unpersisted, each re-read the micro-batch source
+        // and re-ran the mutate join + gopher regex gate (guide §1.2).
+        val b1 = graft.engine.Caches.persisted(
+          mutate(batch0).filter(TextOps.gopherPass(col("text"))))
         val keepers = s.table(s"$db.stage_bkt")
           .filter(col("exact_kept")).select("text").distinct()
           .withColumn("_seen", lit(true))
@@ -1765,35 +1793,42 @@ object TextDedup {
           (batch, id) => lastId = phaseBase + id; append(batch, lastId); ()
         }
       }
-      phase("e24a", 0L, LdsEvalSplit, 150L)
-      require(lastId >= 0L, "window 1 produced no micro-batches " +
-        "(stream source matched no files?)")
-      phase("e24b", 1000000L, 150L, 300L)
-      phase("e24c", 2000000L, 300L, Long.MaxValue)
-      // Replay probe: the last committed window redelivered under its id
-      // (with the decisions recomputed against the post-advance store —
-      // deliberately wrong, exactly what a restart does) must not append.
-      require(!append(all.filter(col("doc_id") >= 300L), lastId),
-        "ledger failed to suppress a replayed ingest window")
+      graft.engine.PhaseTimer.time("stream") {
+        phase("e24a", 0L, LdsEvalSplit, 150L)
+        require(lastId >= 0L, "window 1 produced no micro-batches " +
+          "(stream source matched no files?)")
+        phase("e24b", 1000000L, 150L, 300L)
+        phase("e24c", 2000000L, 300L, Long.MaxValue)
+        // Replay probe: the last committed window redelivered under its id
+        // (with the decisions recomputed against the post-advance store —
+        // deliberately wrong, exactly what a restart does) must not append.
+        require(!append(all.filter(col("doc_id") >= 300L), lastId),
+          "ledger failed to suppress a replayed ingest window")
+      }
       // The decision store accreted one file per touched bucket per
       // window; compact it IN PLACE (the e23 win_bkt discipline) so the
       // decide tail — and every later consumer — reads one file per
       // bucket. "Decide at compaction" is then literal: the containment
       // pass runs over the store the compaction just rewrote.
-      graft.ops.Bucketing.rewriteBucketedInPlace(s, db, "stage_bkt",
-        Seq("doc_id"), 8)(identity)
-      s.catalog.refreshTable(s"$db.stage_bkt")
+      graft.engine.PhaseTimer.time("compact") {
+        graft.ops.Bucketing.rewriteBucketedInPlace(s, db, "stage_bkt",
+          Seq("doc_id"), 8)(identity)
+        s.catalog.refreshTable(s"$db.stage_bkt")
+      }
       // Decide-at-compaction tail over the accumulated store: one batch
       // containment pass over the stage-3 survivors, then the pack —
       // identical operators to c12's stages 4-5.
       val store = graft.engine.Caches.persisted(s.table(s"$db.stage_bkt")
         .select("doc_id", "text", "exact_kept", "decontam_kept"))
-      val s3 = store.filter(col("exact_kept") && col("decontam_kept"))
-        .select("doc_id", "text")
-        .localCheckpoint()
-      val s4 = s3.join(Dedup.containmentDrops(s3).select("doc_id"),
-          Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+      val (s3, s4) = graft.engine.PhaseTimer.time("tail") {
+        val s3x = store.filter(col("exact_kept") && col("decontam_kept"))
+          .select("doc_id", "text")
+          .localCheckpoint()
+        val s4x = s3x.join(Dedup.containmentDrops(s3x).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        (s3x, s4x)
+      }
       val pk = graft.ops.Split.packManifest(s4, "text", "doc_id", 512)
         .agg(countDistinct("bin_id").as("n_windows"),
           count(lit(1)).as("n_segments"),
