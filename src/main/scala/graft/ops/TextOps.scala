@@ -387,8 +387,11 @@ object TextOps {
     * the mean is one positive floor division.
     */
   def bigramXent(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Persisted: the tokenized corpus feeds TWO consumers (the bigram
+    // explode chain and the vocabulary countDistinct) — unpersisted, each
+    // re-ran the regex tokenize over every document (guide §1.2).
     val toks = docs.select(col(idCol).as("doc_id"),
-      tokens(col(textCol)).as("ws"))
+      tokens(col(textCol)).as("ws")).persistTracked()
     val bg = toks.select(col("doc_id"), explode(expr(
         "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
           " (a, b) -> named_struct('w1', a, 'w2', b))")).as("b"))
