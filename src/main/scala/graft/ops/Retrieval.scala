@@ -301,19 +301,48 @@ object Retrieval {
     // ledger [[appendPostingStore]] publishes into, or a rebuilt store
     // would suppress re-applied deltas as "already committed".
     Bucketing.clearDir(appendLedger(dbLoc))
-    Bucketing.writeBucketed(post, s"$db.postings", nBuckets, Seq("term"))
-    Bucketing.writeBucketed(documentFrequencies(post), s"$db.term_stats",
-      nBuckets, Seq("term"))
-    // Norms bucketed by doc_id: the scoring-side join key, so a probe's
-    // dl join is exchange-free on the store side.
-    Bucketing.writeBucketed(dl, s"$db.doc_stats", nBuckets, Seq("doc_id"))
-    corpusStats(dl).write.mode("overwrite").format("parquet")
-      .saveAsTable(s"$db.corpus_stats")
+    // Four disjoint tables — write them as concurrent jobs (§2.6); norms
+    // bucket by doc_id, the scoring-side join key, so a probe's dl join
+    // is exchange-free on the store side.
+    concurrently(
+      () => Bucketing.writeBucketed(post, s"$db.postings", nBuckets,
+        Seq("term")),
+      () => Bucketing.writeBucketed(documentFrequencies(post),
+        s"$db.term_stats", nBuckets, Seq("term")),
+      () => Bucketing.writeBucketed(dl, s"$db.doc_stats", nBuckets,
+        Seq("doc_id")),
+      () => corpusStats(dl).write.mode("overwrite").format("parquet")
+        .saveAsTable(s"$db.corpus_stats"))
   }
 
   /** The append ledger's location inside a store's db directory. */
   def appendLedger(dbLoc: String): java.io.File =
     new java.io.File(dbLoc, "_append_ledger")
+
+  /** Run independent store-table writes as CONCURRENT jobs (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially — submitting independent writes from a small thread
+    * pool lets each job's tail back-fill the executors the others free).
+    * The four store tables are disjoint outputs, so content is identical
+    * to the sequential form; any failure propagates (first cause) and the
+    * pool never outlives the call. Spark's scheduler (FIFO) and
+    * SessionCatalog are thread-safe for jobs/DDL on DISTINCT tables —
+    * this must never be used for two writes touching the SAME table.
+    */
+  private def concurrently(work: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+    try {
+      val futs = work.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = w()
+      }))
+      futs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+        }
+      }
+    } finally { pool.shutdownNow(); () }
+  }
 
   /** Index MAINTENANCE: fold a delta corpus into a standing
     * [[buildPostingStore]] store. EVERYTHING appends — the segment model
@@ -347,12 +376,19 @@ object Retrieval {
     // stats partial) — persist, or each consumer re-tokenizes the delta.
     val post = postings(delta, idCol, textCol).persistTracked()
     val dl = docLengths(delta, idCol, textCol).persistTracked()
-    Bucketing.appendBucketed(post, s"$db.postings", nBuckets, Seq("term"))
-    Bucketing.appendBucketed(dl, s"$db.doc_stats", nBuckets, Seq("doc_id"))
-    Bucketing.appendBucketed(documentFrequencies(post), s"$db.term_stats",
-      nBuckets, Seq("term"))
-    corpusStats(dl).write.mode("append").format("parquet")
-      .saveAsTable(s"$db.corpus_stats")
+    // Four disjoint-table appends as concurrent jobs (§2.6) — the marker
+    // publishes only after ALL land (same at-least-once crash boundary
+    // as the sequential form: a death before the marker replays the
+    // batch; the ledger suppresses a replay after it).
+    concurrently(
+      () => Bucketing.appendBucketed(post, s"$db.postings", nBuckets,
+        Seq("term")),
+      () => Bucketing.appendBucketed(dl, s"$db.doc_stats", nBuckets,
+        Seq("doc_id")),
+      () => Bucketing.appendBucketed(documentFrequencies(post),
+        s"$db.term_stats", nBuckets, Seq("term")),
+      () => corpusStats(dl).write.mode("append").format("parquet")
+        .saveAsTable(s"$db.corpus_stats"))
     Bucketing.commit(ledgerDir, batchId, s"posting-store append into $db")
   }
 
@@ -395,18 +431,23 @@ object Retrieval {
     * committed batches stay committed.
     */
   def compactPostingStore(spark: SparkSession, db: String,
-      nBuckets: Int): Unit = {
-    rewriteStoreTable(spark, db, "postings", Seq("term"), nBuckets)(identity)
-    rewriteStoreTable(spark, db, "doc_stats", Seq("doc_id"), nBuckets)(identity)
-    rewriteStoreTable(spark, db, "term_stats", Seq("term"), nBuckets)(
-      _.groupBy("term").agg(sum("df").as("df")))
-    // corpus_stats is a plain one-row-per-batch parquet table (no
-    // buckets): fold to one row through an eager checkpoint so the
-    // overwrite never reads the files it is replacing.
-    val folded = corpusStatsOf(spark, db).localCheckpoint()
-    folded.write.mode("overwrite").format("parquet")
-      .saveAsTable(s"$db.corpus_stats")
-  }
+      nBuckets: Int): Unit =
+    // Four disjoint-table rewrites as concurrent jobs (§2.6): each is a
+    // small fixed cost (read + write + catalog rename), so overlapping
+    // them collapses the compact phase's serial job chain.
+    concurrently(
+      () => rewriteStoreTable(spark, db, "postings", Seq("term"),
+        nBuckets)(identity),
+      () => rewriteStoreTable(spark, db, "doc_stats", Seq("doc_id"),
+        nBuckets)(identity),
+      () => rewriteStoreTable(spark, db, "term_stats", Seq("term"),
+        nBuckets)(_.groupBy("term").agg(sum("df").as("df"))),
+      // corpus_stats is a plain one-row-per-batch parquet table (no
+      // buckets): fold to one row through an eager checkpoint so the
+      // overwrite never reads the files it is replacing.
+      () => corpusStatsOf(spark, db).localCheckpoint()
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"$db.corpus_stats"))
 
   /** Store MAINTENANCE: targeted DELETE (the right-to-be-forgotten path).
     * Removing documents from a TERM-bucketed inverted index is a rewrite
@@ -431,15 +472,21 @@ object Retrieval {
   def deleteFromPostingStore(spark: SparkSession, db: String, nBuckets: Int,
       deleteIds: DataFrame): Unit = {
     val del = deleteIds.select(col("doc_id")).distinct()
-    rewriteStoreTable(spark, db, "postings", Seq("term"), nBuckets)(
-      _.join(broadcast(del), Seq("doc_id"), "left_anti"))
-    rewriteStoreTable(spark, db, "doc_stats", Seq("doc_id"), nBuckets)(
-      _.join(broadcast(del), Seq("doc_id"), "left_anti"))
-    Bucketing.writeBucketed(documentFrequencies(spark.table(s"$db.postings")),
-      s"$db.term_stats", nBuckets, Seq("term"))
-    corpusStats(spark.table(s"$db.doc_stats"))
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"$db.corpus_stats")
+    // Two concurrent phases (§2.6): the anti-join rewrites are disjoint,
+    // and the stats rebuilds each read ONE rewritten table, so they run
+    // after the barrier — never against a table mid-rewrite.
+    concurrently(
+      () => rewriteStoreTable(spark, db, "postings", Seq("term"), nBuckets)(
+        _.join(broadcast(del), Seq("doc_id"), "left_anti")),
+      () => rewriteStoreTable(spark, db, "doc_stats", Seq("doc_id"),
+        nBuckets)(_.join(broadcast(del), Seq("doc_id"), "left_anti")))
+    concurrently(
+      () => Bucketing.writeBucketed(
+        documentFrequencies(spark.table(s"$db.postings")),
+        s"$db.term_stats", nBuckets, Seq("term")),
+      () => corpusStats(spark.table(s"$db.doc_stats"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"$db.corpus_stats"))
   }
 
   /** [[Bucketing.rewriteBucketedInPlace]] under the store's historical
